@@ -1,0 +1,88 @@
+"""The CDC replay loop: binlog/WAL tail → epoch batches → LWW dedup →
+idempotent lake MERGE → checkpoint.
+
+This is the Spark recast of the reference's Extract→Transform→Load
+program shape (/root/reference/src/Etl/Julius.hs:67-157,
+app/Main.hs:37-77) where Load is ``upsertRTab``
+(/root/reference/src/RTable/Core.hs:3649-3735): each epoch is one pure
+apply, checkpointed so that re-running any prefix of epochs is a no-op
+(the manifest's applied-epochs set IS the checkpoint — committed
+atomically with the data, so there is no window where data is visible
+but the checkpoint is not: exactly-once under crash/retry).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..lake.table import LakeTable, MergeStats
+from .generator import KEY_COLS, TRANSCRIPT_SCHEMA, epoch_batch
+
+
+def open_or_create_transcripts(
+    spark: SparkSession, root: str, num_buckets: int = 32
+) -> LakeTable:
+    try:
+        return LakeTable.load(spark, root)
+    except FileNotFoundError:
+        # initial schema intentionally OMITS the nullable `tool` column:
+        # it arrives mid-stream via schema evolution (BASELINE.json)
+        import pyspark.sql.types as T
+
+        base = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+        return LakeTable.create(
+            spark, root, base, key_cols=KEY_COLS, num_buckets=num_buckets
+        )
+
+
+@dataclass
+class ReplayStats:
+    epochs_applied: int = 0
+    epochs_skipped: int = 0
+    events_applied: int = 0
+    seconds: float = 0.0
+    per_epoch: list = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_applied / self.seconds if self.seconds else 0.0
+
+
+def replay(
+    table: LakeTable,
+    feed: DataFrame,
+    n_epochs: int,
+    *,
+    evolution_epoch: int | None = None,
+    stop_after: int | None = None,
+    files_per_bucket: int = 1,
+) -> ReplayStats:
+    """Apply epochs [0, n_epochs) in order, resuming past any already
+    committed (checkpoint = manifest.applied_epochs). ``stop_after``
+    simulates a mid-stream crash for resumability tests.
+    """
+    t0 = time.time()
+    stats = ReplayStats()
+    for e in range(n_epochs):
+        eid = f"epoch-{e:05d}"
+        batch = epoch_batch(feed, e, evolution_epoch=evolution_epoch)
+        m: MergeStats = table.merge(
+            batch,
+            epoch_id=eid,
+            op_col="op",
+            order_cols=("ts", "seq"),
+            files_per_bucket=files_per_bucket,
+        )
+        if m.skipped:
+            stats.epochs_skipped += 1
+        else:
+            stats.epochs_applied += 1
+            stats.events_applied += m.n_source
+        stats.per_epoch.append(m)
+        if stop_after is not None and stats.epochs_applied >= stop_after:
+            break
+    stats.seconds = time.time() - t0
+    return stats
