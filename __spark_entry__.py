@@ -1,38 +1,593 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(reference citations in the lambdas' builder functions) through the
+haskell_dbfunctor_spark kernel, with a matching DuckDB oracle in
+``oracle_sql()``. Aggregates are aliased identically on both sides and
+doubles are rounded so the order-insensitive value-hash is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from haskell_dbfunctor_spark.operators import (
+    Avg, Count, CountDist, CountStar, Max, Min, StrAgg, Sum,
+    add_column, agg, anti_join, col_mapping, delete_rows,
+    full_outer_join, group_by, inner_join, intersect, left_join, minus,
+    order_by, project, project_missed_hits, rfilter, right_join,
+    running_total, semi_join, union, union_all, update_rows, upsert,
+)
+from haskell_dbfunctor_spark.functions import decode, nvl
+from haskell_dbfunctor_spark.pipelines.dedup_text import (
+    exact_dedup_key, minhash_signatures, near_dup_counts, simhash16,
+)
+from haskell_dbfunctor_spark.pipelines.text import (
+    doc_fingerprint, lang_id, text_quality,
+)
+from haskell_dbfunctor_spark.pipelines.similarity import (
+    cosine_top_k, sign_lsh_buckets,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins final-state apply over the events
+    feed (keyed by user_id+event_type, LWW on ts with event_id
+    tiebreak, deletes dropped), then aggregate live state per type —
+    the read-side of the north-star ingest loop."""
+    sf_dir = "/root/testdata/sf0.001"
+    state = _cdc_lww_state(spark, sf_dir)
+    return group_by(
+        state,
+        ["event_type"],
+        [CountStar("live_keys"), Sum("value", "sum_value")],
+    ).withColumn("sum_value", F.round(F.col("sum_value"), 2))
 
+
+# ------------------------------------------------------------ CDC family
+
+def _cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a keyed change feed: op=D when event_id%10==0, else
+    upsert; final state = LWW by (ts, event_id) per (user_id,
+    event_type), deletes dropped. Mirrors lake.LakeTable.merge dedup
+    (hash agg max_by — skew-tolerant, no window sort)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    ords = F.struct(F.col("ts"), F.col("event_id"))
+    last = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(F.struct("op", "value", "ts", "event_id"), ords).alias("w")
+    )
+    return (
+        last.where(F.col("w.op") != "D")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.value").alias("value"),
+            F.col("w.ts").alias("ts"),
+            F.col("w.event_id").alias("last_event_id"),
+        )
+    )
+
+
+_CDC_LWW_SQL = """
+SELECT user_id, event_type, value, ts, event_id AS last_event_id
+FROM (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # σ/π — runRfilter + runProjection (Core.hs:2517-2559)
+    q["q01_filter_project"] = lambda s, d: project(
+        rfilter(_t(s, d, "lineitem"), F.col("l_quantity") > 45),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    )
+
+    # group-by + aggregates — runGroupBy/raggSum/raggAvg/raggCount
+    def q02(s, d):
+        li = rfilter(
+            _t(s, d, "lineitem"), F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+        li = li.withColumn(
+            "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        out = group_by(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                Sum("l_quantity", "sum_qty"),
+                Sum("disc_price", "sum_disc_price"),
+                Avg("l_quantity", "avg_qty"),
+                Count("l_quantity", "count_qty"),
+                CountStar("count_order"),
+            ],
+        )
+        return out.select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("sum_disc_price", 2).alias("sum_disc_price"),
+            F.round("avg_qty", 2).alias("avg_qty"),
+            "count_qty", "count_order",
+        )
+    q["q02_group_agg"] = q02
+
+    # inner equi-join (broadcast small dim) — runInnerJoinO (Core.hs:2694)
+    def q03(s, d):
+        o = _t(s, d, "orders")
+        c = F.broadcast(_t(s, d, "customer"))
+        j = o.join(c, o.o_custkey == c.c_custkey, "inner")
+        return (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+    q["q03_join_group"] = q03
+
+    # left outer join — runLeftJoin (Core.hs:2813)
+    def q04(s, d):
+        c = _t(s, d, "customer").select("c_custkey", "c_name")
+        o = _t(s, d, "orders").select(
+            F.col("o_custkey").alias("ok"), F.col("o_totalprice")
+        )
+        j = left_join(c, o, lambda l, r: l["c_custkey"] == r["ok"])
+        return j.groupBy("c_custkey").agg(
+            F.count("ok").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    q["q04_left_join"] = q04
+
+    # semi / anti joins — runSemiJoin / runAntiJoin (Core.hs:2639, :2607)
+    q["q05_semi_join"] = lambda s, d: semi_join(
+        _t(s, d, "part").select("p_partkey", "p_brand"),
+        _t(s, d, "lineitem").where(F.col("l_quantity") > 48),
+        lambda l, r: l["p_partkey"] == r["l_partkey"],
+    )
+    q["q06_anti_join"] = lambda s, d: anti_join(
+        _t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        _t(s, d, "orders"),
+        lambda l, r: l["c_custkey"] == r["o_custkey"],
+    )
+
+    # full outer join — runFullOuterJoin (Core.hs:2971)
+    def q07(s, d):
+        cn = _t(s, d, "customer").groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_cust")
+        )
+        sn = _t(s, d, "supplier").groupBy(
+            F.col("s_nationkey").alias("sn_key")
+        ).agg(F.count(F.lit(1)).alias("n_supp"))
+        return full_outer_join(
+            cn, sn, lambda l, r: l["c_nationkey"] == r["sn_key"]
+        )
+    q["q07_full_outer_join"] = q07
+
+    # set ops — runUnion/runIntersect/runDiff (Core.hs:3018-3159)
+    q["q08_union"] = lambda s, d: union(
+        _t(s, d, "customer").select(F.col("c_nationkey").alias("nk")),
+        _t(s, d, "supplier").select(F.col("s_nationkey").alias("nk")),
+    )
+    q["q09_intersect"] = lambda s, d: intersect(
+        _t(s, d, "customer").select(F.col("c_nationkey").alias("nk")).distinct(),
+        _t(s, d, "supplier").select(F.col("s_nationkey").alias("nk")).distinct(),
+    )
+    q["q10_minus"] = lambda s, d: minus(
+        _t(s, d, "nation").select(F.col("n_nationkey").alias("nk")),
+        _t(s, d, "supplier").select(F.col("s_nationkey").alias("nk")),
+    )
+
+    # order-by with reference NULL placement (desc ⇒ NULLS FIRST,
+    # runOrderBy Core.hs:3266-3349) + deterministic top-k
+    def q11(s, d):
+        li = _t(s, d, "lineitem").withColumn(
+            "nullable_disc", F.nullif(F.col("l_discount"), F.lit(0.0))
+        )
+        return order_by(
+            li.select("l_orderkey", "l_linenumber", "nullable_disc"),
+            [("nullable_disc", "desc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        ).limit(50)
+    q["q11_order_by_nulls_first_topk"] = q11
+
+    # top-k = OrderBy + limit (reference pattern, example1.hs:154-161)
+    q["q12_top_k"] = lambda s, d: order_by(
+        _t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    ).limit(10)
+
+    # count distinct — raggCountDist (Core.hs:2145)
+    q["q13_count_distinct"] = lambda s, d: group_by(
+        _t(s, d, "orders"),
+        ["o_orderpriority"],
+        [CountDist("o_custkey", "n_custs"), CountStar("n_orders")],
+    )
+
+    # string_agg — raggStrAgg (Core.hs:2017) with pinned order
+    q["q14_str_agg"] = lambda s, d: group_by(
+        inner_join(
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+            lambda l, r: l["n_regionkey"] == r["r_regionkey"],
+        ),
+        ["r_name"],
+        [StrAgg("n_name", "nations", delim=",")],
+    )
+
+    # running total — reference fold example2.hs:38-83 as a window
+    def q15(s, d):
+        o = _t(s, d, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        out = running_total(
+            o, "o_totalprice", ["o_orderdate", "o_orderkey"], "running_spend",
+            partition_cols=["o_custkey"],
+        )
+        return out.select(
+            "o_custkey", "o_orderkey",
+            F.round("running_spend", 2).alias("running_spend"),
+        )
+    q["q15_running_total"] = q15
+
+    # column mapping (native-expr path) — runColMapping (Etl/Internal/Core.hs:134)
+    def q16(s, d):
+        return col_mapping(
+            _t(s, d, "documents"),
+            ["text"], ["norm_text", "n_tokens", "head_word"],
+            exprs=[
+                F.lower(F.trim(F.col("text"))),
+                F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).cast("long"),
+                F.element_at(F.split(F.trim(F.col("text")), " "), 1),
+            ],
+            remove_src=True,
+        ).select("doc_id", "n_tokens", "head_word", F.md5("norm_text").alias("norm_md5"))
+    q["q16_col_mapping"] = q16
+
+    # decode / nvl — Oracle DECODE + NVL (Core.hs:1028, :994)
+    def q17(s, d):
+        o = _t(s, d, "orders")
+        return o.select(
+            "o_orderkey",
+            decode(
+                F.col("o_orderstatus"), "O", "open", "F", "filled", default="other"
+            ).alias("status_word"),
+            nvl(F.nullif(F.col("o_totalprice"), F.lit(0.0)), -1.0).alias("price_nvl"),
+        )
+    q["q17_decode_nvl"] = q17
+
+    # theta join (arbitrary predicate — RJoinPredicate Core.hs:1953)
+    q["q18_theta_join"] = lambda s, d: inner_join(
+        _t(s, d, "region"),
+        _t(s, d, "region"),
+        lambda l, r: l["r_regionkey"] < r["r_regionkey"],
+    )
+
+    # update + delete — updateRTab/deleteRTab (Core.hs:3819, :3804)
+    def q19(s, d):
+        li = _t(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        upd = update_rows(li, {"l_quantity": 0.0}, F.col("l_returnflag") == "R")
+        return delete_rows(upd, F.col("l_quantity") > 49)
+    q["q19_update_delete"] = q19
+
+    # MERGE/upsert — upsertRTab (Core.hs:3649-3735)
+    def q20(s, d):
+        c = _t(s, d, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+        src = (
+            c.where(F.col("c_custkey") % 10 == 0)
+            .select(
+                "c_custkey",
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                F.lit("UPDATED").alias("c_mktsegment"),
+            )
+        )
+        new_rows = src.select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+        out = upsert(c, union_all(src, new_rows), ["c_custkey"], update_cols=["c_acctbal"])
+        return out.select(
+            "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+        )
+    q["q20_upsert_merge"] = q20
+
+    # CDC LWW final state + metrics (the north-star apply, read side)
+    q["q21_cdc_lww_state"] = _cdc_lww_state
+    q["q22_cdc_state_metrics"] = lambda s, d: group_by(
+        _cdc_lww_state(s, d),
+        ["event_type"],
+        [CountStar("live_keys"), Sum("value", "sum_value")],
+    ).withColumn("sum_value", F.round(F.col("sum_value"), 2))
+
+    # ---- training-data pipeline ops over documents/embeddings ----
+    q["q23_dedup_exact"] = lambda s, d: exact_dedup_key(_t(s, d, "documents"))
+    q["q24_dedup_ngram_jaccard"] = lambda s, d: near_dup_counts(
+        _t(s, d, "documents"), threshold=0.8
+    )
+    q["q25_minhash_signatures"] = lambda s, d: minhash_signatures(
+        _t(s, d, "documents"), k=4
+    )
+    q["q26_simhash"] = lambda s, d: simhash16(_t(s, d, "documents"))
+    q["q27_cosine_topk"] = lambda s, d: cosine_top_k(
+        _t(s, d, "embeddings"), query_vec_id=0, k=10
+    )
+    q["q28_lsh_buckets"] = lambda s, d: sign_lsh_buckets(_t(s, d, "embeddings"))
+    q["q29_text_quality"] = lambda s, d: text_quality(_t(s, d, "documents"))
+    q["q30_lang_id"] = lambda s, d: lang_id(_t(s, d, "documents"))
+    q["q31_fingerprint"] = lambda s, d: doc_fingerprint(_t(s, d, "documents"))
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_filter_project"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_quantity > 45
     """
-    return {}
+    o["q02_group_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               count(l_quantity) AS count_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    o["q03_join_group"] = """
+        SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+    o["q04_left_join"] = """
+        SELECT c_custkey, count(ok) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        FROM (SELECT c_custkey, c_name FROM customer) c
+        LEFT JOIN (SELECT o_custkey AS ok, o_totalprice FROM orders) o
+          ON c_custkey = ok
+        GROUP BY c_custkey
+    """
+    o["q05_semi_join"] = """
+        SELECT p_partkey, p_brand FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 48)
+    """
+    o["q06_anti_join"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+    o["q07_full_outer_join"] = """
+        SELECT * FROM
+          (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        FULL JOIN
+          (SELECT s_nationkey AS sn_key, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        ON c_nationkey = sn_key
+    """
+    o["q08_union"] = """
+        SELECT c_nationkey AS nk FROM customer
+        UNION SELECT s_nationkey AS nk FROM supplier
+    """
+    o["q09_intersect"] = """
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier
+    """
+    o["q10_minus"] = """
+        SELECT n_nationkey AS nk FROM nation
+        EXCEPT SELECT s_nationkey AS nk FROM supplier
+    """
+    o["q11_order_by_nulls_first_topk"] = """
+        SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS nullable_disc
+        FROM lineitem
+        ORDER BY nullable_disc DESC NULLS FIRST, l_orderkey, l_linenumber
+        LIMIT 50
+    """
+    o["q12_top_k"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """
+    o["q13_count_distinct"] = """
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """
+    o["q14_str_agg"] = """
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+    o["q15_running_total"] = """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+        FROM orders
+    """
+    o["q16_col_mapping"] = """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+               string_split(trim(text), ' ')[1] AS head_word,
+               md5(lower(trim(text))) AS norm_md5
+        FROM documents
+    """
+    o["q17_decode_nvl"] = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN 'open'
+                    WHEN o_orderstatus = 'F' THEN 'filled'
+                    ELSE 'other' END AS status_word,
+               coalesce(nullif(o_totalprice, 0.0), -1.0) AS price_nvl
+        FROM orders
+    """
+    o["q18_theta_join"] = """
+        SELECT l.r_regionkey, l.r_name,
+               r.r_regionkey AS r_regionkey_1, r.r_name AS r_name_1
+        FROM region l JOIN region r ON l.r_regionkey < r.r_regionkey
+    """
+    o["q19_update_delete"] = """
+        SELECT * FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END AS l_quantity,
+                 l_returnflag
+          FROM lineitem
+        ) WHERE NOT coalesce(l_quantity > 49, FALSE)
+    """
+    o["q20_upsert_merge"] = """
+        WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        src AS (
+          SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+                 'UPDATED' AS c_mktsegment
+          FROM base WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 0.0, 'NEW'
+          FROM base WHERE c_custkey % 10 = 0
+        )
+        SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+               round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                          ELSE t.c_acctbal END, 2) AS c_acctbal,
+               CASE WHEN t.c_custkey IS NULL THEN s.c_mktsegment
+                    ELSE t.c_mktsegment END AS c_mktsegment
+        FROM base t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """
+    o["q21_cdc_lww_state"] = _CDC_LWW_SQL
+    o["q22_cdc_state_metrics"] = f"""
+        SELECT event_type, count(*) AS live_keys,
+               round(sum(value), 2) AS sum_value
+        FROM ({_CDC_LWW_SQL}) GROUP BY event_type
+    """
+    o["q23_dedup_exact"] = """
+        SELECT md5(lower(trim(text))) AS content_key,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """
+    o["q24_dedup_ngram_jaccard"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), nd AS (
+          SELECT d1, d2 FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_near_dups FROM (
+            SELECT d1 AS doc_id FROM nd UNION ALL SELECT d2 FROM nd
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
+    o["q25_minhash_signatures"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> '')
+        SELECT doc_id,
+               min(md5(word || '#0')) AS mh_0,
+               min(md5(word || '#1')) AS mh_1,
+               min(md5(word || '#2')) AS mh_2,
+               min(md5(word || '#3')) AS mh_3
+        FROM dw2 GROUP BY doc_id
+    """
+    o["q26_simhash"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
+          FROM dw WHERE word <> ''
+        ), bits AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM dw2, (SELECT unnest(range(16)) AS bit) b
+          GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id
+    """
+    o["q27_cosine_topk"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT e.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                 AS cos_sim
+          FROM embeddings e, q WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    o["q28_lsh_buckets"] = """
+        SELECT concat(
+                 CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[34] >= 0 THEN '1' ELSE '0' END
+               ) AS bucket,
+               count(*) AS n_vecs,
+               min(vec_id) AS min_vec_id
+        FROM embeddings GROUP BY 1
+    """
+    o["q29_text_quality"] = """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+               length(text) AS n_chars_m,
+               round(length(replace(text, ' ', '')) * 1.0
+                     / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 4)
+                 AS avg_token_len,
+               CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) >= 20
+                    THEN 'ok' ELSE 'short' END AS quality
+        FROM documents
+    """
+    o["q30_lang_id"] = """
+        SELECT doc_id,
+               CASE WHEN (length(text) - length(replace(text, ' data ', ''))) / 6 > 0
+                         OR (length(text) - length(replace(text, ' table ', ''))) / 7 > 0
+                    THEN 'en' ELSE 'unknown' END AS pred_lang,
+               lang
+        FROM documents
+    """
+    o["q31_fingerprint"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> '')
+        SELECT doc_id,
+               md5(string_agg(word, ' ' ORDER BY word)) AS fingerprint
+        FROM dw2 GROUP BY doc_id
+    """
+    return o

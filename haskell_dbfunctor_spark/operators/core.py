@@ -420,13 +420,15 @@ def upsert(
                 f"upsert source not unique on {list(match_cols)}"
             )
     ta, sa = target.alias("__t"), source.alias("__s")
+    tc = lambda c: F.col(f"__t.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"__s.{c}")  # noqa: E731
     cond = None
     for c in match_cols:
-        eq = ta[c] == sa[c]
+        eq = tc(c) == sc(c)
         cond = eq if cond is None else cond & eq
     j = ta.join(sa, cond, "full_outer")
-    t_present = ta[match_cols[0]].isNotNull()
-    s_present = sa[match_cols[0]].isNotNull()
+    t_present = tc(match_cols[0]).isNotNull()
+    s_present = sc(match_cols[0]).isNotNull()
     may_update = t_present & (
         matched_filter if matched_filter is not None else F.lit(True)
     )
@@ -435,8 +437,8 @@ def upsert(
     }
 
     def out_col(c: str) -> Column:
-        t_val = ta[c] if c in target.columns else F.lit(None)
-        s_val = sa[c] if c in source.columns else F.lit(None)
+        t_val = tc(c) if c in target.columns else F.lit(None)
+        s_val = sc(c) if c in source.columns else F.lit(None)
         return (
             F.when(~t_present, s_val)  # S1 insert
             .when(s_present & may_update & F.lit(c in upd), s_val)  # T1
@@ -444,6 +446,6 @@ def upsert(
             .alias(c)
         )
 
-    keys = [F.coalesce(ta[c], sa[c]).alias(c) for c in match_cols]
+    keys = [F.coalesce(tc(c), sc(c)).alias(c) for c in match_cols]
     rest = [out_col(c) for c in target.columns if c not in match_cols]
     return j.select(*keys, *rest)

@@ -1,0 +1,73 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All native
+Column expressions (JVM-side, codegen'd) — these run at scan speed and
+all push down column pruning to the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _n_tokens(text):
+    return F.size(F.filter(F.split(text, " "), lambda w: w != "")).cast("long")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality features: token count, char count, avg token length, and
+    a simple quality flag (scale-invariant heuristics; thresholds are
+    where a real pipeline plugs in model scores)."""
+    text = F.col("text")
+    nt = _n_tokens(text)
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars_m"),
+        F.round(
+            F.length(F.replace(text, F.lit(" "), F.lit(""))) * 1.0
+            / F.greatest(nt, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.when(nt >= 20, F.lit("ok")).otherwise(F.lit("short")).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-flavored language ID heuristic: count marker-token hits
+    via replace-length arithmetic (cross-engine deterministic; a real
+    deployment swaps in fastText/CLD via a pandas UDF — the plumbing is
+    identical)."""
+    text = F.col("text")
+
+    def hits(marker: str):
+        return (
+            F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+        ) / len(marker)
+
+    pred = F.when(
+        (hits(" data ") > 0) | (hits(" table ") > 0), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+    return docs.select("doc_id", pred.alias("pred_lang"), "lang")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct word set — stable under word reordering, used as a cheap
+    near-dup prefilter and as a lineage key for provenance tracking."""
+    words = F.array_sort(
+        F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    )
+    return docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", words)).alias("fingerprint")
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-flavored regex (word pieces +
+    punctuation as separate tokens) — the standard pre-tokenizer shape.
+    """
+    toks = F.split(F.col(text_col), r"\s+|(?=[^\w\s])|(?<=[^\w\s])")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_bpe_tokens"),
+    )
