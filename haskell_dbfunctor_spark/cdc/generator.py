@@ -67,6 +67,8 @@ def change_feed(
     exercise schema evolution drop the column per-batch (see
     ``epoch_batch``).
     """
+    if n_events < 1:
+        raise ValueError(f"n_events must be >= 1, got {n_events}")
     df = spark.range(n_events).withColumnRenamed("id", "seq")
     h = lambda *cols: F.xxhash64(*cols, F.lit(seed))  # noqa: E731
     pm = lambda c, n: F.pmod(c, F.lit(n))  # noqa: E731

@@ -253,6 +253,7 @@ class LakeTable:
         on_duplicate: str = "last_writer_wins",
         delete_op: str = "D",
         files_per_bucket: int = 1,
+        target_file_bytes: int = 128 * 1024 * 1024,
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
 
@@ -289,6 +290,9 @@ class LakeTable:
         ch = changes
         for c in key:
             ch = ch.where(F.col(c).isNotNull())
+        # n_source rides the dedup job as an observation — no extra scan
+        obs_src = Observation(f"merge_src_v{self.version + 1}")
+        ch = ch.observe(obs_src, F.count(F.lit(1)).alias("n"))
 
         # ---- last-writer-wins dedup: hash aggregation, not a window.
         # groupBy(key).max_by keeps partial (map-side) aggregation, so a
@@ -321,12 +325,19 @@ class LakeTable:
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
         deduped = deduped.persist()
+        timings: dict[str, float] = {}
         try:
-            touched = sorted(
-                r[0] for r in deduped.select(BUCKET_COL).distinct().collect()
-            )
-            n_source = ch.count()
-            n_deduped = deduped.count()
+            # single action: per-bucket counts give the touched-bucket
+            # list AND n_deduped; the observation on ch gives n_source
+            t_a = time.time()
+            bucket_counts = {
+                r[0]: r[1]
+                for r in deduped.groupBy(BUCKET_COL).count().collect()
+            }
+            touched = sorted(bucket_counts)
+            n_deduped = int(sum(bucket_counts.values()))
+            n_source = int(obs_src.get["n"])
+            timings["dedup"] = time.time() - t_a
 
             target = self.read(buckets=touched).withColumn(
                 BUCKET_COL, self.bucket_of(*[F.col(c) for c in key])
@@ -410,13 +421,32 @@ class LakeTable:
             snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
             snap_abs = os.path.join(self.root, snap_rel)
 
-            n_parts = max(len(touched) * files_per_bucket, 1)
+            # Size write tasks by estimated output bytes, not bucket
+            # count: a tiny epoch over many buckets must not pay one
+            # task per bucket, and a 100 TB epoch must not funnel into
+            # 64 tasks. partitionBy(BUCKET_COL) still yields one file
+            # per (task, bucket) pair, so file→bucket mapping survives
+            # any task count.
+            touched_bytes = sum(
+                os.path.getsize(f)
+                for f in self._files(buckets=touched)
+                if os.path.exists(f)
+            )
+            avg_row = self.manifest.get("avg_row_bytes") or 256
+            est_bytes = touched_bytes + n_deduped * avg_row
+            by_bytes = -(-est_bytes // target_file_bytes)  # ceil
+            floor = min(self.spark.sparkContext.defaultParallelism, max(len(touched), 1))
+            n_parts = int(
+                max(min(max(by_bytes, floor), len(touched) * files_per_bucket), 1)
+            )
+            t_a = time.time()
             (
                 merged.repartition(n_parts, BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(snap_abs)
             )
+            timings["write"] = time.time() - t_a
         finally:
             deduped.unpersist()
 
@@ -450,6 +480,15 @@ class LakeTable:
         manifest["version"] = new_version
         manifest["schema"] = new_schema.json()
         manifest["buckets"] = new_buckets
+        # rolling avg row width feeds the next merge's write-task sizing
+        new_rows = n_ins + n_upd + n_keep
+        new_bytes = sum(
+            os.path.getsize(os.path.join(self.root, f))
+            for fl in written.values()
+            for f in fl
+        )
+        if new_rows > 0 and new_bytes > 0:
+            manifest["avg_row_bytes"] = max(int(new_bytes / new_rows), 16)
         applied = dict(manifest["applied_epochs"])
         if epoch_id is not None:
             applied[epoch_id] = {"version": new_version, "ts": time.time()}
@@ -467,6 +506,8 @@ class LakeTable:
             n_kept=n_keep,
             buckets_touched=len(touched),
             seconds=time.time() - t0,
+            extra={"timings": {k: round(v, 3) for k, v in timings.items()},
+                   "write_tasks": n_parts},
         )
         self._write_lineage(stats, written)
         return stats

@@ -49,21 +49,35 @@ def exact_dedup_key(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def near_dup_counts(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def near_dup_counts(
+    docs: DataFrame, threshold: float = 0.8, *, salt: int = 64
+) -> DataFrame:
     """Per-doc count of near-duplicates by word-set Jaccard >= threshold.
 
     Shingle self-join plan: explode → distinct → equi-join on word →
-    pair-count aggregation. Catalyst runs the join as a shuffled hash
-    join on `word`; very common shingles are the skew risk — the
-    MinHash/LSH variant below is the 100 TB path.
+    pair-count aggregation. The word key is few-valued and heavy-tailed
+    (a common shingle matches most of the corpus), which AQE cannot fix
+    — it coalesces by *input* size and would run the exploding join in
+    one task — so the join is explicitly salted and width-pinned
+    (operators/skew.py). The MinHash/LSH variant below is the 100 TB
+    path that avoids the quadratic candidate set altogether.
     """
+    from ..operators.skew import salted_equi_join
+
     dw = _words(docs)
     sz = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = dw.alias("a")
-    b = dw.alias("b")
+    joined = salted_equi_join(
+        dw, dw, "word",
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=F.col("l.doc_id") < F.col("r.doc_id"),
+        # wider than `salt`: per-(word,salt) output volume is uneven
+        # (df varies per word), extra width smooths the tail
+        num_partitions=salt * 4,
+    )
     pairs = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        joined.groupBy(
+            F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
@@ -76,9 +90,11 @@ def near_dup_counts(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         )
         .select("d1", "d2")
     )
+    # explode(array(d1,d2)) instead of a self-unionAll: a union would
+    # duplicate the whole exploding-join subtree in the physical plan
+    # (it computes twice); explode evaluates it once
     cnt = (
-        nd.select(F.col("d1").alias("doc_id"))
-        .unionAll(nd.select(F.col("d2").alias("doc_id")))
+        nd.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_near_dups"))
     )
