@@ -14,11 +14,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from haskell_dbfunctor_spark.operators import (
-    Avg, Count, CountDist, CountStar, Max, Min, StrAgg, Sum,
+    Avg, Count, CountDist, CountStar, GenAgg, Max, Min, StrAgg, Sum,
     add_column, agg, anti_join, col_mapping, delete_rows,
     full_outer_join, group_by, inner_join, intersect, left_join, minus,
     order_by, project, project_missed_hits, rfilter, right_join,
-    running_total, semi_join, union, union_all, update_rows, upsert,
+    running_total, semi_join, surrogate_key, union, union_all,
+    update_rows, upsert,
 )
 from haskell_dbfunctor_spark.functions import decode, nvl
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
@@ -28,8 +29,12 @@ from haskell_dbfunctor_spark.pipelines.text import (
     doc_fingerprint, lang_id, text_quality,
 )
 from haskell_dbfunctor_spark.pipelines.similarity import (
-    cosine_top_k, sign_lsh_buckets,
+    ann_top_k, cosine_top_k, sign_lsh_buckets,
 )
+from haskell_dbfunctor_spark.pipelines.multimodal import (
+    attach_fake_media, frame_sample, media_features,
+)
+from haskell_dbfunctor_spark.pipelines.text import token_count_bpe_ish
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -335,7 +340,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q30_lang_id"] = lambda s, d: lang_id(_t(s, d, "documents"))
     q["q31_fingerprint"] = lambda s, d: doc_fingerprint(_t(s, d, "documents"))
 
+    # ---- multimodal: opaque binary media + Arrow-batched stub decode ----
+    q["q32_media_decode"] = lambda s, d: media_features(
+        _t(s, d, "documents")
+    ).select("doc_id", "media_len", "media_md5")
+
+    q["q33_frame_sample"] = lambda s, d: frame_sample(
+        attach_fake_media(_t(s, d, "documents")), every_n=24
+    ).select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+    # ---- streaming: WAL-file tail -> foreachBatch MERGE (final state) ----
+    q["q34_stream_tail_state"] = _stream_tail_state
+
+    # surrogate key — addSurrogateKeyJ (Julius.hs:1666-1682)
+    q["q35_surrogate_key"] = lambda s, d: surrogate_key(
+        _t(s, d, "nation").select("n_nationkey", "n_name"), "sk", ["n_name"],
+        init=100,
+    )
+
+    # schema-evolution read — runProjectionMissedHits (Core.hs:2565-2584)
+    q["q36_project_missed_hits"] = lambda s, d: project_missed_hits(
+        _t(s, d, "region"), ["r_regionkey", "r_name", "tool"]
+    )
+
+    # custom aggregate — raggGenericAgg (Core.hs:2001-2010) as a
+    # GROUPED_AGG pandas UDF (median has no single-pass builtin)
+    def q37(s, d):
+        import pandas as pd
+
+        def med(v: pd.Series) -> float:
+            return float(v.median())
+
+        out = group_by(
+            _t(s, d, "orders"),
+            ["o_orderpriority"],
+            [GenAgg("o_totalprice", "median_price", med)],
+        )
+        return out.withColumn("median_price", F.round("median_price", 2))
+    q["q37_generic_agg_median"] = q37
+
+    # BPE-ish token counting (pre-tokenizer shape)
+    q["q38_token_count_bpe"] = lambda s, d: token_count_bpe_ish(
+        _t(s, d, "documents")
+    )
+
+    # ANN: exact cosine within the query's sign-LSH bucket (scale path)
+    q["q39_ann_topk"] = lambda s, d: ann_top_k(
+        _t(s, d, "embeddings"), query_vec_id=0, k=10
+    )
+
     return q
+
+
+def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
+    """events as four monotone WAL segment files, tailed by Structured
+    Streaming (availableNow, 1 file per micro-batch), each micro-batch
+    MERGEd into a fresh LakeTable; returns the final table state.
+    Same LWW semantics as q21, so it shares the oracle."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+
+    ev = _t(s, d, "events")
+    n = ev.count()
+    seg_size = max(n // 4, 1)
+    feed = ev.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        # driver parquet carries NTZ timestamps; the lake schema is
+        # session-TZ TimestampType — normalize at the ingest boundary
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+        F.least((F.col("event_id") / seg_size).cast("int"), F.lit(3)).alias("seg"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hdbf_stream_q34_")
+    feed_dir = f"{tmp}/feed"
+    # sequential appends => strictly increasing mtimes => the file
+    # source replays segments in WAL order (ts monotone in event_id)
+    for seg in range(4):
+        (feed.where(F.col("seg") == seg).drop("seg")
+         .coalesce(1).write.mode("append").parquet(feed_dir))
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    table = LakeTable.create(
+        s, f"{tmp}/lake", schema,
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    query = tail_feed_dir(
+        s, table, feed_dir, available_now=True, max_files_per_trigger=1,
+        order_cols=("ts", "seq"), op_col="op",
+    )
+    query.awaitTermination(600)
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -580,6 +692,61 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'en' ELSE 'unknown' END AS pred_lang,
                lang
         FROM documents
+    """
+    o["q32_media_decode"] = """
+        SELECT doc_id, octet_length(encode(text)) AS media_len,
+               md5(text) AS media_md5
+        FROM documents
+    """
+    o["q33_frame_sample"] = """
+        SELECT doc_id, (doc_id * 17 % 240) + 1 AS n_frames,
+               unnest(range(0, (doc_id * 17 % 240) + 1, 24)) AS frame_idx
+        FROM documents
+    """
+    o["q34_stream_tail_state"] = _CDC_LWW_SQL
+    o["q35_surrogate_key"] = """
+        SELECT n_nationkey, n_name,
+               row_number() OVER (ORDER BY n_name) + 99 AS sk
+        FROM nation
+    """
+    o["q36_project_missed_hits"] = """
+        SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS tool FROM region
+    """
+    o["q37_generic_agg_median"] = """
+        SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
+        FROM orders GROUP BY o_orderpriority
+    """
+    o["q38_token_count_bpe"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+               + len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n]'))
+                 AS n_bpe_tokens
+        FROM documents
+    """
+    o["q39_ann_topk"] = """
+        WITH eb AS (
+          SELECT vec_id, embedding,
+                 concat(
+                   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[34] >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM embeddings
+        ), q AS (SELECT bucket AS qbucket, embedding AS qv FROM eb WHERE vec_id = 0),
+        sims AS (
+          SELECT e.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                 AS cos_sim
+          FROM eb e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+        )
+        SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
     o["q31_fingerprint"] = """
         WITH dw AS (

@@ -48,12 +48,16 @@ def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.select(*cols)
 
 
-def project_missed_hits(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """π with missing columns as NULL — runProjectionMissedHits
-    (Core.hs:2565-2584). This is the schema-evolution read path."""
+def project_missed_hits(
+    df: DataFrame, cols: Sequence[str], missing_type: str = "string"
+) -> DataFrame:
+    """π with missing columns as typed NULL — runProjectionMissedHits
+    (Core.hs:2565-2584). This is the schema-evolution read path; the
+    reference's UknownType for all-Null columns becomes an explicit
+    ``missing_type`` because Spark nulls are typed."""
     return df.select(
         *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            F.col(c) if c in df.columns else F.lit(None).cast(missing_type).alias(c)
             for c in cols
         ]
     )

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the CDC ingest job.
+
+Packaging + launch (multi-executor cluster; local[...] in the sandbox):
+
+    cd /root/repo && zip -r /tmp/hdbf.zip haskell_dbfunctor_spark
+    spark-submit --master <cluster> --py-files /tmp/hdbf.zip \
+        jobs/cdc_ingest.py --table-root /data/lake/transcripts \
+        --events 10000000000 --epochs 1024 --buckets 4096
+
+The job is resumable: applied epoch ids live in the table manifest
+(committed atomically with the data), so a killed run re-submitted with
+the same arguments skips every already-committed epoch and continues —
+the reference's pure, re-runnable `upsertRTab` recast as exactly-once
+replay (/root/reference/src/RTable/Core.hs:3649-3735).
+
+With --stream the same apply loop runs as a Structured Streaming file
+tailer (see haskell_dbfunctor_spark/streaming/tailer.py) instead of a
+bounded epoch loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# running from a checkout without --py-files: make the repo root importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="CDC ingest: change feed -> lake MERGE")
+    ap.add_argument("--table-root", required=True)
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--convs", type=int, default=0,
+                    help="distinct conversations (0 = events/200)")
+    ap.add_argument("--evolution-epoch", type=int, default=None,
+                    help="epoch at which the `tool` column first appears")
+    ap.add_argument("--stop-after", type=int, default=None,
+                    help="apply at most this many new epochs (resume later)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--stream", action="store_true",
+                    help="tail --feed-dir with Structured Streaming instead "
+                         "of replaying the synthetic feed")
+    ap.add_argument("--feed-dir", default=None,
+                    help="directory of change-event parquet files (--stream)")
+    args = ap.parse_args(argv)
+
+    from haskell_dbfunctor_spark.session import get_spark
+    from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+
+    spark = get_spark(app_name="cdc-ingest")
+    table = open_or_create_transcripts(
+        spark, args.table_root, num_buckets=args.buckets
+    )
+
+    if args.stream:
+        from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+
+        if not args.feed_dir:
+            ap.error("--stream requires --feed-dir")
+        q = tail_feed_dir(spark, table, args.feed_dir)
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "status": "drained"}))
+        return 0
+
+    feed = change_feed(
+        spark,
+        args.events,
+        seed=args.seed,
+        n_convs=args.convs or max(args.events // 200, 100),
+        n_epochs=args.epochs,
+        evolution_epoch=args.evolution_epoch,
+    )
+    stats = replay(
+        table, feed, args.epochs,
+        evolution_epoch=args.evolution_epoch,
+        stop_after=args.stop_after,
+    )
+    print(json.dumps({
+        "mode": "replay",
+        "epochs_applied": stats.epochs_applied,
+        "epochs_skipped": stats.epochs_skipped,
+        "events_applied": stats.events_applied,
+        "seconds": round(stats.seconds, 3),
+        "events_per_sec": round(stats.events_per_sec, 1),
+        "table_version": table.version,
+        "final_rows": table.read().count(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
