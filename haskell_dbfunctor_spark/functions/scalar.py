@@ -75,14 +75,32 @@ _ORACLE_TOKENS = [
     # MM stays MM (month)
 ]
 
+# parsing must be lenient (the reference accepts "1/12/1991",
+# toRTimestamp Core.hs:1182-1397); single-letter Java patterns parse
+# 1-or-2 digits, double-letter ones are exact-width
+_ORACLE_TOKENS_LENIENT = [
+    ("HH24", "H"),
+    ("HH12", "h"),
+    ("YYYY", "yyyy"),
+    ("MI", "m"),
+    ("SS", "s"),
+    ("DD", "d"),
+    ("MM", "M"),
+    ("HH", "H"),
+]
 
-def oracle_fmt_to_spark(fmt: str) -> str:
-    """Translate an Oracle/reference datetime format to a Spark one."""
+
+def oracle_fmt_to_spark(fmt: str, lenient: bool = False) -> str:
+    """Translate an Oracle/reference datetime format to a Spark one.
+    ``lenient=True`` produces a parse pattern tolerating unpadded
+    day/month/hour fields; default produces the zero-padded output
+    pattern."""
+    tokens = _ORACLE_TOKENS_LENIENT if lenient else _ORACLE_TOKENS
     out = ""
     i = 0
     n = len(fmt)
     while i < n:
-        for tok, rep in _ORACLE_TOKENS:
+        for tok, rep in tokens:
             if fmt[i : i + len(tok)] == tok:
                 out += rep
                 i += len(tok)
@@ -97,8 +115,9 @@ def to_rtimestamp(col: Column, oracle_fmt: str) -> Column:
     """toRTimestamp (Core.hs:1182-1397): parse text per Oracle format.
     Unparseable values yield NULL (the reference throws
     UnsupportedTimeStampFormat; at scale a NULL + validation metric is
-    the operable contract — SURVEY.md §1.3)."""
-    return F.to_timestamp(col, oracle_fmt_to_spark(oracle_fmt))
+    the operable contract — SURVEY.md §1.3). Lenient like the
+    reference: unpadded day/month/hour fields parse."""
+    return F.try_to_timestamp(col, F.lit(oracle_fmt_to_spark(oracle_fmt, lenient=True)))
 
 
 def rtimestamp_to_text(col: Column, oracle_fmt: str = "DD/MM/YYYY HH24:MI:SS") -> Column:
