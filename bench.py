@@ -61,7 +61,12 @@ def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
     from haskell_dbfunctor_spark.cdc.generator import change_feed
 
-    root = tempfile.mkdtemp(prefix="bench_lake_")
+    # RAM-backed table root when available: the sandbox's virtio disk
+    # has ~3x run-to-run write-latency variance that swamps any scaling
+    # signal; tmpfs isolates the compute we are actually measuring (a
+    # real cluster writes to object storage with scaled-out bandwidth)
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR")
+    root = tempfile.mkdtemp(prefix="bench_lake_", dir=base)
     try:
         feed = change_feed(
             spark,
@@ -76,11 +81,20 @@ def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
             files_per_bucket=2,
         )
         final_rows = table.read().count()
+        # steady state = excluding epoch 0 (JVM/codegen warmup dominates
+        # the first epoch regardless of parallelism)
+        warm = stats.per_epoch[1:]
+        warm_events = sum(m.n_source for m in warm)
+        warm_secs = sum(m.seconds for m in warm)
         return {
             "n_events": n_events,
             "n_epochs": n_epochs,
             "seconds": round(stats.seconds, 3),
             "events_per_sec": round(stats.events_per_sec, 1),
+            "steady_seconds": round(warm_secs, 3),
+            "steady_events_per_sec": round(
+                warm_events / warm_secs if warm_secs else 0.0, 1
+            ),
             "final_rows": final_rows,
         }
     finally:
@@ -90,7 +104,13 @@ def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
 def _get_spark(cores: int):
     from haskell_dbfunctor_spark.session import get_spark
 
-    return get_spark(app_name=f"bench-local{cores}", cores=cores)
+    extra = {}
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR")
+    if base:
+        shuffle_dir = os.path.join(base, "spark-local")
+        os.makedirs(shuffle_dir, exist_ok=True)
+        extra["spark.local.dir"] = shuffle_dir
+    return get_spark(app_name=f"bench-local{cores}", cores=cores, extra_conf=extra)
 
 
 def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
@@ -117,43 +137,84 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     }))
 
 
-def main_cdc(cores: int, n_events: int) -> None:
+def main_cdc(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -> None:
     spark = _get_spark(cores)
-    out = run_cdc(spark, n_events)
+    out = run_cdc(spark, n_events, n_epochs=n_epochs)
     out.update({"cores": cores})
     print(json.dumps(out))
 
 
-def main_scaling(small: int, large: int, n_events: int) -> None:
-    """Same job, same input, two parallelism levels, each in a fresh JVM."""
-    results = {}
-    for cores in (small, large):
-        env = dict(os.environ)
-        env.pop("SPARK_GRAFT_MASTER", None)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--cdc", str(n_events), "--cores", str(cores)],
-            capture_output=True, text=True, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"# local[{cores}]: {results[cores]['events_per_sec']:.0f} events/s "
-              f"({results[cores]['seconds']:.1f}s)", file=sys.stderr)
+def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--cdc", str(n_events), "--cores", str(cores),
+         "--epochs", str(n_epochs)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
-    t_small, t_large = results[small]["seconds"], results[large]["seconds"]
-    speedup = t_small / t_large
-    efficiency = speedup / (large / small)
+
+def main_scaling(
+    small: int, large: int, n_events: int, pairs: int = 5,
+    n_epochs: int = 4,
+) -> None:
+    """Same job, same deterministic input, two parallelism levels.
+
+    Each run gets a fresh JVM (local mode pins parallelism at start).
+    This sandbox's host performance drifts on a minutes timescale
+    (identical runs vary up to 3x), so single-shot wall-clock
+    comparison is meaningless. Protocol: ``pairs`` alternating
+    back-to-back (small, large) run pairs on tmpfs; adjacent runs share
+    host conditions, so the per-pair throughput ratio is drift-immune;
+    the reported efficiency is the MEDIAN per-pair ratio / (large/small).
+    Throughput = steady-state events/s (excluding the JVM-warmup epoch).
+    """
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        bench_dir = "/dev/shm/hdbf_bench"
+        os.makedirs(bench_dir, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = bench_dir
+    runs: dict[int, list[dict]] = {small: [], large: []}
+    ratios: list[float] = []
+    for r in range(pairs):
+        order = (small, large) if r % 2 == 0 else (large, small)
+        pair_res = {}
+        for cores in order:
+            subprocess.run(["sync"], check=False)
+            time.sleep(2)
+            res = _one_cdc_subprocess(cores, n_events, n_epochs=n_epochs)
+            runs[cores].append(res)
+            pair_res[cores] = res
+            print(f"# pair {r} local[{cores}]: steady "
+                  f"{res['steady_events_per_sec']:.0f} events/s "
+                  f"(total {res['seconds']:.1f}s)", file=sys.stderr)
+        ratio = (pair_res[large]["steady_events_per_sec"]
+                 / pair_res[small]["steady_events_per_sec"])
+        ratios.append(ratio)
+        print(f"# pair {r} speedup {small}->{large}: {ratio:.2f}x",
+              file=sys.stderr)
+
+    ratios_sorted = sorted(ratios)
+    med_ratio = ratios_sorted[len(ratios_sorted) // 2]
+    best = {
+        c: max(rs, key=lambda x: x["steady_events_per_sec"])
+        for c, rs in runs.items()
+    }
     print(json.dumps({
         "metric": "cdc_scaling_efficiency",
-        "value": round(efficiency, 3),
+        "value": round(med_ratio / (large / small), 3),
         "unit": "ratio",
         "n_events": n_events,
         "small_cores": small,
         "large_cores": large,
-        "small": results[small],
-        "large": results[large],
-        "speedup": round(speedup, 3),
+        "median_pair_speedup": round(med_ratio, 3),
+        "pair_speedups": [round(x, 3) for x in ratios],
+        "best_small": best[small],
+        "best_large": best[large],
+        "all_runs": {str(c): rs for c, rs in runs.items()},
     }))
 
 
@@ -166,12 +227,15 @@ if __name__ == "__main__":
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--events", type=int, default=CDC_EVENTS_DEFAULT)
+    ap.add_argument("--epochs", type=int, default=CDC_EPOCHS)
+    ap.add_argument("--pairs", type=int, default=5)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
     if args.scaling:
-        main_scaling(args.small, args.large, args.events)
+        main_scaling(args.small, args.large, args.events,
+                     pairs=args.pairs, n_epochs=args.epochs)
     elif args.cdc is not None:
-        main_cdc(args.cores, args.cdc)
+        main_cdc(args.cores, args.cdc, n_epochs=args.epochs)
     else:
         main_bench(args.sf_dir, args.cores, cdc_events=500_000)

@@ -141,13 +141,42 @@ class LakeTable:
         return tbl
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        hint = os.path.join(root, MANIFEST_DIR, "version-hint.txt")
-        with open(hint) as fh:
-            v = int(fh.read().strip())
-        with open(os.path.join(root, MANIFEST_DIR, f"v{v}.json")) as fh:
+    def load(
+        cls, spark: SparkSession, root: str, version: int | None = None
+    ) -> "LakeTable":
+        """Open the table at the current (or a historical) snapshot.
+
+        ``version`` gives Iceberg-style time travel: every commit keeps
+        its manifest, and data files are immutable (copy-on-write), so
+        any past snapshot reads consistently. A table opened at an old
+        version is read-only in spirit — committing from it would fork
+        history; don't.
+        """
+        if version is None:
+            hint = os.path.join(root, MANIFEST_DIR, "version-hint.txt")
+            with open(hint) as fh:
+                version = int(fh.read().strip())
+        with open(os.path.join(root, MANIFEST_DIR, f"v{version}.json")) as fh:
             manifest = json.load(fh)
         return cls(spark, root, manifest)
+
+    @classmethod
+    def history(cls, root: str) -> list[dict]:
+        """Commit log: one row per snapshot (version, epoch ids, time)."""
+        meta_dir = os.path.join(root, MANIFEST_DIR)
+        out = []
+        for f in sorted(os.listdir(meta_dir)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            out.append({
+                "version": m["version"],
+                "n_buckets_with_data": len(m["buckets"]),
+                "applied_epochs": sorted(m["applied_epochs"]),
+                "created_at": m.get("created_at"),
+            })
+        return sorted(out, key=lambda r: r["version"])
 
     def _commit(self, manifest: dict) -> None:
         v = manifest["version"]
