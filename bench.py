@@ -55,9 +55,23 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> tuple[float, float]:
+    """(steal_ticks, total_ticks) from /proc/stat — bursty co-tenants on
+    this host steal CPU; runs report their steal share so noisy
+    measurements are identifiable."""
+    try:
+        parts = open("/proc/stat").readline().split()[1:]
+        vals = [float(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0.0, sum(vals)
+    except Exception:
+        return 0.0, 0.0
+
+
 def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
-    """One full CDC replay: deterministic feed -> epoch loop of LWW dedup
-    + bucket-pruned MERGE + checkpoint into a fresh LakeTable."""
+    """One full CDC replay: deterministic feed (materialized once, read
+    back per epoch with partition pruning — a WAL is storage, not a
+    generator) -> epoch loop of LWW dedup + bucket-pruned MERGE +
+    checkpoint into a fresh LakeTable."""
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
     from haskell_dbfunctor_spark.cdc.generator import change_feed
 
@@ -68,24 +82,33 @@ def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
     base = os.environ.get("SPARK_GRAFT_BENCH_DIR")
     root = tempfile.mkdtemp(prefix="bench_lake_", dir=base)
     try:
-        feed = change_feed(
+        feed_src = change_feed(
             spark,
             n_events,
             n_convs=max(n_events // 200, 100),
             n_epochs=n_epochs,
             evolution_epoch=n_epochs // 2,
         )
+        feed_path = os.path.join(root, "_feed")
+        feed_src.write.partitionBy("epoch").parquet(feed_path)
+        feed = spark.read.parquet(feed_path)
+
         table = open_or_create_transcripts(spark, root, num_buckets=64)
+        st0, tt0 = _cpu_sample()
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
             files_per_bucket=2,
         )
+        st1, tt1 = _cpu_sample()
         final_rows = table.read().count()
         # steady state = excluding epoch 0 (JVM/codegen warmup dominates
         # the first epoch regardless of parallelism)
         warm = stats.per_epoch[1:]
         warm_events = sum(m.n_source for m in warm)
         warm_secs = sum(m.seconds for m in warm)
+        steal_pct = (
+            100.0 * (st1 - st0) / (tt1 - tt0) if tt1 > tt0 else 0.0
+        )
         return {
             "n_events": n_events,
             "n_epochs": n_epochs,
@@ -96,6 +119,7 @@ def run_cdc(spark, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
                 warm_events / warm_secs if warm_secs else 0.0, 1
             ),
             "final_rows": final_rows,
+            "host_steal_pct": round(steal_pct, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -59,12 +59,21 @@ def replay(
     evolution_epoch: int | None = None,
     stop_after: int | None = None,
     files_per_bucket: int = 1,
+    prune_buckets: bool | None = None,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
     simulates a mid-stream crash for resumability tests.
+
+    ``prune_buckets=None`` decides automatically: a batch with far more
+    rows than the table has buckets touches essentially every bucket
+    (uniform-hash keys), so the extra job that computes the touched set
+    buys nothing — skip it and fuse dedup into the single MERGE job.
     """
     t0 = time.time()
+    if prune_buckets is None:
+        avg_epoch_rows = feed.count() / max(n_epochs, 1)
+        prune_buckets = avg_epoch_rows < 50 * table.num_buckets
     stats = ReplayStats()
     for e in range(n_epochs):
         eid = f"epoch-{e:05d}"
@@ -75,6 +84,7 @@ def replay(
             op_col="op",
             order_cols=("ts", "seq"),
             files_per_bucket=files_per_bucket,
+            prune_buckets=prune_buckets,
         )
         if m.skipped:
             stats.epochs_skipped += 1

@@ -283,6 +283,7 @@ class LakeTable:
         delete_op: str = "D",
         files_per_bucket: int = 1,
         target_file_bytes: int = 128 * 1024 * 1024,
+        prune_buckets: bool = True,
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
 
@@ -353,20 +354,36 @@ class LakeTable:
             )
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
-        deduped = deduped.persist()
         timings: dict[str, float] = {}
+        persisted = None
+        obs_dd = None
         try:
-            # single action: per-bucket counts give the touched-bucket
-            # list AND n_deduped; the observation on ch gives n_source
-            t_a = time.time()
-            bucket_counts = {
-                r[0]: r[1]
-                for r in deduped.groupBy(BUCKET_COL).count().collect()
-            }
-            touched = sorted(bucket_counts)
-            n_deduped = int(sum(bucket_counts.values()))
-            n_source = int(obs_src.get["n"])
-            timings["dedup"] = time.time() - t_a
+            if prune_buckets:
+                # single action: per-bucket counts give the touched-
+                # bucket list AND n_deduped; the observation on ch gives
+                # n_source. Worth one extra job when the batch touches
+                # few buckets (incremental epochs over a huge table).
+                persisted = deduped = deduped.persist()
+                t_a = time.time()
+                bucket_counts = {
+                    r[0]: r[1]
+                    for r in deduped.groupBy(BUCKET_COL).count().collect()
+                }
+                touched = sorted(bucket_counts)
+                n_deduped = int(sum(bucket_counts.values()))
+                n_source = int(obs_src.get["n"])
+                timings["dedup"] = time.time() - t_a
+            else:
+                # batch plausibly touches every bucket: skip the extra
+                # materialization — dedup fuses into the one write job,
+                # counts ride as observations
+                obs_dd = Observation(f"merge_dd_v{self.version + 1}")
+                deduped = deduped.observe(
+                    obs_dd, F.count(F.lit(1)).alias("n")
+                )
+                touched = list(range(self.num_buckets))
+                n_deduped = -1
+                n_source = -1
 
             target = self.read(buckets=touched).withColumn(
                 BUCKET_COL, self.bucket_of(*[F.col(c) for c in key])
@@ -462,7 +479,10 @@ class LakeTable:
                 if os.path.exists(f)
             )
             avg_row = self.manifest.get("avg_row_bytes") or 256
-            est_bytes = touched_bytes + n_deduped * avg_row
+            dd_est = n_deduped if n_deduped >= 0 else max(
+                touched_bytes // max(avg_row, 1), 1
+            )
+            est_bytes = touched_bytes + dd_est * avg_row
             by_bytes = -(-est_bytes // target_file_bytes)  # ceil
             floor = min(self.spark.sparkContext.defaultParallelism, max(len(touched), 1))
             n_parts = int(
@@ -477,7 +497,15 @@ class LakeTable:
             )
             timings["write"] = time.time() - t_a
         finally:
-            deduped.unpersist()
+            if persisted is not None:
+                persisted.unpersist()
+
+        if n_source < 0:
+            try:
+                n_source = int(obs_src.get["n"])
+                n_deduped = int(obs_dd.get["n"])
+            except Exception:
+                n_source = n_deduped = 0
 
         try:
             got = obs.get
