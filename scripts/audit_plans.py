@@ -49,7 +49,7 @@ def summarize(plan: str) -> dict:
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("AggregateInPandas"),
         "batch_eval": plan.count("BatchEvalPython"),  # row-at-a-time: bad
-        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
     }
 
 
