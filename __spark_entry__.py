@@ -421,13 +421,27 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.least((F.col("event_id") / seg_size).cast("int"), F.lit(3)).alias("seg"),
     )
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
     tmp = tempfile.mkdtemp(prefix="hdbf_stream_q34_")
     feed_dir = f"{tmp}/feed"
-    # sequential appends => strictly increasing mtimes => the file
-    # source replays segments in WAL order (ts monotone in event_id)
+    staging = f"{tmp}/staging"
+    # one write job; then move segment files into the feed dir with
+    # strictly increasing mtimes so the file source replays them in
+    # WAL order (ts is monotone in event_id)
+    (feed.repartition(1, F.col("seg"))
+     .write.partitionBy("seg").parquet(staging))
+    _os.makedirs(feed_dir)
+    t0 = _time.time()
     for seg in range(4):
-        (feed.where(F.col("seg") == seg).drop("seg")
-         .coalesce(1).write.mode("append").parquet(feed_dir))
+        seg_dir = f"{staging}/seg={seg}"
+        for i, fname in enumerate(sorted(_os.listdir(seg_dir))):
+            if fname.endswith(".parquet"):
+                dst = f"{feed_dir}/wal-{seg:03d}-{i}.parquet"
+                _shutil.move(f"{seg_dir}/{fname}", dst)
+                _os.utime(dst, (t0 + seg, t0 + seg))
     schema = T.StructType([
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
