@@ -21,7 +21,10 @@ from haskell_dbfunctor_spark.operators import (
     running_total, semi_join, surrogate_key, union, union_all,
     update_rows, upsert,
 )
-from haskell_dbfunctor_spark.functions import decode, nvl
+from haskell_dbfunctor_spark.functions import (
+    decode, instr0, nvl, rdt_append, remove_char_around, rtimestamp_to_text,
+    strip_rtext, to_rtimestamp,
+)
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
     exact_dedup_key, minhash_signatures, near_dup_counts, simhash16,
 )
@@ -393,6 +396,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), query_vec_id=0, k=10
     )
 
+    # scalar string functions — instr (0-based, Core.hs:1423), strip,
+    # null-propagating append, dropAround (Core.hs:1107-1125)
+    q["q40_string_funcs"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        instr0(F.col("text"), "data").alias("pos_data"),
+        strip_rtext(F.concat(F.lit("  "), F.col("source"), F.lit(" "))).alias("src_trim"),
+        rdt_append(F.col("lang"), F.nullif(F.col("source"), F.lit("synthetic"))).alias("lang_src"),
+        remove_char_around(F.col("lang"), "e").alias("lang_btrim"),
+    )
+
+    # Oracle-format timestamp serialize + lenient re-parse round trip
+    # (toRTimestamp Core.hs:1182-1397 / rTimestampToRText :1589-1624)
+    def q41(s, d):
+        ev = _t(s, d, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = ev.select(
+            "event_id",
+            rtimestamp_to_text(F.col("ts")).alias("ts_txt"),
+        )
+        return out.withColumn(
+            "ts_rt", to_rtimestamp(F.col("ts_txt"), "DD/MM/YYYY HH24:MI:SS")
+        )
+    q["q41_time_funcs"] = q41
+
     return q
 
 
@@ -761,6 +789,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    o["q40_string_funcs"] = """
+        SELECT doc_id,
+               CASE WHEN strpos(text, 'data') > 0
+                    THEN strpos(text, 'data') - 1 END AS pos_data,
+               trim('  ' || source || ' ') AS src_trim,
+               lang || nullif(source, 'synthetic') AS lang_src,
+               trim(lang, 'e') AS lang_btrim
+        FROM documents
+    """
+    o["q41_time_funcs"] = """
+        SELECT event_id,
+               strftime(ts, '%d/%m/%Y %H:%M:%S') AS ts_txt,
+               strptime(strftime(ts, '%d/%m/%Y %H:%M:%S'),
+                        '%d/%m/%Y %H:%M:%S') AS ts_rt
+        FROM events
     """
     o["q31_fingerprint"] = """
         WITH dw AS (

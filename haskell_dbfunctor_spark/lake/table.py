@@ -371,7 +371,12 @@ class LakeTable:
                 }
                 touched = sorted(bucket_counts)
                 n_deduped = int(sum(bucket_counts.values()))
-                n_source = int(obs_src.get["n"])
+                try:
+                    n_source = int(obs_src.get["n"])
+                except Exception:
+                    # Spark constant-folds empty/trivial plans past the
+                    # observation node; fall back to the dedup count
+                    n_source = n_deduped
                 timings["dedup"] = time.time() - t_a
             else:
                 # batch plausibly touches every bucket: skip the extra
@@ -631,3 +636,25 @@ class LakeTable:
                 with open(os.path.join(lin_dir, f)) as fh:
                     out.append(json.load(fh))
         return out
+
+    def lineage_df(self) -> DataFrame:
+        """Per-partition lineage as a DataFrame: one row per
+        (commit version, epoch, bucket, data file) — which commit wrote
+        which file of which partition (the north rule's per-partition
+        lineage table; on Iceberg this is the files metadata table)."""
+        rows = []
+        for rec in self.lineage():
+            for b, files in (rec.get("files") or {}).items():
+                for f in files:
+                    rows.append((
+                        rec["version"], rec["epoch_id"], int(b), f,
+                        rec["ts"],
+                    ))
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("epoch_id", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("file", T.StringType()),
+            T.StructField("committed_at", T.DoubleType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
