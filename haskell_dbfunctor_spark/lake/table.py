@@ -574,6 +574,55 @@ class LakeTable:
         self._write_lineage(stats, written)
         return stats
 
+    # ------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg expire_snapshots: delete manifests older than the
+        newest ``keep_last`` and any data file referenced only by them.
+        Copy-on-write means untouched buckets share files across
+        snapshots, so liveness is computed over the retained set.
+        Readers of retained snapshots are unaffected (files are
+        immutable; only unreferenced ones are removed).
+        """
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        keep.add(self.version)
+        live: set[str] = set()
+        for v in keep:
+            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                m = json.load(fh)
+            for files in m["buckets"].values():
+                live.update(files)
+        removed_files = 0
+        for v in versions:
+            if v in keep:
+                continue
+            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                m = json.load(fh)
+            for files in m["buckets"].values():
+                for f in files:
+                    if f not in live:
+                        p = os.path.join(self.root, f)
+                        if os.path.exists(p):
+                            os.remove(p)
+                            removed_files += 1
+            os.remove(os.path.join(meta_dir, f"v{v}.json"))
+        # prune empty snapshot dirs
+        data_dir = os.path.join(self.root, DATA_DIR)
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                full = os.path.join(data_dir, d)
+                for sub in list(os.walk(full, topdown=False)):
+                    if not sub[1] and not sub[2]:
+                        os.rmdir(sub[0])
+        return {
+            "expired_versions": [v for v in versions if v not in keep],
+            "removed_files": removed_files,
+        }
+
     # ------------------------------------------------ lineage / metrics
     def _write_lineage(self, stats: MergeStats, written: dict) -> None:
         """Per-commit lineage + metrics, appended as JSONL sidecars.

@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         n_epochs=args.epochs,
         evolution_epoch=args.evolution_epoch,
     )
+    # materialize the synthetic feed once (partition-pruned per-epoch
+    # reads; a WAL is storage, not a generator). Deterministic in
+    # (seed, events, epochs), so a resumed run reuses it.
+    feed_path = os.path.join(args.table_root, "_feed")
+    if not os.path.exists(feed_path):
+        feed.write.partitionBy("epoch").parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
     stats = replay(
         table, feed, args.epochs,
         evolution_epoch=args.evolution_epoch,

@@ -1,0 +1,43 @@
+"""expire_snapshots: old snapshots drop, retained ones stay readable,
+shared (carried-forward) files survive."""
+
+import os
+
+import pyspark.sql.types as T
+
+from haskell_dbfunctor_spark.cdc.generator import KEY_COLS, change_feed, epoch_batch
+from haskell_dbfunctor_spark.lake.table import LakeTable
+
+
+def test_expire_keeps_current_state(spark, tmp_path):
+    feed = change_feed(spark, 3000, n_convs=30, n_epochs=3)
+    schema = T.StructType(
+        [f for f in feed.schema.fields if f.name not in ("op", "seq", "epoch")]
+    )
+    root = str(tmp_path / "lake")
+    table = LakeTable.create(spark, root, schema, key_cols=KEY_COLS, num_buckets=4)
+    for e in range(3):
+        table.merge(epoch_batch(feed, e), epoch_id=f"e{e}")
+    before = sorted(
+        r.asDict().items() for r in table.read().select(*KEY_COLS, "text").collect()
+    )
+    n_manifests_before = len(
+        [f for f in os.listdir(f"{root}/metadata") if f.endswith(".json")]
+    )
+    assert n_manifests_before == 4  # v0..v3
+
+    out = table.expire_snapshots(keep_last=2)
+    assert out["expired_versions"] == [0, 1]
+
+    # current state unchanged, current + previous snapshots still load
+    table2 = LakeTable.load(spark, root)
+    after = sorted(
+        r.asDict().items() for r in table2.read().select(*KEY_COLS, "text").collect()
+    )
+    assert after == before
+    prev = LakeTable.load(spark, root, version=2)
+    assert prev.read().count() > 0
+    # expired manifests are gone
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, root, version=1)
