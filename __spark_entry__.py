@@ -453,7 +453,18 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
     import shutil as _shutil
     import time as _time
 
-    tmp = tempfile.mkdtemp(prefix="hdbf_stream_q34_")
+    # scratch on tmpfs when present (this host's disk has large
+    # write-latency variance); clean stale runs best-effort
+    _base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    )
+    if _base:
+        for old in _os.listdir(_base):
+            if old.startswith("hdbf_stream_q34_"):
+                p = f"{_base}/{old}"
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="hdbf_stream_q34_", dir=_base)
     feed_dir = f"{tmp}/feed"
     staging = f"{tmp}/staging"
     # one write job; then move segment files into the feed dir with

@@ -140,6 +140,10 @@ def _get_spark(cores: int):
 def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     import __spark_entry__ as entry_mod
 
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
     spark = _get_spark(cores)
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
