@@ -66,25 +66,32 @@ def near_dup_counts(
 
     dw = _words(docs)
     sz = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # size prefilter (AllPairs-style): J >= t forces set sizes within a
+    # factor t of each other (c <= min(n1,n2) and c >= t(n1+n2)/(1+t)),
+    # so size-incompatible pairs are dropped INSIDE the join, before
+    # the pair-count aggregation ever sees their rows
+    dw_n = dw.join(F.broadcast(sz), "doc_id")
     joined = salted_equi_join(
-        dw, dw, "word",
+        dw_n, dw_n, "word",
         salt=salt, salt_by=["doc_id"],
-        extra_cond=F.col("l.doc_id") < F.col("r.doc_id"),
+        extra_cond=(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.n") >= threshold * F.col("r.n"))
+            & (F.col("r.n") >= threshold * F.col("l.n"))
+        ),
         # wider than `salt`: per-(word,salt) output volume is uneven
         # (df varies per word), extra width smooths the tail
         num_partitions=salt * 4,
     )
     pairs = (
         joined.groupBy(
-            F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2")
+            F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2"),
+            F.col("n").alias("n1"), F.col("n_r").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     nd = (
-        pairs.join(s1, "d1").join(s2, "d2")
-        .where(
+        pairs.where(
             F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
             >= F.lit(threshold)
         )
