@@ -433,10 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
-    """events as four monotone WAL segment files, tailed by Structured
+    """events as two monotone WAL segment files, tailed by Structured
     Streaming (availableNow, 1 file per micro-batch), each micro-batch
     MERGEd into a fresh LakeTable; returns the final table state.
-    Same LWW semantics as q21, so it shares the oracle."""
+    Same LWW semantics as q21, so it shares the oracle. Two segments
+    exercise the multi-batch MERGE + cross-batch LWW path at half the
+    fixed per-commit cost of the earlier 4-segment layout."""
     import tempfile
 
     import pyspark.sql.types as T
@@ -446,7 +448,7 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
 
     ev = _t(s, d, "events")
     n = ev.count()
-    seg_size = max(n // 4, 1)
+    seg_size = max(n // 2, 1)
     feed = ev.select(
         F.when(F.col("event_id") % 10 == 0, F.lit("D"))
         .otherwise(F.lit("U")).alias("op"),
@@ -455,7 +457,7 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
         # session-TZ TimestampType — normalize at the ingest boundary
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("event_id").alias("seq"),
-        F.least((F.col("event_id") / seg_size).cast("int"), F.lit(3)).alias("seg"),
+        F.least((F.col("event_id") / seg_size).cast("int"), F.lit(1)).alias("seg"),
     )
     import os as _os
     import shutil as _shutil
@@ -482,7 +484,7 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
      .write.partitionBy("seg").parquet(staging))
     _os.makedirs(feed_dir)
     t0 = _time.time()
-    for seg in range(4):
+    for seg in range(2):
         seg_dir = f"{staging}/seg={seg}"
         for i, fname in enumerate(sorted(_os.listdir(seg_dir))):
             if fname.endswith(".parquet"):

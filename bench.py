@@ -182,8 +182,13 @@ def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"cdc subprocess (cores={cores}) failed rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main_scaling(

@@ -610,14 +610,20 @@ class LakeTable:
                             os.remove(p)
                             removed_files += 1
             os.remove(os.path.join(meta_dir, f"v{v}.json"))
-        # prune empty snapshot dirs
+        # prune empty snapshot dirs bottom-up; os.walk's topdown=False
+        # still lists parent dirnames before child rmdirs happen, so
+        # loop until a full pass removes nothing (a dir emptied by this
+        # pass is caught by the next)
         data_dir = os.path.join(self.root, DATA_DIR)
         if os.path.isdir(data_dir):
-            for d in os.listdir(data_dir):
-                full = os.path.join(data_dir, d)
-                for sub in list(os.walk(full, topdown=False)):
-                    if not sub[1] and not sub[2]:
+            while True:
+                removed_dir = False
+                for sub in os.walk(data_dir, topdown=False):
+                    if sub[0] != data_dir and not os.listdir(sub[0]):
                         os.rmdir(sub[0])
+                        removed_dir = True
+                if not removed_dir:
+                    break
         return {
             "expired_versions": [v for v in versions if v not in keep],
             "removed_files": removed_files,

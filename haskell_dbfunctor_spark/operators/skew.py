@@ -54,10 +54,22 @@ def salted_equi_join(
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
     on_cols = [on] if isinstance(on, str) else list(on)
     salt_src = salt_by or [c for c in left.columns if c not in on_cols]
-    l_s = left.withColumn(
-        SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt)).cast("int"),
-    )
+    if salt_src:
+        # NOTE: if salt_src columns are (near-)constant all left rows
+        # land in one salt bucket and the salting is a no-op — pick
+        # high-cardinality salt_by columns, or pass salt_by=None with a
+        # join-column-only left frame to get the row-id fallback below.
+        salt_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt)
+        ).cast("int")
+    else:
+        # left has only join columns: hash a per-row id instead —
+        # xxhash64() with zero args fails at analysis, and any constant
+        # would collapse the spread
+        salt_expr = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+        ).cast("int")
+    l_s = left.withColumn(SALT_COL, salt_expr)
     r_s = right.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),

@@ -22,15 +22,54 @@ which ``lww_matched_filter`` provides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from ..lake.table import LakeTable
 
 
-def lww_matched_filter(order_col: str = "ts") -> Column:
+def lww_matched_filter(order_cols: str | tuple = ("ts",)) -> Column:
     """Matched rows only update when the source is not older than the
-    target (cross-batch last-writer-wins for out-of-order feeds)."""
-    return F.col(f"t.{order_col}") <= F.col(f"s.{order_col}")
+    target (cross-batch last-writer-wins for out-of-order feeds).
+
+    With multiple order columns the comparison is lexicographic via a
+    struct compare, so a cross-batch tie on ts falls back to the
+    sequence id — the same (ts, seq) total order the in-batch dedup
+    uses (lake/table.py max_by)."""
+    cols = (order_cols,) if isinstance(order_cols, str) else tuple(order_cols)
+    # target-side columns may be NULL for order cols the table never
+    # stored (e.g. seq is dropped by default) — compare only the ones
+    # present on both sides at merge time; merge() handles that by
+    # passing the intersection. Here we build the struct compare as
+    # given.
+    if len(cols) == 1:
+        return F.col(f"t.{cols[0]}") <= F.col(f"s.{cols[0]}")
+    return F.struct(*[F.col(f"t.{c}") for c in cols]) <= F.struct(
+        *[F.col(f"s.{c}") for c in cols]
+    )
+
+
+def feed_schema_from_table(
+    table: LakeTable,
+    *,
+    op_col: str | None = "op",
+    order_cols: tuple = ("ts", "seq"),
+) -> T.StructType:
+    """Reader schema for a change feed derived from the table manifest:
+    table columns + the op column (string) + any order columns not in
+    the table schema (long). Lets the tailer start on an EMPTY feed
+    directory — the normal initial state of a production WAL tail —
+    where schema inference from the directory would throw. Pass an
+    explicit schema to ``tail_feed_dir`` if the feed diverges (e.g.
+    int32 sequence ids)."""
+    fields = list(table.schema.fields)
+    names = {f.name for f in fields}
+    for c in order_cols:
+        if c not in names:
+            fields.append(T.StructField(c, T.LongType(), True))
+            names.add(c)
+    if op_col and op_col not in names:
+        fields.append(T.StructField(op_col, T.StringType(), True))
+    return T.StructType(fields)
 
 
 def tail_feed_dir(
@@ -43,30 +82,47 @@ def tail_feed_dir(
     max_files_per_trigger: int | None = None,
     op_col: str = "op",
     order_cols: tuple = ("ts", "seq"),
-    cross_batch_lww: bool = False,
+    cross_batch_lww: bool = True,
+    schema: T.StructType | None = None,
 ):
     """Tail a directory of change-event parquet files into the table.
 
     Returns the started StreamingQuery. ``available_now=True`` drains
     everything currently in the directory then stops (bounded test /
     catch-up mode); False tails forever (the production WAL tail).
+
+    ``cross_batch_lww`` (default True) applies ``lww_matched_filter``
+    on the first order column, so a late/out-of-order WAL file landing
+    in a later micro-batch can never overwrite newer already-committed
+    state. Set False ONLY for feeds whose files are strictly ordered
+    (saves the filter's column compare per matched row).
+
+    ``schema`` overrides the reader schema; default derives it from
+    the table manifest (``feed_schema_from_table``), which also works
+    when ``feed_dir`` is still empty at startup.
     """
-    reader = spark.readStream.schema(
-        spark.read.parquet(feed_dir).schema
-    )
+    if schema is None:
+        schema = feed_schema_from_table(
+            table, op_col=op_col, order_cols=order_cols
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(feed_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        mf = None
+        if cross_batch_lww:
+            # compare only order columns the table actually stores
+            # (seq is dropped from the stored row by default)
+            stored = [c for c in order_cols if c in table.schema.names]
+            mf = lww_matched_filter(tuple(stored) or order_cols[:1])
         table.merge(
             batch,
             epoch_id=f"stream-{batch_id:08d}",
             op_col=op_col,
             order_cols=order_cols,
-            matched_filter=(
-                lww_matched_filter(order_cols[0]) if cross_batch_lww else None
-            ),
+            matched_filter=mf,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

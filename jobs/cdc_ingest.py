@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                          "of replaying the synthetic feed")
     ap.add_argument("--feed-dir", default=None,
                     help="directory of change-event parquet files (--stream)")
+    ap.add_argument("--no-cross-batch-lww", action="store_true",
+                    help="skip the cross-batch last-writer-wins matched "
+                         "filter; ONLY safe when feed files arrive in "
+                         "strict order (saves one compare per matched row)")
     args = ap.parse_args(argv)
 
     from haskell_dbfunctor_spark.session import get_spark
@@ -64,7 +68,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.feed_dir:
             ap.error("--stream requires --feed-dir")
-        q = tail_feed_dir(spark, table, args.feed_dir)
+        # cross_batch_lww defaults True: a late WAL file applied in a
+        # later micro-batch must not overwrite newer committed state
+        q = tail_feed_dir(spark, table, args.feed_dir,
+                          cross_batch_lww=not args.no_cross_batch_lww)
         q.awaitTermination()
         print(json.dumps({"mode": "stream", "status": "drained"}))
         return 0

@@ -77,6 +77,77 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     assert table2.version == v_after_first
 
 
+def test_stream_starts_on_empty_feed_dir(spark, tmp_path):
+    """A production WAL tail starts before the first segment lands:
+    the reader schema comes from the table manifest, not from
+    inferring over a (then-empty) feed directory."""
+    feed = change_feed(spark, 500, n_convs=10, n_epochs=1)
+    schema = T.StructType(
+        [f for f in feed.schema.fields if f.name not in ("op", "seq", "epoch")]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema, key_cols=KEY_COLS, num_buckets=4
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    q = tail_feed_dir(spark, table, feed_dir, available_now=True)
+    q.awaitTermination(120)
+    assert table.read().count() == 0
+    # first segment lands; the next drain applies it
+    feed.drop("epoch").coalesce(1).write.mode("append").parquet(feed_dir)
+    q = tail_feed_dir(spark, table, feed_dir, available_now=True)
+    q.awaitTermination(300)
+    assert table.read().count() == _final_state_oracle(spark, feed).count()
+
+
+def test_cross_batch_lww_protects_committed_state(spark, tmp_path):
+    """A late/out-of-order WAL file applied in a LATER micro-batch must
+    not overwrite newer already-committed state (default
+    cross_batch_lww=True applies the ts matched-filter)."""
+    import time as _time
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+
+    def seg(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "op string, conv_id string, turn_idx int, text string, "
+            "ts timestamp, seq long"
+        )
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        src = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dst = f"{feed_dir}/{name}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime
+    t0 = _time.time()
+    # newer event arrives FIRST (file 0), the stale one LATER (file 1)
+    seg([("U", "c1", 0, "NEW", datetime(2025, 1, 2), 2)], "wal-000", t0)
+    seg([("U", "c1", 0, "STALE", datetime(2025, 1, 1), 1)], "wal-001", t0 + 1)
+
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    rows = table.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "NEW"  # stale cross-batch write lost
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = media_features(docs)
