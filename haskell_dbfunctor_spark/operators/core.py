@@ -370,11 +370,49 @@ def surrogate_key(
 ) -> DataFrame:
     """addSurrogateKeyJ (Julius.hs:1666-1682): init + 0-based position.
 
-    Deterministic (row_number over an explicit order). For cluster-scale
-    contiguous ids prefer epoch-scoped sequence = (epoch << 40) + rn.
+    Distributed zipWithIndex — NEVER a global unpartitioned window
+    (which funnels every row through one task at scale):
+    1. range-partition + sort by ``order_cols`` (distributed sort;
+       equal keys land in the same partition),
+    2. O(num_partitions) metadata pass collects per-partition row
+       counts -> cumulative start offsets (standard zipWithIndex; the
+       only driver-side data is one long per partition),
+    3. row_number over a window PARTITIONED by the physical partition
+       id + broadcast-joined offsets.
+    Deterministic under a total ``order_cols`` order; ties keep the
+    arbitrary-but-stable within-partition placement (same contract as
+    the reference's positional V.indexed after its sort). For
+    cluster-scale contiguous ids without the metadata pass prefer an
+    epoch-scoped sequence = (epoch << 40) + rn.
     """
-    w = W.orderBy(*order_cols)
-    return df.withColumn(name, F.row_number().over(w).cast("long") + init - 1)
+    sdf = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__sk_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r[0], r[1]) for r in sdf.groupBy("__sk_pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__sk_pid_o int, __sk_off long"
+        )
+    )
+    w = W.partitionBy("__sk_pid").orderBy(*order_cols)
+    return (
+        sdf.join(off_df, sdf["__sk_pid"] == off_df["__sk_pid_o"], "left")
+        .withColumn(
+            name,
+            F.row_number().over(w).cast("long")
+            + F.coalesce(F.col("__sk_off"), F.lit(0))
+            + F.lit(init - 1),
+        )
+        .drop("__sk_pid", "__sk_pid_o", "__sk_off")
+    )
 
 
 # --------------------------------------------------------------------

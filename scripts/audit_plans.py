@@ -34,9 +34,23 @@ def explain_str(df) -> str:
     )
 
 
+def count_global_windows(plan: str) -> int:
+    """Windows with NO partition columns funnel all rows through one
+    task — a scale red flag. In the plan text a partition-less window's
+    windowspecdefinition starts directly with a sort spec (first arg
+    carries ASC/DESC); a partitioned one starts with bare columns."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
 def summarize(plan: str) -> dict:
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
+        "global_window": count_global_windows(plan),
         "scans": [len([c for c in s.split(",") if c.strip()]) for s in scans],
         "pushed": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
         "bhj": plan.count("BroadcastHashJoin"),
@@ -76,9 +90,26 @@ def main() -> None:
             flags.append(f"- `{name}`: CartesianProduct in plan")
         if s["batch_eval"]:
             flags.append(f"- `{name}`: row-at-a-time BatchEvalPython (use pandas_udf)")
+        if s["global_window"]:
+            flags.append(
+                f"- `{name}`: {s['global_window']} partition-less window(s) "
+                "(single-task global sort at scale — partition it)"
+            )
+
+    # completeness: the audit can never silently go stale again
+    audited = {name for name, _ in rows}
+    expected = set(entry.queries()) - SKIP
+    assert audited == expected, (
+        f"plan audit incomplete: missing {expected - audited}, "
+        f"stale {audited - expected}"
+    )
 
     out = ["# Physical-plan audit", "",
            f"sf dir: `{SF_DIR}` — regenerate with `python scripts/audit_plans.py`.",
+           f"Covers {len(rows)} of {len(entry.queries())} queries "
+           f"(skipped: {', '.join(sorted(SKIP))} — streaming, no static plan); "
+           "completeness is asserted at generation time and by "
+           "tests/test_plans_fresh.py.",
            "", "## Red flags", ""]
     out.extend(flags or ["(none)"])
     out += ["", "## Per-query summary", "",
