@@ -82,12 +82,87 @@ def _with_bucket(embeddings: DataFrame) -> DataFrame:
     return embeddings.withColumn("bucket", bucket)
 
 
+def write_bucketed(embeddings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the corpus physically partitioned by its sign-LSH bucket.
+
+    This is the scale-path counterpart of ``ann_top_k``: once the
+    corpus lives in bucket partitions, a query reads ONLY its own
+    bucket's partition (plus Hamming-neighbor partitions for recall) —
+    partition pruning at the source, not a filter over a full scan.
+    The partition value is prefixed 'b' so Spark's partition-column
+    type inference can never coerce '0101' into the integer 101.
+    """
+    (
+        _with_bucket(embeddings)
+        .withColumn("bucket", F.concat(F.lit("b"), F.col("bucket")))
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def bucket_of_vec(vec) -> str:
+    """Driver-side bucket of one query vector (mirrors _with_bucket)."""
+    return "".join("1" if float(vec[d - 1]) >= 0 else "0" for d in _SIGN_DIMS)
+
+
+def hamming_neighbors(bucket: str, dist: int = 1) -> list[str]:
+    """Buckets within Hamming distance ``dist`` (inclusive of self)."""
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(dist):
+        nxt = set()
+        for b in frontier:
+            for i in range(len(b)):
+                nxt.add(b[:i] + ("1" if b[i] == "0" else "0") + b[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def ann_top_k_pruned(
+    spark,
+    bucketed_path: str,
+    query_vec,
+    query_vec_id: int,
+    k: int = 10,
+    probe: int = 1,
+) -> DataFrame:
+    """Exact cosine top-k over ONLY the probed bucket partitions of a
+    corpus written with ``write_bucketed`` — the physical version of
+    ``ann_top_k``'s logical pruning. The scan reads 1 + (4 choose
+    probe) partitions instead of the table (verified by
+    tests/test_ann_pruning.py via inputFiles()); ``probe=1`` trades a
+    5/16 read for near-full recall on a 4-bit bucket space.
+    """
+    qb = bucket_of_vec(query_vec)
+    probed = [f"b{b}" for b in hamming_neighbors(qb, probe)]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        spark.read.parquet(bucketed_path)
+        .where(F.col("bucket").isin(probed))
+        .where(F.col("vec_id") != query_vec_id)
+    )
+    sims = cand.select(
+        "vec_id",
+        (
+            _dot(F.col("embedding"), qv) / (_norm(F.col("embedding")) * _norm(qv))
+        ).alias("cos_sim_raw"),
+    )
+    return (
+        sims.select("vec_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ann_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket.
 
-    At 100 TB the corpus is written bucket-partitioned, so this prunes
-    the scan to one partition; recall is tuned by bits and by probing
-    neighbor buckets.
+    Logical pruning over an unpartitioned corpus (the filter runs over
+    a full scan). For the physical scale path — bucket-partitioned
+    storage + partition-pruned reads — see ``write_bucketed`` +
+    ``ann_top_k_pruned``.
     """
     eb = _with_bucket(embeddings)
     qb = eb.where(F.col("vec_id") == query_vec_id).select(
