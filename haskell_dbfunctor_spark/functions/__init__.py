@@ -1,7 +1,9 @@
 from .scalar import (
     decode,
+    decode_table,
     instr0,
     nvl,
+    nvl_table,
     oracle_fmt_to_spark,
     rdt_append,
     remove_char_around,
@@ -12,8 +14,10 @@ from .scalar import (
 
 __all__ = [
     "decode",
+    "decode_table",
     "instr0",
     "nvl",
+    "nvl_table",
     "oracle_fmt_to_spark",
     "rdt_append",
     "remove_char_around",

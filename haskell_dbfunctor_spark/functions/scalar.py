@@ -34,6 +34,28 @@ def decode(col: Column, *pairs, default=None) -> Column:
     return expr.otherwise(d)
 
 
+def nvl_table(df, default, cols=None):
+    """nvlRTable (Core.hs:1084-1100): replace NULL with ``default`` in
+    every column (or the given subset). Thin over DataFrame.fillna —
+    one projection, no extra pass."""
+    return df.fillna(default, subset=list(cols) if cols else None)
+
+
+def decode_table(df, search, result, cols=None):
+    """decodeRTable (Core.hs:1054-1081): apply the same DECODE
+    (search -> result) to every column (or a subset), preserving other
+    values. One projection of per-column CASE expressions."""
+    target = set(cols) if cols else set(df.columns)
+    return df.select(
+        *[
+            decode(F.col(c), search, result, default=F.col(c)).alias(c)
+            if c in target
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def instr0(col: Column, substr: str) -> Column:
     """0-based INSTR (reference instr, Core.hs:1423-1451, returns
     Maybe position 0-based → NULL when absent). Spark's instr/locate is

@@ -416,8 +416,111 @@ def surrogate_key(
 
 
 # --------------------------------------------------------------------
+# grouping without aggregation  (reference §2.4: groupNoAgg family)
+# --------------------------------------------------------------------
+
+def group_no_agg(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """groupNoAgg (Core.hs:3413-3425): same rows, physically clustered
+    into their groups — the reference sorts then re-concatenates the
+    group sub-tables; the Spark analog is CLUSTER BY (hash-repartition
+    on the grouping key + sort within partitions), which keeps each
+    group whole inside one partition without a global sort. Exactly one
+    shuffle; no aggregation.
+
+    Divergence note: the reference concatenates with its union (which
+    can drop duplicate rows across group boundaries, Core.hs:3407-3408
+    via `u`); here ALL rows are retained — grouping is a layout, not a
+    set operation."""
+    if not cols:
+        return df
+    return df.repartition(*[F.col(c) for c in cols]).sortWithinPartitions(*cols)
+
+
+def group_no_agg_list(df: DataFrame, cols: Sequence[str]) -> list[DataFrame]:
+    """groupNoAggList (Core.hs:3371-3404): one DataFrame per group.
+
+    Enumerates the distinct grouping keys driver-side — O(#groups)
+    metadata, matching the reference's list-of-tables contract; fine
+    for few groups (its use case: per-group exports/prints). For MANY
+    groups use ``group_map`` (one distributed pass) instead of
+    materializing a frame per group. Empty input -> [empty frame]
+    (reference returns [emptyRTable])."""
+    keys = df.select(*cols).distinct().collect()
+    if not keys:
+        return [df]
+    out = []
+    for k in keys:
+        pred = None
+        for c in cols:
+            eq = F.col(c).eqNullSafe(F.lit(k[c]))
+            pred = eq if pred is None else pred & eq
+        out.append(df.where(pred))
+    return out
+
+
+def group_map(
+    df: DataFrame,
+    cols: Sequence[str],
+    fn: Callable,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """The scalable groupNoAggList consumer: apply ``fn(pandas.DataFrame)
+    -> pandas.DataFrame`` to every group in ONE distributed pass
+    (grouped-map ``applyInPandas``, Arrow-batched). This is what the
+    reference's per-group sub-table list is *for* — without
+    materializing #groups driver-side frames."""
+    return df.groupBy(*cols).applyInPandas(fn, schema=schema)
+
+
+def concat_rtab(*dfs: DataFrame) -> DataFrame:
+    """concatRTab (Core.hs:3407-3408) — union a list of tables.
+
+    The reference folds its dedup union `u`; SQL UNION semantics here
+    too (global dedup), matching runUnion. Use union_all/reduce for
+    bag semantics."""
+    from functools import reduce
+
+    if not dfs:
+        raise ValueError("concat_rtab needs at least one table")
+    return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+
+
+# --------------------------------------------------------------------
+# row/value-level maps  (reference §2.2: rtabMap / rtupleMap family)
+# --------------------------------------------------------------------
+
+def rtuple_map(df: DataFrame, fn: Callable[[Column], Column]) -> DataFrame:
+    """rtupleMap (Core.hs:2447-2448) lifted table-wide: apply a
+    value-level transform to EVERY column (HM.map over each tuple).
+    Native Column expressions — one projection, no Python."""
+    return df.select(*[fn(F.col(c)).alias(c) for c in df.columns])
+
+
+def rtuple_map_with_key(
+    df: DataFrame, fn: Callable[[str, Column], Column]
+) -> DataFrame:
+    """rtupleMapWithKey (Core.hs:2451-2452) lifted table-wide: the
+    transform also sees the column name (HM.mapWithKey)."""
+    return df.select(*[fn(c, F.col(c)).alias(c) for c in df.columns])
+
+
+# --------------------------------------------------------------------
 # DML  (reference §2.7)
 # --------------------------------------------------------------------
+
+def insert_append(df: DataFrame, row: dict) -> DataFrame:
+    """insertAppendRTab (Core.hs:3520-3526): append one tuple. Missing
+    columns become NULL; unknown columns raise (schema is declared).
+    Storage is orderless, so append==prepend (SURVEY §2.7)."""
+    unknown = set(row) - set(df.columns)
+    if unknown:
+        raise ValueError(f"columns not in schema: {sorted(unknown)}")
+    vals = [
+        F.lit(row.get(f.name)).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]
+    one = df.sparkSession.range(1).select(*vals)
+    return df.unionByName(one)
 
 def delete_rows(df: DataFrame, where: Column) -> DataFrame:
     """deleteRTab (Core.hs:3804-3808): remove rows matching `where`.
@@ -441,7 +544,7 @@ def upsert(
     match_cols: Sequence[str],
     update_cols: Sequence[str] | None = None,
     matched_filter: Column | None = None,
-    check_unique: bool = True,
+    check_unique: bool | None = None,
 ) -> DataFrame:
     """upsertRTab MERGE semantics (Core.hs:3649-3735) as a pure
     DataFrame→DataFrame operator (the lake-backed variant with the
@@ -452,7 +555,19 @@ def upsert(
       overwritten from source
     - T2 unmatched target rows, T3 matched-but-filtered: untouched
     - S1 unmatched source rows: inserted
+
+    ``check_unique`` mirrors the reference's UniquenessViolation check
+    (Core.hs:3700-3708) but COSTS AN EXTRA EAGER PASS over the source
+    at operator-construction time — at 10^10-row sources that is a full
+    extra scan. Default (None) resolves to True only when
+    ``update_cols`` is given (the reference's subset-update style,
+    where source multiplicity silently multiplies output rows);
+    full-row CDC callers (``update_cols=None``) are expected to have
+    LWW-deduplicated upstream (lake merge does) and skip the pass.
+    Pass an explicit bool to override either way.
     """
+    if check_unique is None:
+        check_unique = update_cols is not None
     if check_unique:
         dup = (
             source.groupBy(*match_cols).count().where(F.col("count") > 1).limit(1).count()

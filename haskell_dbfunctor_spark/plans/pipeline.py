@@ -92,6 +92,25 @@ class Pipeline:
         table-level operation composed into the chain."""
         return self._next(fn(self.df))
 
+    def apply2(
+        self,
+        other: "DataFrame | Pipeline | str",
+        fn: Callable[[DataFrame, DataFrame], DataFrame],
+    ) -> "Pipeline":
+        """GenBinaryOp / BinaryRTableOperation (Core.hs:1949; Julius
+        eval src/Etl/Julius.hs:1511-1523) — arbitrary two-table
+        operation composed into the chain. ``other`` may be a
+        DataFrame, another Pipeline (its current frame), or the name of
+        a previously ``named()`` result in this chain (the Julius
+        TabL/Previous operand forms)."""
+        if isinstance(other, Pipeline):
+            rhs = other.df
+        elif isinstance(other, str):
+            rhs = self.named_results[other]
+        else:
+            rhs = other
+        return self._next(fn(self.df, rhs))
+
     # -- named results / metrics ------------------------------------
     def named(self, name: str, cache: bool = True) -> "Pipeline":
         df = self.df.cache() if cache else self.df

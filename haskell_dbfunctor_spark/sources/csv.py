@@ -140,3 +140,18 @@ def write_csv(
         .mode("overwrite")
         .csv(path)
     )
+
+
+def head_csv(df: DataFrame):
+    """headCSV (CSV.hs:679-680) — the first row (file order for a
+    single-file read; arbitrary-but-deterministic otherwise)."""
+    return df.head()
+
+
+def tail_csv(df: DataFrame) -> DataFrame:
+    """tailCSV (CSV.hs:683-684) — everything EXCEPT the first row
+    (V.tail; the reference uses it to drop a header line). exceptAll
+    removes exactly one occurrence; positional semantics are
+    approximated because a distributed table is orderless — prefer
+    CSVOptions(has_header=True) which drops the header at the reader."""
+    return df.exceptAll(df.limit(1))

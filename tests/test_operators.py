@@ -297,10 +297,16 @@ def test_upsert_reference_semantics(spark):
     ).toPandas().set_index("k")
     assert out2.loc["a", "v"] == 1  # vetoed by filter
 
-    # uniqueness violation raises (Core.hs:3700-3708)
+    # uniqueness violation raises (Core.hs:3700-3708) — by default for
+    # subset-update style (update_cols given), or when explicitly asked
     dup_src = spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")], ["k", "v", "tag"])
     with pytest.raises(UniquenessViolationInUpsert):
-        upsert(trg, dup_src, ["k"])
+        upsert(trg, dup_src, ["k"], update_cols=["v"])
+    with pytest.raises(UniquenessViolationInUpsert):
+        upsert(trg, dup_src, ["k"], check_unique=True)
+    # full-row CDC style (update_cols=None) skips the eager extra scan:
+    # callers dedupe upstream (LWW); construction must not raise
+    upsert(trg, dup_src, ["k"])
 
 
 # ------------------------------------------------------ column mapping
