@@ -72,6 +72,10 @@ def replay(
     """
     t0 = time.time()
     if prune_buckets is None:
+        # one count() over the feed: on the materialized parquet WAL
+        # this is a metadata-only job (row counts from footers, no data
+        # read) — cheap even at 10^10 events; pass prune_buckets
+        # explicitly for feeds where counting is not metadata-backed
         avg_epoch_rows = feed.count() / max(n_epochs, 1)
         prune_buckets = avg_epoch_rows < 50 * table.num_buckets
     stats = ReplayStats()

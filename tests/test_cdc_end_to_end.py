@@ -159,3 +159,21 @@ def test_merge_only_rewrites_touched_buckets(spark, feed, tmp_path):
     after = table.manifest["buckets"]
     changed = [b for b in after if after[b] != before.get(b)]
     assert len(changed) == 1
+
+
+def test_replay_correct_under_100x_hotter_skew(spark, tmp_path):
+    """North-rule skew evidence (correctness side; bench.py --skew is
+    the throughput side): 90% of events hammer ONE conversation over 5
+    turn keys — the LWW dedup (hash agg with map-side partials) and the
+    MERGE must still produce the sequential-oracle state."""
+    hot = change_feed(
+        spark, N_EVENTS, n_convs=60, max_turns=5, n_epochs=N_EPOCHS,
+        evolution_epoch=EVOLUTION_EPOCH, hot_fraction=0.9, n_hot=1,
+    )
+    pdf = hot.toPandas()
+    top = pdf["conv_id"].value_counts()
+    assert top.iloc[0] > 0.8 * len(pdf)  # genuinely degenerate
+    table = open_or_create_transcripts(spark, str(tmp_path / "hot"))
+    replay(table, hot, N_EPOCHS, evolution_epoch=EVOLUTION_EPOCH)
+    want = oracle.final_state(pdf, evolution_epoch=EVOLUTION_EPOCH)
+    _assert_state_equal(_engine_state(table), want)
