@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- streaming: WAL-file tail -> foreachBatch MERGE (final state) ----
     q["q34_stream_tail_state"] = _stream_tail_state
 
+    # ---- streaming: custom stateful op (applyInPandasWithState) ----
+    q["q44_stream_stateful_stats"] = _stream_stateful_stats
+
     # surrogate key — addSurrogateKeyJ (Julius.hs:1666-1682)
     q["q35_surrogate_key"] = lambda s, d: surrogate_key(
         _t(s, d, "nation").select("n_nationkey", "n_name"), "sk", ["n_name"],
@@ -465,23 +468,21 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
-    """events as two monotone WAL segment files, tailed by Structured
-    Streaming (availableNow, 1 file per micro-batch), each micro-batch
-    MERGEd into a fresh LakeTable; returns the final table state.
-    Same LWW semantics as q21, so it shares the oracle. Two segments
-    exercise the multi-batch MERGE + cross-batch LWW path at half the
-    fixed per-commit cost of the earlier 4-segment layout."""
-    import tempfile
-
-    import pyspark.sql.types as T
-
-    from haskell_dbfunctor_spark.lake.table import LakeTable
-    from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+def _wal_feed_dir(s: SparkSession, d: str, prefix: str, n_segs: int) -> str:
+    """events as ``n_segs`` monotone WAL parquet segment files in a
+    scratch dir (tmpfs when present — this host's disk has large
+    write-latency variance). One write job; files get strictly
+    increasing mtimes so the streaming file source replays them in WAL
+    order (ts is monotone in event_id). Returns the scratch root;
+    segments live in <root>/feed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
 
     ev = _t(s, d, "events")
     n = ev.count()
-    seg_size = max(n // 2, 1)
+    seg_size = max(n // n_segs, 1)
     feed = ev.select(
         F.when(F.col("event_id") % 10 == 0, F.lit("D"))
         .otherwise(F.lit("U")).alias("op"),
@@ -490,49 +491,64 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
         # session-TZ TimestampType — normalize at the ingest boundary
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("event_id").alias("seq"),
-        F.least((F.col("event_id") / seg_size).cast("int"), F.lit(1)).alias("seg"),
+        F.least(
+            (F.col("event_id") / seg_size).cast("int"), F.lit(n_segs - 1)
+        ).alias("seg"),
     )
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
-    # scratch on tmpfs when present (this host's disk has large
-    # write-latency variance); clean stale runs best-effort
     _base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
         "/dev/shm" if _os.path.isdir("/dev/shm") else None
     )
-    if _base:
+    if _base:  # clean stale runs best-effort
         for old in _os.listdir(_base):
-            if old.startswith("hdbf_stream_q34_"):
+            if old.startswith(prefix):
                 p = f"{_base}/{old}"
                 if _time.time() - _os.path.getmtime(p) > 3600:
                     _shutil.rmtree(p, ignore_errors=True)
-    tmp = tempfile.mkdtemp(prefix="hdbf_stream_q34_", dir=_base)
+    tmp = _tempfile.mkdtemp(prefix=prefix, dir=_base)
     feed_dir = f"{tmp}/feed"
     staging = f"{tmp}/staging"
-    # one write job; then move segment files into the feed dir with
-    # strictly increasing mtimes so the file source replays them in
-    # WAL order (ts is monotone in event_id)
     (feed.repartition(1, F.col("seg"))
      .write.partitionBy("seg").parquet(staging))
     _os.makedirs(feed_dir)
     t0 = _time.time()
-    for seg in range(2):
+    for seg in range(n_segs):
         seg_dir = f"{staging}/seg={seg}"
         for i, fname in enumerate(sorted(_os.listdir(seg_dir))):
             if fname.endswith(".parquet"):
                 dst = f"{feed_dir}/wal-{seg:03d}-{i}.parquet"
                 _shutil.move(f"{seg_dir}/{fname}", dst)
                 _os.utime(dst, (t0 + seg, t0 + seg))
-    schema = T.StructType([
+    return tmp
+
+
+def _event_state_schema():
+    import pyspark.sql.types as T
+
+    return T.StructType([
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("ts", T.TimestampType()),
         T.StructField("seq", T.LongType()),
     ])
+
+
+def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
+    """events as two monotone WAL segment files, tailed by Structured
+    Streaming (availableNow, 1 file per micro-batch), each micro-batch
+    MERGEd into a fresh LakeTable; returns the final table state.
+    Same LWW semantics as q21, so it shares the oracle. Two segments
+    exercise the multi-batch MERGE + cross-batch LWW path at half the
+    fixed per-commit cost of the earlier 4-segment layout."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+
+    tmp = _wal_feed_dir(s, d, "hdbf_stream_q34_", 2)
+    feed_dir = f"{tmp}/feed"
     table = LakeTable.create(
-        s, f"{tmp}/lake", schema,
+        s, f"{tmp}/lake", _event_state_schema(),
         key_cols=["user_id", "event_type"], num_buckets=8,
     )
     query = tail_feed_dir(
@@ -604,6 +620,29 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
 
 
 _LSH_ORACLE_SQL = _lsh_oracle(k=16, bands=8, threshold=0.8)
+
+
+def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-(user_id, event_type) running event count + value sum held in
+    GroupState across micro-batches over the same 2-segment WAL feed
+    q34 tails. The final emitted row per key (its last micro-batch)
+    must equal the batch aggregate over the whole feed — which is the
+    oracle."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.streaming.stateful import drain_running_stats
+
+    tmp = _wal_feed_dir(s, d, "hdbf_stream_q44_", 2)
+    schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(_event_state_schema())
+    )
+    out = drain_running_stats(
+        s, f"{tmp}/feed", schema, ["user_id", "event_type"],
+        f"{tmp}/out", max_files_per_trigger=1,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -860,6 +899,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
+    o["q44_stream_stateful_stats"] = """
+        SELECT user_id, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id, event_type
+    """
     o["q35_surrogate_key"] = """
         SELECT n_nationkey, n_name,
                row_number() OVER (ORDER BY n_name) + 99 AS sk

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operators — applyInPandasWithState.
+
+The reference is batch-only (SURVEY.md §2.10); its fold-style running
+aggregates (src/Etl/example2.hs:38-83) assume the whole table in
+memory. The streaming recast keeps the fold's accumulator in Spark's
+managed GroupState, partitioned by key across executors and
+checkpointed with the query — an unbounded feed gets the same running
+aggregates with bounded memory per key.
+
+``running_key_stats`` is the canonical instance: per-key event count +
+value sum maintained across micro-batches, emitting the updated
+cumulative row for every key seen in a batch ("update" semantics). The
+final emitted row per key (highest batch id) equals the batch
+aggregate over the whole feed — which is exactly how the q44 oracle
+checks it.
+
+Arrow-batched pandas on both sides of the state boundary — no per-row
+Python (input_hint contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_key_stats(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (n_events, sum_value) over a stream.
+
+    State: (count: long, sum: double) per key group. Each micro-batch
+    emits one cumulative row per key present in the batch.
+    """
+    key_cols = list(key_cols)
+    key_fields = [stream.schema[c] for c in key_cols]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sm", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, sm = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            sm += float(pdf[value_col].fillna(0.0).sum())
+        state.update((cnt, sm))
+        row = {c: [k] for c, k in zip(key_cols, key)}
+        row["n_events"] = [cnt]
+        row["sum_value"] = [sm]
+        yield pd.DataFrame(row)
+
+    return (
+        stream.groupBy(*key_cols)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def drain_running_stats(
+    spark,
+    feed_dir: str,
+    schema: T.StructType,
+    key_cols: Sequence[str],
+    out_dir: str,
+    *,
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Drain a file feed through ``running_key_stats`` (availableNow)
+    into a parquet sink tagged with the micro-batch id, and return the
+    FINAL cumulative row per key (the one from each key's last batch).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+    stats = running_key_stats(stream, key_cols, value_col=value_col)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", checkpoint_dir or f"{out_dir}_checkpoint"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    emitted = spark.read.parquet(out_dir)
+    last = emitted.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct("n_events", "sum_value"), F.col("__batch_id")
+        ).alias("w")
+    )
+    return last.select(
+        *key_cols,
+        F.col("w.n_events").alias("n_events"),
+        F.col("w.sum_value").alias("sum_value"),
+    )

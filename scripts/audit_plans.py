@@ -22,7 +22,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-SKIP = {"q34_stream_tail_state"}  # runs a streaming job, no static plan
+# these run a streaming job at construction time — no static plan
+SKIP = {"q34_stream_tail_state", "q44_stream_stateful_stats"}
 
 
 def explain_str(df) -> str:

@@ -176,3 +176,45 @@ def test_frame_sample_plumbing(spark, sf_dir):
     for doc_id, grp in pdf.groupby("doc_id"):
         n = meta[doc_id]
         assert list(grp.frame_idx) == list(range(0, n, 24))
+
+
+def test_stateful_running_stats_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: GroupState must accumulate ACROSS
+    micro-batches — a key appearing in both batches emits a cumulative
+    (not per-batch) row the second time."""
+    import pyspark.sql.types as T2
+
+    from haskell_dbfunctor_spark.streaming.stateful import drain_running_stats
+
+    schema = "k string, value double"
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], schema)
+    b1 = spark.createDataFrame([("a", 4.0)], schema)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    import time as _t
+    t0 = _t.time()
+    for i, b in enumerate((b0, b1)):
+        staging = str(tmp_path / f"st{i}")
+        b.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{feed_dir}/wal-{i}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    out = drain_running_stats(
+        spark, feed_dir,
+        T2.StructType([T2.StructField("k", T2.StringType()),
+                       T2.StructField("value", T2.DoubleType())]),
+        ["k"], str(tmp_path / "out"),
+        max_files_per_trigger=1, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r["k"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 5.0)}
+    # the sink recorded per-batch emissions: key 'a' appears in 2
+    # batches with increasing cumulative counts
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    a_rows = sorted(
+        (r["__batch_id"], r["n_events"]) for r in
+        emitted.where(F.col("k") == "a").collect()
+    )
+    assert a_rows == [(0, 2), (1, 3)]
