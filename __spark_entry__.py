@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- streaming: custom stateful op (applyInPandasWithState) ----
     q["q44_stream_stateful_stats"] = _stream_stateful_stats
 
+    # ---- streaming: event-time tumbling windows + watermark ----
+    q["q45_stream_windowed_agg"] = _stream_windowed_agg
+
     # surrogate key — addSurrogateKeyJ (Julius.hs:1666-1682)
     q["q35_surrogate_key"] = lambda s, d: surrogate_key(
         _t(s, d, "nation").select("n_nationkey", "n_name"), "sk", ["n_name"],
@@ -645,6 +648,28 @@ def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
     return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
 
 
+def _stream_windowed_agg(s: SparkSession, d: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark over the
+    WAL feed (complete-mode drain: the final trigger's full rewrite is
+    the answer). 10-minute windows align to the epoch, so the oracle is
+    a plain time-bucketed GROUP BY."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.streaming.windows import drain_windowed_stats
+
+    tmp = _wal_feed_dir(s, d, "hdbf_stream_q45_", 2)
+    schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(_event_state_schema())
+    )
+    out = drain_windowed_stats(
+        s, f"{tmp}/feed", schema, f"{tmp}/out",
+        key_cols=["event_type"], window="10 minutes",
+        watermark="30 minutes", mode="complete",
+        max_files_per_trigger=1, checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -903,6 +928,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY user_id, event_type
+    """
+    o["q45_stream_windowed_agg"] = """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
     """
     o["q35_surrogate_key"] = """
         SELECT n_nationkey, n_name,

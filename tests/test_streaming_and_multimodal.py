@@ -218,3 +218,63 @@ def test_stateful_running_stats_carries_state_across_batches(spark, tmp_path):
         emitted.where(F.col("k") == "a").collect()
     )
     assert a_rows == [(0, 2), (1, 3)]
+
+
+def test_windowed_agg_watermark_drops_too_late_events(spark, tmp_path):
+    """Event-time windows + watermark, update mode: an event arriving
+    within the watermark merges into its (still-live) window; an event
+    older than the watermark is dropped — bounded state on an
+    unbounded feed."""
+    import time as _t
+    from datetime import datetime
+
+    import pyspark.sql.types as T2
+
+    from haskell_dbfunctor_spark.streaming.windows import drain_windowed_stats
+
+    ddl = "k string, value double, ts timestamp"
+    # watermark mechanics (measured): the watermark used by batch N is
+    # derived from batches < N, and state eviction happens at batch
+    # COMMIT — so a late row is only dropped once a prior batch's
+    # commit evicted its window. Batch layout:
+    #   0: 10:00, 10:05              -> window 10:00 n=2
+    #   1: 10:25                     -> wm after: 09:55
+    #   2: 10:26                     -> wm 10:15 during; commit evicts 10:00
+    #   3: 10:06 (TOO LATE, dropped), 10:22 (in watermark, merges)
+    batches = [
+        [("a", 1.0, datetime(2025, 1, 1, 10, 0)),
+         ("a", 1.0, datetime(2025, 1, 1, 10, 5))],
+        [("a", 1.0, datetime(2025, 1, 1, 10, 25))],
+        [("a", 1.0, datetime(2025, 1, 1, 10, 26))],
+        [("a", 1.0, datetime(2025, 1, 1, 10, 6)),
+         ("a", 1.0, datetime(2025, 1, 1, 10, 22))],
+    ]
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    t0 = _t.time()
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, ddl)
+        staging = str(tmp_path / f"st{i}")
+        b.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{feed_dir}/wal-{i}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = T2.StructType([
+        T2.StructField("k", T2.StringType()),
+        T2.StructField("value", T2.DoubleType()),
+        T2.StructField("ts", T2.TimestampType()),
+    ])
+    out = drain_windowed_stats(
+        spark, feed_dir, schema, str(tmp_path / "out"),
+        key_cols=["k"], window="10 minutes", watermark="10 minutes",
+        mode="update", max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["window_start"].strftime("%H:%M"): r["n_events"]
+        for r in out.collect()
+    }
+    assert got["10:00"] == 2   # too-late 10:06 was dropped, state evicted
+    assert got["10:20"] == 3   # in-watermark 10:22 merged (10:22+10:25+10:26)
