@@ -494,8 +494,28 @@ class LakeTable:
                 max(min(max(by_bytes, floor), len(touched) * files_per_bucket), 1)
             )
             t_a = time.time()
+            # within-bucket subsplit: repartition on BUCKET_COL alone
+            # can never use more than one task per bucket (hash
+            # clustering), so a huge bucket would write single-threaded
+            # at 100 TB. Salting the shuffle key by xxhash64(key) %
+            # files_per spreads one bucket over files_per write tasks;
+            # partitionBy(BUCKET_COL) still maps every file to its
+            # bucket. files_per == 1 keeps the old single-task layout.
+            files_per = max(-(-n_parts // max(len(touched), 1)), 1)
+            # seed the subsplit hash differently from bucket_of(): the
+            # same xxhash64(key) mod two divisors is correlated (equal
+            # when files_per == num_buckets), which would collapse the
+            # split back to one task per bucket
+            part_cols = [F.col(BUCKET_COL)]
+            if files_per > 1:
+                part_cols.append(
+                    F.pmod(
+                        F.xxhash64(F.lit(0x51F7), *[F.col(c) for c in key]),
+                        F.lit(files_per),
+                    )
+                )
             (
-                merged.repartition(n_parts, BUCKET_COL)
+                merged.repartition(n_parts, *part_cols)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(snap_abs)
@@ -523,18 +543,7 @@ class LakeTable:
 
         # map written files back to buckets
         new_buckets = dict(self.manifest["buckets"])
-        written: dict[str, list[str]] = {}
-        if os.path.isdir(snap_abs):
-            for d in os.listdir(snap_abs):
-                if not d.startswith(f"{BUCKET_COL}="):
-                    continue
-                b = d.split("=", 1)[1]
-                fl = [
-                    os.path.join(snap_rel, d, f)
-                    for f in os.listdir(os.path.join(snap_abs, d))
-                    if f.endswith(".parquet")
-                ]
-                written[b] = sorted(fl)
+        written = self._scan_written(snap_abs, snap_rel)
         for b in touched:
             new_buckets[str(b)] = written.get(str(b), [])
 
@@ -575,6 +584,136 @@ class LakeTable:
         return stats
 
     # ------------------------------------------------------ maintenance
+    def compact(
+        self,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        buckets: Sequence[int] | None = None,
+    ) -> dict:
+        """Iceberg rewrite_data_files: coalesce small files bucket-wise.
+
+        A long ingest history leaves buckets written by tiny epochs as
+        many small files; small files poison scan parallelism math and
+        object-store listing at 100 TB. Rewrites ONLY buckets that have
+        >= ``min_files`` files or any file below half the target size;
+        untouched buckets carry forward by reference. Data is
+        bit-identical (a pure layout change) and the rewrite commits as
+        a new snapshot — readers of old snapshots are unaffected until
+        ``expire_snapshots``.
+        """
+        bm = self.manifest["buckets"]
+        candidates = []
+        for b, files in bm.items():
+            if buckets is not None and int(b) not in set(buckets):
+                continue
+            if not files:
+                continue
+            sizes = [
+                os.path.getsize(os.path.join(self.root, f))
+                for f in files
+                if os.path.exists(os.path.join(self.root, f))
+            ]
+            if len(files) >= min_files or any(
+                s < target_file_bytes // 2 for s in sizes
+            ):
+                candidates.append((int(b), sum(sizes)))
+        if not candidates:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+
+        touched = sorted(b for b, _ in candidates)
+        total_bytes = sum(s for _, s in candidates)
+        files_before = sum(len(bm[str(b)]) for b in touched)
+        df = self.read(buckets=touched).withColumn(
+            BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
+        )
+        n_parts = max(int(-(-total_bytes // target_file_bytes)), 1)
+        new_version = self.version + 1
+        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_abs = os.path.join(self.root, snap_rel)
+        files_per = max(-(-n_parts // max(len(touched), 1)), 1)
+        part_cols = [F.col(BUCKET_COL)]
+        if files_per > 1:
+            part_cols.append(
+                F.pmod(
+                    F.xxhash64(F.lit(0x51F7), *[F.col(c) for c in self.key_cols]),
+                    F.lit(files_per),
+                )
+            )
+        (
+            df.repartition(n_parts, *part_cols)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        written = self._scan_written(snap_abs, snap_rel)
+        new_buckets = dict(bm)
+        for b in touched:
+            new_buckets[str(b)] = written.get(str(b), [])
+        manifest = dict(self.manifest)
+        manifest["version"] = new_version
+        manifest["buckets"] = new_buckets
+        self._commit(manifest)
+        files_after = sum(len(new_buckets[str(b)]) for b in touched)
+        return {
+            "buckets_compacted": len(touched),
+            "files_before": files_before,
+            "files_after": files_after,
+            "version": new_version,
+        }
+
+    def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1) -> dict:
+        """Change the bucket count (hash-layout rescale) — the one
+        layout operation that genuinely rewrites the table (Iceberg
+        likewise requires a rewrite to change bucket partitioning).
+        Commits as a new snapshot; key hashing stays xxhash64(key) %
+        new_B, so merges keep pruning correctly afterwards."""
+        if new_num_buckets < 1:
+            raise LakeError("new_num_buckets must be >= 1")
+        df = self.read().withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]),
+                F.lit(int(new_num_buckets)),
+            ).cast("int"),
+        )
+        new_version = self.version + 1
+        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_abs = os.path.join(self.root, snap_rel)
+        n_parts = max(
+            min(self.spark.sparkContext.defaultParallelism,
+                new_num_buckets * files_per_bucket),
+            1,
+        )
+        (
+            df.repartition(n_parts, BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        written = self._scan_written(snap_abs, snap_rel)
+        manifest = dict(self.manifest)
+        manifest["version"] = new_version
+        manifest["num_buckets"] = int(new_num_buckets)
+        manifest["buckets"] = written
+        self._commit(manifest)
+        return {"version": new_version, "num_buckets": int(new_num_buckets)}
+
+    def _scan_written(self, snap_abs: str, snap_rel: str) -> dict[str, list[str]]:
+        """Map a snapshot directory's partition dirs back to buckets."""
+        written: dict[str, list[str]] = {}
+        if os.path.isdir(snap_abs):
+            for d in os.listdir(snap_abs):
+                if not d.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = d.split("=", 1)[1]
+                written[b] = sorted(
+                    os.path.join(snap_rel, d, f)
+                    for f in os.listdir(os.path.join(snap_abs, d))
+                    if f.endswith(".parquet")
+                )
+        return written
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg expire_snapshots: delete manifests older than the
         newest ``keep_last`` and any data file referenced only by them.

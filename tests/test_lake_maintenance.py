@@ -1,0 +1,102 @@
+"""Lake maintenance: file compaction (Iceberg rewrite_data_files
+analog) and bucket-count rescale. Both are pure layout changes — data
+must be bit-identical before/after — committed as new snapshots so old
+snapshots keep reading until expire_snapshots."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def _table_with_fragmented_files(spark, root, n_merges=2, rows_per=200):
+    """Merges with a 1-byte target file size force the maximum write
+    split (files_per_bucket files per bucket via the within-bucket
+    subsplit) — the fragmented layout a long byte-heavy ingest leaves."""
+    table = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=4)
+    for i in range(n_merges):
+        batch = spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.lit("U").alias("op"),
+            F.col("id").alias("seq"),
+        )
+        table.merge(
+            batch, epoch_id=f"e{i}", files_per_bucket=4, target_file_bytes=1
+        )
+    return table
+
+
+def _state(table):
+    return sorted(tuple(r) for r in table.read().select("k", "v").collect())
+
+
+def test_compact_coalesces_files_and_preserves_data(spark, tmp_path):
+    table = _table_with_fragmented_files(spark, str(tmp_path / "t"))
+    before = _state(table)
+    files_before = sum(len(f) for f in table.manifest["buckets"].values())
+    v_before = table.version
+
+    res = table.compact(min_files=2)
+    assert res["buckets_compacted"] > 0
+    assert res["files_after"] < res["files_before"]
+    assert table.version == v_before + 1
+    assert _state(table) == before  # bit-identical data
+
+    files_after = sum(len(f) for f in table.manifest["buckets"].values())
+    assert files_after < files_before
+    # old snapshot still readable (copy-on-write) until expiry
+    old = LakeTable.load(spark, str(tmp_path / "t"), version=v_before)
+    assert _state(old) == before
+    # idempotent-ish: a second compact finds nothing above threshold
+    res2 = table.compact(min_files=2)
+    assert res2["buckets_compacted"] == 0 or res2["files_after"] <= res2["files_before"]
+
+
+def test_compact_then_merge_still_works(spark, tmp_path):
+    table = _table_with_fragmented_files(spark, str(tmp_path / "t2"))
+    table.compact(min_files=2)
+    upd = spark.createDataFrame(
+        [("U", 0, "UPDATED", 1_800_000_000, 10_000)],
+        "op string, k long, v string, ts_s long, seq long",
+    ).select(
+        "op", "k", "v",
+        F.timestamp_seconds("ts_s").alias("ts"), "seq",
+    )
+    table.merge(upd, epoch_id="post-compact")
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got[0] == "UPDATED" and got[1] == "v1"
+
+
+def test_rebucket_rescales_layout_and_preserves_data(spark, tmp_path):
+    table = _table_with_fragmented_files(spark, str(tmp_path / "t3"))
+    before = _state(table)
+    res = table.rebucket(16)
+    assert res["num_buckets"] == 16 and table.num_buckets == 16
+    assert _state(table) == before
+    # buckets map uses the new modulus: every row's bucket matches
+    df = table.read().withColumn(
+        "b", F.pmod(F.xxhash64("k"), F.lit(16)).cast("int")
+    )
+    n_buckets_used = df.select("b").distinct().count()
+    assert 1 < n_buckets_used <= 16
+    # merges keep working against the rescaled layout
+    upd = spark.createDataFrame(
+        [("U", 1, "RESCALED", 1_800_000_000, 10_001)],
+        "op string, k long, v string, ts_s long, seq long",
+    ).select("op", "k", "v", F.timestamp_seconds("ts_s").alias("ts"), "seq")
+    table.merge(upd, epoch_id="post-rebucket")
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got[1] == "RESCALED"
