@@ -155,3 +155,17 @@ def tail_csv(df: DataFrame) -> DataFrame:
     approximated because a distributed table is orderless — prefer
     CSVOptions(has_header=True) which drops the header at the reader."""
     return df.exceptAll(df.limit(1))
+
+
+def print_rtable(df: DataFrame, meta: TableMeta | None = None, n: int = 20) -> None:
+    """printRTable (Core.hs:3985) — tabular print to stdout."""
+    df.show(n, truncate=False)
+
+
+def printf_rtable(df: DataFrame, meta: TableMeta, n: int = 20) -> None:
+    """printfRTable (Core.hs:3929-3982) — formatted print: the metadata's
+    per-column formats (%.2f doubles, Oracle timestamp patterns) are
+    applied via the same serializers the CSV sink uses, then shown."""
+    df.select(*[_serialize(nm, t) for nm, t in meta.columns]).show(
+        n, truncate=False
+    )

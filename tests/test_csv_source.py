@@ -87,3 +87,17 @@ def test_too_few_file_columns_raises(spark, tmp_path):
     p.write_text("a;b\n1;2\n", encoding="utf-8")
     with pytest.raises(ValueError, match="metadata declares"):
         read_csv(spark, str(p), META, CSVOptions(delimiter=";"))
+
+
+def test_print_rtable_formats(spark, capsys):
+    from haskell_dbfunctor_spark.sources.csv import (
+        TableMeta, print_rtable, printf_rtable,
+    )
+
+    df = spark.createDataFrame([(1.5, "x")], ["d", "s"])
+    meta = TableMeta("T", [("d", "Double"), ("s", "Varchar")])
+    print_rtable(df)
+    printf_rtable(df, meta)
+    out = capsys.readouterr().out
+    assert "1.50" in out  # %.2f double formatting (CSV.hs:430)
+    assert "x" in out
