@@ -326,4 +326,6 @@ if __name__ == "__main__":
     elif args.cdc is not None:
         main_cdc(args.cores, args.cdc, n_epochs=args.epochs)
     else:
-        main_bench(args.sf_dir, args.cores, cdc_events=500_000)
+        # 2M events amortizes fixed per-epoch cost so the recorded
+        # headline reflects steady-state MERGE throughput
+        main_bench(args.sf_dir, args.cores, cdc_events=CDC_EVENTS_DEFAULT)
