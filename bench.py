@@ -114,9 +114,14 @@ def run_cdc(
         steal_pct = (
             100.0 * (st1 - st0) / (tt1 - tt0) if tt1 > tt0 else 0.0
         )
+        try:  # 1-min loadavg: co-tenant pressure that steal% misses
+            load1 = float(open("/proc/loadavg").read().split()[0])
+        except Exception:
+            load1 = -1.0
         return {
             "n_events": n_events,
             "n_epochs": n_epochs,
+            "host_load1": load1,
             "seconds": round(stats.seconds, 3),
             "events_per_sec": round(stats.events_per_sec, 1),
             "steady_seconds": round(warm_secs, 3),
@@ -150,6 +155,15 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         os.makedirs(d, exist_ok=True)
         os.environ["SPARK_GRAFT_BENCH_DIR"] = d
     spark = _get_spark(cores)
+    # JVM/codegen/reader warmup so the first timed query isn't charged
+    # one-time session costs (~4-5s of Janino compilation + scan init)
+    from pyspark.sql import functions as _F
+    spark.range(1_000_000).select(_F.sum("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()

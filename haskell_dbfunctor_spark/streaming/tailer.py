@@ -100,6 +100,14 @@ def tail_feed_dir(
     ``schema`` overrides the reader schema; default derives it from
     the table manifest (``feed_schema_from_table``), which also works
     when ``feed_dir`` is still empty at startup.
+
+    Schema evolution on a LIVE tail: a file-source stream's schema is
+    fixed at start, so a feed file that gains a new column mid-stream
+    has that column silently ignored until the tail is RESTARTED (the
+    checkpoint makes the restart exactly-once; the first post-restart
+    merge evolves the table schema). This is the standard Structured
+    Streaming contract — the batch replay path (cdc/apply.py) evolves
+    per epoch without restarts.
     """
     if schema is None:
         schema = feed_schema_from_table(

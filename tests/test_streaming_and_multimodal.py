@@ -278,3 +278,64 @@ def test_windowed_agg_watermark_drops_too_late_events(spark, tmp_path):
     }
     assert got["10:00"] == 2   # too-late 10:06 was dropped, state evicted
     assert got["10:20"] == 3   # in-watermark 10:22 merged (10:22+10:25+10:26)
+
+
+def test_stream_schema_evolution_via_restart(spark, tmp_path):
+    """A feed that gains a column mid-stream: the live tail ignores it
+    (file-source schema is fixed at start); restarting the tail with
+    the evolved schema picks it up exactly-once, and the first
+    post-restart MERGE evolves the table schema in place — no rewrite
+    of old files."""
+    import time as _time
+    from datetime import datetime
+
+    base_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), base_schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    t0 = _time.time()
+
+    def land(df, name, mtime):
+        staging = str(tmp_path / f"st_{name}")
+        df.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(f"{staging}/{src}", f"{feed_dir}/{name}.parquet")
+        os.utime(f"{feed_dir}/{name}.parquet", (mtime, mtime))
+
+    land(spark.createDataFrame(
+        [("U", "c1", 0, "hello", datetime(2025, 1, 1), 1)],
+        "op string, conv_id string, turn_idx int, text string, "
+        "ts timestamp, seq long"), "wal-000", t0)
+    q = tail_feed_dir(spark, table, feed_dir, available_now=True)
+    q.awaitTermination(300)
+    assert "tool" not in table.schema.names
+
+    # feed evolves: new `tool` column lands
+    land(spark.createDataFrame(
+        [("U", "c1", 1, "uses tool", datetime(2025, 1, 2), 2, "bash")],
+        "op string, conv_id string, turn_idx int, text string, "
+        "ts timestamp, seq long, tool string"), "wal-001", t0 + 1)
+    evolved = T.StructType(
+        [T.StructField("op", T.StringType())]
+        + list(base_schema)
+        + [T.StructField("seq", T.LongType()),
+           T.StructField("tool", T.StringType())]
+    )
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True, schema=evolved
+    )
+    q.awaitTermination(300)
+    table = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert "tool" in table.schema.names  # in-place ADD COLUMN, no rewrite
+    got = {(r["conv_id"], r["turn_idx"]): r for r in table.read().collect()}
+    assert got[("c1", 1)]["tool"] == "bash"
+    assert got[("c1", 0)]["tool"] is None  # old rows read as NULL
+    assert len(got) == 2  # restart replayed nothing twice (exactly-once)
