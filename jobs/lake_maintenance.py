@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""spark-submit entry point for lake table maintenance.
+
+The operational companion to jobs/cdc_ingest.py — a long-running ingest
+needs periodic layout upkeep, run as its own (idempotent, snapshot-
+committed) jobs:
+
+    spark-submit --py-files /tmp/hdbf.zip jobs/lake_maintenance.py \
+        --table-root /data/lake/transcripts compact --min-files 2
+    ... expire --keep-last 2
+    ... rebucket --num-buckets 8192
+
+Each action prints ONE JSON line with what it did. All three are pure
+layout/metadata changes: final table state is untouched (compact,
+expire) or identical under the new layout (rebucket).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Lake table maintenance")
+    ap.add_argument("--table-root", required=True)
+    sub = ap.add_subparsers(dest="action", required=True)
+
+    c = sub.add_parser("compact", help="coalesce small/fragmented bucket files")
+    c.add_argument("--target-file-mb", type=int, default=128)
+    c.add_argument("--min-files", type=int, default=2)
+
+    e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
+    e.add_argument("--keep-last", type=int, default=2)
+
+    r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
+    r.add_argument("--num-buckets", type=int, required=True)
+
+    args = ap.parse_args(argv)
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.session import get_spark
+
+    spark = get_spark(app_name=f"lake-maintenance-{args.action}")
+    table = LakeTable.load(spark, args.table_root)
+    rows_before = table.read().count()
+
+    if args.action == "compact":
+        res = table.compact(
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            min_files=args.min_files,
+        )
+    elif args.action == "expire":
+        res = table.expire_snapshots(keep_last=args.keep_last)
+    else:
+        res = table.rebucket(args.num_buckets)
+
+    rows_after = table.read().count()
+    assert rows_after == rows_before, (
+        f"maintenance changed row count {rows_before} -> {rows_after}"
+    )
+    print(json.dumps({
+        "action": args.action,
+        "table_version": table.version,
+        "rows": rows_after,
+        **res,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
