@@ -154,6 +154,13 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         d = "/dev/shm/hdbf_bench"
         os.makedirs(d, exist_ok=True)
         os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    def _load1() -> float:
+        try:
+            return float(open("/proc/loadavg").read().split()[0])
+        except Exception:
+            return -1.0
+
+    load_start = _load1()
     spark = _get_spark(cores)
     # JVM/codegen/reader warmup so the first timed query isn't charged
     # one-time session costs (~4-5s of Janino compilation + scan init)
@@ -181,6 +188,11 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         "cores": cores,
         "cdc": cdc,
         "cdc_events_per_sec": cdc["steady_events_per_sec"],
+        # co-tenant context: this shared SMT host swings wall-clock up
+        # to 5x on a minutes timescale (see BENCH.md); loadavg >> own
+        # thread count means the numbers are contention-inflated
+        "host_load1_start": load_start,
+        "host_load1_end": _load1(),
     }))
 
 
