@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # saveAsTable targets (bucketed co-located joins) — keep the
+        # warehouse out of the repo checkout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hdbf_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",
