@@ -100,3 +100,53 @@ def test_rebucket_rescales_layout_and_preserves_data(spark, tmp_path):
     table.merge(upd, epoch_id="post-rebucket")
     got = {r["k"]: r["v"] for r in table.read().collect()}
     assert got[1] == "RESCALED"
+
+
+def test_crash_before_commit_is_invisible_and_retryable(spark, tmp_path):
+    """Exactly-once under crash/retry: a merge that dies AFTER writing
+    its snapshot files but BEFORE the manifest commit leaves the table
+    bit-identical (readers still see the old snapshot), and retrying
+    the same epoch converges to the same state a crash-free run
+    produces — the atomic-rename manifest is the commit point."""
+    import pytest
+
+    def batch(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(tag), F.col("id")).alias("v"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.lit("U").alias("op"),
+            F.col("id").alias("seq"),
+        )
+
+    root = str(tmp_path / "crash")
+    table = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=4)
+    table.merge(batch(0, 100, "a"), epoch_id="e0")
+    v0 = table.version
+    state0 = _state(table)
+
+    # crash injection: _commit raises before touching any manifest file
+    real_commit = table._commit
+    def exploding_commit(manifest):
+        raise RuntimeError("simulated crash before manifest commit")
+    table._commit = exploding_commit
+    with pytest.raises(RuntimeError):
+        table.merge(batch(50, 150, "b"), epoch_id="e1")
+    table._commit = real_commit
+
+    # nothing visible changed: version, state, and a fresh load agree
+    assert table.version == v0
+    assert _state(table) == state0
+    assert LakeTable.load(spark, root).version == v0
+    assert "e1" not in table.applied_epochs()
+
+    # retry converges; compare against a crash-free twin
+    table.merge(batch(50, 150, "b"), epoch_id="e1")
+    twin = LakeTable.create(
+        spark, str(tmp_path / "twin"), SCHEMA, key_cols=["k"], num_buckets=4
+    )
+    twin.merge(batch(0, 100, "a"), epoch_id="e0")
+    twin.merge(batch(50, 150, "b"), epoch_id="e1")
+    assert _state(table) == _state(twin)
+    # and a re-apply of the committed epoch is a no-op (idempotent)
+    assert table.merge(batch(50, 150, "b"), epoch_id="e1").skipped
