@@ -426,6 +426,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), threshold=0.8, k=16, bands=8
     )
 
+    # grouped-map without aggregation — groupNoAggList's scale consumer
+    # (Core.hs:3371-3404) as ONE distributed applyInPandas pass: rank
+    # docs within their language group
+    def q46(s, d):
+        import pandas as pd
+
+        from haskell_dbfunctor_spark.operators import group_map
+
+        def rank_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            pdf["rk"] = range(1, len(pdf) + 1)
+            return pdf[["doc_id", "lang", "rk"]]
+
+        docs = _t(s, d, "documents").select("doc_id", "lang")
+        return group_map(
+            docs, ["lang"], rank_in_group, "doc_id long, lang string, rk long"
+        )
+    q["q46_group_map_rank"] = q46
+
     # Oracle-format timestamp serialize + lenient re-parse round trip
     # (toRTimestamp Core.hs:1182-1397 / rTimestampToRText :1589-1624)
     def q41(s, d):
@@ -996,6 +1015,11 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     o["q42_dedup_lsh_jaccard"] = _LSH_ORACLE_SQL
+    o["q46_group_map_rank"] = """
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents
+    """
     o["q43_ann_topk_pruned"] = """
         WITH eb AS (
           SELECT vec_id, embedding,

@@ -87,3 +87,45 @@ def test_size_prefilter_drops_incompatible_pairs(spark):
         docs, k=4, bands=4, threshold=0.8, salt=2, num_partitions=4
     ).collect()
     assert cand == []
+
+
+def test_lsh_precision_is_one_on_random_corpora(spark):
+    """Property (hypothesis): on arbitrary corpora, the LSH path's
+    verified pairs are a SUBSET of the exact near-dup pairs (precision
+    1.0 by construction — every candidate is exact-Jaccard-checked), so
+    per-doc counts never exceed the exact counts; and identical docs
+    are always found (they share every band bucket)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    )
+    doc = st.lists(words, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = {
+            r["doc_id"]: r["n_near_dups"]
+            for r in near_dup_counts(docs, 0.8, salt=2).collect()
+        }
+        lsh = {
+            r["doc_id"]: r["n_near_dups"]
+            for r in near_dup_counts_lsh(
+                docs, 0.8, k=8, bands=4, salt=2, num_partitions=4
+            ).collect()
+        }
+        assert set(lsh) == set(exact)
+        for d in exact:
+            assert lsh[d] <= exact[d], "LSH found a pair exact missed"
+        # identical word sets are never missed
+        sets_ = {i: frozenset(t.split()) for i, t in rows}
+        for i in sets_:
+            twins = sum(
+                1 for j in sets_ if j != i and sets_[j] == sets_[i]
+            )
+            assert lsh[i] >= twins
+
+    prop()
