@@ -33,7 +33,7 @@ from haskell_dbfunctor_spark.pipelines.text import (
     doc_fingerprint, lang_id, text_quality,
 )
 from haskell_dbfunctor_spark.pipelines.similarity import (
-    ann_top_k, cosine_top_k, sign_lsh_buckets,
+    ann_top_k, cosine_top_k, embedding_near_dup_counts, sign_lsh_buckets,
 )
 from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
@@ -424,6 +424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus at k=16/bands=8, precision 1.0 by construction)
     q["q42_dedup_lsh_jaccard"] = lambda s, d: near_dup_counts_lsh(
         _t(s, d, "documents"), threshold=0.8, k=16, bands=8
+    )
+
+    # embedding-cosine near-dup: sign-LSH bucket candidates + exact
+    # cosine verify — the embedding-space analog of q42
+    # threshold tuned to the synthetic corpus (random near-orthogonal
+    # vectors: max same-bucket cosine ~0.47) so the verify+count path
+    # has real positives to push through
+    q["q47_embedding_near_dup"] = lambda s, d: embedding_near_dup_counts(
+        _t(s, d, "embeddings"), threshold=0.35
     )
 
     # grouped-map without aggregation — groupNoAggList's scale consumer
@@ -1015,6 +1024,37 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     o["q42_dedup_lsh_jaccard"] = _LSH_ORACLE_SQL
+    o["q47_embedding_near_dup"] = """
+        WITH eb AS (
+          SELECT vec_id, embedding,
+                 concat(
+                   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[34] >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM embeddings
+        ),
+        nd AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(
+              list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+              6) >= 0.35
+        ),
+        cnt AS (
+          SELECT vec_id, count(*) AS n_near_dups FROM (
+            SELECT d1 AS vec_id FROM nd UNION ALL SELECT d2 FROM nd
+          ) GROUP BY vec_id
+        )
+        SELECT e.vec_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
+        FROM embeddings e LEFT JOIN cnt ON e.vec_id = cnt.vec_id
+    """
     o["q46_group_map_rank"] = """
         SELECT doc_id, lang,
                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk

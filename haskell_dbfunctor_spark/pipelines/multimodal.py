@@ -94,6 +94,53 @@ def decode_media(media: DataFrame, *, require_real: bool = False) -> DataFrame:
     return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+])
+
+
+def resize_media(
+    media: DataFrame, max_dim: int = 256, *, require_real: bool = False
+) -> DataFrame:
+    """Aspect-preserving resize plan: target dimensions are computed
+    JVM-side from the metadata struct (no Python for the math); the
+    pixel resample itself runs through the same Arrow mapInPandas
+    plumbing as decode_media and is STUBBED in this container (the
+    fake backend passes the blob through unchanged — a real backend
+    replaces one pandas map). ``require_real=True`` raises here."""
+    if require_real and _PIL is None:
+        raise NotImplementedError(
+            "no media codec backend available for resampling; install "
+            "Pillow and swap the passthrough in _resize_batches"
+        )
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_dim))
+        / F.greatest(F.col("media_meta.width"), F.col("media_meta.height")),
+    )
+    sized = media.select(
+        "doc_id",
+        "media",
+        F.greatest(
+            F.lit(1), F.round(F.col("media_meta.width") * scale).cast("int")
+        ).alias("out_width"),
+        F.greatest(
+            F.lit(1), F.round(F.col("media_meta.height") * scale).cast("int")
+        ).alias("out_height"),
+    )
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # real backend: decode -> resample to (out_width, out_height)
+            # -> re-encode. Fake backend: byte passthrough.
+            yield pdf[["doc_id", "media", "out_width", "out_height"]]
+
+    return sized.mapInPandas(_resize_batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 24) -> DataFrame:
     """Explode per-frame rows from the metadata (video frame sampling
     plan — the decode of each frame stays stubbed). Pure JVM-side."""

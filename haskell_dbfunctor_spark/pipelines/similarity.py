@@ -82,6 +82,47 @@ def _with_bucket(embeddings: DataFrame) -> DataFrame:
     return embeddings.withColumn("bucket", bucket)
 
 
+def embedding_near_dup_counts(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Per-vector count of near-duplicates by embedding cosine >=
+    threshold — the embedding-space analog of the text near-dup path:
+    sign-LSH bucket self-join generates candidates (same-bucket pairs
+    only; candidate volume ∝ Σ bucket², controlled by the number of
+    sign bits, never corpus²), exact cosine verifies them (precision
+    1.0). Cross-bucket near-dups are missed by construction — the same
+    recall trade every ANN bucket scheme makes; add bits or Hamming
+    probing to tighten. Cosine is rounded to 6dp before thresholding so
+    an external engine (the DuckDB oracle) lands on the same side of
+    the boundary."""
+    eb = _with_bucket(embeddings)
+    l = eb.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    r = eb.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    pairs = l.join(r, "bucket").where(F.col("d1") < F.col("d2"))
+    cos = F.round(
+        _dot(F.col("e1"), F.col("e2"))
+        / (_norm(F.col("e1")) * _norm(F.col("e2"))),
+        6,
+    )
+    nd = pairs.where(cos >= F.lit(threshold)).select("d1", "d2")
+    cnt = (
+        nd.select(F.explode(F.array("d1", "d2")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(cnt, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups")
+        )
+    )
+
+
 def write_bucketed(embeddings: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write the corpus physically partitioned by its sign-LSH bucket.
 
