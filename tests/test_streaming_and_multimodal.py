@@ -339,3 +339,26 @@ def test_stream_schema_evolution_via_restart(spark, tmp_path):
     assert got[("c1", 1)]["tool"] == "bash"
     assert got[("c1", 0)]["tool"] is None  # old rows read as NULL
     assert len(got) == 2  # restart replayed nothing twice (exactly-once)
+
+
+def test_resize_media_dims_and_plumbing(spark, sf_dir):
+    from haskell_dbfunctor_spark.pipelines.multimodal import resize_media
+
+    media = attach_fake_media(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    )
+    src = {r["doc_id"]: r["media_meta"] for r in media.collect()}
+    out = {r["doc_id"]: r for r in resize_media(media, max_dim=100).collect()}
+    assert set(out) == set(src)
+    for doc_id, m in src.items():
+        r = out[doc_id]
+        assert max(r["out_width"], r["out_height"]) <= 100
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        if max(m["width"], m["height"]) <= 100:  # no upscaling
+            assert (r["out_width"], r["out_height"]) == (m["width"], m["height"])
+        else:  # aspect preserved within rounding
+            assert abs(
+                r["out_width"] / r["out_height"] - m["width"] / m["height"]
+            ) < 0.15
+    with pytest.raises(NotImplementedError):
+        resize_media(media, require_real=True)
