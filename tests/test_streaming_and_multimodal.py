@@ -356,9 +356,12 @@ def test_resize_media_dims_and_plumbing(spark, sf_dir):
         assert r["out_width"] >= 1 and r["out_height"] >= 1
         if max(m["width"], m["height"]) <= 100:  # no upscaling
             assert (r["out_width"], r["out_height"]) == (m["width"], m["height"])
-        else:  # aspect preserved within rounding
-            assert abs(
-                r["out_width"] / r["out_height"] - m["width"] / m["height"]
-            ) < 0.15
+        else:  # exact expected dims (HALF_UP rounding, like F.round)
+            import math
+
+            s = 100.0 / max(m["width"], m["height"])
+            exp_w = max(1, math.floor(m["width"] * s + 0.5))
+            exp_h = max(1, math.floor(m["height"] * s + 0.5))
+            assert (r["out_width"], r["out_height"]) == (exp_w, exp_h)
     with pytest.raises(NotImplementedError):
         resize_media(media, require_real=True)
