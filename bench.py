@@ -69,7 +69,7 @@ def _cpu_sample() -> tuple[float, float]:
 
 def run_cdc(
     spark, n_events: int, n_epochs: int = CDC_EPOCHS,
-    feed_kwargs: dict | None = None,
+    feed_kwargs: dict | None = None, mode: str = "cow",
 ) -> dict:
     """One full CDC replay: deterministic feed (materialized once, read
     back per epoch with partition pruning — a WAL is storage, not a
@@ -102,7 +102,7 @@ def run_cdc(
         st0, tt0 = _cpu_sample()
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
-            files_per_bucket=2,
+            files_per_bucket=2, mode=mode,
         )
         st1, tt1 = _cpu_sample()
         final_rows = table.read().count()
@@ -121,6 +121,7 @@ def run_cdc(
         return {
             "n_events": n_events,
             "n_epochs": n_epochs,
+            "mode": mode,
             "host_load1": load1,
             "seconds": round(stats.seconds, 3),
             "events_per_sec": round(stats.events_per_sec, 1),
@@ -196,9 +197,10 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     }))
 
 
-def main_cdc(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -> None:
+def main_cdc(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS,
+             mode: str = "cow") -> None:
     spark = _get_spark(cores)
-    out = run_cdc(spark, n_events, n_epochs=n_epochs)
+    out = run_cdc(spark, n_events, n_epochs=n_epochs, mode=mode)
     out.update({"cores": cores})
     print(json.dumps(out))
 
@@ -331,6 +333,9 @@ def main_skew(cores: int, n_events: int, pairs: int = 2,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--mor", action="store_true",
+                    help="CDC replay with merge-on-read deltas (O(batch) "
+                         "writes) instead of copy-on-write")
     ap.add_argument("--cdc", type=int, nargs="?", const=CDC_EVENTS_DEFAULT,
                     default=None, metavar="N_EVENTS")
     ap.add_argument("--scaling", action="store_true")
@@ -350,7 +355,8 @@ if __name__ == "__main__":
         main_scaling(args.small, args.large, args.events,
                      pairs=args.pairs, n_epochs=args.epochs)
     elif args.cdc is not None:
-        main_cdc(args.cores, args.cdc, n_epochs=args.epochs)
+        main_cdc(args.cores, args.cdc, n_epochs=args.epochs,
+                 mode="mor" if args.mor else "cow")
     else:
         # 2M events amortizes fixed per-epoch cost so the recorded
         # headline reflects steady-state MERGE throughput

@@ -60,6 +60,8 @@ def replay(
     stop_after: int | None = None,
     files_per_bucket: int = 1,
     prune_buckets: bool | None = None,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -69,6 +71,11 @@ def replay(
     rows than the table has buckets touches essentially every bucket
     (uniform-hash keys), so the extra job that computes the touched set
     buys nothing — skip it and fuse dedup into the single MERGE job.
+
+    ``mode="mor"`` applies epochs as merge-on-read deltas (O(batch)
+    writes, read-side collapse); ``compact_every=K`` folds pending
+    deltas into the base every K applied epochs (bounding the read
+    tax), mirroring a production compaction schedule.
     """
     t0 = time.time()
     if prune_buckets is None:
@@ -89,12 +96,15 @@ def replay(
             order_cols=("ts", "seq"),
             files_per_bucket=files_per_bucket,
             prune_buckets=prune_buckets,
+            mode=mode,
         )
         if m.skipped:
             stats.epochs_skipped += 1
         else:
             stats.epochs_applied += 1
             stats.events_applied += m.n_source
+            if compact_every and stats.epochs_applied % compact_every == 0:
+                table.compact_deltas()
         stats.per_epoch.append(m)
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break

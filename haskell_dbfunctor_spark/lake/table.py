@@ -225,17 +225,58 @@ class LakeTable:
             out.extend(os.path.join(self.root, f) for f in bm.get(b, []))
         return out
 
+    def _delta_files(self, buckets: Sequence[int] | None = None) -> list[str]:
+        dm = self.manifest.get("delta_files", {})
+        ids = [str(b) for b in buckets] if buckets is not None else list(dm)
+        out: list[str] = []
+        for b in ids:
+            out.extend(os.path.join(self.root, f) for f in dm.get(b, []))
+        return out
+
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current snapshot as a DataFrame.
 
         Passing an explicit schema makes Spark project columns that are
         missing from older data files as NULL — the schema-evolution
         read path (no file rewrites ever).
+
+        When merge-on-read deltas are pending (``merge(mode="mor")``),
+        the read collapses base + delta files with one hash aggregation
+        per key (latest commit wins; delete tombstones drop the row) —
+        the read-side tax MoR trades for O(batch) ingest writes. Run
+        ``compact_deltas`` to fold the tax back into the base files.
         """
         files = self._files(buckets)
-        if not files:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*files)
+        delta = self._delta_files(buckets)
+        if not delta:
+            if not files:
+                return self.spark.createDataFrame([], self.schema)
+            return self.spark.read.schema(self.schema).parquet(*files)
+        read_schema = T.StructType(
+            list(self.schema.fields)
+            + [
+                T.StructField("__op", T.StringType(), True),
+                T.StructField("__commit_seq", T.LongType(), True),
+            ]
+        )
+        df = self.spark.read.schema(read_schema).parquet(*(files + delta))
+        key = self.key_cols
+        payload = [f.name for f in self.schema.fields if f.name not in key]
+        ords = F.coalesce(F.col("__commit_seq"), F.lit(0))  # base rows = 0
+        collapsed = df.groupBy(*key).agg(
+            F.max_by(
+                F.struct(*payload, F.col("__op").alias("__op")), ords
+            ).alias("__w")
+        )
+        live = collapsed.where(
+            F.coalesce(F.col("__w.__op"), F.lit("U")) != F.lit("D")
+        )
+        return live.select(
+            *[
+                F.col(c) if c in key else F.col(f"__w.{c}").alias(c)
+                for c in self.schema.names
+            ]
+        )
 
     def bucket_of(self, *cols: Column) -> Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
@@ -284,8 +325,22 @@ class LakeTable:
         files_per_bucket: int = 1,
         target_file_bytes: int = 128 * 1024 * 1024,
         prune_buckets: bool = True,
+        mode: str = "cow",
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
+
+        ``mode="cow"`` (default) rewrites the touched buckets —
+        read-optimal, but with uniform keys every epoch rewrites the
+        whole table (write amplification O(table) per epoch).
+        ``mode="mor"`` (merge-on-read) appends the LWW-deduped batch as
+        bucket-partitioned DELTA files — ingest writes O(batch) — and
+        defers reconciliation to read() (one hash agg per read) and
+        ``compact_deltas``; exactly Iceberg's copy-on-write vs
+        merge-on-read trade. MoR implements full-row-replace CDC only:
+        ``update_cols``/``matched_filter`` raise (their semantics need
+        the join CoW does); delete ops become tombstones until
+        compaction. Modes mix freely on one table — a CoW merge (or
+        compact_deltas) folds pending deltas of the buckets it touches.
 
         changes must carry the key columns plus payload columns; extra
         payload columns evolve the schema. ``op_col`` (values I/U/D; any
@@ -300,6 +355,15 @@ class LakeTable:
         NOT inserted (Core.hs:3659-3688 legs T1/T2/T3).
         """
         t0 = time.time()
+        if mode not in ("cow", "mor"):
+            raise LakeError(f"unknown merge mode {mode!r}")
+        if mode == "mor" and (
+            update_cols is not None or matched_filter is not None
+        ):
+            raise LakeError(
+                "mode='mor' is full-row-replace CDC; update_cols/"
+                "matched_filter need the CoW join"
+            )
         if epoch_id is not None and epoch_id in self.manifest["applied_epochs"]:
             return MergeStats(
                 epoch_id=epoch_id, version=self.version, skipped=True
@@ -354,6 +418,12 @@ class LakeTable:
             )
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
+        if mode == "mor":
+            return self._append_mor_delta(
+                deduped, key, batch_payload, op_col, new_schema,
+                epoch_id=epoch_id, t0=t0, obs_src=obs_src,
+                files_per_bucket=files_per_bucket,
+            )
         timings: dict[str, float] = {}
         persisted = None
         obs_dd = None
@@ -551,6 +621,12 @@ class LakeTable:
         manifest["version"] = new_version
         manifest["schema"] = new_schema.json()
         manifest["buckets"] = new_buckets
+        # the CoW target read collapsed any pending MoR deltas of the
+        # touched buckets — their new base subsumes them
+        new_deltas = dict(self.manifest.get("delta_files", {}))
+        for b in touched:
+            new_deltas.pop(str(b), None)
+        manifest["delta_files"] = new_deltas
         # rolling avg row width feeds the next merge's write-task sizing
         new_rows = n_ins + n_upd + n_keep
         new_bytes = sum(
@@ -582,6 +658,136 @@ class LakeTable:
         )
         self._write_lineage(stats, written)
         return stats
+
+    # ----------------------------------------------------- merge-on-read
+    def _append_mor_delta(
+        self,
+        deduped: DataFrame,
+        key: Sequence[str],
+        batch_payload: Sequence[str],
+        op_col: str | None,
+        new_schema: T.StructType,
+        *,
+        epoch_id: str | None,
+        t0: float,
+        obs_src: Observation,
+        files_per_bucket: int = 1,
+    ) -> MergeStats:
+        """Commit the deduped batch as bucket-partitioned delta files:
+        no target read, no join, no base rewrite — the O(batch) ingest
+        path. Rows keep their op as an ``__op`` tombstone marker and a
+        ``__commit_seq`` for the read-side latest-commit-wins collapse
+        (base rows read as seq 0)."""
+        new_version = self.version + 1
+        delta = deduped.select(
+            *key,
+            *batch_payload,
+            (F.col(op_col) if op_col else F.lit("U")).alias("__op"),
+            F.lit(new_version).cast("long").alias("__commit_seq"),
+            F.col(BUCKET_COL),
+        )
+        obs_dd = Observation(f"mor_dd_v{new_version}")
+        delta = delta.observe(obs_dd, F.count(F.lit(1)).alias("n"))
+        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_abs = os.path.join(self.root, snap_rel)
+        n_parts = max(
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                self.num_buckets * files_per_bucket,
+            ),
+            1,
+        )
+        t_a = time.time()
+        (
+            delta.repartition(n_parts, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        write_s = time.time() - t_a
+        written = self._scan_written(snap_abs, snap_rel)
+        try:
+            n_source = int(obs_src.get["n"])
+            n_deduped = int(obs_dd.get["n"])
+        except Exception:
+            n_source = n_deduped = 0
+
+        manifest = dict(self.manifest)
+        manifest["version"] = new_version
+        manifest["schema"] = new_schema.json()
+        new_deltas = {
+            b: list(fl)
+            for b, fl in self.manifest.get("delta_files", {}).items()
+        }
+        for b, fl in written.items():
+            new_deltas.setdefault(b, []).extend(fl)
+        manifest["delta_files"] = new_deltas
+        applied = dict(manifest["applied_epochs"])
+        if epoch_id is not None:
+            applied[epoch_id] = {"version": new_version, "ts": time.time()}
+        manifest["applied_epochs"] = applied
+        self._commit(manifest)
+
+        stats = MergeStats(
+            epoch_id=epoch_id,
+            version=new_version,
+            n_source=n_source,
+            n_deduped=n_deduped,
+            buckets_touched=len(written),
+            seconds=time.time() - t0,
+            extra={
+                "mode": "mor",
+                "timings": {"write": round(write_s, 3)},
+                "write_tasks": n_parts,
+                "pending_delta_files": sum(len(f) for f in new_deltas.values()),
+            },
+        )
+        self._write_lineage(stats, written)
+        return stats
+
+    def compact_deltas(self, buckets: Sequence[int] | None = None) -> dict:
+        """Fold pending MoR delta files into the base (Iceberg's
+        rewrite-position-deletes + rewrite_data_files rolled into one):
+        reads the collapsed view of every bucket holding deltas and
+        rewrites it as the new base; tombstoned rows disappear. The
+        read tax paid once here instead of on every subsequent read."""
+        dm = self.manifest.get("delta_files", {})
+        ids = set(dm) if buckets is None else {str(b) for b in buckets} & set(dm)
+        touched = sorted(int(b) for b in ids)
+        if not touched:
+            return {"buckets_compacted": 0, "delta_files_folded": 0}
+        folded = sum(len(dm[str(b)]) for b in touched)
+        df = self.read(buckets=touched).withColumn(
+            BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
+        )
+        new_version = self.version + 1
+        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_abs = os.path.join(self.root, snap_rel)
+        n_parts = max(
+            min(self.spark.sparkContext.defaultParallelism, len(touched)), 1
+        )
+        (
+            df.repartition(n_parts, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        written = self._scan_written(snap_abs, snap_rel)
+        manifest = dict(self.manifest)
+        manifest["version"] = new_version
+        new_buckets = dict(self.manifest["buckets"])
+        for b in touched:
+            new_buckets[str(b)] = written.get(str(b), [])
+        manifest["buckets"] = new_buckets
+        manifest["delta_files"] = {
+            b: fl for b, fl in dm.items() if int(b) not in set(touched)
+        }
+        self._commit(manifest)
+        return {
+            "buckets_compacted": len(touched),
+            "delta_files_folded": folded,
+            "version": new_version,
+        }
 
     # ------------------------------------------------------ maintenance
     def compact(
@@ -729,25 +935,29 @@ class LakeTable:
         )
         keep = set(versions[-keep_last:])
         keep.add(self.version)
+        def _all_files(m: dict):
+            for files in m["buckets"].values():
+                yield from files
+            for files in m.get("delta_files", {}).values():
+                yield from files
+
         live: set[str] = set()
         for v in keep:
             with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
                 m = json.load(fh)
-            for files in m["buckets"].values():
-                live.update(files)
+            live.update(_all_files(m))
         removed_files = 0
         for v in versions:
             if v in keep:
                 continue
             with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
                 m = json.load(fh)
-            for files in m["buckets"].values():
-                for f in files:
-                    if f not in live:
-                        p = os.path.join(self.root, f)
-                        if os.path.exists(p):
-                            os.remove(p)
-                            removed_files += 1
+            for f in _all_files(m):
+                if f not in live:
+                    p = os.path.join(self.root, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed_files += 1
             os.remove(os.path.join(meta_dir, f"v{v}.json"))
         # prune empty snapshot dirs bottom-up; os.walk's topdown=False
         # still lists parent dirnames before child rmdirs happen, so
