@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
 
+    sub.add_parser("compact-deltas",
+                   help="fold pending merge-on-read delta files into the base")
+
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
@@ -56,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.action == "expire":
         res = table.expire_snapshots(keep_last=args.keep_last)
+    elif args.action == "compact-deltas":
+        res = table.compact_deltas()
     else:
         res = table.rebucket(args.num_buckets)
 
