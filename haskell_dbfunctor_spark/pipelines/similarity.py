@@ -95,6 +95,8 @@ def embedding_near_dup_counts(
     probing to tighten. Cosine is rounded to 6dp before thresholding so
     an external engine (the DuckDB oracle) lands on the same side of
     the boundary."""
+    from ..operators.skew import salted_equi_join
+
     eb = _with_bucket(embeddings)
     l = eb.select(
         F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "bucket"
@@ -102,7 +104,15 @@ def embedding_near_dup_counts(
     r = eb.select(
         F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "bucket"
     )
-    pairs = l.join(r, "bucket").where(F.col("d1") < F.col("d2"))
+    # the bucket key has only 2^bits distinct values — the exploding
+    # low-cardinality join AQE coalesces into one task unless salted
+    # and width-pinned (same trap as the shingle joins, q24/q42)
+    pairs = salted_equi_join(
+        l, r, "bucket",
+        salt=32, salt_by=["d1"],
+        extra_cond=F.col("l.d1") < F.col("r.d2"),
+        num_partitions=128,
+    )
     cos = F.round(
         _dot(F.col("e1"), F.col("e2"))
         / (_norm(F.col("e1")) * _norm(F.col("e2"))),
