@@ -489,7 +489,10 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
         "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
     )
-    tag = _os.path.basename(d.rstrip("/"))
+    # cache key includes the source's mtime: regenerated testdata (or a
+    # different root sharing a basename) must never serve stale vectors
+    src = f"{d}/embeddings.parquet"
+    tag = f"{_os.path.basename(d.rstrip('/'))}_{int(_os.path.getmtime(src))}"
     bucketed = f"{base}/hdbf_bucketed_emb_{tag}"
     if not _os.path.exists(f"{bucketed}/_SUCCESS"):
         write_bucketed(emb, bucketed)
@@ -586,7 +589,9 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
         s, table, feed_dir, available_now=True, max_files_per_trigger=1,
         order_cols=("ts", "seq"), op_col="op",
     )
-    query.awaitTermination(600)
+    from haskell_dbfunctor_spark.streaming.tailer import await_or_raise
+
+    await_or_raise(query, 600)
     return table.read().select(
         "user_id", "event_type", "value", "ts",
         F.col("seq").alias("last_event_id"),

@@ -103,6 +103,10 @@ def run_cdc(
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
             files_per_bucket=2, mode=mode,
+            # MoR defers work to compaction — charge it inside the
+            # measured window (a production schedule folds deltas
+            # periodically; write-only throughput would overstate MoR)
+            compact_every=(max(n_epochs // 2, 1) if mode == "mor" else None),
         )
         st1, tt1 = _cpu_sample()
         final_rows = table.read().count()
@@ -110,7 +114,12 @@ def run_cdc(
         # the first epoch regardless of parallelism)
         warm = stats.per_epoch[1:]
         warm_events = sum(m.n_source for m in warm)
-        warm_secs = sum(m.seconds for m in warm)
+        if mode == "mor":
+            # wall time after epoch 0, INCLUDING the periodic
+            # compactions replay ran — the end-to-end ingest cost
+            warm_secs = stats.seconds - stats.per_epoch[0].seconds
+        else:
+            warm_secs = sum(m.seconds for m in warm)
         steal_pct = (
             100.0 * (st1 - st0) / (tt1 - tt0) if tt1 > tt0 else 0.0
         )
@@ -192,9 +201,10 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         "cdc_mor": cdc_mor,
         # headline = merge-on-read, the production mode at 10^10 scale
         # (an epoch is <<1% of the table; CoW would rewrite O(table)
-        # per epoch). Both modes verified to identical final state;
-        # final_rows forces the MoR read-side collapse, so the number
-        # is end-to-end, not write-only.
+        # per epoch). Both modes produce identical final state, and the
+        # MoR timing INCLUDES its periodic delta compaction (run_cdc
+        # passes compact_every), so the deferred cost is charged — not
+        # a write-only number.
         "cdc_events_per_sec": cdc_mor["steady_events_per_sec"],
         "cdc_events_per_sec_cow": cdc["steady_events_per_sec"],
         # co-tenant context: this shared SMT host swings wall-clock up

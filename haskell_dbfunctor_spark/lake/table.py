@@ -246,12 +246,24 @@ class LakeTable:
         the read-side tax MoR trades for O(batch) ingest writes. Run
         ``compact_deltas`` to fold the tax back into the base files.
         """
-        files = self._files(buckets)
         delta = self._delta_files(buckets)
         if not delta:
+            files = self._files(buckets)
             if not files:
                 return self.spark.createDataFrame([], self.schema)
             return self.spark.read.schema(self.schema).parquet(*files)
+        # split the read: only delta-bearing buckets pay the collapse;
+        # the rest plain-read their base files (at 4096 buckets and one
+        # pending delta, collapsing everything would shuffle the whole
+        # table to reconcile one bucket)
+        dm = self.manifest.get("delta_files", {})
+        wanted = (
+            set(range(self.num_buckets))
+            if buckets is None
+            else {int(b) for b in buckets}
+        )
+        delta_ids = sorted(b for b in wanted if dm.get(str(b)))
+        plain_ids = sorted(wanted - set(delta_ids))
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -259,7 +271,9 @@ class LakeTable:
                 T.StructField("__commit_seq", T.LongType(), True),
             ]
         )
-        df = self.spark.read.schema(read_schema).parquet(*(files + delta))
+        df = self.spark.read.schema(read_schema).parquet(
+            *(self._files(delta_ids) + self._delta_files(delta_ids))
+        )
         key = self.key_cols
         payload = [f.name for f in self.schema.fields if f.name not in key]
         ords = F.coalesce(F.col("__commit_seq"), F.lit(0))  # base rows = 0
@@ -271,12 +285,20 @@ class LakeTable:
         live = collapsed.where(
             F.coalesce(F.col("__w.__op"), F.lit("U")) != F.lit("D")
         )
-        return live.select(
+        out = live.select(
             *[
                 F.col(c) if c in key else F.col(f"__w.{c}").alias(c)
                 for c in self.schema.names
             ]
         )
+        plain_files = self._files(plain_ids)
+        if plain_files:
+            out = (
+                self.spark.read.schema(self.schema)
+                .parquet(*plain_files)
+                .unionByName(out)
+            )
+        return out
 
     def bucket_of(self, *cols: Column) -> Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
@@ -365,9 +387,26 @@ class LakeTable:
                 "matched_filter need the CoW join"
             )
         if epoch_id is not None and epoch_id in self.manifest["applied_epochs"]:
+            # idempotence first: re-applying a committed epoch is a
+            # no-op regardless of the (possibly old-schema) batch shape
             return MergeStats(
                 epoch_id=epoch_id, version=self.version, skipped=True
             )
+        if mode == "mor":
+            missing = [
+                f.name
+                for f in self.schema.fields
+                if f.name not in set(changes.columns)
+            ]
+            if missing:
+                raise LakeError(
+                    "mode='mor' is full-row replace: the batch must carry "
+                    f"every current table column (missing: {missing}) — a "
+                    "delta row wholesale-overrides its key on read, so an "
+                    "absent column would silently NULL existing values "
+                    "(CoW preserves them); backfill the column or use "
+                    "mode='cow' for this batch"
+                )
 
         key = self.key_cols
         # order_cols may be payload (ts is a table column); only op_col
@@ -809,19 +848,30 @@ class LakeTable:
         ``expire_snapshots``.
         """
         bm = self.manifest["buckets"]
+        dm = self.manifest.get("delta_files", {})
         candidates = []
-        for b, files in bm.items():
+        # a bucket may exist only as deltas (pure-MoR history, no base
+        # file yet) — enumerate the union, not just the base map
+        for b in sorted(set(bm) | set(dm), key=int):
             if buckets is not None and int(b) not in set(buckets):
                 continue
-            if not files:
+            files = bm.get(b, [])
+            has_deltas = bool(dm.get(b))
+            if not files and not has_deltas:
                 continue
             sizes = [
                 os.path.getsize(os.path.join(self.root, f))
-                for f in files
+                for f in files + dm.get(b, [])
                 if os.path.exists(os.path.join(self.root, f))
             ]
-            if len(files) >= min_files or any(
-                s < target_file_bytes // 2 for s in sizes
+            # convergent candidate rule: a bucket already reduced to
+            # one file is never re-compacted (a single small file can't
+            # be made fewer — without this, every tiny bucket would be
+            # rewritten on every maintenance run, forever); buckets
+            # with pending MoR deltas always qualify (folding them in
+            # is strictly useful)
+            if has_deltas or len(files) >= min_files or (
+                len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
             ):
                 candidates.append((int(b), sum(sizes)))
         if not candidates:
@@ -829,7 +879,9 @@ class LakeTable:
 
         touched = sorted(b for b, _ in candidates)
         total_bytes = sum(s for _, s in candidates)
-        files_before = sum(len(bm[str(b)]) for b in touched)
+        files_before = sum(
+            len(bm.get(str(b), [])) + len(dm.get(str(b), [])) for b in touched
+        )
         df = self.read(buckets=touched).withColumn(
             BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
         )
@@ -859,6 +911,14 @@ class LakeTable:
         manifest = dict(self.manifest)
         manifest["version"] = new_version
         manifest["buckets"] = new_buckets
+        # the collapsed read folded any pending deltas of the touched
+        # buckets into the new base — drop their refs or a later read
+        # would re-apply stale deltas over newer data
+        manifest["delta_files"] = {
+            b: fl
+            for b, fl in self.manifest.get("delta_files", {}).items()
+            if int(b) not in set(touched)
+        }
         self._commit(manifest)
         files_after = sum(len(new_buckets[str(b)]) for b in touched)
         return {
@@ -902,6 +962,10 @@ class LakeTable:
         manifest["version"] = new_version
         manifest["num_buckets"] = int(new_num_buckets)
         manifest["buckets"] = written
+        # the collapsed read baked every pending delta into the new
+        # base; stale refs would be keyed by OLD bucket ids and could
+        # silently override newer data on later reads
+        manifest["delta_files"] = {}
         self._commit(manifest)
         return {"version": new_version, "num_buckets": int(new_num_buckets)}
 

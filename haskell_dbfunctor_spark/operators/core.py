@@ -390,6 +390,12 @@ def surrogate_key(
         .sortWithinPartitions(*order_cols)
         .withColumn("__sk_pid", F.spark_partition_id())
     )
+    # persist: the offsets pass and the caller's final action must see
+    # the SAME partitioning (a re-evaluated sort over non-deterministic
+    # upstream input could re-shuffle rows across pids and corrupt the
+    # keys); also saves the second full sort. Spark LRU-evicts the
+    # cache — callers running at extreme scale can checkpoint instead.
+    sdf = sdf.persist()
     counts = sorted(
         (r[0], r[1]) for r in sdf.groupBy("__sk_pid").count().collect()
     )

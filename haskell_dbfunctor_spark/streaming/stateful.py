@@ -116,7 +116,9 @@ def drain_running_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from .tailer import await_or_raise
+
+    await_or_raise(q, timeout_s)
     emitted = spark.read.parquet(out_dir)
     last = emitted.groupBy(*key_cols).agg(
         F.max_by(

@@ -48,6 +48,19 @@ def lww_matched_filter(order_cols: str | tuple = ("ts",)) -> Column:
     )
 
 
+def await_or_raise(query, timeout_s: int) -> None:
+    """awaitTermination that FAILS LOUDLY on timeout: the default
+    returns False and callers who then read the sink get a silently
+    partial (mid-stream) result. Stops the query before raising."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_s}s "
+            "(host contention or a stuck source); sink contents are "
+            "not final"
+        )
+
+
 def feed_schema_from_table(
     table: LakeTable,
     *,

@@ -104,7 +104,9 @@ def drain_windowed_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from .tailer import await_or_raise
+
+    await_or_raise(q, timeout_s)
     out = spark.read.parquet(out_dir)
     if mode == "complete":
         return out

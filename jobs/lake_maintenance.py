@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the before/after row-count check (two full "
+                         "table scans — skip on very large tables)")
     args = ap.parse_args(argv)
 
     from haskell_dbfunctor_spark.lake.table import LakeTable
@@ -50,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"lake-maintenance-{args.action}")
     table = LakeTable.load(spark, args.table_root)
-    rows_before = table.read().count()
+    rows_before = None if args.no_verify else table.read().count()
 
     if args.action == "compact":
         res = table.compact(
@@ -64,10 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         res = table.rebucket(args.num_buckets)
 
-    rows_after = table.read().count()
-    assert rows_after == rows_before, (
-        f"maintenance changed row count {rows_before} -> {rows_after}"
-    )
+    rows_after = None if args.no_verify else table.read().count()
+    # explicit raise, not assert: asserts vanish under python -O and
+    # this is the CLI's only correctness gate
+    if rows_before is not None and rows_after != rows_before:
+        raise RuntimeError(
+            f"maintenance changed row count {rows_before} -> {rows_after}"
+        )
     print(json.dumps({
         "action": args.action,
         "table_version": table.version,

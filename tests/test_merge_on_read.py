@@ -114,3 +114,62 @@ def test_replay_compact_every_bounds_pending_deltas(spark, feed, tmp_path):
     ref = open_or_create_transcripts(spark, str(tmp_path / "t4r"), num_buckets=8)
     replay(ref, feed, N_EPOCHS, evolution_epoch=EVOLUTION)
     assert _state(t) == _state(ref)
+
+
+def test_rebucket_and_compact_fold_pending_deltas(spark, feed, tmp_path):
+    """Review-found corruption class: maintenance ops that read the
+    collapsed view and rewrite the base MUST drop the folded delta
+    refs, or a stale delta (higher __commit_seq than base's implicit 0)
+    silently overrides newer data on later reads."""
+    t = open_or_create_transcripts(spark, str(tmp_path / "rb"), num_buckets=8)
+    replay(t, feed, N_EPOCHS, evolution_epoch=EVOLUTION, mode="mor")
+    before = _state(t)
+
+    t.rebucket(16)
+    assert t.manifest["delta_files"] == {}  # folded, not carried
+    assert _state(t) == before
+    # newer CoW write after rebucket must not be shadowed by anything
+    one = feed.where(F.col("epoch") == 0).limit(1).collect()[0]
+    upd = spark.createDataFrame(
+        [("U", one["conv_id"], one["turn_idx"], "assistant", "NEWEST",
+          "bash", one["ts"], 99_000_000)],
+        "op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, seq long",
+    )
+    t.merge(upd, epoch_id="after-rebucket")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert got[(one["conv_id"], one["turn_idx"])] == "NEWEST"
+
+    # compact() similarly folds + clears deltas of touched buckets
+    t2 = open_or_create_transcripts(spark, str(tmp_path / "cp"), num_buckets=8)
+    replay(t2, feed, N_EPOCHS, evolution_epoch=EVOLUTION, mode="mor")
+    s2 = _state(t2)
+    res = t2.compact(min_files=1)
+    assert res["buckets_compacted"] > 0
+    assert t2.manifest["delta_files"] == {}
+    assert _state(t2) == s2
+
+
+def test_mor_rejects_batch_missing_schema_columns(spark, feed, tmp_path):
+    """A post-evolution batch that physically lacks an existing table
+    column must be rejected in MoR mode (full-row replace would
+    silently NULL the column where CoW preserves it)."""
+    t = open_or_create_transcripts(spark, str(tmp_path / "mc"), num_buckets=8)
+    replay(t, feed, N_EPOCHS, evolution_epoch=EVOLUTION, mode="mor")
+    assert "tool" in t.schema.names
+    with pytest.raises(LakeError, match="missing"):
+        t.merge(
+            feed.where(F.col("epoch") == 0).drop("tool"),
+            epoch_id="old-producer", mode="mor",
+        )
+
+
+def test_compact_converges(spark, feed, tmp_path):
+    """A bucket already reduced to one file is never re-compacted."""
+    t = open_or_create_transcripts(spark, str(tmp_path / "cv"), num_buckets=8)
+    replay(t, feed, N_EPOCHS, evolution_epoch=EVOLUTION)
+    t.compact(min_files=1)
+    res2 = t.compact(min_files=2)
+    assert res2["buckets_compacted"] == 0  # strict no-op second pass
