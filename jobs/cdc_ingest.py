@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="epoch at which the `tool` column first appears")
     ap.add_argument("--stop-after", type=int, default=None,
                     help="apply at most this many new epochs (resume later)")
+    ap.add_argument("--mor", action="store_true",
+                    help="merge-on-read: append LWW-deduped delta files "
+                         "(O(batch) writes) instead of copy-on-write bucket "
+                         "rewrites; reads collapse deltas until compaction")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="fold pending MoR deltas into the base every K "
+                         "applied epochs (bounds the read tax)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--stream", action="store_true",
                     help="tail --feed-dir with Structured Streaming instead "
@@ -95,9 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         table, feed, args.epochs,
         evolution_epoch=args.evolution_epoch,
         stop_after=args.stop_after,
+        mode="mor" if args.mor else "cow",
+        compact_every=args.compact_every,
     )
     print(json.dumps({
-        "mode": "replay",
+        "mode": "replay-mor" if args.mor else "replay",
         "epochs_applied": stats.epochs_applied,
         "epochs_skipped": stats.epochs_skipped,
         "events_applied": stats.events_applied,
