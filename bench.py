@@ -223,13 +223,15 @@ def main_cdc(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS,
     print(json.dumps(out))
 
 
-def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -> dict:
+def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS,
+                        mode: str = "cow") -> dict:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_MASTER", None)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          "--cdc", str(n_events), "--cores", str(cores),
-         "--epochs", str(n_epochs)],
+         "--epochs", str(n_epochs)]
+        + (["--mor"] if mode == "mor" else []),
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -244,7 +246,7 @@ def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS) -
 
 def main_scaling(
     small: int, large: int, n_events: int, pairs: int = 5,
-    n_epochs: int = 4,
+    n_epochs: int = 4, mode: str = "cow",
 ) -> None:
     """Same job, same deterministic input, two parallelism levels.
 
@@ -269,7 +271,8 @@ def main_scaling(
         for cores in order:
             subprocess.run(["sync"], check=False)
             time.sleep(2)
-            res = _one_cdc_subprocess(cores, n_events, n_epochs=n_epochs)
+            res = _one_cdc_subprocess(cores, n_events, n_epochs=n_epochs,
+                                      mode=mode)
             runs[cores].append(res)
             pair_res[cores] = res
             print(f"# pair {r} local[{cores}]: steady "
@@ -291,6 +294,7 @@ def main_scaling(
         "metric": "cdc_scaling_efficiency",
         "value": round(med_ratio / (large / small), 3),
         "unit": "ratio",
+        "mode": mode,
         "n_events": n_events,
         "small_cores": small,
         "large_cores": large,
@@ -371,7 +375,8 @@ if __name__ == "__main__":
                   n_epochs=args.epochs)
     elif args.scaling:
         main_scaling(args.small, args.large, args.events,
-                     pairs=args.pairs, n_epochs=args.epochs)
+                     pairs=args.pairs, n_epochs=args.epochs,
+                     mode="mor" if args.mor else "cow")
     elif args.cdc is not None:
         main_cdc(args.cores, args.cdc, n_epochs=args.epochs,
                  mode="mor" if args.mor else "cow")
