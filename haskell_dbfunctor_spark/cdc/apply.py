@@ -62,6 +62,7 @@ def replay(
     prune_buckets: bool | None = None,
     mode: str = "cow",
     compact_every: int | None = None,
+    epoch_prefix: str = "epoch",
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -76,6 +77,11 @@ def replay(
     writes, read-side collapse); ``compact_every=K`` folds pending
     deltas into the base every K applied epochs (bounding the read
     tax), mirroring a production compaction schedule.
+
+    ``epoch_prefix`` namespaces the checkpoint ids: replaying a SECOND,
+    different feed into the same table with the default prefix would
+    silently skip every epoch number the first feed already committed
+    — give each logical feed/stream its own prefix.
     """
     t0 = time.time()
     if prune_buckets is None:
@@ -87,7 +93,7 @@ def replay(
         prune_buckets = avg_epoch_rows < 50 * table.num_buckets
     stats = ReplayStats()
     for e in range(n_epochs):
-        eid = f"epoch-{e:05d}"
+        eid = f"{epoch_prefix}-{e:05d}"
         batch = epoch_batch(feed, e, evolution_epoch=evolution_epoch)
         m: MergeStats = table.merge(
             batch,

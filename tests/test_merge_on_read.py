@@ -173,3 +173,19 @@ def test_compact_converges(spark, feed, tmp_path):
     t.compact(min_files=1)
     res2 = t.compact(min_files=2)
     assert res2["buckets_compacted"] == 0  # strict no-op second pass
+
+
+def test_epoch_prefix_namespaces_checkpoints(spark, feed, tmp_path):
+    """Two different logical feeds applied to one table must not
+    shadow each other's epoch numbers — distinct prefixes keep the
+    exactly-once checkpoint sets disjoint."""
+    t = open_or_create_transcripts(spark, str(tmp_path / "ns"), num_buckets=8)
+    replay(t, feed, 1, evolution_epoch=EVOLUTION, stop_after=1)
+    second = feed.where(F.col("epoch") == 0).withColumn(
+        "seq", F.col("seq") + 50_000_000
+    ).withColumn("epoch", F.lit(0))
+    st = replay(t, second, 1, epoch_prefix="feed2")
+    assert st.epochs_applied == 1 and st.epochs_skipped == 0
+    # default prefix would have silently skipped it
+    st2 = replay(t, second, 1)
+    assert st2.epochs_applied == 0 and st2.epochs_skipped == 1
