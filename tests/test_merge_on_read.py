@@ -189,3 +189,57 @@ def test_epoch_prefix_namespaces_checkpoints(spark, feed, tmp_path):
     # default prefix would have silently skipped it
     st2 = replay(t, second, 1)
     assert st2.epochs_applied == 0 and st2.epochs_skipped == 1
+
+
+def test_property_mor_cow_equivalence_random_feeds(spark, tmp_path):
+    """Property (hypothesis): for ARBITRARY change feeds — random
+    insert/update/delete ops, colliding keys, ts ties broken by seq,
+    random epoch boundaries — MoR and CoW replay converge to the same
+    final state. Catches tie-breaking and tombstone subtleties the
+    generator's distribution never hits."""
+    import pyspark.sql.types as T2
+    from hypothesis import given, settings, strategies as st
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    schema = T2.StructType([
+        T2.StructField("k", T2.IntegerType()),
+        T2.StructField("v", T2.StringType()),
+        T2.StructField("ts", T2.IntegerType()),
+    ])
+    event = st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 4),            # key: few keys -> many collisions
+        st.integers(0, 2),            # ts: few values -> ties on purpose
+    )
+    runs = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(event, min_size=1, max_size=20), st.integers(1, 4))
+    def prop(events, n_epochs):
+        runs[0] += 1
+        rows = [
+            ("e", op, k, f"v{seq}", ts, seq, seq % n_epochs)
+            for seq, (op, k, ts) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "tag string, op string, k int, v string, ts int, seq long, "
+            "epoch int",
+        ).drop("tag")
+        states = {}
+        for mode in ("cow", "mor"):
+            root = str(tmp_path / f"p{runs[0]}_{mode}")
+            t = LakeTable.create(spark, root, schema, key_cols=["k"],
+                                 num_buckets=4)
+            for e in range(n_epochs):
+                t.merge(
+                    df.where(F.col("epoch") == e).drop("epoch"),
+                    epoch_id=f"e{e}", order_cols=("ts", "seq"), mode=mode,
+                )
+            states[mode] = sorted(
+                tuple(r) for r in t.read().select("k", "v", "ts").collect()
+            )
+        assert states["mor"] == states["cow"]
+
+    prop()
