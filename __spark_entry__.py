@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- streaming: WAL-file tail -> foreachBatch MERGE (final state) ----
     q["q34_stream_tail_state"] = _stream_tail_state
 
+    # ---- lake merge-on-read: delta commits + collapsed read ----
+    q["q48_mor_lake_state"] = _mor_lake_state
+
     # ---- streaming: custom stateful op (applyInPandasWithState) ----
     q["q44_stream_stateful_stats"] = _stream_stateful_stats
 
@@ -656,6 +659,53 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
 
 
 _LSH_ORACLE_SQL = _lsh_oracle(k=16, bands=8, threshold=0.8)
+
+
+def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
+    """Merge-on-read final state through the driver gate: events split
+    into two MoR epoch commits (delta appends, no base rewrites), then
+    the collapsed read. ts is monotone in seq and the split is by seq,
+    so latest-commit-wins == global LWW — the same oracle as q21/q34."""
+    import tempfile as _tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    import os as _os
+
+    import shutil as _shutil
+    import time as _time
+
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    )
+    if base:  # clean stale runs best-effort
+        for old in _os.listdir(base):
+            if old.startswith("hdbf_mor_q48_"):
+                p = f"{base}/{old}"
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+    tmp = _tempfile.mkdtemp(prefix="hdbf_mor_q48_", dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0", mode="mor")
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1", mode="mor")
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
 
 
 def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
@@ -957,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
+    o["q48_mor_lake_state"] = _CDC_LWW_SQL
     o["q44_stream_stateful_stats"] = """
         SELECT user_id, event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
