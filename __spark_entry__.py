@@ -494,8 +494,20 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     )
     # cache key includes the source's mtime: regenerated testdata (or a
     # different root sharing a basename) must never serve stale vectors
+    import shutil as _shutil
+
     src = f"{d}/embeddings.parquet"
-    tag = f"{_os.path.basename(d.rstrip('/'))}_{int(_os.path.getmtime(src))}"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    # sweep superseded tags for this sf dir (tmpfs is RAM — stale
+    # copies from regenerated testdata must not accumulate)
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_bucketed_emb_{stem}_")
+                    and old != f"hdbf_bucketed_emb_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
     bucketed = f"{base}/hdbf_bucketed_emb_{tag}"
     if not _os.path.exists(f"{bucketed}/_SUCCESS"):
         write_bucketed(emb, bucketed)
@@ -686,14 +698,18 @@ def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
     import time as _time
 
     base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
-        "/dev/shm" if _os.path.isdir("/dev/shm") else None
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
     )
-    if base:  # clean stale runs best-effort
-        for old in _os.listdir(base):
-            if old.startswith("hdbf_mor_q48_"):
-                p = f"{base}/{old}"
+    # clean stale runs best-effort — guarded: a concurrent sweep may
+    # remove an entry between listdir and getmtime
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_mor_q48_"):
+            p = f"{base}/{old}"
+            try:
                 if _time.time() - _os.path.getmtime(p) > 3600:
                     _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
     tmp = _tempfile.mkdtemp(prefix="hdbf_mor_q48_", dir=base)
     table = LakeTable.create(
         s, f"{tmp}/lake", _event_state_schema(),

@@ -393,8 +393,11 @@ def surrogate_key(
     # persist: the offsets pass and the caller's final action must see
     # the SAME partitioning (a re-evaluated sort over non-deterministic
     # upstream input could re-shuffle rows across pids and corrupt the
-    # keys); also saves the second full sort. Spark LRU-evicts the
-    # cache — callers running at extreme scale can checkpoint instead.
+    # keys); also saves the second full sort. The cache is released by
+    # Spark's ContextCleaner once the returned frame becomes
+    # unreachable (weak-reference tracking), and LRU-evicts under
+    # memory pressure meanwhile — callers at extreme scale can
+    # checkpoint instead.
     sdf = sdf.persist()
     counts = sorted(
         (r[0], r[1]) for r in sdf.groupBy("__sk_pid").count().collect()

@@ -37,15 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
 
-    sub.add_parser("compact-deltas",
-                   help="fold pending merge-on-read delta files into the base")
+    cd = sub.add_parser("compact-deltas",
+                        help="fold pending merge-on-read delta files into "
+                             "the base")
 
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
-    ap.add_argument("--no-verify", action="store_true",
-                    help="skip the before/after row-count check (two full "
-                         "table scans — skip on very large tables)")
+    # on every subparser so the flag parses in the natural trailing
+    # position (`... compact --no-verify`); a parent-parser flag placed
+    # after the subcommand is rejected by argparse
+    for p in (c, e, cd, r):
+        p.add_argument("--no-verify", action="store_true",
+                       help="skip the before/after row-count check (two "
+                            "full table scans — skip on very large tables)")
     args = ap.parse_args(argv)
 
     from haskell_dbfunctor_spark.lake.table import LakeTable
