@@ -15,11 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from haskell_dbfunctor_spark.operators import (
     Avg, Count, CountDist, CountStar, GenAgg, Max, Min, StrAgg, Sum,
-    add_column, agg, anti_join, col_mapping, delete_rows,
+    add_column, agg, anti_join, asof_join, col_mapping, delete_rows,
     full_outer_join, group_by, inner_join, intersect, left_join, minus,
     order_by, project, project_missed_hits, rfilter, right_join,
-    running_total, semi_join, surrogate_key, union, union_all,
-    update_rows, upsert,
+    running_total, semi_join, sessionize, surrogate_key, union,
+    union_all, update_rows, upsert,
 )
 from haskell_dbfunctor_spark.functions import (
     decode, instr0, nvl, rdt_append, remove_char_around, rtimestamp_to_text,
@@ -27,13 +27,17 @@ from haskell_dbfunctor_spark.functions import (
 )
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
     exact_dedup_key, minhash_signatures, near_dup_counts,
-    near_dup_counts_lsh, simhash16,
+    near_dup_counts_lsh, simhash16, simhash_near_dup_counts,
+)
+from haskell_dbfunctor_spark.pipelines.sampling import (
+    stratified_hash_sample, threshold_hex, train_test_split_col,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
     doc_fingerprint, lang_id, text_quality,
 )
 from haskell_dbfunctor_spark.pipelines.similarity import (
-    ann_top_k, cosine_top_k, embedding_near_dup_counts, sign_lsh_buckets,
+    ann_top_k, cosine_top_k, embedding_near_dup_counts, ivf_top_k,
+    sign_lsh_buckets,
 )
 from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
@@ -472,6 +476,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q41_time_funcs"] = q41
 
+    # point-in-time (as-of) join: each click attaches the user's most
+    # recent prior-or-equal purchase — union-tag + running last_value,
+    # one keyed shuffle, no range-explode (operators/temporal.py)
+    def q49(s, d):
+        ev = _t(s, d, "events").select(
+            "event_id", "user_id",
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value",
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        # LWW-dedupe the right side per (key, ts) so ties are deterministic
+        purch = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max("event_id").alias("purchase_event_id"),
+                F.max_by("value", "event_id").alias("pv"),
+            )
+        )
+        out = asof_join(
+            clicks, purch, on="user_id", left_ts="ts",
+            right_cols=["purchase_event_id", "pv"],
+        )
+        return out.select(
+            "event_id", "user_id", "purchase_event_id",
+            F.round("pv", 2).alias("purchase_value"),
+        )
+    q["q49_asof_join"] = q49
+
+    # gaps-and-islands sessionization (12h gap): lag + running sum over
+    # ONE keyed sort; session-level rollup
+    def q50(s, d):
+        ev = _t(s, d, "events").select(
+            "user_id", "event_id",
+            F.col("ts").cast("timestamp").alias("ts"), "value",
+        )
+        sess = sessionize(
+            ev, "user_id", "ts", 12 * 3600, tiebreak_cols=["event_id"]
+        )
+        return sess.groupBy("user_id", "session_idx").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(1_000_000.0),
+                3,
+            ).alias("dur_s"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    q["q50_sessionize"] = q50
+
+    # SimHash Hamming near-dup — EXACT for hamming<=3 via the 4-band
+    # pigeonhole join (no all-pairs); salted low-cardinality self-join
+    q["q51_simhash_near_dup"] = lambda s, d: simhash_near_dup_counts(
+        _t(s, d, "documents"), max_hamming=3
+    )
+
+    # deterministic stratified sampling + leak-proof train/test split:
+    # md5-threshold filters (pure pushed-filter scan, no shuffle before
+    # the rollup); fate of a key is identical on every run and engine
+    def q52(s, d):
+        docs = _t(s, d, "documents")
+        samp = stratified_hash_sample(
+            docs, "doc_id", "lang",
+            {"en": 0.5, "zh": 0.1}, default_fraction=0.25, seed="mix1",
+        )
+        out = samp.select(
+            "lang", train_test_split_col("doc_id", 0.2, seed="split")
+        )
+        return out.groupBy("lang", "split").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    q["q52_stratified_sample"] = q52
+
+    # IVF-Flat ANN: deterministic seeds + 1 distributed Lloyd iteration,
+    # probe 2 of 8 cells, exact cosine within — the inverted-file scale
+    # path alongside the sign-LSH one (q39/q43)
+    q["q53_ivf_ann"] = lambda s, d: ivf_top_k(
+        _t(s, d, "embeddings"), query_vec_id=0, k=10,
+        n_centroids=8, nprobe=2, refine_iters=1,
+    )
+
+    # change data feed: per-key I/U/D diff between two lake snapshots,
+    # bucket-pruned by manifest file-list comparison (lake/table.py:changes)
+    q["q54_lake_change_feed"] = _lake_change_feed
+
+    # incremental aggregate maintenance: v1 aggregate + CDF delta ==
+    # from-scratch recompute of v2 (lake/incremental.py)
+    q["q55_incremental_agg"] = _incremental_agg
+
     return q
 
 
@@ -671,6 +765,197 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
 
 
 _LSH_ORACLE_SQL = _lsh_oracle(k=16, bands=8, threshold=0.8)
+
+
+def _sample_oracle() -> str:
+    """DuckDB mirror of q52: thresholds come from the SAME
+    threshold_hex used by the Spark side, so the two engines can never
+    drift on a boundary key."""
+    t_en = threshold_hex(0.5)
+    t_zh = threshold_hex(0.1)
+    t_def = threshold_hex(0.25)
+    t_test = threshold_hex(0.2)
+    return f"""
+        WITH dr AS (
+          SELECT doc_id, lang,
+                 substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw,
+                 substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS sdraw
+          FROM documents
+        ), samp AS (
+          SELECT * FROM dr
+          WHERE draw < CASE lang WHEN 'en' THEN '{t_en}'
+                                 WHEN 'zh' THEN '{t_zh}'
+                                 ELSE '{t_def}' END
+        )
+        SELECT lang,
+               CASE WHEN sdraw < '{t_test}' THEN 'test' ELSE 'train' END
+                 AS split,
+               count(*) AS n_docs
+        FROM samp GROUP BY lang, split
+    """
+
+
+_SAMPLE_ORACLE_SQL = _sample_oracle()
+
+
+def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, dims: int = 64) -> str:
+    """DuckDB mirror of ivf_top_k(refine_iters=1): seed centroids =
+    smallest vec_ids rounded to 6dp, assignment = argmax of 6dp cosine
+    (cid tiebreak), one Lloyd step with 6dp-rounded means, probe the
+    nprobe nearest refined centroids, exact cosine within. The 6dp
+    rounding at every comparison point is what keeps two independent
+    double-summation orders convergent."""
+    hi = dims + 1
+
+    def cos(e1: str, e2: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{hi}), i -> {e1} * {e2}))"
+            f" / (sqrt(list_sum(list_transform(range(1,{hi}), i -> ({e1}) * ({e1}))))"
+            f" * sqrt(list_sum(list_transform(range(1,{hi}), i -> ({e2}) * ({e2})))))"
+        )
+
+    emb = "CAST(e.embedding[i] AS DOUBLE)"
+    cv = "c.cv[i]"
+    qv = "CAST(q.qv[i] AS DOUBLE)"
+    return f"""
+        WITH dims AS (SELECT unnest(range(1, {hi})) AS i),
+        cent0 AS (
+          SELECT vec_id AS cid,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE), 6)) AS cv
+          FROM embeddings WHERE vec_id < {n_centroids}
+        ),
+        cos0 AS (
+          SELECT e.vec_id, c.cid, round({cos(emb, cv)}, 6) AS c6
+          FROM embeddings e, cent0 c
+        ),
+        a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c6 DESC, cid) AS rn
+            FROM cos0
+          ) WHERE rn = 1
+        ),
+        elem AS (
+          SELECT a0.cid, d.i,
+                 round(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS m
+          FROM a0 JOIN embeddings e USING (vec_id), dims d
+          GROUP BY a0.cid, d.i
+        ),
+        cent1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM elem GROUP BY cid),
+        cos1 AS (
+          SELECT e.vec_id, c.cid, round({cos(emb, cv)}, 6) AS c6
+          FROM embeddings e, cent1 c
+        ),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c6 DESC, cid) AS rn
+            FROM cos1
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY c6 DESC, cid) AS rn
+            FROM (
+              SELECT c.cid, round({cos(cv, qv)}, 6) AS c6 FROM cent1 c, q
+            )
+          ) WHERE rn <= {nprobe}
+        ),
+        sims AS (
+          SELECT e.vec_id, {cos(emb, qv)} AS cs
+          FROM a1 JOIN embeddings e USING (vec_id), q
+          WHERE a1.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+        )
+        SELECT vec_id, round(cs, 4) AS cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+_IVF_ORACLE_SQL = _ivf_oracle(n_centroids=8, nprobe=2)
+
+
+def _two_epoch_lake(s: SparkSession, d: str, prefix: str):
+    """Events as two CoW epoch commits (split at max(event_id)//2) into
+    a fresh LakeTable; returns (table, version_after_first_epoch)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    half = ev.agg(F.max("seq")).first()[0] // 2
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith(prefix):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix=prefix, dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    table.merge(ev.where(F.col("seq") <= half), epoch_id="e0")
+    v1 = table.version
+    table.merge(ev.where(F.col("seq") > half), epoch_id="e1")
+    return table, v1
+
+
+def _lake_change_feed(s: SparkSession, d: str) -> DataFrame:
+    """Two CoW epoch commits, then changes(v1, v2): every key whose LWW
+    state differs between half-feed and full-feed snapshots, tagged I
+    (new key), U (newer image won), or D (a delete arrived). The
+    oracle recomputes both states from the raw feed and diffs them in
+    SQL — the CDF must agree row-for-row."""
+    table, v1 = _two_epoch_lake(s, d, "hdbf_cdf_q54_")
+    ch = table.changes(v1)
+    return ch.select(
+        "user_id", "event_type", "_change_type",
+        F.round("value", 2).alias("value"),
+        F.col("seq").alias("last_event_id"),
+    )
+
+
+def _incremental_agg(s: SparkSession, d: str) -> DataFrame:
+    """Materialized-view maintenance through the driver gate: aggregate
+    the v1 snapshot per event_type, then fold ONLY the v1->v2 change
+    feed (preimages=True) into it — never re-reading v2 wholesale. The
+    oracle recomputes the aggregate from scratch over the final LWW
+    state; the incrementally maintained result must match exactly."""
+    from haskell_dbfunctor_spark.lake.incremental import (
+        group_sums, maintain_group_sums,
+    )
+
+    table, v1 = _two_epoch_lake(s, d, "hdbf_iagg_q55_")
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    old_state = LakeTable.load(s, table.root, v1).read()
+    base = group_sums(old_state, ["event_type"], ["value"], count_col="live_keys")
+    ch = table.changes(v1, preimages=True)
+    out = maintain_group_sums(
+        base, ch, ["event_type"], ["value"], count_col="live_keys"
+    )
+    return out.select(
+        "event_type", "live_keys",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
 
 
 def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
@@ -1174,5 +1459,135 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(string_agg(word, ' ' ORDER BY word)) AS fingerprint
         FROM dw2 GROUP BY doc_id
+    """
+    o["q49_asof_join"] = """
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, ts,
+                 max(event_id) AS purchase_event_id,
+                 arg_max(value, event_id) AS pv
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.purchase_event_id,
+               round(p.pv, 2) AS purchase_value
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+    o["q50_sessionize"] = """
+        WITH e AS (
+          SELECT user_id, event_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), f AS (
+          SELECT *, CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) > 43200000000
+                     THEN 1 ELSE 0 END AS flag
+          FROM e
+        ), s AS (
+          SELECT user_id, event_id, ts, value,
+                 CAST(sum(flag) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_idx
+          FROM f
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+                 AS dur_s,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_idx
+    """
+    o["q51_simhash_near_dup"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
+          FROM dw WHERE word <> ''
+        ), bits AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM dw2, (SELECT unnest(range(16)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bits GROUP BY doc_id
+        ), bands AS (
+          SELECT doc_id, simhash, b.band,
+                 (simhash >> (b.band * 4)) & 15 AS bucket
+          FROM sh, (SELECT unnest(range(4)) AS band) b
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                          a.simhash AS s1, b.simhash AS s2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), nd AS (
+          SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_near_dups FROM (
+            SELECT d1 AS doc_id FROM nd UNION ALL SELECT d2 FROM nd
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
+    o["q52_stratified_sample"] = _SAMPLE_ORACLE_SQL
+    o["q53_ivf_ann"] = _IVF_ORACLE_SQL
+    o["q54_lake_change_feed"] = """
+        WITH h AS (SELECT max(event_id) // 2 AS half FROM events),
+        tagged AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ),
+        sA AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT t.*, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM tagged t, h WHERE t.event_id <= h.half
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        sB AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT t.*, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM tagged t
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        d AS (
+          SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                 coalesce(a.event_type, b.event_type) AS event_type,
+                 CASE WHEN a.user_id IS NULL THEN 'I'
+                      WHEN b.user_id IS NULL THEN 'D'
+                      WHEN (a.value, a.ts, a.event_id)
+                           IS DISTINCT FROM (b.value, b.ts, b.event_id)
+                      THEN 'U' END AS _change_type,
+                 coalesce(b.value, a.value) AS value,
+                 coalesce(b.event_id, a.event_id) AS last_event_id
+          FROM sA a FULL OUTER JOIN sB b
+            ON a.user_id = b.user_id AND a.event_type = b.event_type
+        )
+        SELECT user_id, event_type, _change_type,
+               round(value, 2) AS value, last_event_id
+        FROM d WHERE _change_type IS NOT NULL
+    """
+    o["q55_incremental_agg"] = """
+        SELECT event_type, count(*) AS live_keys,
+               round(sum(value), 2) AS sum_value
+        FROM (
+          SELECT user_id, event_type, value FROM (
+            SELECT *,
+                   CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1 AND op <> 'D'
+        ) GROUP BY event_type
     """
     return o

@@ -289,6 +289,92 @@ def near_dup_counts_lsh(
     )
 
 
+def simhash_near_dup_counts(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    bits: int = 16,
+    bands: int = 4,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """Per-doc near-dup counts by SimHash Hamming distance — EXACT for
+    ``max_hamming < bands`` by the pigeonhole principle: two hashes
+    within Hamming distance d of each other must agree on at least one
+    of ``bands`` disjoint bit-bands when d < bands, so the band
+    equi-join loses no true pair; the in-join ``bit_count(xor)`` filter
+    then removes false candidates. Same output contract as
+    ``near_dup_counts`` (doc_id, n_near_dups).
+
+    16-bit hashes / 4-bit bands keep the oracle bit-for-bit
+    reproducible; the 100 TB configuration is a 64-bit SimHash with
+    four 16-bit bands (same plan shape, 65536-value band buckets). At
+    16 bits the band key space is only ``bands * 2^(bits/bands)`` = 64
+    values — maximally hot — so the self-join is salted and
+    width-pinned (operators/skew.py; AQE coalesces by input size and
+    would otherwise run the exploding join in one task).
+
+    Like the LSH path this replaces the reference's all-pairs O(n*m)
+    join semantics (/root/reference/src/RTable/Core.hs:2704-2715) with
+    a banded candidate join.
+    """
+    from ..operators.skew import salted_equi_join
+
+    assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    sh = simhash16(docs)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", band_arr.alias("buckets"),
+        F.posexplode(band_arr).alias("band", "bucket"),
+    )
+    # first-band map-side pair dedup (same trick as lsh_candidate_pairs:
+    # emit each pair only at the first band where the bucket arrays
+    # agree) + the exact Hamming filter INSIDE the join
+    cond = (
+        (F.col("l.doc_id") < F.col("r.doc_id"))
+        & (
+            F.array_position(
+                F.zip_with(
+                    F.col("l.buckets"), F.col("r.buckets"), lambda x, y: x == y
+                ),
+                F.lit(True),
+            )
+            == F.col("l.band") + 1
+        )
+        & (
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            <= F.lit(max_hamming)
+        )
+    )
+    pairs = salted_equi_join(
+        banded, banded, ["band", "bucket"],
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=cond,
+        num_partitions=num_partitions,
+    ).select(F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2"))
+    cnt = (
+        pairs.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups")
+        )
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per doc from 32-bit md5-prefix word hashes.
 

@@ -1,0 +1,101 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent:
+re-running the pipeline, repartitioning the input, or moving to a
+different cluster changes which rows are picked. Training-data curation
+needs the opposite — a row's fate must be a pure function of its key,
+so samples are reproducible across runs/engines, stable under data
+layout, and consistent between train/test splits (a key assigned to
+"test" can never leak into "train" on a later run).
+
+The selector is a lexicographic comparison of ``md5(key)`` against a
+hex threshold string: md5 is uniform over hex strings, available
+bit-for-bit in both Spark and any SQL oracle, and the comparison is
+pure per-row compute — the sample plan is a pushed-filter scan with NO
+shuffle, which is exactly what you want in front of a 100 TB read
+(filter prunes before any downstream exchange).
+
+Threshold precision: 8 hex digits = 2^-32 granularity, plenty for any
+practical fraction. Fractions map to thresholds identically in every
+engine via the integer scale: ``frac -> hex(round(frac * 16^8))``.
+
+The reference has no sampling surface (its tables are in-memory
+vectors; `selectNrows` is a prefix take, /root/reference/src/RTable/
+Core.hs); this is a training-pipeline extension (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCALE = 16 ** 8  # 8 hex digits of md5
+
+
+def hash_bucket_hex(key: Column, digits: int = 8) -> Column:
+    """First ``digits`` hex chars of md5(key-as-string) — the uniform
+    per-key draw both Spark and the SQL oracle can reproduce."""
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def threshold_hex(fraction: float, digits: int = 8) -> str:
+    """The hex string h such that P(md5-prefix < h) == fraction (up to
+    16^-digits). Shared by Spark and oracle so they can never drift."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    scale = 16 ** digits
+    n = int(round(fraction * scale))
+    if n >= scale:
+        # the comparison is LEXICOGRAPHIC on hex strings: a 9-char
+        # "100000000" would sort BELOW draws starting with 2-f. 'g'
+        # sorts after every hex character, so every draw passes.
+        return "g"
+    return format(n, f"0{digits}x")
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Keep rows whose md5(seed || key) prefix falls below the fraction
+    threshold. Deterministic per key; different ``seed`` strings give
+    independent samples of the same table."""
+    draw = hash_bucket_hex(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return df.where(draw < F.lit(threshold_hex(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each value of ``strata_col``
+    keeps its own fraction of keys (e.g. downsample boilerplate-heavy
+    sources harder than rare high-quality ones). Strata absent from
+    ``fractions`` fall back to ``default_fraction``.
+
+    Plan shape: ONE case-when threshold expression — still a pure
+    pushed-filter scan, no join against a fractions table.
+    """
+    draw = hash_bucket_hex(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    thr: Column = F.lit(threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(threshold_hex(frac))
+        ).otherwise(thr)
+    return df.where(draw < thr)
+
+
+def train_test_split_col(
+    key_col: str, test_fraction: float, *, seed: str = "", out_col: str = "split"
+) -> Column:
+    """A 'train'/'test' label column, a pure function of the key: the
+    same key lands on the same side on every run, every engine, every
+    repartitioning — the leak-proof split a training pipeline needs."""
+    draw = hash_bucket_hex(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return (
+        F.when(draw < F.lit(threshold_hex(test_fraction)), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias(out_col)
+    )

@@ -207,6 +207,125 @@ def ann_top_k_pruned(
     )
 
 
+def _cos6(a, b):
+    """Cosine rounded to 6dp — the cross-engine determinism boundary:
+    double dot products differ between engines by summation order
+    (~1e-15); rounding before any argmax/threshold keeps Spark and the
+    SQL oracle on the same side of every comparison."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def ivf_train(
+    embeddings: DataFrame, n_centroids: int = 8, refine_iters: int = 1
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic seed centroids (the
+    ``n_centroids`` smallest vec_ids) refined by ``refine_iters``
+    distributed Lloyd iterations (assign to nearest centroid by cosine,
+    recompute each centroid as the element-wise mean of its members).
+    Returns (cid, cv: array<double>).
+
+    Every step is an oracle-reproducible DataFrame plan: assignment is
+    a broadcast of the (tiny) centroid table + per-row argmax on
+    6dp-rounded cosine with cid as tiebreak; the mean is a posexplode →
+    (cid, dim) hash agg → array_sort rebuild — linear, map-side
+    combinable, no driver-side vectors. Centroid coordinates are
+    rounded to 6dp after each iteration so independent engines converge
+    to bit-identical quantizers.
+    """
+    cent = (
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("cv"),
+        )
+    )
+    for _ in range(refine_iters):
+        assigned = ivf_assign(embeddings, cent)
+        elem = (
+            assigned.join(embeddings, "vec_id")
+            .select("cid", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        )
+        cent = elem.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return cent
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid): each vector's nearest centroid by cosine (6dp,
+    lowest cid on ties). Broadcast hash join — the centroid table is
+    O(n_centroids) rows; the scan side never shuffles."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", _cos6(F.col("embedding"), F.col("cv")).alias("c6")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("c6"), (-F.col("cid")).alias("nc"))).alias(
+            "cid"
+        )
+    )
+
+
+def ivf_top_k(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF-Flat ANN: train a coarse quantizer (``ivf_train``), probe the
+    ``nprobe`` centroids nearest the query, exact-cosine rank only the
+    vectors assigned to probed cells. Candidate volume is
+    nprobe/n_centroids of the corpus on balanced cells — the classic
+    inverted-file trade (recall grows with nprobe).
+
+    Scale posture: at 100 TB the assignment is computed once at ingest
+    and the corpus is stored partitioned by cid (exactly like
+    ``write_bucketed``/``ann_top_k_pruned`` do for sign-LSH buckets),
+    so a query reads nprobe partitions, not the table; this in-memory
+    form expresses the same plan over an unpartitioned input.
+    """
+    cent = ivf_train(embeddings, n_centroids, refine_iters)
+    assigned = ivf_assign(embeddings, cent)
+    qv = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("cid", _cos6(F.col("cv"), F.col("qv")).alias("c6"))
+        .orderBy(F.col("c6").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(embeddings, "vec_id")
+        .crossJoin(F.broadcast(qv))
+    )
+    sims = cand.select(
+        "vec_id",
+        (
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv")))
+        ).alias("cos_sim_raw"),
+    )
+    return (
+        sims.select("vec_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ann_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket.
 
