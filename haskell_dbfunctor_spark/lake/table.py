@@ -404,6 +404,37 @@ class LakeTable:
             *[F.col(f"__r._img.{c}").alias(c) for c in payload],
         )
 
+    def changes_since(
+        self, version: int, *, preimages: bool = False
+    ) -> DataFrame:
+        """Per-commit change feed from ``version`` (exclusive) to the
+        current snapshot: the union of ``changes(v-1, v)`` for each
+        intermediate commit, each row tagged with ``_commit_version`` —
+        the incremental-consumer API (a downstream job remembers the
+        last version it processed and asks for everything after).
+
+        Unlike ``changes(version)`` — the NET diff — this preserves
+        per-commit granularity: a key updated in two commits appears
+        twice, a key inserted then deleted appears (then disappears)
+        instead of cancelling out. The loop is driver-side over
+        O(#versions) manifests (metadata only); each per-commit diff is
+        still bucket-pruned.
+        """
+        current = self.version
+        if version >= current:
+            empty = self.changes(current, current, preimages=preimages)
+            return empty.withColumn("_commit_version", F.lit(0).cast("int"))
+        parts = [
+            self.changes(v - 1, v, preimages=preimages).withColumn(
+                "_commit_version", F.lit(v).cast("int")
+            )
+            for v in range(version + 1, current + 1)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def bucket_of(self, *cols: Column) -> Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 

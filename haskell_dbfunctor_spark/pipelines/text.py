@@ -71,3 +71,60 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer/
+    Wilkerson/Aiken SIGMOD'03): hash every k-word shingle, slide a
+    w-hash window over the sequence, keep each window's minimum —
+    guaranteeing any match of length >= w+k-1 tokens shares a selected
+    fingerprint, with ~2/(w+1) of hashes kept. The position-robust
+    complement to ``doc_fingerprint`` (whole-doc hash): winnowed sets
+    localize partial overlap, not just full duplication.
+
+    Plan shape: posexplode -> ONE per-doc window pass (lead() for the
+    shingle, min()/count() over the w-row frame share the same sort) ->
+    distinct. Everything is JVM-side codegen; per-doc windows partition
+    by doc_id so the sort never globalizes. Hashes are md5-prefix ints,
+    bit-for-bit reproducible in the DuckDB oracle (q56).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.concat_ws(
+        " ", F.col("word"), *[F.lead("word", i).over(win) for i in range(1, k)]
+    )
+    kh = (
+        toks.select(
+            "doc_id", "pos", kgram.alias("kgram"),
+            F.lead("word", k - 1).over(win).alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select(
+            "doc_id", "pos",
+            F.conv(F.substring(F.md5(F.col("kgram")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    fwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        kh.select(
+            "doc_id",
+            F.min("h").over(fwin).alias("fp"),
+            F.count(F.lit(1)).over(fwin).alias("__n"),
+        )
+        .where(F.col("__n") == w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel

@@ -44,10 +44,22 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
+    ch = sub.add_parser(
+        "changes",
+        help="write the change data feed between two snapshots "
+             "(per-key I/U/D diff, bucket-pruned) as parquet",
+    )
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--preimages", action="store_true",
+                    help="Delta-CDF row contract: updates emit "
+                         "U_pre/U_post image pairs")
+    ch.add_argument("--out", required=True, help="output parquet dir")
+
     # on every subparser so the flag parses in the natural trailing
     # position (`... compact --no-verify`); a parent-parser flag placed
     # after the subcommand is rejected by argparse
-    for p in (c, e, cd, r):
+    for p in (c, e, cd, r, ch):
         p.add_argument("--no-verify", action="store_true",
                        help="skip the before/after row-count check (two "
                             "full table scans — skip on very large tables)")
@@ -58,6 +70,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"lake-maintenance-{args.action}")
     table = LakeTable.load(spark, args.table_root)
+
+    if args.action == "changes":
+        # read-only: no row-count invariant to verify
+        ch_df = table.changes(
+            args.from_version, args.to_version, preimages=args.preimages
+        )
+        ch_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "action": "changes",
+            "from_version": args.from_version,
+            "to_version": (table.version if args.to_version is None
+                           else args.to_version),
+            "out": args.out,
+            "change_rows": n,
+        }))
+        return 0
+
     rows_before = None if args.no_verify else table.read().count()
 
     if args.action == "compact":

@@ -146,6 +146,53 @@ def test_incremental_agg_rejects_postimage_feed(spark, table):
         ).collect()
 
 
+def test_changes_since_per_commit_granularity(spark, table):
+    """changes_since preserves per-commit history where changes() nets
+    it out: updated-twice appears twice; insert-then-delete appears."""
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    v1 = table.version
+    table.merge(_batch(spark, [("U", 1, "b", 2), ("U", 9, "x", 3)]),
+                epoch_id="e1")
+    table.merge(_batch(spark, [("U", 1, "c", 4), ("D", 9, None, 5)]),
+                epoch_id="e2")
+    rows = sorted(
+        (r["_commit_version"], r["k"], r["_change_type"], r["v"])
+        for r in table.changes_since(v1).collect()
+    )
+    assert rows == [
+        (v1 + 1, 1, "U", "b"), (v1 + 1, 9, "I", "x"),
+        (v1 + 2, 1, "U", "c"), (v1 + 2, 9, "D", "x"),
+    ]
+    # the NET diff cancels key 9 entirely and nets key 1 to one update
+    net = sorted(
+        (r["k"], r["_change_type"], r["v"])
+        for r in table.changes(v1).collect()
+    )
+    assert net == [(1, "U", "c")]
+    # up-to-date consumer gets an empty, correctly-shaped frame
+    upto = table.changes_since(table.version)
+    assert upto.count() == 0 and "_commit_version" in upto.columns
+
+
+def test_maintenance_cli_changes_subcommand(spark, table, tmp_path):
+    from jobs.lake_maintenance import main
+
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    v1 = table.version
+    table.merge(_batch(spark, [("U", 1, "a2", 2), ("U", 2, "b", 3)]),
+                epoch_id="e1")
+    out = str(tmp_path / "cdf_out")
+    rc = main([
+        "--table-root", table.root, "changes",
+        "--from-version", str(v1), "--preimages", "--out", out,
+    ])
+    assert rc == 0
+    rows = sorted(
+        (r["k"], r["_change_type"]) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, "U_post"), (1, "U_pre"), (2, "I")]
+
+
 def test_changes_survives_rebucket(spark, table):
     table.merge(_batch(spark, [("U", 1, "a", 1), ("U", 2, "b", 2)]),
                 epoch_id="e0")

@@ -11,7 +11,7 @@ from pyspark.sql import Row, functions as F
 
 from haskell_dbfunctor_spark.operators import asof_join, sessionize
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
-    near_dup_counts, simhash16, simhash_near_dup_counts,
+    near_dup_counts, simhash16, simhash64, simhash_near_dup_counts,
 )
 from haskell_dbfunctor_spark.pipelines.sampling import (
     hash_sample, stratified_hash_sample, threshold_hex,
@@ -192,6 +192,36 @@ def test_simhash_near_dup_exact_by_pigeonhole(spark, sf_dir):
     }
     for did, n in banded.items():
         assert n == brute.get(did, 0), did
+
+
+def test_simhash64_near_dup_exact_and_banded(spark, sf_dir):
+    """The 64-bit scale config: banded pigeonhole join == brute-force
+    Hamming on the same 64-bit hashes, including sign-bit handling."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    sh = simhash64(docs)
+    # 64-bit hashes occupy the full signed range (negatives appear)
+    assert sh.where(F.col("simhash") < 0).count() > 0
+    banded = {
+        r["doc_id"]: r["n_near_dups"]
+        for r in simhash_near_dup_counts(
+            docs, max_hamming=3, bits=64, bands=4
+        ).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    brute_pairs = (
+        a.crossJoin(b)
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= 3)
+    )
+    brute = {
+        r["doc_id"]: r["n"]
+        for r in brute_pairs.select(
+            F.explode(F.array("d1", "d2")).alias("doc_id")
+        ).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for did in {r["doc_id"] for r in docs.select("doc_id").collect()}:
+        assert banded.get(did, 0) == brute.get(did, 0), did
 
 
 # ---------------------------------------------------------------- IVF ANN
