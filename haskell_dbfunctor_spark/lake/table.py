@@ -335,6 +335,13 @@ class LakeTable:
         group, increment the new; see lake/incremental.py).
         """
         to_version = self.version if to_version is None else to_version
+        if from_version > to_version:
+            # a swapped range would silently produce an INVERTED feed
+            # (I and D exchanged, stale images reported as new)
+            raise LakeError(
+                f"changes: from_version {from_version} > to_version "
+                f"{to_version} (swapped arguments?)"
+            )
         old = LakeTable.load(self.spark, self.root, from_version)
         new = LakeTable.load(self.spark, self.root, to_version)
         if old.num_buckets == new.num_buckets:
@@ -421,7 +428,15 @@ class LakeTable:
         still bucket-pruned.
         """
         current = self.version
-        if version >= current:
+        if version > current:
+            # a checkpoint AHEAD of the table (fork/rollback) must not
+            # silently read as "caught up" — the consumer would drop
+            # every change between the rollback point and its cursor
+            raise LakeError(
+                f"changes_since: version {version} is ahead of the "
+                f"current snapshot {current}"
+            )
+        if version == current:
             empty = self.changes(current, current, preimages=preimages)
             return empty.withColumn("_commit_version", F.lit(0).cast("int"))
         parts = [

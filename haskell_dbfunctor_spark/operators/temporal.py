@@ -109,7 +109,7 @@ def sessionize(
     tb = tiebreak_cols or []
     order = [F.col(ts_col), *[F.col(c) for c in tb]]
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap_us = int(gap_seconds * 1_000_000)
+    gap_us = int(round(gap_seconds * 1_000_000))  # round: 0.29s is 290000us
     prev = F.lag(F.col(ts_col)).over(w)
     flag = F.when(
         prev.isNull()

@@ -55,8 +55,9 @@ class TableMeta:
         return [c for c, _ in self.columns]
 
 
-def _coerce(col: F.Column, dtype: str) -> F.Column:
-    base = F.when(col == "", None).otherwise(col)  # "" -> NULL
+def _coerce(col: F.Column, dtype: str, empty_as_null: bool = True) -> F.Column:
+    # ""->NULL is the CSV convention (CSV.hs:342-344); JSONL keeps ""
+    base = F.when(col == "", None).otherwise(col) if empty_as_null else col
     d = dtype.strip()
     if d == "Integer":
         return base.try_cast("long")  # malformed -> NULL, not a job kill

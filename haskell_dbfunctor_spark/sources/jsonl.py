@@ -38,7 +38,9 @@ def read_jsonl(spark: SparkSession, path: str, meta: TableMeta) -> DataFrame:
     raw = spark.read.schema(raw_schema).option("mode", "PERMISSIVE").json(path)
     return raw.select(
         *[
-            _coerce(F.col(name), dtype).alias(name)
+            # empty_as_null=False: JSON "" is a real value, not the
+            # CSV empty-cell convention
+            _coerce(F.col(name), dtype, empty_as_null=False).alias(name)
             for name, dtype in meta.columns
         ]
     )

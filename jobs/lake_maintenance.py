@@ -56,10 +56,11 @@ def main(argv: list[str] | None = None) -> int:
                          "U_pre/U_post image pairs")
     ch.add_argument("--out", required=True, help="output parquet dir")
 
-    # on every subparser so the flag parses in the natural trailing
-    # position (`... compact --no-verify`); a parent-parser flag placed
-    # after the subcommand is rejected by argparse
-    for p in (c, e, cd, r, ch):
+    # on every state-changing subparser so the flag parses in the
+    # natural trailing position (`... compact --no-verify`); a parent-
+    # parser flag placed after the subcommand is rejected by argparse.
+    # `changes` is read-only — no row-count invariant, no flag.
+    for p in (c, e, cd, r):
         p.add_argument("--no-verify", action="store_true",
                        help="skip the before/after row-count check (two "
                             "full table scans — skip on very large tables)")

@@ -134,6 +134,49 @@ def test_incremental_agg_matches_recompute_with_group_migration(spark, table):
     assert maintained == {"g1": (1, 1), "g2": (1, 10), "g3": (1, 12)}
 
 
+def test_incremental_agg_null_groups_and_integer_sums(spark, table):
+    """NULL group keys stay ONE group (union+hash-agg, not a null-
+    unsafe join) and integer sum columns keep their type and NULL
+    semantics — maintained == recomputed, schema included."""
+    from haskell_dbfunctor_spark.lake.incremental import (
+        group_sums, maintain_group_sums,
+    )
+
+    table.merge(_batch(spark, [
+        ("U", 1, None, 1), ("U", 2, None, 2), ("U", 3, "g", 3),
+    ]), epoch_id="e0")
+    v1 = table.version
+    base = group_sums(table.read(), ["v"], ["seq"])
+    table.merge(_batch(spark, [
+        ("D", 1, None, 4),      # NULL group loses a key
+        ("U", 3, "g", 10),      # same group, new seq
+    ]), epoch_id="e1")
+    maintained = maintain_group_sums(
+        base, table.changes(v1, preimages=True), ["v"], ["seq"]
+    )
+    recomputed = group_sums(table.read(), ["v"], ["seq"])
+    # long stays long (nullability flags differ: sum() is nullable,
+    # count(*) is not — values are what matters)
+    assert [(f.name, f.dataType) for f in maintained.schema] == [
+        (f.name, f.dataType) for f in recomputed.schema
+    ]
+    m = {r["v"]: (r["n"], r["sum_seq"]) for r in maintained.collect()}
+    r_ = {r["v"]: (r["n"], r["sum_seq"]) for r in recomputed.collect()}
+    assert m == r_
+    assert m[None] == (1, 2)  # NULL group merged, not split
+
+
+def test_changes_rejects_inverted_and_ahead_ranges(spark, table):
+    from haskell_dbfunctor_spark.lake.table import LakeError
+
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    table.merge(_batch(spark, [("U", 1, "b", 2)]), epoch_id="e1")
+    with pytest.raises(LakeError, match="swapped"):
+        table.changes(2, 1)
+    with pytest.raises(LakeError, match="ahead"):
+        table.changes_since(table.version + 1)
+
+
 def test_incremental_agg_rejects_postimage_feed(spark, table):
     from haskell_dbfunctor_spark.lake.incremental import change_feed_delta
 

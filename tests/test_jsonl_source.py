@@ -42,6 +42,20 @@ def test_read_jsonl_declared_schema(spark, tmp_path):
     assert bad["id"] is None and bad["score"] is None  # try_cast -> NULL
 
 
+def test_jsonl_preserves_empty_string(spark, tmp_path):
+    """JSON "" is a real value, distinct from null/missing — the CSV
+    empty-cell convention must NOT apply here."""
+    p = str(tmp_path / "in.jsonl")
+    _write_lines(p, [
+        json.dumps({"id": 1, "name": "", "score": 0.0,
+                    "ts": "01/01/2024 00:00:00"}),
+        json.dumps({"id": 2, "name": None, "score": 0.0,
+                    "ts": "01/01/2024 00:00:00"}),
+    ])
+    rows = {r["id"]: r["name"] for r in read_jsonl(spark, p, META).collect()}
+    assert rows[1] == "" and rows[2] is None
+
+
 def test_jsonl_round_trip(spark, tmp_path):
     src = str(tmp_path / "src.jsonl")
     _write_lines(src, [

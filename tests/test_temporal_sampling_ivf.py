@@ -105,6 +105,20 @@ def test_sessionize_boundaries(spark):
     assert out[4] == 1
 
 
+def test_sessionize_fractional_gap_boundary(spark):
+    """gap_seconds=0.29 is exactly 290000us (int() would truncate the
+    fp product to 289999 and split the boundary pair)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(u=1, ts=base, i=1),
+        Row(u=1, ts=base + dt.timedelta(microseconds=290000), i=2),
+    ]
+    out = sessionize(
+        spark.createDataFrame(rows), "u", "ts", 0.29, tiebreak_cols=["i"]
+    ).collect()
+    assert {r["session_idx"] for r in out} == {1}
+
+
 def test_sessionize_tiebreak_total_order(spark):
     # two rows at the SAME ts: tiebreak pins which one opens the session
     rows = [Row(u=1, ts=_ts(0), i=2), Row(u=1, ts=_ts(0), i=1)]
