@@ -139,6 +139,7 @@ def lsh_candidate_pairs(
     threshold: float | None = None,
     salt: int = 64,
     num_partitions: int | None = 256,
+    materialize_sigs: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -147,6 +148,15 @@ def lsh_candidate_pairs(
     array of (band, bucket) structs — NOT a per-band unionAll, which
     would recompute the signature aggregation ``bands`` times in the
     physical plan (the documented unionAll double-compute gotcha).
+
+    ``materialize_sigs`` (default on) localCheckpoints the banded
+    signature frame before the self-join: a self-join otherwise plans
+    the signature aggregation on BOTH sides (2x the linear pass, since
+    the two sides' exchanges differ and cannot be reused). The
+    signature table is one row per doc — tiny relative to the corpus —
+    and materializing it is exactly what a production index build does;
+    at 100 TB it would be written to storage once and joined from
+    there. Pass False to keep the plan fully lazy (plan-audit mode).
 
     The bucket self-join is salted + width-pinned (operators/skew.py):
     band buckets are few and heavy-tailed by construction (that is the
@@ -200,6 +210,8 @@ def lsh_candidate_pairs(
         "doc_id", "n", bucket_arr.alias("buckets"),
         F.posexplode(bucket_arr).alias("band", "bucket"),
     )
+    if materialize_sigs:
+        banded = banded.localCheckpoint(eager=True)
     # emit each colliding pair ONCE, at the first band where the two
     # bucket arrays agree — a map-side dedup inside the join, replacing
     # a distinct() that would shuffle the full pre-dedup pair stream
@@ -217,8 +229,8 @@ def lsh_candidate_pairs(
             & (F.col("l.n") >= threshold * F.col("r.n"))
             & (F.col("r.n") >= threshold * F.col("l.n"))
         )
-    # self-join: the banded subtree appears on both sides of the plan
-    # (2 computations of a linear agg — vs bands× with per-band unions)
+    # self-join over the (materialized) banded signatures; without
+    # materialization the subtree would compute on both sides
     pairs = salted_equi_join(
         banded, banded, ["band", "bucket"],
         salt=salt, salt_by=["doc_id"],
@@ -297,6 +309,7 @@ def simhash_near_dup_counts(
     bands: int = 4,
     salt: int = 64,
     num_partitions: int | None = 256,
+    materialize_sigs: bool = True,
 ) -> DataFrame:
     """Per-doc near-dup counts by SimHash Hamming distance — EXACT for
     ``max_hamming < bands`` by the pigeonhole principle: two hashes
@@ -338,6 +351,11 @@ def simhash_near_dup_counts(
         "doc_id", "simhash", band_arr.alias("buckets"),
         F.posexplode(band_arr).alias("band", "bucket"),
     )
+    if materialize_sigs:
+        # one row per (doc, band) — materializing stops the simhash
+        # aggregation (bits x the shingle relation) from computing on
+        # both sides of the self-join (see lsh_candidate_pairs)
+        banded = banded.localCheckpoint(eager=True)
     # first-band map-side pair dedup (same trick as lsh_candidate_pairs:
     # emit each pair only at the first band where the bucket arrays
     # agree) + the exact Hamming filter INSIDE the join

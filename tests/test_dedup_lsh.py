@@ -66,14 +66,24 @@ def test_lsh_candidates_are_supersets_of_identical_docs(spark):
     assert counts[1] >= 1 and counts[2] >= 1 and counts[4] == 0
 
 
-def test_lsh_plan_is_single_pass_per_side(spark, sf_dir):
-    """The banded frame is built from ONE signature aggregation and
-    exploded — a per-band unionAll would scan the corpus `bands` times.
-    A self-join computes the subtree twice (once per side); with
-    bands=8 the old shape would scan 8x."""
+def test_lsh_plan_single_signature_pass(spark, sf_dir):
+    """The banded signature frame is computed ONCE: materialized
+    (localCheckpoint) by default, so the candidate join plans ZERO
+    corpus scans — both sides read the checkpointed signatures. The
+    lazy fallback (materialize_sigs=False) plans exactly 2 corpus scans
+    (one per self-join side) — never `bands`x, which is what a
+    per-band unionAll would cost (bands=8 -> 8 scans)."""
     docs = _docs(spark, sf_dir)
-    plan = lsh_candidate_pairs(docs, k=16, bands=8)._jdf.queryExecution().executedPlan().toString()
-    n_scans = plan.count("Scan parquet")
+    mat = lsh_candidate_pairs(
+        docs, k=16, bands=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert mat.count("Scan parquet") == 0, mat
+    assert "ExistingRDD" in mat or "Scan ExistingRDD" in mat
+
+    lazy = lsh_candidate_pairs(
+        docs, k=16, bands=8, materialize_sigs=False
+    )._jdf.queryExecution().executedPlan().toString()
+    n_scans = lazy.count("Scan parquet")
     assert n_scans == 2, f"expected 2 corpus scans (self-join), got {n_scans}"
 
 
