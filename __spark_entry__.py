@@ -568,6 +568,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from-scratch recompute of v2 (lake/incremental.py)
     q["q55_incremental_agg"] = _incremental_agg
 
+    # file-stats skipping: analyze() manifest bounds + read_where range
+    # pruning over a CDC lake whose second epoch touched 1/16 of users
+    q["q57_stats_pruned_read"] = _stats_pruned_read
+
+    # Spark's NATIVE session_window (batch mode) — cross-validates the
+    # gaps-and-islands sessionize operator (q50) against the engine's
+    # own session semantics (merge while gap < 12h; end = last + gap)
+    def q58(s, d):
+        ev = _t(s, d, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        w = ev.groupBy(
+            F.session_window("ts", "12 hours").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        return w.select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    q["q58_session_window"] = q58
+
     # winnowing (MOSS) fingerprints: k-shingle hashes, min per w-window
     # — position-robust partial-overlap fingerprinting (pipelines/text.py)
     def q56(s, d):
@@ -974,6 +999,89 @@ def _two_epoch_lake(s: SparkSession, d: str):
             return racer, v1
         return table, v1
     return LakeTable.load(s, f"{final}/lake"), v1
+
+
+def _stats_pruned_read(s: SparkSession, d: str) -> DataFrame:
+    """File-skipping read over a CDC lake: epoch e0 carries every key
+    (seq <= half), epoch e1 only a hot 1/16 of users (seq > half), so
+    most buckets' files stay cold with max(seq) <= half. analyze()
+    records per-file seq bounds; read_where(seq >= 3/4·max) then skips
+    every cold file — value-range pruning orthogonal to (and stacked
+    on) hash-bucket pruning. The oracle recomputes the same feed's LWW
+    state in SQL and applies the same range filter."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    max_seq = ev.agg(F.max("seq")).first()[0]
+    half = max_seq // 2
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    src = f"{d}/events.parquet"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    final = f"{base}/hdbf_statslake_{tag}"
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_statslake_{stem}_")
+                    and old != f"hdbf_statslake_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
+
+    def _valid(t) -> bool:
+        return (
+            set(t.applied_epochs()) == {"e0", "e1"}
+            and bool(t.manifest.get("file_stats"))
+        )
+
+    table = None
+    if _os.path.exists(f"{final}/lake/metadata/version-hint.txt"):
+        cand = LakeTable.load(s, f"{final}/lake")
+        if _valid(cand):
+            table = cand
+        else:
+            _shutil.rmtree(final, ignore_errors=True)
+    if table is None:
+        tmp = _tempfile.mkdtemp(prefix="hdbf_statslake_build_", dir=base)
+        t = LakeTable.create(
+            s, f"{tmp}/lake", _event_state_schema(),
+            key_cols=["user_id", "event_type"], num_buckets=8,
+        )
+        t.merge(ev.where(F.col("seq") <= half), epoch_id="e0")
+        t.merge(
+            ev.where((F.col("seq") > half) & (F.col("user_id") % 16 == 0)),
+            epoch_id="e1",
+        )
+        t.analyze(["seq"])
+        try:
+            _os.rename(tmp, final)
+        except OSError:
+            racer = LakeTable.load(s, f"{final}/lake")
+            if _valid(racer):
+                _shutil.rmtree(tmp, ignore_errors=True)
+                table = racer
+            else:
+                table = t
+        if table is None:
+            table = LakeTable.load(s, f"{final}/lake")
+
+    lo = (3 * max_seq) // 4
+    return table.read_where("seq", lo, None).select(
+        "user_id", "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("seq").alias("last_event_id"),
+    )
 
 
 def _lake_change_feed(s: SparkSession, d: str) -> DataFrame:
@@ -1654,6 +1762,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events
           ) WHERE rn = 1 AND op <> 'D'
         ) GROUP BY event_type
+    """
+    o["q58_session_window"] = """
+        WITH e AS (
+          SELECT user_id, ts, value, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), f AS (
+          SELECT *, CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) >= 43200000000
+                     THEN 1 ELSE 0 END AS flag
+          FROM e
+        ), s AS (
+          SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS si
+          FROM f
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 12 HOUR AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, si
+    """
+    o["q57_stats_pruned_read"] = """
+        WITH h AS (SELECT max(event_id) AS mx, max(event_id) // 2 AS half
+                   FROM events),
+        feed AS (
+          SELECT e.* FROM events e, h
+          WHERE e.event_id <= h.half
+             OR (e.event_id > h.half AND e.user_id % 16 = 0)
+        ),
+        state AS (
+          SELECT user_id, event_type, value, event_id FROM (
+            SELECT f.*,
+                   CASE WHEN f.event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM feed f
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT user_id, event_type, round(value, 2) AS value,
+               event_id AS last_event_id
+        FROM state, h WHERE event_id >= (3 * h.mx) // 4
     """
     o["q56_winnow_fingerprints"] = """
         WITH toks AS (

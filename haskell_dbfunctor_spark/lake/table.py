@@ -142,16 +142,36 @@ class LakeTable:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, root: str, version: int | None = None
+        cls,
+        spark: SparkSession,
+        root: str,
+        version: int | None = None,
+        *,
+        as_of: float | None = None,
     ) -> "LakeTable":
         """Open the table at the current (or a historical) snapshot.
 
         ``version`` gives Iceberg-style time travel: every commit keeps
         its manifest, and data files are immutable (copy-on-write), so
-        any past snapshot reads consistently. A table opened at an old
-        version is read-only in spirit — committing from it would fork
+        any past snapshot reads consistently. ``as_of`` (a unix
+        timestamp; mutually exclusive with ``version``) selects the
+        newest snapshot committed at-or-before that instant —
+        `TIMESTAMP AS OF` semantics. A table opened at an old snapshot
+        is read-only in spirit — committing from it would fork
         history; don't.
         """
+        if as_of is not None:
+            if version is not None:
+                raise LakeError("load: pass version OR as_of, not both")
+            eligible = [
+                h["version"] for h in cls.history(root)
+                if (h.get("created_at") or 0) <= as_of
+            ]
+            if not eligible:
+                raise LakeError(
+                    f"load: no snapshot at or before as_of={as_of}"
+                )
+            version = max(eligible)
         if version is None:
             hint = os.path.join(root, MANIFEST_DIR, "version-hint.txt")
             with open(hint) as fh:
@@ -180,6 +200,10 @@ class LakeTable:
 
     def _commit(self, manifest: dict) -> None:
         v = manifest["version"]
+        # the snapshot's commit instant — every commit path stamps it
+        # here so `load(as_of=...)` time travel has a true timeline
+        # (merge and friends copy the previous manifest otherwise)
+        manifest["created_at"] = time.time()
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         _atomic_write_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
         tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
@@ -300,6 +324,152 @@ class LakeTable:
             )
         return out
 
+    # ------------------------------------------- file statistics / skipping
+    @staticmethod
+    def _stat_key(v):
+        """Normalize a value into the ordering domain used for stat
+        comparisons: timestamps -> epoch seconds (naive = UTC, matching
+        the session TZ), numerics -> as-is, strings compare
+        lexicographically."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return v.timestamp()
+        return v
+
+    def analyze(self, cols: Sequence[str]) -> dict:
+        """Collect per-file min/max for ``cols`` from the parquet
+        footers into the manifest (a metadata-only commit) — the stats
+        catalog behind ``read_where`` file skipping, Iceberg's
+        per-data-file column bounds. Driver-side O(files) footer reads;
+        files already analyzed for these columns are skipped, so
+        re-running after a merge only reads the new files' footers.
+        Files written after the last analyze simply lack stats and are
+        never skipped (safe default)."""
+        import pyarrow.parquet as pq
+
+        cols = list(cols)
+        for c in cols:
+            if c not in self.schema.names:
+                raise LakeError(f"analyze: unknown column {c!r}")
+        prev = self.manifest.get("file_stats", {})
+        live = [
+            rel for files in self.manifest["buckets"].values()
+            for rel in files
+        ]
+        stats: dict[str, dict] = {}
+        n_read = 0
+        for rel in live:
+            entry = dict(prev.get(rel, {}))
+            missing = [c for c in cols if c not in entry]
+            if missing:
+                n_read += 1
+                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                for c in missing:
+                    mins: list = []
+                    maxs: list = []
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        row_group = md.row_group(rg)
+                        st = None
+                        for j in range(row_group.num_columns):
+                            ch = row_group.column(j)
+                            if ch.path_in_schema == c:
+                                st = ch.statistics
+                                break
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mins.append(self._stat_key(st.min))
+                        maxs.append(self._stat_key(st.max))
+                    if ok and mins:
+                        try:
+                            json.dumps([min(mins), max(maxs)])
+                        except (TypeError, ValueError):
+                            continue  # unserializable stat type: skip
+                        entry[c] = [min(mins), max(maxs)]
+            stats[rel] = entry
+        m = dict(self.manifest)
+        m["version"] = self.version + 1
+        m["file_stats"] = stats
+        m["created_at"] = time.time()
+        self._commit(m)
+        return {
+            "files_analyzed": n_read,
+            "files_with_stats": sum(1 for e in stats.values() if e),
+            "cols": cols,
+        }
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        buckets: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Read rows with ``lo <= col <= hi`` (inclusive; one bound may
+        be None), SKIPPING base data files whose manifest [min, max]
+        for ``col`` cannot intersect the range — file-level pruning on
+        top of bucket pruning. Run ``analyze([col])`` first to populate
+        stats; files without stats are read (never wrongly skipped).
+
+        Merge-on-read caveat handled here: a range filter on a MUTABLE
+        column must collapse deltas BEFORE filtering (the latest image
+        of a key decides), so delta-bearing buckets bypass file pruning
+        and go through the collapsing read + residual filter; base-only
+        buckets are key-unique, so skip-then-filter is exact.
+        """
+        if lo is None and hi is None:
+            raise LakeError("read_where: need at least one bound")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+
+        wanted = (
+            set(range(self.num_buckets))
+            if buckets is None
+            else {int(b) for b in buckets}
+        )
+        dm = self.manifest.get("delta_files", {})
+        delta_ids = sorted(b for b in wanted if dm.get(str(b)))
+        plain_ids = sorted(wanted - set(delta_ids))
+
+        fstats = self.manifest.get("file_stats", {})
+        klo = self._stat_key(lo) if lo is not None else None
+        khi = self._stat_key(hi) if hi is not None else None
+        bm = self.manifest["buckets"]
+        files: list[str] = []
+        self.last_pruned_files = 0  # introspection for tests/metrics
+        for b in plain_ids:
+            for rel in bm.get(str(b), []):
+                s = fstats.get(rel, {}).get(col)
+                if s is not None:
+                    fmin, fmax = s
+                    if (khi is not None and fmin > khi) or (
+                        klo is not None and fmax < klo
+                    ):
+                        self.last_pruned_files += 1
+                        continue
+                files.append(os.path.join(self.root, rel))
+
+        parts: list[DataFrame] = []
+        if files:
+            parts.append(
+                self.spark.read.schema(self.schema).parquet(*files).where(cond)
+            )
+        if delta_ids:
+            parts.append(self.read(delta_ids).where(cond))
+        if not parts:
+            return self.spark.createDataFrame([], self.schema).where(cond)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def changes(
         self,
         from_version: int,
@@ -333,6 +503,11 @@ class LakeTable:
         with the new) instead of one 'U' post-image row — exactly what
         downstream incremental maintenance needs (decrement the old
         group, increment the new; see lake/incremental.py).
+
+        Retention: a consumer's cursor must stay within the snapshot
+        retention window — ``expire_snapshots`` deletes old manifests,
+        after which a diff FROM an expired version raises (manifest
+        file not found) rather than silently returning a partial feed.
         """
         to_version = self.version if to_version is None else to_version
         if from_version > to_version:

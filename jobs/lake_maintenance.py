@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
+    an = sub.add_parser(
+        "analyze",
+        help="collect per-file min/max column stats into the manifest "
+             "(metadata-only commit; enables read_where file skipping)",
+    )
+    an.add_argument("--cols", required=True,
+                    help="comma-separated column names")
+
     ch = sub.add_parser(
         "changes",
         help="write the change data feed between two snapshots "
@@ -59,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     # on every state-changing subparser so the flag parses in the
     # natural trailing position (`... compact --no-verify`); a parent-
     # parser flag placed after the subcommand is rejected by argparse.
-    # `changes` is read-only — no row-count invariant, no flag.
+    # `changes` is read-only — no row-count invariant, no flag;
+    # `analyze` is metadata-only, same.
     for p in (c, e, cd, r):
         p.add_argument("--no-verify", action="store_true",
                        help="skip the before/after row-count check (two "
@@ -71,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"lake-maintenance-{args.action}")
     table = LakeTable.load(spark, args.table_root)
+
+    if args.action == "analyze":
+        res = table.analyze([c.strip() for c in args.cols.split(",")])
+        print(json.dumps({
+            "action": "analyze",
+            "table_version": table.version,
+            **res,
+        }))
+        return 0
 
     if args.action == "changes":
         # read-only: no row-count invariant to verify

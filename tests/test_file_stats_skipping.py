@@ -1,0 +1,131 @@
+"""analyze() + read_where(): per-file min/max stats in the manifest and
+stats-based file skipping — correctness, actual pruning, MoR collapse
+ordering, timestamp domains, and the maintenance CLI."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from haskell_dbfunctor_spark.lake.table import LakeError, LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+])
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(op=op, k=k, v=v,
+             ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), seq=s)
+         for (op, k, v, s) in rows],
+        "op string, k long, v string, ts timestamp, seq long",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, key_cols=["k"], num_buckets=4
+    )
+
+
+def test_read_where_matches_filter_and_prunes(spark, table):
+    # epoch 0: seq 0..15 spread over all buckets
+    table.merge(_batch(spark, [("U", k, f"v{k}", k) for k in range(16)]),
+                epoch_id="e0")
+    table.analyze(["seq", "ts"])
+    # epoch 1: ONE key (one bucket) gets seq 1000
+    table.merge(_batch(spark, [("U", 3, "hot", 1000)]), epoch_id="e1")
+    table.analyze(["seq"])
+
+    out = table.read_where("seq", 1000, None)
+    assert [(r["k"], r["seq"]) for r in out.collect()] == [(3, 1000)]
+    # every bucket not rewritten by e1 has stats maxing at <=15 -> skipped
+    assert table.last_pruned_files >= 3
+    # read files are exactly the non-pruned set
+    assert len(out.inputFiles()) <= 1
+
+    # equivalence with the unpruned filter on a mid-range query
+    lo, hi = 4, 9
+    expect = sorted(
+        (r["k"], r["seq"])
+        for r in table.read().where(F.col("seq").between(lo, hi)).collect()
+    )
+    got = sorted(
+        (r["k"], r["seq"]) for r in table.read_where("seq", lo, hi).collect()
+    )
+    assert got == expect
+
+
+def test_read_where_timestamp_domain(spark, table):
+    table.merge(_batch(spark, [("U", k, "a", k) for k in range(8)]),
+                epoch_id="e0")
+    table.analyze(["ts"])
+    lo = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5)
+    out = table.read_where("ts", lo, None)
+    assert sorted(r["seq"] for r in out.collect()) == [5, 6, 7]
+
+
+def test_read_where_unanalyzed_files_never_skipped(spark, table):
+    table.merge(_batch(spark, [("U", k, "a", k) for k in range(8)]),
+                epoch_id="e0")
+    # NO analyze: every file lacks stats, nothing may be skipped
+    out = table.read_where("seq", 6, None)
+    assert sorted(r["seq"] for r in out.collect()) == [6, 7]
+    assert table.last_pruned_files == 0
+
+
+def test_read_where_mor_collapse_before_filter(spark, table):
+    """A delta moves a key INTO the range: filter-after-collapse must
+    see the new image even though the base file's stats exclude it."""
+    table.merge(_batch(spark, [("U", 1, "a", 1), ("U", 2, "b", 2)]),
+                epoch_id="e0")
+    table.analyze(["seq"])
+    table.merge(_batch(spark, [("U", 1, "a2", 500)]), epoch_id="e1",
+                mode="mor")
+    out = {r["k"]: r["seq"] for r in table.read_where("seq", 100, None).collect()}
+    assert out == {1: 500}
+    # and OUT of the range: base image seq=2 must not resurface
+    out2 = {r["k"]: r["seq"] for r in table.read_where("seq", None, 99).collect()}
+    assert out2 == {2: 2}
+
+
+def test_analyze_incremental_and_validation(spark, table):
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    r1 = table.analyze(["seq"])
+    assert r1["files_analyzed"] >= 1
+    r2 = table.analyze(["seq"])     # idempotent: nothing new to read
+    assert r2["files_analyzed"] == 0
+    with pytest.raises(LakeError, match="unknown column"):
+        table.analyze(["nope"])
+    with pytest.raises(LakeError, match="bound"):
+        table.read_where("seq")
+
+
+def test_load_as_of_timestamp(spark, table):
+    import time as _time
+
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    table.merge(_batch(spark, [("U", 1, "b", 2)]), epoch_id="e1")
+    old = LakeTable.load(spark, table.root, as_of=t_mid)
+    assert [r["v"] for r in old.read().collect()] == ["a"]
+    with pytest.raises(LakeError, match="no snapshot"):
+        LakeTable.load(spark, table.root, as_of=0.0)
+    with pytest.raises(LakeError, match="not both"):
+        LakeTable.load(spark, table.root, version=1, as_of=t_mid)
+
+
+def test_maintenance_cli_analyze(spark, table):
+    from jobs.lake_maintenance import main
+
+    table.merge(_batch(spark, [("U", 1, "a", 1)]), epoch_id="e0")
+    rc = main(["--table-root", table.root, "analyze", "--cols", "seq,ts"])
+    assert rc == 0
+    t2 = LakeTable.load(spark, table.root)
+    assert any(t2.manifest["file_stats"].values())
