@@ -43,7 +43,8 @@ from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
-    token_count_bpe_ish, winnow_fingerprints,
+    normalize_text, tfidf_top_terms, token_count_bpe_ish, vocabulary,
+    winnow_fingerprints,
 )
 
 
@@ -610,6 +611,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q56_winnow_fingerprints"] = q56
+
+    # text normalization (lowercase/punct-strip/ws-collapse) — codegen
+    q["q59_normalize_text"] = lambda s, d: normalize_text(
+        _t(s, d, "documents")
+    )
+
+    # corpus vocabulary: per-word doc_freq + total_freq, top 50
+    q["q60_vocabulary"] = lambda s, d: vocabulary(_t(s, d, "documents"))
+
+    # per-doc top-3 terms by tf-idf — group-wise top-k via window rank
+    q["q61_tfidf_top_terms"] = lambda s, d: tfidf_top_terms(
+        _t(s, d, "documents"), k=3
+    )
+
+    # pivot: per-user event counts widened over the 5 event types
+    def q62(s, d):
+        types = ["click", "error", "purchase", "signup", "view"]
+        ev = _t(s, d, "events").select("user_id", "event_type")
+        wide = ev.groupBy("user_id").pivot("event_type", types).count()
+        return wide.select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    q["q62_pivot_counts"] = q62
 
     return q
 
@@ -1762,6 +1787,57 @@ def oracle_sql() -> dict[str, str]:
             FROM events
           ) WHERE rn = 1 AND op <> 'D'
         ) GROUP BY event_type
+    """
+    o["q59_normalize_text"] = """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+          FROM documents
+        )
+        SELECT doc_id, norm_text,
+               CAST(len(list_filter(string_split(norm_text, ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM n
+    """
+    o["q60_vocabulary"] = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        )
+        SELECT word, count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS tot_freq
+        FROM w WHERE word <> ''
+        GROUP BY word ORDER BY doc_freq DESC, word LIMIT 50
+    """
+    o["q61_tfidf_top_terms"] = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM ww GROUP BY 1, 2),
+        df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word,
+                 round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+          FROM tf JOIN df USING (word), n
+        )
+        SELECT doc_id, word, score, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word) AS BIGINT) AS rk
+          FROM scored
+        ) WHERE rk <= 3
+    """
+    o["q62_pivot_counts"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS n_click,
+               count(*) FILTER (event_type = 'error')    AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup')   AS n_signup,
+               count(*) FILTER (event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
     """
     o["q58_session_window"] = """
         WITH e AS (

@@ -128,3 +128,81 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    lowercase, non-alphanumerics to spaces, whitespace collapsed,
+    trimmed — plus the post-normalization token count. Pure codegen
+    (regexp_replace), scan-speed; patterns are RE2-and-Java-compatible
+    so the oracle is bit-identical."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.filter(F.split(norm, " "), lambda w: w != ""))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+def vocabulary(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Corpus vocabulary: per word, document frequency and total
+    occurrence count, top-N by (doc_freq desc, word). Two linear
+    aggregations (count distinct via partial aggregation) + a bounded
+    TakeOrdered — no shuffle proportional to corpus size beyond the
+    word key."""
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("tot_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("word").asc())
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-k terms by tf-idf (tf * ln(N/df)), ranked with a
+    per-doc window (group-wise top-k). Scores are rounded to 6dp
+    BEFORE ranking: ln() differs across engines in the last ulp, and
+    mathematically-equal scores from different (tf, df) pairs (e.g.
+    2*ln(10) vs ln(100)) must tie identically everywhere; ties break
+    on the term."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "word", "score", F.col("rk").cast("long").alias("rk"))
+    )
