@@ -204,6 +204,18 @@ class LakeTable:
         # here so `load(as_of=...)` time travel has a true timeline
         # (merge and friends copy the previous manifest otherwise)
         manifest["created_at"] = time.time()
+        # drop file_stats entries for files no longer referenced by
+        # this snapshot (rewritten/removed) — bounds manifest size and
+        # guarantees read_where never consults a dead path's stats
+        fs = manifest.get("file_stats")
+        if fs:
+            live = {
+                rel for files in manifest.get("buckets", {}).values()
+                for rel in files
+            }
+            manifest["file_stats"] = {
+                k: v for k, v in fs.items() if k in live
+            }
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         _atomic_write_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
         tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
@@ -1160,6 +1172,7 @@ class LakeTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
         buckets: Sequence[int] | None = None,
+        sort_by: str | None = None,
     ) -> dict:
         """Iceberg rewrite_data_files: coalesce small files bucket-wise.
 
@@ -1171,6 +1184,16 @@ class LakeTable:
         bit-identical (a pure layout change) and the rewrite commits as
         a new snapshot — readers of old snapshots are unaffected until
         ``expire_snapshots``.
+
+        ``sort_by`` clusters the rewrite on a column (Delta
+        OPTIMIZE-style 1-D clustering): sibling files within a bucket
+        are split by RANGE on the column instead of by key hash, and
+        rows are sorted within each file — so after ``analyze`` the
+        per-file [min, max] intervals are disjoint and ``read_where``
+        range queries skip every out-of-range file even inside a
+        bucket (plus tighter parquet row-group stats for the residual
+        filter). When ``sort_by`` is set, every selected bucket is
+        rewritten (clustering IS the point, not just file count).
         """
         bm = self.manifest["buckets"]
         dm = self.manifest.get("delta_files", {})
@@ -1195,7 +1218,7 @@ class LakeTable:
             # rewritten on every maintenance run, forever); buckets
             # with pending MoR deltas always qualify (folding them in
             # is strictly useful)
-            if has_deltas or len(files) >= min_files or (
+            if sort_by or has_deltas or len(files) >= min_files or (
                 len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
             ):
                 candidates.append((int(b), sum(sizes)))
@@ -1215,17 +1238,32 @@ class LakeTable:
         snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
         snap_abs = os.path.join(self.root, snap_rel)
         files_per = max(-(-n_parts // max(len(touched), 1)), 1)
-        part_cols = [F.col(BUCKET_COL)]
-        if files_per > 1:
-            part_cols.append(
-                F.pmod(
-                    F.xxhash64(F.lit(0x51F7), *[F.col(c) for c in self.key_cols]),
-                    F.lit(files_per),
-                )
+        if sort_by:
+            if sort_by not in self.schema.names:
+                raise LakeError(f"compact: unknown sort_by column {sort_by!r}")
+            # range-split on (bucket, sort col): one bucket's rows land
+            # in range-contiguous tasks, so its sibling files hold
+            # DISJOINT sort-col intervals; sortWithinPartitions orders
+            # the rows for tight row-group stats
+            out = (
+                df.repartitionByRange(
+                    n_parts, F.col(BUCKET_COL), F.col(sort_by)
+                ).sortWithinPartitions(BUCKET_COL, sort_by)
             )
+        else:
+            part_cols = [F.col(BUCKET_COL)]
+            if files_per > 1:
+                part_cols.append(
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(0x51F7), *[F.col(c) for c in self.key_cols]
+                        ),
+                        F.lit(files_per),
+                    )
+                )
+            out = df.repartition(n_parts, *part_cols)
         (
-            df.repartition(n_parts, *part_cols)
-            .write.partitionBy(BUCKET_COL)
+            out.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(snap_abs)
         )

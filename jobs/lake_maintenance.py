@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce small/fragmented bucket files")
     c.add_argument("--target-file-mb", type=int, default=128)
     c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--sort-by", default=None,
+                   help="cluster the rewrite on this column (range-split "
+                        "sibling files + sorted rows; pair with analyze "
+                        "for read_where file skipping)")
 
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
@@ -113,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         res = table.compact(
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             min_files=args.min_files,
+            sort_by=args.sort_by,
         )
     elif args.action == "expire":
         res = table.expire_snapshots(keep_last=args.keep_last)

@@ -106,6 +106,60 @@ def test_analyze_incremental_and_validation(spark, table):
         table.read_where("seq")
 
 
+def test_compact_sort_by_clusters_and_prunes(spark, table):
+    """compact(sort_by=...) range-splits sibling files: after analyze,
+    per-bucket file intervals are disjoint and a narrow range query
+    skips out-of-range files WITHIN a bucket (not just across
+    buckets). Also: _commit drops stats of rewritten (dead) files."""
+    table.merge(_batch(spark, [("U", k, f"v{k}", k) for k in range(200)]),
+                epoch_id="e0")
+    table.analyze(["seq"])
+    pre_stats_files = set(
+        LakeTable.load(spark, table.root).manifest["file_stats"]
+    )
+    res = table.compact(sort_by="seq", target_file_bytes=2000)
+    assert res["buckets_compacted"] == 4
+    # stale stats pruned: rewritten files' entries are gone
+    live = {
+        rel for fl in table.manifest["buckets"].values() for rel in fl
+    }
+    assert set(table.manifest.get("file_stats", {})) <= live
+    assert not (set(table.manifest.get("file_stats", {})) & pre_stats_files)
+
+    table.analyze(["seq"])
+    # at least one bucket has >= 2 files, and those files' seq ranges
+    # are disjoint (that's what range-splitting buys)
+    fstats = table.manifest["file_stats"]
+    multi = False
+    for b, files in table.manifest["buckets"].items():
+        if len(files) < 2:
+            continue
+        multi = True
+        spans = sorted(tuple(fstats[f]["seq"]) for f in files)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, (b, spans)
+    assert multi, "expected at least one bucket split into 2+ files"
+
+    # narrow range query: correct AND intra-bucket files skipped
+    out = sorted(r["seq"] for r in table.read_where("seq", 190, None).collect())
+    assert out == list(range(190, 200))
+    assert table.last_pruned_files >= 1
+    expect = sorted(
+        r["seq"] for r in table.read().where("seq BETWEEN 50 AND 60").collect()
+    )
+    got = sorted(r["seq"] for r in table.read_where("seq", 50, 60).collect())
+    assert got == expect
+
+
+def test_maintenance_cli_compact_sort_by(spark, table):
+    from jobs.lake_maintenance import main
+
+    table.merge(_batch(spark, [("U", k, "a", k) for k in range(40)]),
+                epoch_id="e0")
+    rc = main(["--table-root", table.root, "compact", "--sort-by", "seq"])
+    assert rc == 0
+
+
 def test_load_as_of_timestamp(spark, table):
     import time as _time
 
