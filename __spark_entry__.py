@@ -569,6 +569,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from-scratch recompute of v2 (lake/incremental.py)
     q["q55_incremental_agg"] = _incremental_agg
 
+    # per-commit CDF (changes_since from the empty table): commit 1
+    # emits the whole e0 state as inserts, commit 2 the e0->e1 diff,
+    # each tagged _commit_version — the incremental-consumer surface
+    def q63(s, d):
+        table, v1 = _two_epoch_lake(s, d)
+        ch = table.changes_since(0)
+        return ch.select(
+            "_commit_version", "user_id", "event_type", "_change_type",
+            F.round("value", 2).alias("value"),
+            F.col("seq").alias("last_event_id"),
+        )
+    q["q63_cdf_per_commit"] = q63
+
+    # version time travel: the v1 snapshot (half-feed LWW state) read
+    # back AFTER later commits — immutable-snapshot isolation
+    def q64(s, d):
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        table, v1 = _two_epoch_lake(s, d)
+        old = LakeTable.load(s, table.root, v1)
+        return old.read().select(
+            "user_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.col("seq").alias("last_event_id"),
+        )
+    q["q64_time_travel_read"] = q64
+
+    # hierarchical rollup (Spark rollup == SQL GROUP BY ROLLUP):
+    # subtotals per event_type and a grand total; the reference has no
+    # grouping sets — HAVING/subtotal chains are manual there
+    def q65(s, d):
+        ev = _t(s, d, "events").select(
+            "event_type", (F.col("user_id") % 4).alias("cohort")
+        )
+        out = ev.rollup("event_type", "cohort").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        gid = (
+            F.when(F.col("event_type").isNull(), 2).otherwise(0)
+            + F.when(F.col("cohort").isNull(), 1).otherwise(0)
+        )
+        return out.select(
+            "event_type", "cohort", gid.cast("long").alias("gid"), "n"
+        )
+    q["q65_rollup"] = q65
+
     # file-stats skipping: analyze() manifest bounds + read_where range
     # pruning over a CDC lake whose second epoch touched 1/16 of users
     q["q57_stats_pruned_read"] = _stats_pruned_read
@@ -1787,6 +1833,78 @@ def oracle_sql() -> dict[str, str]:
             FROM events
           ) WHERE rn = 1 AND op <> 'D'
         ) GROUP BY event_type
+    """
+    o["q63_cdf_per_commit"] = """
+        WITH h AS (SELECT max(event_id) // 2 AS half FROM events),
+        tagged AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ),
+        sA AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT t.*, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM tagged t, h WHERE t.event_id <= h.half
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        sB AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT t.*, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM tagged t
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        c1 AS (
+          SELECT 1 AS _commit_version, user_id, event_type,
+                 'I' AS _change_type, round(value, 2) AS value,
+                 event_id AS last_event_id
+          FROM sA
+        ),
+        d AS (
+          SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                 coalesce(a.event_type, b.event_type) AS event_type,
+                 CASE WHEN a.user_id IS NULL THEN 'I'
+                      WHEN b.user_id IS NULL THEN 'D'
+                      WHEN (a.value, a.ts, a.event_id)
+                           IS DISTINCT FROM (b.value, b.ts, b.event_id)
+                      THEN 'U' END AS _change_type,
+                 coalesce(b.value, a.value) AS value,
+                 coalesce(b.event_id, a.event_id) AS last_event_id
+          FROM sA a FULL OUTER JOIN sB b
+            ON a.user_id = b.user_id AND a.event_type = b.event_type
+        ),
+        c2 AS (
+          SELECT 2 AS _commit_version, user_id, event_type, _change_type,
+                 round(value, 2) AS value, last_event_id
+          FROM d WHERE _change_type IS NOT NULL
+        )
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    """
+    o["q64_time_travel_read"] = """
+        WITH h AS (SELECT max(event_id) // 2 AS half FROM events)
+        SELECT user_id, event_type, round(value, 2) AS value,
+               event_id AS last_event_id
+        FROM (
+          SELECT e.*,
+                 CASE WHEN e.event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e, h WHERE e.event_id <= h.half
+        ) WHERE rn = 1 AND op <> 'D'
+    """
+    o["q65_rollup"] = """
+        SELECT event_type, cohort,
+               CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+                  + CASE WHEN cohort IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS gid,
+               n
+        FROM (
+          SELECT event_type, user_id % 4 AS cohort, count(*) AS n
+          FROM events GROUP BY ROLLUP(event_type, cohort)
+        )
     """
     o["q59_normalize_text"] = """
         WITH n AS (
