@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- lake merge-on-read: delta commits + collapsed read ----
     q["q48_mor_lake_state"] = _mor_lake_state
 
+    # ---- lake MoR partial patches: column-wise collapse ----
+    q["q66_mor_partial_patch"] = _mor_partial_patch_state
+
     # ---- streaming: custom stateful op (applyInPandasWithState) ----
     q["q44_stream_stateful_stats"] = _stream_stateful_stats
 
@@ -1246,6 +1249,60 @@ def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _mor_partial_patch_state(s: SparkSession, d: str) -> DataFrame:
+    """Column-wise PATCH semantics through the driver gate: epoch e0 is
+    a full-row MoR commit of the first half of the feed; epoch e1 is a
+    merge(mode="mor", partial=True) patch carrying ONLY (key, value,
+    seq) — no ts. The collapsed read must take value/seq from the
+    patch's newest setter per key while ts keeps e0's value (NULL for
+    keys the patch inserted), and patch tombstones delete. The oracle
+    reproduces exactly that with a FULL OUTER JOIN of the two halves'
+    LWW states."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_morp_q66_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_morp_q66_", dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0", mode="mor")
+    table.merge(
+        ev.where(F.col("seq") >= half).select(
+            "op", "user_id", "event_type", "value", "seq"
+        ),
+        epoch_id="e1", mode="mor", partial=True,
+    )
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-(user_id, event_type) running event count + value sum held in
@@ -1553,6 +1610,38 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
+    o["q66_mor_partial_patch"] = """
+WITH ev AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+half AS (SELECT count(*) // 2 AS h FROM events),
+base AS (
+  SELECT user_id, event_type, value, ts, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, seq DESC) AS rn
+    FROM ev WHERE seq < (SELECT h FROM half)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+patch AS (
+  SELECT user_id, event_type, value, seq, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY seq DESC) AS rn
+    FROM ev WHERE seq >= (SELECT h FROM half)
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.user_id, p.user_id) AS user_id,
+       COALESCE(b.event_type, p.event_type) AS event_type,
+       CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE b.value END AS value,
+       b.ts AS ts,
+       CASE WHEN p.user_id IS NOT NULL THEN p.seq ELSE b.seq
+            END AS last_event_id
+FROM base b
+FULL OUTER JOIN patch p
+  ON b.user_id = p.user_id AND b.event_type = p.event_type
+WHERE COALESCE(p.op, 'U') <> 'D'
+"""
     o["q44_stream_stateful_stats"] = """
         SELECT user_id, event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value

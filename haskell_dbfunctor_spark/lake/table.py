@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -63,6 +64,20 @@ BUCKET_COL = "__bucket"
 
 class LakeError(Exception):
     pass
+
+
+class CommitConflict(LakeError):
+    """Another writer committed this manifest version first.
+
+    The optimistic-concurrency signal (Iceberg's
+    CommitFailedException): the loser either REBASES — replays its
+    manifest changes onto the winner's snapshot, legal when the
+    concurrent commits touched disjoint buckets and the schema/layout
+    is unchanged — or, when the commits overlap, re-executes the whole
+    operation against the new snapshot (serializable isolation).
+    ``merge``/``compact``/``rebucket`` retry both paths automatically
+    up to ``conflict_retries`` times.
+    """
 
 
 class UniquenessViolationInUpsert(LakeError):
@@ -99,6 +114,34 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.rename(tmp, path)  # POSIX-atomic on one filesystem
 
 
+def _atomic_claim_json(path: str, obj: dict) -> None:
+    """Atomically create ``path`` with ``obj`` — fail if it exists.
+
+    The compare-and-swap under optimistic concurrency: the manifest
+    version number is claimed by whoever links the (fully written,
+    fsync'ed) temp file to ``v{N}.json`` first. ``os.link`` fails with
+    EEXIST atomically on POSIX, unlike ``os.rename`` which silently
+    replaces — the exact property that made the old commit path
+    last-writer-wins (a lost update) under two writers. On object
+    stores this maps to a conditional PUT (If-None-Match) or a catalog
+    CAS, which is precisely how Iceberg commits.
+    """
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"manifest {os.path.basename(path)} was committed by a "
+            "concurrent writer"
+        )
+    finally:
+        os.unlink(tmp)
+
+
 class LakeTable:
     """A key-bucketed, snapshot-versioned parquet table."""
 
@@ -119,8 +162,14 @@ class LakeTable:
         overwrite: bool = False,
     ) -> "LakeTable":
         meta_dir = os.path.join(root, MANIFEST_DIR)
-        if os.path.exists(os.path.join(meta_dir, "version-hint.txt")) and not overwrite:
-            raise LakeError(f"table already exists at {root}")
+        if os.path.exists(os.path.join(meta_dir, "version-hint.txt")):
+            if not overwrite:
+                raise LakeError(f"table already exists at {root}")
+            # CAS commits never replace an existing manifest version, so
+            # an overwriting create must clear the old table wholesale
+            shutil.rmtree(meta_dir, ignore_errors=True)
+            shutil.rmtree(os.path.join(root, DATA_DIR), ignore_errors=True)
+            shutil.rmtree(os.path.join(root, "lineage"), ignore_errors=True)
         for c in key_cols:
             if c not in schema.names:
                 raise LakeError(f"key column {c!r} not in schema")
@@ -173,9 +222,16 @@ class LakeTable:
                 )
             version = max(eligible)
         if version is None:
-            hint = os.path.join(root, MANIFEST_DIR, "version-hint.txt")
-            with open(hint) as fh:
-                version = int(fh.read().strip())
+            # the manifest files are authoritative (each is claimed
+            # atomically and written in full before it appears);
+            # version-hint.txt is a cache that can lag a racing commit
+            # by a beat, so latest = max over the manifest listing
+            version = cls._latest_version_on_disk(root)
+            if version is None:
+                # same contract as the old hint-file open: callers
+                # (replay's create-if-missing, entry fixtures) catch
+                # FileNotFoundError/OSError for "table absent"
+                raise FileNotFoundError(f"no table at {root}")
         with open(os.path.join(root, MANIFEST_DIR, f"v{version}.json")) as fh:
             manifest = json.load(fh)
         return cls(spark, root, manifest)
@@ -198,7 +254,32 @@ class LakeTable:
             })
         return sorted(out, key=lambda r: r["version"])
 
+    @staticmethod
+    def _latest_version_on_disk(root: str) -> int | None:
+        meta_dir = os.path.join(root, MANIFEST_DIR)
+        if not os.path.isdir(meta_dir):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _load_latest_manifest(self) -> dict:
+        v = self._latest_version_on_disk(self.root)
+        if v is None:
+            raise LakeError(f"no table at {self.root}")
+        with open(os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")) as fh:
+            return json.load(fh)
+
     def _commit(self, manifest: dict) -> None:
+        """CAS-commit ``manifest`` as version ``manifest['version']``.
+
+        Raises :class:`CommitConflict` if that version number was
+        already claimed by a concurrent writer — the caller rebases or
+        re-executes (see ``_commit_rebased``). The version file is the
+        commit point; the hint file is advanced afterwards as a cache.
+        """
         v = manifest["version"]
         # the snapshot's commit instant — every commit path stamps it
         # here so `load(as_of=...)` time travel has a true timeline
@@ -217,14 +298,115 @@ class LakeTable:
                 k: v for k, v in fs.items() if k in live
             }
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
-        _atomic_write_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
-        tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, os.path.join(meta_dir, "version-hint.txt"))
+        _atomic_claim_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
+        self._advance_hint(meta_dir)
         self.manifest = manifest
+
+    def _advance_hint(self, meta_dir: str) -> None:
+        """Advance version-hint.txt to the max manifest on disk.
+
+        Racing writers can rename hints out of order; the re-scan after
+        each write closes the race because a manifest is always durably
+        on disk before its writer's hint write begins — so the last
+        writer to loop observes the true max.
+        """
+        for _ in range(8):
+            latest = self._latest_version_on_disk(self.root) or 0
+            hint_path = os.path.join(meta_dir, "version-hint.txt")
+            try:
+                with open(hint_path) as fh:
+                    cur = int(fh.read().strip())
+            except (FileNotFoundError, ValueError):
+                cur = -1
+            if cur >= latest:
+                return
+            tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(latest))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, hint_path)
+
+    @staticmethod
+    def _manifest_conflicts(
+        base: dict, latest: dict, touched: Sequence[int]
+    ) -> bool:
+        """Do commits between ``base`` and ``latest`` overlap ours?
+
+        Rebase is legal only when every intermediate commit left our
+        touched buckets' base-file AND delta-file lists byte-identical
+        (data files are immutable, so identical lists == identical
+        bucket contents) and didn't change the schema or bucket count.
+        Anything else means the target rows this operation read (CoW)
+        or the delta ordering it assumed (MoR) are stale — the caller
+        must re-execute against the new snapshot.
+        """
+        if latest["version"] == base["version"]:
+            return False
+        if latest["schema"] != base["schema"]:
+            return True
+        if latest["num_buckets"] != base["num_buckets"]:
+            return True
+        lb, bb = latest["buckets"], base["buckets"]
+        ld = latest.get("delta_files", {})
+        bd = base.get("delta_files", {})
+        for b in touched:
+            b = str(b)
+            if lb.get(b, []) != bb.get(b, []) or ld.get(b, []) != bd.get(b, []):
+                return True
+        return False
+
+    def _cleanup_orphan(self, orphan_dir: str | None) -> None:
+        if orphan_dir and os.path.isdir(orphan_dir):
+            shutil.rmtree(orphan_dir, ignore_errors=True)
+
+    def _commit_rebased(
+        self,
+        *,
+        base: dict,
+        touched: Sequence[int],
+        apply,
+        epoch_id: str | None = None,
+        orphan_dir: str | None = None,
+        max_rebase: int = 20,
+    ) -> dict | None:
+        """Commit ``apply(latest_manifest)`` with optimistic rebase.
+
+        ``apply`` builds this operation's manifest from an arbitrary
+        up-to-date parent (override touched buckets, bump version,
+        record the epoch). On :class:`CommitConflict` the parent is
+        reloaded and, when the intermediate commits are disjoint from
+        ``touched`` (see ``_manifest_conflicts``), the manifest is
+        rebuilt on top of them and re-CAS'ed — the written data files
+        stay valid because nobody else touched those buckets. On a true
+        overlap the attempt's snapshot dir is deleted (orphan cleanup)
+        and CommitConflict propagates for the caller to re-execute.
+
+        Returns the committed manifest, or ``None`` when a concurrent
+        writer applied our ``epoch_id`` first (idempotent skip).
+        """
+        manifest = apply(base)
+        for _ in range(max_rebase):
+            try:
+                self._commit(manifest)
+                return manifest
+            except CommitConflict:
+                latest = self._load_latest_manifest()
+                if epoch_id is not None and epoch_id in latest["applied_epochs"]:
+                    # raced duplicate delivery: the other writer won
+                    # with OUR epoch — exactly-once demands a no-op
+                    self._cleanup_orphan(orphan_dir)
+                    self.manifest = latest
+                    return None
+                if self._manifest_conflicts(base, latest, touched):
+                    self._cleanup_orphan(orphan_dir)
+                    self.manifest = latest
+                    raise
+                manifest = apply(latest)
+        self._cleanup_orphan(orphan_dir)
+        raise CommitConflict(
+            f"gave up after {max_rebase} rebase attempts at {self.root}"
+        )
 
     # ---------------------------------------------------------- schema
     @property
@@ -305,28 +487,43 @@ class LakeTable:
             + [
                 T.StructField("__op", T.StringType(), True),
                 T.StructField("__commit_seq", T.LongType(), True),
+                T.StructField("__cols", T.StringType(), True),
             ]
         )
         df = self.spark.read.schema(read_schema).parquet(
             *(self._files(delta_ids) + self._delta_files(delta_ids))
         )
         key = self.key_cols
-        payload = [f.name for f in self.schema.fields if f.name not in key]
         ords = F.coalesce(F.col("__commit_seq"), F.lit(0))  # base rows = 0
-        collapsed = df.groupBy(*key).agg(
-            F.max_by(
-                F.struct(*payload, F.col("__op").alias("__op")), ords
-            ).alias("__w")
-        )
+        # Column-wise collapse (partial-patch MoR): a delta row SETS
+        # only the columns its batch carried (recorded in __cols; NULL
+        # = legacy full-row delta or a base row = carries everything).
+        # For each column, take the value from the newest row that SET
+        # it — max_by ignores rows whose ordering expr is NULL, which
+        # is exactly "didn't carry this column". A delete tombstone
+        # counts as setting EVERY column to NULL, so a later partial
+        # patch resurrects the key without leaking pre-delete values.
+        # Still ONE hash aggregation (map-side combinable).
+        is_del = F.coalesce(F.col("__op"), F.lit("U")) == F.lit("D")
+        carried_arr = F.split(F.col("__cols"), ",")
+        aggs = [F.max_by(F.col("__op"), ords).alias("__op_w")]
+        for f in self.schema.fields:
+            if f.name in key:
+                continue
+            carries = F.col("__cols").isNull() | F.array_contains(
+                carried_arr, f.name
+            )
+            val = F.when(is_del, F.lit(None).cast(f.dataType)).otherwise(
+                F.col(f.name)
+            )
+            aggs.append(
+                F.max_by(val, F.when(is_del | carries, ords)).alias(f.name)
+            )
+        collapsed = df.groupBy(*key).agg(*aggs)
         live = collapsed.where(
-            F.coalesce(F.col("__w.__op"), F.lit("U")) != F.lit("D")
+            F.coalesce(F.col("__op_w"), F.lit("U")) != F.lit("D")
         )
-        out = live.select(
-            *[
-                F.col(c) if c in key else F.col(f"__w.{c}").alias(c)
-                for c in self.schema.names
-            ]
-        )
+        out = live.select(*self.schema.names)
         plain_files = self._files(plain_ids)
         if plain_files:
             out = (
@@ -403,11 +600,17 @@ class LakeTable:
                             continue  # unserializable stat type: skip
                         entry[c] = [min(mins), max(maxs)]
             stats[rel] = entry
-        m = dict(self.manifest)
-        m["version"] = self.version + 1
-        m["file_stats"] = stats
-        m["created_at"] = time.time()
-        self._commit(m)
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["file_stats"] = stats
+            return m
+
+        # metadata-only commit: touched=() means it rebases over ANY
+        # concurrent commit; stats entries for files the winner deleted
+        # are pruned inside _commit, files it added simply lack stats
+        # (never skipped — the safe default)
+        self._commit_rebased(base=self.manifest, touched=(), apply=apply)
         return {
             "files_analyzed": n_read,
             "files_with_stats": sum(1 for e in stats.values() if e),
@@ -673,6 +876,32 @@ class LakeTable:
         self,
         changes: DataFrame,
         *,
+        conflict_retries: int = 5,
+        **opts,
+    ) -> MergeStats:
+        """Apply a change batch with optimistic concurrency (see
+        ``_merge_impl`` for the MERGE semantics and options). On a
+        :class:`CommitConflict` whose intermediate commits overlap this
+        batch's buckets, the merge is re-executed wholesale against the
+        winner's snapshot — serializable isolation, Iceberg-style —
+        up to ``conflict_retries`` times. Disjoint conflicts never get
+        here: they rebase inside the commit without recomputing.
+        Epoch idempotence holds across writers: if a racing writer
+        committed this ``epoch_id`` first, the retry observes it and
+        returns ``skipped=True``.
+        """
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._merge_impl(changes, **opts)
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_manifest()
+
+    def _merge_impl(
+        self,
+        changes: DataFrame,
+        *,
         epoch_id: str | None = None,
         op_col: str | None = "op",
         order_cols: Sequence[str] = ("ts", "seq"),
@@ -685,6 +914,7 @@ class LakeTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         prune_buckets: bool = True,
         mode: str = "cow",
+        partial: bool = False,
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
 
@@ -695,11 +925,17 @@ class LakeTable:
         bucket-partitioned DELTA files — ingest writes O(batch) — and
         defers reconciliation to read() (one hash agg per read) and
         ``compact_deltas``; exactly Iceberg's copy-on-write vs
-        merge-on-read trade. MoR implements full-row-replace CDC only:
-        ``update_cols``/``matched_filter`` raise (their semantics need
-        the join CoW does); delete ops become tombstones until
-        compaction. Modes mix freely on one table — a CoW merge (or
-        compact_deltas) folds pending deltas of the buckets it touches.
+        merge-on-read trade. MoR defaults to full-row-replace CDC;
+        ``partial=True`` switches to PATCH semantics — the batch
+        carries only the key plus the columns to set, the read-side
+        collapse takes each column from the newest delta that set it
+        (recorded per batch in a ``__cols`` sentinel), and delete
+        tombstones reset every column so a later patch can't resurrect
+        pre-delete values. ``matched_filter`` still raises under MoR
+        (it predicates on target rows, which MoR never reads at write
+        time); delete ops become tombstones until compaction. Modes mix
+        freely on one table — a CoW merge (or compact_deltas) folds
+        pending deltas of the buckets it touches.
 
         changes must carry the key columns plus payload columns; extra
         payload columns evolve the schema. ``op_col`` (values I/U/D; any
@@ -716,12 +952,19 @@ class LakeTable:
         t0 = time.time()
         if mode not in ("cow", "mor"):
             raise LakeError(f"unknown merge mode {mode!r}")
-        if mode == "mor" and (
-            update_cols is not None or matched_filter is not None
-        ):
+        if mode == "mor" and matched_filter is not None:
             raise LakeError(
-                "mode='mor' is full-row-replace CDC; update_cols/"
-                "matched_filter need the CoW join"
+                "mode='mor' cannot evaluate matched_filter (it predicates "
+                "on TARGET rows, which MoR never reads at write time); "
+                "use mode='cow' for filtered merges"
+            )
+        if mode == "mor" and update_cols is not None:
+            raise LakeError(
+                "mode='mor' has no update_cols: pass partial=True and a "
+                "batch carrying ONLY the key + columns to set (same "
+                "matched-row semantics; divergence: an unmatched partial "
+                "row INSERTS with uncarried columns NULL, where CoW "
+                "update_cols inserts the full source row)"
             )
         if epoch_id is not None and epoch_id in self.manifest["applied_epochs"]:
             # idempotence first: re-applying a committed epoch is a
@@ -729,7 +972,7 @@ class LakeTable:
             return MergeStats(
                 epoch_id=epoch_id, version=self.version, skipped=True
             )
-        if mode == "mor":
+        if mode == "mor" and not partial:
             missing = [
                 f.name
                 for f in self.schema.fields
@@ -737,13 +980,20 @@ class LakeTable:
             ]
             if missing:
                 raise LakeError(
-                    "mode='mor' is full-row replace: the batch must carry "
-                    f"every current table column (missing: {missing}) — a "
-                    "delta row wholesale-overrides its key on read, so an "
-                    "absent column would silently NULL existing values "
-                    "(CoW preserves them); backfill the column or use "
-                    "mode='cow' for this batch"
+                    "mode='mor' default is full-row replace: the batch must "
+                    f"carry every current table column (missing: {missing}) "
+                    "— a full-row delta wholesale-overrides its key on "
+                    "read, so an absent column would silently NULL existing "
+                    "values. Pass partial=True for patch semantics (only "
+                    "the carried columns are set; the rest keep their "
+                    "current values column-wise on read), or use "
+                    "mode='cow' for this batch."
                 )
+        if partial and mode != "mor":
+            raise LakeError(
+                "partial=True is a merge-on-read patch path; CoW already "
+                "preserves unsent columns via update_cols"
+            )
 
         key = self.key_cols
         # order_cols may be payload (ts is a table column); only op_col
@@ -915,7 +1165,9 @@ class LakeTable:
             )
 
             new_version = self.version + 1
-            snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+            snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
             snap_abs = os.path.join(self.root, snap_rel)
 
             # Size write tasks by estimated output bytes, not bucket
@@ -988,21 +1240,7 @@ class LakeTable:
             n_ins = n_upd = n_del = n_keep = 0
 
         # map written files back to buckets
-        new_buckets = dict(self.manifest["buckets"])
         written = self._scan_written(snap_abs, snap_rel)
-        for b in touched:
-            new_buckets[str(b)] = written.get(str(b), [])
-
-        manifest = dict(self.manifest)
-        manifest["version"] = new_version
-        manifest["schema"] = new_schema.json()
-        manifest["buckets"] = new_buckets
-        # the CoW target read collapsed any pending MoR deltas of the
-        # touched buckets — their new base subsumes them
-        new_deltas = dict(self.manifest.get("delta_files", {}))
-        for b in touched:
-            new_deltas.pop(str(b), None)
-        manifest["delta_files"] = new_deltas
         # rolling avg row width feeds the next merge's write-task sizing
         new_rows = n_ins + n_upd + n_keep
         new_bytes = sum(
@@ -1010,17 +1248,44 @@ class LakeTable:
             for fl in written.values()
             for f in fl
         )
-        if new_rows > 0 and new_bytes > 0:
-            manifest["avg_row_bytes"] = max(int(new_bytes / new_rows), 16)
-        applied = dict(manifest["applied_epochs"])
-        if epoch_id is not None:
-            applied[epoch_id] = {"version": new_version, "ts": time.time()}
-        manifest["applied_epochs"] = applied
-        self._commit(manifest)
+        base = self.manifest
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            manifest["schema"] = new_schema.json()
+            new_buckets = dict(parent["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = written.get(str(b), [])
+            manifest["buckets"] = new_buckets
+            # the CoW target read collapsed any pending MoR deltas of
+            # the touched buckets — their new base subsumes them
+            new_deltas = dict(parent.get("delta_files", {}))
+            for b in touched:
+                new_deltas.pop(str(b), None)
+            manifest["delta_files"] = new_deltas
+            if new_rows > 0 and new_bytes > 0:
+                manifest["avg_row_bytes"] = max(int(new_bytes / new_rows), 16)
+            applied = dict(parent["applied_epochs"])
+            if epoch_id is not None:
+                applied[epoch_id] = {
+                    "version": manifest["version"], "ts": time.time()
+                }
+            manifest["applied_epochs"] = applied
+            return manifest
+
+        committed = self._commit_rebased(
+            base=base, touched=touched, apply=apply,
+            epoch_id=epoch_id, orphan_dir=snap_abs,
+        )
+        if committed is None:  # a racing writer applied this epoch
+            return MergeStats(
+                epoch_id=epoch_id, version=self.version, skipped=True
+            )
 
         stats = MergeStats(
             epoch_id=epoch_id,
-            version=new_version,
+            version=committed["version"],
             n_source=n_source,
             n_deduped=n_deduped,
             n_inserted=n_ins,
@@ -1060,11 +1325,17 @@ class LakeTable:
             *batch_payload,
             (F.col(op_col) if op_col else F.lit("U")).alias("__op"),
             F.lit(new_version).cast("long").alias("__commit_seq"),
+            # which columns this batch SETS — the read-side collapse
+            # patches column-wise from the newest delta carrying each
+            # column (constant per batch: RLE-compressed to nothing)
+            F.lit(",".join(batch_payload)).alias("__cols"),
             F.col(BUCKET_COL),
         )
         obs_dd = Observation(f"mor_dd_v{new_version}")
         delta = delta.observe(obs_dd, F.count(F.lit(1)).alias("n"))
-        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         snap_abs = os.path.join(self.root, snap_rel)
         n_parts = max(
             min(
@@ -1088,25 +1359,48 @@ class LakeTable:
         except Exception:
             n_source = n_deduped = 0
 
-        manifest = dict(self.manifest)
-        manifest["version"] = new_version
-        manifest["schema"] = new_schema.json()
-        new_deltas = {
-            b: list(fl)
-            for b, fl in self.manifest.get("delta_files", {}).items()
-        }
-        for b, fl in written.items():
-            new_deltas.setdefault(b, []).extend(fl)
-        manifest["delta_files"] = new_deltas
-        applied = dict(manifest["applied_epochs"])
-        if epoch_id is not None:
-            applied[epoch_id] = {"version": new_version, "ts": time.time()}
-        manifest["applied_epochs"] = applied
-        self._commit(manifest)
+        base = self.manifest
+        touched = sorted(int(b) for b in written)
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            manifest["schema"] = new_schema.json()
+            new_deltas = {
+                b: list(fl)
+                for b, fl in parent.get("delta_files", {}).items()
+            }
+            for b, fl in written.items():
+                new_deltas.setdefault(b, []).extend(fl)
+            manifest["delta_files"] = new_deltas
+            applied = dict(parent["applied_epochs"])
+            if epoch_id is not None:
+                applied[epoch_id] = {
+                    "version": manifest["version"], "ts": time.time()
+                }
+            manifest["applied_epochs"] = applied
+            return manifest
+
+        # rebase safety for MoR: the delta rows carry __commit_seq =
+        # (base version + 1) baked into the data files. A rebase keeps
+        # them valid because _manifest_conflicts guarantees no
+        # intermediate commit touched these buckets — so every existing
+        # delta in them has seq <= base version < ours, and any LATER
+        # writer gets a strictly larger version. Overlapping-bucket
+        # races re-execute with a fresh seq instead.
+        committed = self._commit_rebased(
+            base=base, touched=touched, apply=apply,
+            epoch_id=epoch_id, orphan_dir=snap_abs,
+        )
+        if committed is None:  # a racing writer applied this epoch
+            return MergeStats(
+                epoch_id=epoch_id, version=self.version, skipped=True
+            )
+        new_deltas = committed["delta_files"]
 
         stats = MergeStats(
             epoch_id=epoch_id,
-            version=new_version,
+            version=committed["version"],
             n_source=n_source,
             n_deduped=n_deduped,
             buckets_touched=len(written),
@@ -1121,12 +1415,28 @@ class LakeTable:
         self._write_lineage(stats, written)
         return stats
 
-    def compact_deltas(self, buckets: Sequence[int] | None = None) -> dict:
+    def compact_deltas(
+        self,
+        buckets: Sequence[int] | None = None,
+        *,
+        conflict_retries: int = 5,
+    ) -> dict:
         """Fold pending MoR delta files into the base (Iceberg's
         rewrite-position-deletes + rewrite_data_files rolled into one):
         reads the collapsed view of every bucket holding deltas and
         rewrites it as the new base; tombstoned rows disappear. The
-        read tax paid once here instead of on every subsequent read."""
+        read tax paid once here instead of on every subsequent read.
+        Conflicts with concurrent writers rebase or re-execute
+        (optimistic concurrency, same rules as ``merge``)."""
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._compact_deltas_impl(buckets)
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_manifest()
+
+    def _compact_deltas_impl(self, buckets: Sequence[int] | None) -> dict:
         dm = self.manifest.get("delta_files", {})
         ids = set(dm) if buckets is None else {str(b) for b in buckets} & set(dm)
         touched = sorted(int(b) for b in ids)
@@ -1137,7 +1447,9 @@ class LakeTable:
             BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
         )
         new_version = self.version + 1
-        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         snap_abs = os.path.join(self.root, snap_rel)
         n_parts = max(
             min(self.spark.sparkContext.defaultParallelism, len(touched)), 1
@@ -1149,24 +1461,53 @@ class LakeTable:
             .parquet(snap_abs)
         )
         written = self._scan_written(snap_abs, snap_rel)
-        manifest = dict(self.manifest)
-        manifest["version"] = new_version
-        new_buckets = dict(self.manifest["buckets"])
-        for b in touched:
-            new_buckets[str(b)] = written.get(str(b), [])
-        manifest["buckets"] = new_buckets
-        manifest["delta_files"] = {
-            b: fl for b, fl in dm.items() if int(b) not in set(touched)
-        }
-        self._commit(manifest)
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            new_buckets = dict(parent["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = written.get(str(b), [])
+            manifest["buckets"] = new_buckets
+            manifest["delta_files"] = {
+                b: fl
+                for b, fl in parent.get("delta_files", {}).items()
+                if int(b) not in set(touched)
+            }
+            return manifest
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=touched, apply=apply,
+            orphan_dir=snap_abs,
+        )
         return {
             "buckets_compacted": len(touched),
             "delta_files_folded": folded,
-            "version": new_version,
+            "version": committed["version"],
         }
 
     # ------------------------------------------------------ maintenance
     def compact(
+        self,
+        *,
+        conflict_retries: int = 5,
+        **opts,
+    ) -> dict:
+        """Retrying wrapper over ``_compact_impl`` (optimistic
+        concurrency: disjoint conflicts rebase inside the commit,
+        overlapping ones re-plan the compaction against the winner's
+        snapshot — re-planning also re-reads file sizes, so a bucket
+        another writer already rewrote drops out of the candidate
+        list naturally)."""
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._compact_impl(**opts)
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_manifest()
+
+    def _compact_impl(
         self,
         *,
         target_file_bytes: int = 128 * 1024 * 1024,
@@ -1235,7 +1576,9 @@ class LakeTable:
         )
         n_parts = max(int(-(-total_bytes // target_file_bytes)), 1)
         new_version = self.version + 1
-        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         snap_abs = os.path.join(self.root, snap_rel)
         files_per = max(-(-n_parts // max(len(touched), 1)), 1)
         if sort_by:
@@ -1268,35 +1611,63 @@ class LakeTable:
             .parquet(snap_abs)
         )
         written = self._scan_written(snap_abs, snap_rel)
-        new_buckets = dict(bm)
-        for b in touched:
-            new_buckets[str(b)] = written.get(str(b), [])
-        manifest = dict(self.manifest)
-        manifest["version"] = new_version
-        manifest["buckets"] = new_buckets
-        # the collapsed read folded any pending deltas of the touched
-        # buckets into the new base — drop their refs or a later read
-        # would re-apply stale deltas over newer data
-        manifest["delta_files"] = {
-            b: fl
-            for b, fl in self.manifest.get("delta_files", {}).items()
-            if int(b) not in set(touched)
-        }
-        self._commit(manifest)
-        files_after = sum(len(new_buckets[str(b)]) for b in touched)
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            new_buckets = dict(parent["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = written.get(str(b), [])
+            manifest["buckets"] = new_buckets
+            # the collapsed read folded any pending deltas of the
+            # touched buckets into the new base — drop their refs or a
+            # later read would re-apply stale deltas over newer data
+            manifest["delta_files"] = {
+                b: fl
+                for b, fl in parent.get("delta_files", {}).items()
+                if int(b) not in set(touched)
+            }
+            return manifest
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=touched, apply=apply,
+            orphan_dir=snap_abs,
+        )
+        files_after = sum(
+            len(committed["buckets"].get(str(b), [])) for b in touched
+        )
         return {
             "buckets_compacted": len(touched),
             "files_before": files_before,
             "files_after": files_after,
-            "version": new_version,
+            "version": committed["version"],
         }
 
-    def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1) -> dict:
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        files_per_bucket: int = 1,
+        *,
+        conflict_retries: int = 5,
+    ) -> dict:
         """Change the bucket count (hash-layout rescale) — the one
         layout operation that genuinely rewrites the table (Iceberg
         likewise requires a rewrite to change bucket partitioning).
         Commits as a new snapshot; key hashing stays xxhash64(key) %
-        new_B, so merges keep pruning correctly afterwards."""
+        new_B, so merges keep pruning correctly afterwards. Touches
+        every bucket, so ANY concurrent commit forces a full
+        re-execute (never a rebase)."""
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._rebucket_impl(new_num_buckets, files_per_bucket)
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_manifest()
+
+    def _rebucket_impl(
+        self, new_num_buckets: int, files_per_bucket: int = 1
+    ) -> dict:
         if new_num_buckets < 1:
             raise LakeError("new_num_buckets must be >= 1")
         df = self.read().withColumn(
@@ -1307,7 +1678,9 @@ class LakeTable:
             ).cast("int"),
         )
         new_version = self.version + 1
-        snap_rel = os.path.join(DATA_DIR, f"s{new_version}")
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         snap_abs = os.path.join(self.root, snap_rel)
         n_parts = max(
             min(self.spark.sparkContext.defaultParallelism,
@@ -1321,16 +1694,31 @@ class LakeTable:
             .parquet(snap_abs)
         )
         written = self._scan_written(snap_abs, snap_rel)
-        manifest = dict(self.manifest)
-        manifest["version"] = new_version
-        manifest["num_buckets"] = int(new_num_buckets)
-        manifest["buckets"] = written
-        # the collapsed read baked every pending delta into the new
-        # base; stale refs would be keyed by OLD bucket ids and could
-        # silently override newer data on later reads
-        manifest["delta_files"] = {}
-        self._commit(manifest)
-        return {"version": new_version, "num_buckets": int(new_num_buckets)}
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            manifest["num_buckets"] = int(new_num_buckets)
+            manifest["buckets"] = written
+            # the collapsed read baked every pending delta into the new
+            # base; stale refs would be keyed by OLD bucket ids and
+            # could silently override newer data on later reads
+            manifest["delta_files"] = {}
+            return manifest
+
+        # touched = every bucket: any concurrent DATA commit conflicts
+        # (the rewrite read a stale snapshot); metadata-only commits
+        # (analyze) rebase through harmlessly
+        committed = self._commit_rebased(
+            base=self.manifest,
+            touched=range(self.num_buckets),
+            apply=apply,
+            orphan_dir=snap_abs,
+        )
+        return {
+            "version": committed["version"],
+            "num_buckets": int(new_num_buckets),
+        }
 
     def _scan_written(self, snap_abs: str, snap_rel: str) -> dict[str, list[str]]:
         """Map a snapshot directory's partition dirs back to buckets."""
