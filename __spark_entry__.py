@@ -26,7 +26,7 @@ from haskell_dbfunctor_spark.functions import (
     strip_rtext, to_rtimestamp,
 )
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
-    exact_dedup_key, minhash_signatures, near_dup_counts,
+    exact_dedup_key, minhash_signatures, near_dup_clusters, near_dup_counts,
     near_dup_counts_lsh, simhash16, simhash_near_dup_counts,
 )
 from haskell_dbfunctor_spark.pipelines.sampling import (
@@ -439,6 +439,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), threshold=0.8, k=16, bands=8
     )
 
+    # duplicate CLUSTERS from the verified near-dup pairs: connected
+    # components by alternating large-star/small-star (an iterative
+    # DataFrame algorithm, operators/graph.py) + deterministic keeper
+    # = cluster minimum; the actual drop-list a training-data dedup
+    # produces. Oracle: recursive-CTE reachability in DuckDB.
+    q["q67_near_dup_clusters"] = lambda s, d: near_dup_clusters(
+        _t(s, d, "documents"), threshold=0.8, k=16, bands=8
+    )
+
     # embedding-cosine near-dup: sign-LSH bucket candidates + exact
     # cosine verify — the embedding-space analog of q42
     # threshold tuned to the synthetic corpus (random near-orthogonal
@@ -831,10 +840,12 @@ def _stream_tail_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
-    """DuckDB mirror of near_dup_counts_lsh: same md5 hash family, same
-    banding, same exact-Jaccard verification — generated for (k, bands)
-    so Spark and oracle can never drift on the signature layout."""
+def _lsh_pairs_ctes(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """The shared CTE chain producing verified near-dup pairs ``nd`` —
+    same md5 hash family, same banding, same exact-Jaccard verification
+    as the Spark side; generated for (k, bands) so Spark and oracle can
+    never drift on the signature layout. Used by the q42 counts oracle
+    and the q67 clusters oracle."""
     rpb = max(k // bands, 1)
     mh = ",\n               ".join(
         f"min(md5(word || '#{i}')) AS mh_{i}" for i in range(k)
@@ -846,8 +857,7 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-        WITH dw AS (
+    return f"""dw AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
           FROM documents
         ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
@@ -877,7 +887,13 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
           SELECT d1, d2 FROM cmatch
           JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
           WHERE c * 1.0 / (s1.n + s2.n - c) >= {threshold}
-        ),
+        )"""
+
+
+def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """DuckDB mirror of near_dup_counts_lsh (q42)."""
+    return f"""
+        WITH {_lsh_pairs_ctes(k, bands, threshold)},
         cnt AS (
           SELECT doc_id, count(*) AS n_near_dups FROM (
             SELECT d1 AS doc_id FROM nd UNION ALL SELECT d2 FROM nd
@@ -888,7 +904,38 @@ def _lsh_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
     """
 
 
+def _cc_oracle(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """DuckDB mirror of near_dup_clusters (q67): the same verified
+    pairs become undirected edges; a recursive CTE propagates labels
+    (reach(node) = every node that can reach it; its MIN is the
+    component id — exactly the large-star/small-star fixpoint)."""
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_ctes(k, bands, threshold)},
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM nd
+          UNION SELECT d2, d1 FROM nd
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        csize AS (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_keeper
+        FROM comp c JOIN csize s USING (cluster_id)
+    """
+
+
 _LSH_ORACLE_SQL = _lsh_oracle(k=16, bands=8, threshold=0.8)
+_CC_ORACLE_SQL = _cc_oracle(k=16, bands=8, threshold=0.8)
 
 
 def _sample_oracle() -> str:
@@ -1714,6 +1761,7 @@ WHERE COALESCE(p.op, 'U') <> 'D'
         FROM events
     """
     o["q42_dedup_lsh_jaccard"] = _LSH_ORACLE_SQL
+    o["q67_near_dup_clusters"] = _CC_ORACLE_SQL
     o["q47_embedding_near_dup"] = """
         WITH eb AS (
           SELECT vec_id, embedding,

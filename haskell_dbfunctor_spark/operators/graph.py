@@ -1,0 +1,115 @@
+"""Distributed iterative graph operators (DataFrame-only, no GraphX).
+
+The one the dedup pipeline needs: connected components, to turn
+verified near-duplicate PAIRS into duplicate CLUSTERS (pick one keeper
+per cluster). The reference engine has no graph operators at all — its
+only route would be the O(n·m) nested-loop join applied repeatedly
+(/root/reference/src/RTable/Core.hs:2704-2715); this module is the
+scalable recast required for dedup at 10^10-document scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighbor.
+
+    large-star(u): emit (v, m) for v in N(u) with v > u, where
+    m = min(N(u) + {u}). Strictly decreases large-node degrees.
+    """
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor to the minimum one.
+
+    Orients each edge toward its smaller endpoint first, so each
+    group's neighbors are all < u; emits (v, m) for those neighbors
+    plus (u, m) itself, m = min neighbor.
+    """
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        d.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return rewired.unionAll(self_edge).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the shuffle-bounded CC algorithm: O(log^2 n) rounds
+    worst case (observed: 2-4 on dedup graphs, whose components are
+    small and dense), each round two hash aggregations + two joins.
+    Returns (node, component) with component = the MINIMUM node id of
+    the node's component — only for nodes appearing in ``edges``
+    (callers union in their singletons; an edge list cannot know about
+    isolated nodes).
+
+    Scale notes (the 100x question):
+    - Each round's frames are ``localCheckpoint``-materialized:
+      iterative lineage otherwise compounds the physical plan each
+      round until planning itself dominates (and re-derives every
+      prior round on each action). At cluster scale checkpoint to
+      storage instead.
+    - Convergence is an exact set check (count equality + one-sided
+      exceptAll probe on the materialized frames), not a checksum.
+    - Star-contraction tolerates skew by construction: a huge
+      component never concentrates on one reducer — large-star
+      splits high-degree stars across their neighbors' groups.
+    """
+    node_t = edges.schema[src].dataType
+    e = (
+        edges.select(
+            F.col(src).cast(node_t).alias("u"), F.col(dst).cast(node_t).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = e.count()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == prev_n and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
+            break
+        e, prev_n = e2, n2
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+    # converged edge set is a star forest: (child, root) with
+    # root < child; roots appear only on the right side
+    children = e.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return children.unionByName(roots).distinct()

@@ -242,6 +242,90 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """LSH candidate pairs verified by EXACT word-set Jaccard >=
+    ``threshold``: (d1, d2) with d1 < d2. Precision 1.0 by
+    construction (every emitted pair is exactly verified); recall is
+    the LSH capture rate at (k, bands). The shared front half of
+    ``near_dup_counts_lsh`` (per-doc counts) and ``near_dup_clusters``
+    (connected components / keeper selection)."""
+    cand = lsh_candidate_pairs(
+        docs, k=k, bands=bands,
+        threshold=threshold, salt=salt, num_partitions=num_partitions,
+    )
+    sets = _words(docs).groupBy("doc_id").agg(F.collect_set("word").alias("words"))
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("d1"), F.col("words").alias("w1")), "d1"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("d2"), F.col("words").alias("w2")), "d2"
+        )
+        .withColumn("c", F.size(F.array_intersect("w1", "w2")))
+        .withColumn("n1", F.size("w1"))
+        .withColumn("n2", F.size("w2"))
+        .where(
+            F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+            >= F.lit(threshold)
+        )
+        .select("d1", "d2")
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """Duplicate CLUSTERS with keeper selection — the actual dedup
+    deliverable (near-dup COUNTS tell you how contaminated the corpus
+    is; clusters tell you which rows to drop). Verified near-dup pairs
+    (``lsh_verified_pairs``) become edges of an undirected graph;
+    connected components (alternating large-star/small-star,
+    operators/graph.py) label every doc with cluster_id = the minimum
+    doc_id of its component; the keeper is the cluster's minimum
+    (deterministic canonical representative). Singleton docs are their
+    own cluster of size 1.
+
+    Output: (doc_id, cluster_id, cluster_size, is_keeper). Training-set
+    dedup = ``where(is_keeper)``.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = lsh_verified_pairs(
+        docs, threshold=threshold, k=k, bands=bands,
+        salt=salt, num_partitions=num_partitions,
+    )
+    comp = connected_components(pairs, "d1", "d2")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def near_dup_counts_lsh(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -266,26 +350,9 @@ def near_dup_counts_lsh(
     recall). This is the 100 TB default; ``near_dup_counts`` is the
     exact all-pairs fallback for small corpora or candidate re-checks.
     """
-    cand = lsh_candidate_pairs(
-        docs, k=k, bands=bands,
-        threshold=threshold, salt=salt, num_partitions=num_partitions,
-    )
-    sets = _words(docs).groupBy("doc_id").agg(F.collect_set("word").alias("words"))
-    verified = (
-        cand.join(
-            sets.select(F.col("doc_id").alias("d1"), F.col("words").alias("w1")), "d1"
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("d2"), F.col("words").alias("w2")), "d2"
-        )
-        .withColumn("c", F.size(F.array_intersect("w1", "w2")))
-        .withColumn("n1", F.size("w1"))
-        .withColumn("n2", F.size("w2"))
-        .where(
-            F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
-            >= F.lit(threshold)
-        )
-        .select("d1", "d2")
+    verified = lsh_verified_pairs(
+        docs, threshold=threshold, k=k, bands=bands,
+        salt=salt, num_partitions=num_partitions,
     )
     cnt = (
         verified.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
