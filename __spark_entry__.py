@@ -631,6 +631,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pruning over a CDC lake whose second epoch touched 1/16 of users
     q["q57_stats_pruned_read"] = _stats_pruned_read
 
+    # bloom-filter file skipping: point lookup on a PARTIAL key
+    # (user_id alone cannot bucket-prune — the bucket hashes the full
+    # (user_id, event_type) key); per-file blooms answer it in
+    # O(matching files). Shares the cached two-epoch lake.
+    def q68(s, d):
+        table, _ = _two_epoch_lake(s, d)
+        table.analyze_bloom(["user_id"])
+        probe = _t(s, d, "events").agg(F.min("user_id")).first()[0]
+        return table.read_where_eq("user_id", int(probe)).select(
+            "user_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.col("seq").alias("last_event_id"),
+        )
+    q["q68_bloom_point_lookup"] = q68
+
     # Spark's NATIVE session_window (batch mode) — cross-validates the
     # gaps-and-islands sessionize operator (q50) against the engine's
     # own session semantics (merge while gap < 12h; end = last + gap)
@@ -1657,6 +1672,18 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
+    o["q68_bloom_point_lookup"] = """
+SELECT user_id, event_type, round(value, 2) AS value,
+       event_id AS last_event_id
+FROM (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+  AND user_id = (SELECT min(user_id) FROM events)
+"""
     o["q66_mor_partial_patch"] = """
 WITH ev AS (
   SELECT user_id, event_type, value, ts, event_id AS seq,

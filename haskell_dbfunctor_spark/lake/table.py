@@ -288,15 +288,16 @@ class LakeTable:
         # drop file_stats entries for files no longer referenced by
         # this snapshot (rewritten/removed) — bounds manifest size and
         # guarantees read_where never consults a dead path's stats
-        fs = manifest.get("file_stats")
-        if fs:
-            live = {
-                rel for files in manifest.get("buckets", {}).values()
-                for rel in files
-            }
-            manifest["file_stats"] = {
-                k: v for k, v in fs.items() if k in live
-            }
+        live = {
+            rel for files in manifest.get("buckets", {}).values()
+            for rel in files
+        }
+        for cat in ("file_stats", "file_blooms"):
+            entries = manifest.get(cat)
+            if entries:
+                manifest[cat] = {
+                    k: v for k, v in entries.items() if k in live
+                }
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         _atomic_claim_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
         self._advance_hint(meta_dir)
@@ -666,6 +667,202 @@ class LakeTable:
                     fmin, fmax = s
                     if (khi is not None and fmin > khi) or (
                         klo is not None and fmax < klo
+                    ):
+                        self.last_pruned_files += 1
+                        continue
+                files.append(os.path.join(self.root, rel))
+
+        parts: list[DataFrame] = []
+        if files:
+            parts.append(
+                self.spark.read.schema(self.schema).parquet(*files).where(cond)
+            )
+        if delta_ids:
+            parts.append(self.read(delta_ids).where(cond))
+        if not parts:
+            return self.spark.createDataFrame([], self.schema).where(cond)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def analyze_bloom(
+        self, cols: Sequence[str], *, bits: int = 8192, k: int = 4
+    ) -> dict:
+        """Build per-file Bloom filters for ``cols`` into the manifest
+        — the point-lookup complement to ``analyze``'s min/max ranges
+        (Iceberg: per-data-file bloom via parquet; here manifest-level
+        so a lookup skips files WITHOUT opening any footer).
+
+        Why it matters: hash-bucket pruning needs the FULL key (bucket
+        = hash(conv_id, turn_idx)); a lookup on one key column or any
+        payload column can't bucket-prune at all and would scan the
+        table. A per-file bloom on that column turns the scan into
+        O(matching files).
+
+        Build is ONE distributed pass: scan the not-yet-analyzed base
+        files, compute k positions per value (xxhash64 with k seeds,
+        mod bits), explode + distinct (map-side combinable; state per
+        task is capped at files x cols x bits, never row count), and
+        collect the distinct position set per (file, col) — at most
+        bits/8 bytes of bitset per file per col shipped to the driver,
+        never row data. Files already analyzed for a column are
+        skipped (incremental, like ``analyze``).
+        Membership probes hash THROUGH SPARK (a one-row job) so the
+        probe uses bit-identical xxhash64 semantics as the build;
+        false positives only ever read an extra file, false negatives
+        are impossible. NULLs are not indexed (a NULL probe is
+        rejected).
+        """
+        import base64
+
+        cols = list(cols)
+        for c in cols:
+            if c not in self.schema.names:
+                raise LakeError(f"analyze_bloom: unknown column {c!r}")
+        prev = self.manifest.get("file_blooms", {})
+        live = [
+            rel for files in self.manifest["buckets"].values()
+            for rel in files
+        ]
+        todo = [
+            rel for rel in live
+            if any(c not in prev.get(rel, {}) for c in cols)
+        ]
+        blooms: dict[str, dict] = {rel: dict(prev.get(rel, {})) for rel in live}
+        n_read = len(todo)
+        if todo:
+            paths = [os.path.join(self.root, rel) for rel in todo]
+            df = self.spark.read.schema(self.schema).parquet(*paths)
+            melted = df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.array(
+                                    *[
+                                        F.pmod(
+                                            F.xxhash64(F.col(c), F.lit(seed)),
+                                            F.lit(bits),
+                                        )
+                                        for seed in range(k)
+                                    ]
+                                ).alias("ps"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("e"),
+            ).select("__f", F.col("e.c").alias("c"), F.explode("e.ps").alias("p"))
+            per_file = (
+                melted.where(F.col("p").isNotNull())  # NULL values unindexed
+                .distinct()
+                .groupBy("__f", "c")
+                .agg(F.collect_set("p").alias("ps"))
+            )
+            # map absolute scan URIs back to manifest-relative paths
+            acc: dict[str, dict[str, set]] = {}
+            for row in per_file.collect():
+                uri = row["__f"]
+                rel = next((r for r in todo if uri.endswith(r)), None)
+                if rel is None:
+                    continue
+                acc.setdefault(rel, {})[row["c"]] = set(row["ps"] or [])
+            for rel in todo:
+                for c in cols:
+                    bitset = bytearray(bits // 8)
+                    for p in acc.get(rel, {}).get(c, ()):
+                        bitset[p // 8] |= 1 << (p % 8)
+                    blooms[rel][c] = {
+                        "b64": base64.b64encode(bytes(bitset)).decode(),
+                        "bits": bits,
+                        "k": k,
+                    }
+
+        if not todo and blooms == prev:
+            # nothing new to index — don't burn a snapshot version
+            # (bench/maintenance loops call this unconditionally)
+            return {
+                "files_analyzed": 0,
+                "files_with_blooms": sum(1 for e in blooms.values() if e),
+                "cols": cols,
+            }
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["file_blooms"] = blooms
+            return m
+
+        self._commit_rebased(base=self.manifest, touched=(), apply=apply)
+        return {
+            "files_analyzed": n_read,
+            "files_with_blooms": sum(1 for e in blooms.values() if e),
+            "cols": cols,
+        }
+
+    def _bloom_positions(self, col: str, value, bits: int, k: int) -> list[int]:
+        """Hash a probe value exactly as the build did — through Spark
+        (one-row local job), so JVM xxhash64 semantics match bit for
+        bit."""
+        dt = self.schema[col].dataType
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast(dt), F.lit(seed)),
+                    F.lit(bits),
+                ).alias(f"p{seed}")
+                for seed in range(k)
+            ]
+        ).first()
+        return [row[f"p{seed}"] for seed in range(k)]
+
+    def read_where_eq(
+        self, col: str, value, buckets: Sequence[int] | None = None
+    ) -> DataFrame:
+        """Point lookup ``col == value`` with Bloom file skipping.
+
+        Base files whose bloom provably excludes the value are never
+        read; files without a bloom are read (safe default). MoR
+        delta-bearing buckets collapse first (same reasoning as
+        ``read_where``: the LATEST image decides membership). Combine
+        with bucket pruning yourself when ``col`` set covers the full
+        key — this path is for the lookups bucketing can't serve.
+        """
+        import base64
+
+        if value is None:
+            raise LakeError("read_where_eq: NULL probes are not indexed")
+        cond = F.col(col) == F.lit(value)
+        wanted = (
+            set(range(self.num_buckets))
+            if buckets is None
+            else {int(b) for b in buckets}
+        )
+        dm = self.manifest.get("delta_files", {})
+        delta_ids = sorted(b for b in wanted if dm.get(str(b)))
+        plain_ids = sorted(wanted - set(delta_ids))
+
+        blooms = self.manifest.get("file_blooms", {})
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+        bm = self.manifest["buckets"]
+        files: list[str] = []
+        self.last_pruned_files = 0
+        for b in plain_ids:
+            for rel in bm.get(str(b), []):
+                meta = blooms.get(rel, {}).get(col)
+                if meta is not None:
+                    key = (meta["bits"], meta["k"])
+                    if key not in pos_cache:
+                        pos_cache[key] = self._bloom_positions(
+                            col, value, meta["bits"], meta["k"]
+                        )
+                    bitset = base64.b64decode(meta["b64"])
+                    if not all(
+                        bitset[p // 8] & (1 << (p % 8))
+                        for p in pos_cache[key]
                     ):
                         self.last_pruned_files += 1
                         continue
