@@ -225,8 +225,10 @@ class LakeTable:
             # the manifest files are authoritative (each is claimed
             # atomically and written in full before it appears);
             # version-hint.txt is a cache that can lag a racing commit
-            # by a beat, so latest = max over the manifest listing
-            version = cls._latest_version_on_disk(root)
+            # by a beat, so latest = max over the manifest listing —
+            # skipping STAGED (write-audit-publish) snapshots, which
+            # are invisible until published
+            version = cls._latest_published_version(root)
             if version is None:
                 # same contract as the old hint-file open: callers
                 # (replay's create-if-missing, entry fixtures) catch
@@ -251,6 +253,7 @@ class LakeTable:
                 "n_buckets_with_data": len(m["buckets"]),
                 "applied_epochs": sorted(m["applied_epochs"]),
                 "created_at": m.get("created_at"),
+                "staged": bool(m.get("staged")),
             })
         return sorted(out, key=lambda r: r["version"])
 
@@ -269,6 +272,32 @@ class LakeTable:
         v = self._latest_version_on_disk(self.root)
         if v is None:
             raise LakeError(f"no table at {self.root}")
+        with open(os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    @classmethod
+    def _latest_published_version(cls, root: str) -> int | None:
+        """Newest snapshot that is not a staged (WAP) commit."""
+        meta_dir = os.path.join(root, MANIFEST_DIR)
+        if not os.path.isdir(meta_dir):
+            return None
+        versions = sorted(
+            (
+                int(f[1:-5]) for f in os.listdir(meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                if not json.load(fh).get("staged"):
+                    return v
+        return None
+
+    def _load_latest_published_manifest(self) -> dict:
+        v = self._latest_published_version(self.root)
+        if v is None:
+            raise LakeError(f"no published snapshot at {self.root}")
         with open(os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")) as fh:
             return json.load(fh)
 
@@ -385,14 +414,51 @@ class LakeTable:
 
         Returns the committed manifest, or ``None`` when a concurrent
         writer applied our ``epoch_id`` first (idempotent skip).
+
+        Version numbers are allocated GLOBALLY (max manifest on disk +
+        1) while the content parent is tracked explicitly in
+        ``manifest["parent"]`` — with write-audit-publish, a staged
+        snapshot may hold the next version number, and a published
+        commit must neither collide with it nor point at it as
+        lineage. Staged commits (apply sets ``staged``) never rebase
+        onto foreign manifests: on a version collision they simply
+        reallocate a higher number on the same chain; validation
+        against the published head happens at ``publish()``, exactly
+        like Iceberg stage-only commits.
         """
-        manifest = apply(base)
+
+        def attempt(parent: dict) -> dict:
+            m = apply(parent)
+            declared = m["version"]
+            alloc = max(
+                declared, (self._latest_version_on_disk(self.root) or 0) + 1
+            )
+            if alloc != declared:
+                m["version"] = alloc
+                fixed = {}
+                for e, rec in m.get("applied_epochs", {}).items():
+                    if isinstance(rec, dict) and rec.get("version") == declared:
+                        rec = dict(rec)
+                        rec["version"] = alloc
+                    fixed[e] = rec
+                m["applied_epochs"] = fixed
+            m["parent"] = parent["version"]
+            return m
+
+        manifest = attempt(base)
+        staged = bool(manifest.get("staged"))
         for _ in range(max_rebase):
             try:
                 self._commit(manifest)
                 return manifest
             except CommitConflict:
-                latest = self._load_latest_manifest()
+                if staged:
+                    # stage chains don't rebase onto foreign commits —
+                    # just take a fresh version number; publish() does
+                    # the real conflict validation
+                    manifest = attempt(base)
+                    continue
+                latest = self._load_latest_published_manifest()
                 if epoch_id is not None and epoch_id in latest["applied_epochs"]:
                     # raced duplicate delivery: the other writer won
                     # with OUR epoch — exactly-once demands a no-op
@@ -403,7 +469,7 @@ class LakeTable:
                     self._cleanup_orphan(orphan_dir)
                     self.manifest = latest
                     raise
-                manifest = apply(latest)
+                manifest = attempt(latest)
         self._cleanup_orphan(orphan_dir)
         raise CommitConflict(
             f"gave up after {max_rebase} rebase attempts at {self.root}"
@@ -560,6 +626,7 @@ class LakeTable:
         never skipped (safe default)."""
         import pyarrow.parquet as pq
 
+        self._forbid_staged("analyze")
         cols = list(cols)
         for c in cols:
             if c not in self.schema.names:
@@ -716,6 +783,7 @@ class LakeTable:
         """
         import base64
 
+        self._forbid_staged("analyze_bloom")
         cols = list(cols)
         for c in cols:
             if c not in self.schema.names:
@@ -1026,11 +1094,31 @@ class LakeTable:
         if version == current:
             empty = self.changes(current, current, preimages=preimages)
             return empty.withColumn("_commit_version", F.lit(0).cast("int"))
-        parts = [
-            self.changes(v - 1, v, preimages=preimages).withColumn(
-                "_commit_version", F.lit(v).cast("int")
+        # walk the PARENT chain from the current snapshot back to the
+        # cursor: with write-audit-publish, version numbers are claimed
+        # globally but staged/abandoned snapshots are not on the
+        # published lineage — a published commit records its published
+        # parent explicitly ("parent"); plain commits default to v-1
+        chain = [current]
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        v = current
+        while v > version:
+            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                v = json.load(fh).get("parent", v - 1)
+            chain.append(v)
+        if chain[-1] != version:
+            raise LakeError(
+                f"changes_since: version {version} is not on the "
+                f"published lineage of snapshot {current} (an abandoned "
+                "staged snapshot cannot be a CDF cursor)"
             )
-            for v in range(version + 1, current + 1)
+        chain.reverse()  # ascending: cursor .. current
+        parts = [
+            self.changes(chain[i], chain[i + 1], preimages=preimages)
+            .withColumn(
+                "_commit_version", F.lit(chain[i + 1]).cast("int")
+            )
+            for i in range(len(chain) - 1)
         ]
         out = parts[0]
         for p in parts[1:]:
@@ -1091,9 +1179,11 @@ class LakeTable:
             try:
                 return self._merge_impl(changes, **opts)
             except CommitConflict:
-                if attempt == conflict_retries:
+                if attempt == conflict_retries or opts.get("stage_only"):
+                    # a stage chain must not rebase onto foreign
+                    # commits mid-chain; surface the conflict
                     raise
-                self.manifest = self._load_latest_manifest()
+                self.manifest = self._load_latest_published_manifest()
 
     def _merge_impl(
         self,
@@ -1112,6 +1202,7 @@ class LakeTable:
         prune_buckets: bool = True,
         mode: str = "cow",
         partial: bool = False,
+        stage_only: bool = False,
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
 
@@ -1149,6 +1240,14 @@ class LakeTable:
         t0 = time.time()
         if mode not in ("cow", "mor"):
             raise LakeError(f"unknown merge mode {mode!r}")
+        if self.manifest.get("staged") and not stage_only:
+            # a published commit on top of a staged parent would expose
+            # the whole staged chain — the exact leak WAP exists to
+            # prevent; chain more staged commits or publish() first
+            raise LakeError(
+                "handle is on a STAGED snapshot: pass stage_only=True to "
+                "extend the staged chain, or publish() it first"
+            )
         if mode == "mor" and matched_filter is not None:
             raise LakeError(
                 "mode='mor' cannot evaluate matched_filter (it predicates "
@@ -1245,7 +1344,7 @@ class LakeTable:
             return self._append_mor_delta(
                 deduped, key, batch_payload, op_col, new_schema,
                 epoch_id=epoch_id, t0=t0, obs_src=obs_src,
-                files_per_bucket=files_per_bucket,
+                files_per_bucket=files_per_bucket, stage_only=stage_only,
             )
         timings: dict[str, float] = {}
         persisted = None
@@ -1469,6 +1568,13 @@ class LakeTable:
                     "version": manifest["version"], "ts": time.time()
                 }
             manifest["applied_epochs"] = applied
+            if stage_only:
+                # invisible to load() until publish(); wap_base = the
+                # published ancestor this staged chain forked from
+                manifest["staged"] = True
+                manifest["wap_base"] = parent.get(
+                    "wap_base", parent["version"]
+                )
             return manifest
 
         committed = self._commit_rebased(
@@ -1510,6 +1616,7 @@ class LakeTable:
         t0: float,
         obs_src: Observation,
         files_per_bucket: int = 1,
+        stage_only: bool = False,
     ) -> MergeStats:
         """Commit the deduped batch as bucket-partitioned delta files:
         no target read, no join, no base rewrite — the O(batch) ingest
@@ -1576,6 +1683,11 @@ class LakeTable:
                     "version": manifest["version"], "ts": time.time()
                 }
             manifest["applied_epochs"] = applied
+            if stage_only:
+                manifest["staged"] = True
+                manifest["wap_base"] = parent.get(
+                    "wap_base", parent["version"]
+                )
             return manifest
 
         # rebase safety for MoR: the delta rows carry __commit_seq =
@@ -1612,6 +1724,110 @@ class LakeTable:
         self._write_lineage(stats, written)
         return stats
 
+    def _forbid_staged(self, opname: str) -> None:
+        if self.manifest.get("staged"):
+            raise LakeError(
+                f"{opname} on a STAGED snapshot would publish staged "
+                "content through a maintenance commit; publish() first"
+            )
+
+    def publish(
+        self, version: int | None = None, *, conflict_retries: int = 5
+    ) -> dict:
+        """Publish a staged (write-audit-publish) snapshot chain.
+
+        The WAP loop: ``merge(..., stage_only=True)`` commits snapshots
+        that ``load()`` never resolves; the auditor opens them
+        explicitly (``load(root, version=stats.version)``), runs its
+        checks (row counts, expectations, reconciliation), then either
+        ``publish()``-es the chain head — an atomic metadata-only
+        fast-forward, no data rewrite — or walks away (an abandoned
+        chain is invisible forever and ``expire_snapshots`` reclaims
+        it). Iceberg's stage-only commits + cherry-pick, on this
+        manifest store.
+
+        Publishing validates against the CURRENT published head: if the
+        published chain advanced past the staged chain's fork point
+        (``wap_base``) with commits touching the same buckets (or the
+        schema/bucket count), publish raises :class:`CommitConflict` —
+        the staged data was computed against a stale base and must be
+        re-merged. Disjoint published commits fast-forward fine. The
+        staged chain's epochs become applied atomically with the
+        publish (exactly-once survives the indirection: a raced
+        duplicate publish of the same epochs no-ops).
+        """
+        staged_v = self.version if version is None else int(version)
+        with open(
+            os.path.join(self.root, MANIFEST_DIR, f"v{staged_v}.json")
+        ) as fh:
+            staged = json.load(fh)
+        if not staged.get("staged"):
+            raise LakeError(f"version {staged_v} is not a staged snapshot")
+        base_v = staged["wap_base"]
+        with open(
+            os.path.join(self.root, MANIFEST_DIR, f"v{base_v}.json")
+        ) as fh:
+            base = json.load(fh)
+        sb, bb = staged["buckets"], base["buckets"]
+        sd = staged.get("delta_files", {})
+        bd = base.get("delta_files", {})
+        touched = sorted(
+            int(b) for b in set(sb) | set(bb) | set(sd) | set(bd)
+            if sb.get(str(b), []) != bb.get(str(b), [])
+            or sd.get(str(b), []) != bd.get(str(b), [])
+        )
+        new_epochs = {
+            e: v for e, v in staged["applied_epochs"].items()
+            if e not in base["applied_epochs"]
+        }
+        for _ in range(conflict_retries + 1):
+            pub = self._load_latest_published_manifest()
+            if new_epochs and all(
+                e in pub["applied_epochs"] for e in new_epochs
+            ):
+                self.manifest = pub  # raced duplicate publish: no-op
+                return {"published": False, "version": pub["version"]}
+            if self._manifest_conflicts(base, pub, touched):
+                self.manifest = pub
+                raise CommitConflict(
+                    "publish: published chain advanced with overlapping "
+                    f"changes since wap_base v{base_v}; re-merge the "
+                    "staged batches against the current head"
+                )
+            m = dict(staged)
+            m.pop("staged", None)
+            m.pop("wap_base", None)
+            m["version"] = (self._latest_version_on_disk(self.root) or 0) + 1
+            # CDF lineage: the published parent, NOT version-1 (which
+            # may be a staged sibling) — changes_since walks this
+            m["parent"] = pub["version"]
+            nb = dict(pub["buckets"])
+            nd = dict(pub.get("delta_files", {}))
+            for b in touched:
+                b = str(b)
+                if b in sb:
+                    nb[b] = sb[b]
+                else:
+                    nb.pop(b, None)
+                if b in sd:
+                    nd[b] = sd[b]
+                else:
+                    nd.pop(b, None)
+            m["buckets"] = nb
+            m["delta_files"] = nd
+            ae = dict(pub["applied_epochs"])
+            for e in new_epochs:
+                ae[e] = {"version": m["version"], "ts": time.time()}
+            m["applied_epochs"] = ae
+            try:
+                self._commit(m)
+                return {"published": True, "version": m["version"]}
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"publish: gave up after {conflict_retries} retries"
+        )
+
     def compact_deltas(
         self,
         buckets: Sequence[int] | None = None,
@@ -1631,9 +1847,10 @@ class LakeTable:
             except CommitConflict:
                 if attempt == conflict_retries:
                     raise
-                self.manifest = self._load_latest_manifest()
+                self.manifest = self._load_latest_published_manifest()
 
     def _compact_deltas_impl(self, buckets: Sequence[int] | None) -> dict:
+        self._forbid_staged("compact_deltas")
         dm = self.manifest.get("delta_files", {})
         ids = set(dm) if buckets is None else {str(b) for b in buckets} & set(dm)
         touched = sorted(int(b) for b in ids)
@@ -1702,7 +1919,7 @@ class LakeTable:
             except CommitConflict:
                 if attempt == conflict_retries:
                     raise
-                self.manifest = self._load_latest_manifest()
+                self.manifest = self._load_latest_published_manifest()
 
     def _compact_impl(
         self,
@@ -1733,6 +1950,7 @@ class LakeTable:
         filter). When ``sort_by`` is set, every selected bucket is
         rewritten (clustering IS the point, not just file count).
         """
+        self._forbid_staged("compact")
         bm = self.manifest["buckets"]
         dm = self.manifest.get("delta_files", {})
         candidates = []
@@ -1860,11 +2078,12 @@ class LakeTable:
             except CommitConflict:
                 if attempt == conflict_retries:
                     raise
-                self.manifest = self._load_latest_manifest()
+                self.manifest = self._load_latest_published_manifest()
 
     def _rebucket_impl(
         self, new_num_buckets: int, files_per_bucket: int = 1
     ) -> dict:
+        self._forbid_staged("rebucket")
         if new_num_buckets < 1:
             raise LakeError("new_num_buckets must be >= 1")
         df = self.read().withColumn(
