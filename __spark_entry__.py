@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- lake MoR partial patches: column-wise collapse ----
     q["q66_mor_partial_patch"] = _mor_partial_patch_state
 
+    # ---- expectations gate: bad rows quarantined, never merged ----
+    q["q69_expectations_gate"] = _expectations_gate_state
+
+    # ---- incremental derived table: CDF-driven bronze -> silver ----
+    q["q70_sync_derived_table"] = _sync_derived_table
+
     # ---- streaming: custom stateful op (applyInPandasWithState) ----
     q["q44_stream_stateful_stats"] = _stream_stateful_stats
 
@@ -1365,6 +1371,110 @@ def _mor_partial_patch_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _sync_derived_table(s: SparkSession, d: str) -> DataFrame:
+    """Incremental derived table through the driver gate: the cached
+    two-epoch source lake syncs into a fresh destination via TWO
+    sync_table calls (one per source commit: cursor 0 -> v1 -> v2,
+    each an O(changes) CDF read + MERGE, exactly-once via sync epoch
+    ids) with a row-wise transform (value doubled, event_type
+    uppercased). The oracle recomputes the transform over the LWW
+    state from scratch — incremental must equal recompute."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.sync import sync_table
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    src, v1 = _two_epoch_lake(s, d)
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_sync_q70_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_sync_q70_", dir=base)
+    dst = LakeTable.create(
+        s, f"{tmp}/lake",
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value2", T.DoubleType()),
+            T.StructField("etype_uc", T.StringType()),
+        ]),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+
+    def tf(feed):
+        return feed.select(
+            "user_id", "event_type",
+            F.round(F.col("value") * 2, 2).alias("value2"),
+            F.upper("event_type").alias("etype_uc"),
+            "_change_type", "_commit_version",
+        )
+
+    # per-commit sync (cursor advances v0 -> v1), then catch-up to head
+    old_src = LakeTable.load(s, src.root, v1)
+    sync_table(old_src, dst, tf)
+    sync_table(src, dst, tf)
+    return dst.read().select("user_id", "event_type", "value2", "etype_uc")
+
+
+def _expectations_gate_state(s: SparkSession, d: str) -> DataFrame:
+    """Data-quality gate through the driver gate: the feed is merged
+    with an expectation ``value <= 100``; failing rows (including
+    deletes of out-of-range events) are quarantined BEFORE LWW dedup,
+    so they neither win last-writer-wins nor tombstone anything. The
+    oracle filters the feed first and replays LWW over the survivors —
+    identical semantics by construction."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_exp_q69_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_exp_q69_", dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    table.merge(
+        ev, epoch_id="e0",
+        expectations={"value_in_range": F.col("value") <= 100},
+    )
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _stream_stateful_stats(s: SparkSession, d: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-(user_id, event_type) running event count + value sum held in
@@ -1683,6 +1793,28 @@ FROM (
   FROM events
 ) WHERE rn = 1 AND op <> 'D'
   AND user_id = (SELECT min(user_id) FROM events)
+"""
+    o["q70_sync_derived_table"] = """
+SELECT user_id, event_type, round(value * 2, 2) AS value2,
+       upper(event_type) AS etype_uc
+FROM (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+"""
+    o["q69_expectations_gate"] = """
+SELECT user_id, event_type, value, ts, event_id AS last_event_id
+FROM (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE value <= 100
+) WHERE rn = 1 AND op <> 'D'
 """
     o["q66_mor_partial_patch"] = """
 WITH ev AS (

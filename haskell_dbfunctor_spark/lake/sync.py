@@ -1,0 +1,108 @@
+"""Incremental table-to-table sync off the change data feed — the
+derived-table ("bronze -> silver") half of the CDC loop.
+
+``sync_table(src, dst, transform)`` reads ``src.changes_since(cursor)``
+— O(changed buckets), never a table scan — pushes the rows through a
+1:1 row-wise transform, and MERGEs them into ``dst``. The cursor is
+not a sidecar file: it is encoded in the destination's own
+applied-epoch set (epoch id ``sync-v<N>`` = "synced through source
+version N"), so exactly-once falls out of the sink's idempotent MERGE:
+a crashed or repeated sync of the same source range is a no-op, and
+resume-after-restart needs no extra state. This recasts the
+reference's whole-pipeline re-run model (Julius chains recompute every
+intermediate RTable, /root/reference/src/Etl/Julius.hs) as
+incremental view maintenance over the lake.
+
+Scale: per sync the work is one bucket-pruned CDF read + one MERGE of
+the change rows — O(changes), not O(table). Retention contract: the
+cursor must stay within the source's snapshot retention window
+(``expire_snapshots``); an expired cursor raises instead of silently
+skipping changes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from .table import LakeError, LakeTable
+
+SYNC_PREFIX = "sync-v"
+
+
+def sync_cursor(dst: LakeTable) -> int:
+    """The source version ``dst`` has been synced through (0 = never)."""
+    return max(
+        (
+            int(e[len(SYNC_PREFIX):])
+            for e in dst.applied_epochs()
+            if e.startswith(SYNC_PREFIX)
+        ),
+        default=0,
+    )
+
+
+def sync_table(
+    src: LakeTable,
+    dst: LakeTable,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    *,
+    mode: str = "cow",
+) -> dict:
+    """Advance ``dst`` to reflect ``src``'s current snapshot.
+
+    ``transform`` is a 1:1 row-wise mapping over the change feed: it
+    may rename/derive/retype PAYLOAD columns but must preserve
+    ``dst.key_cols`` and the ``_change_type``/``_commit_version``
+    metadata columns, and must not filter or duplicate rows (a dropped
+    update would leave ``dst`` permanently stale for that key — use a
+    downstream query for filtering semantics).
+
+    Multi-commit catch-up is safe in ONE merge: a key touched in
+    several source commits is LWW-deduped on ``_commit_version``
+    (latest source commit wins — exactly replay order), and a delete
+    in the last touching commit propagates as a delete.
+    """
+    cursor = sync_cursor(dst)
+    target = src.version
+    if cursor > target:
+        raise LakeError(
+            f"sync_table: cursor {cursor} is ahead of source version "
+            f"{target} (source rolled back or wrong table?)"
+        )
+    if cursor == target:
+        return {"synced_from": cursor, "synced_to": target, "skipped": True}
+
+    feed = src.changes_since(cursor)
+    if transform is not None:
+        feed = transform(feed)
+        missing = [
+            c
+            for c in [*dst.key_cols, "_change_type", "_commit_version"]
+            if c not in feed.columns
+        ]
+        if missing:
+            raise LakeError(
+                f"sync_table: transform dropped required columns {missing}"
+            )
+    batch = feed.withColumn(
+        "op",
+        F.when(F.col("_change_type") == "D", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    ).drop("_change_type")
+    stats = dst.merge(
+        batch,
+        epoch_id=f"{SYNC_PREFIX}{target}",
+        op_col="op",
+        order_cols=("_commit_version",),
+        drop_cols=("_commit_version",),
+        mode=mode,
+    )
+    return {
+        "synced_from": cursor,
+        "synced_to": target,
+        "skipped": stats.skipped,
+        "stats": stats,
+    }

@@ -415,24 +415,24 @@ class LakeTable:
         Returns the committed manifest, or ``None`` when a concurrent
         writer applied our ``epoch_id`` first (idempotent skip).
 
-        Version numbers are allocated GLOBALLY (max manifest on disk +
-        1) while the content parent is tracked explicitly in
-        ``manifest["parent"]`` — with write-audit-publish, a staged
-        snapshot may hold the next version number, and a published
-        commit must neither collide with it nor point at it as
-        lineage. Staged commits (apply sets ``staged``) never rebase
-        onto foreign manifests: on a version collision they simply
-        reallocate a higher number on the same chain; validation
-        against the published head happens at ``publish()``, exactly
-        like Iceberg stage-only commits.
+        The CAS on the version NUMBER is the conflict detector for the
+        published chain, so a published commit must claim EXACTLY
+        parent+1 — allocating "max on disk + 1" would silently skip
+        past a concurrent published commit and lose its update. The
+        one legal skip: when the number was claimed by a STAGED
+        (write-audit-publish) snapshot, which is not on the published
+        chain — then the commit keeps its content and bumps to the
+        next number. Staged commits themselves never rebase onto
+        foreign manifests (their validation happens at ``publish()``):
+        on any collision they just take a higher number on their own
+        chain. ``manifest["parent"]`` records the true content parent
+        for CDF lineage either way.
         """
 
-        def attempt(parent: dict) -> dict:
+        def attempt(parent: dict, min_version: int = 0) -> dict:
             m = apply(parent)
             declared = m["version"]
-            alloc = max(
-                declared, (self._latest_version_on_disk(self.root) or 0) + 1
-            )
+            alloc = max(declared, min_version)
             if alloc != declared:
                 m["version"] = alloc
                 fixed = {}
@@ -445,18 +445,31 @@ class LakeTable:
             m["parent"] = parent["version"]
             return m
 
-        manifest = attempt(base)
+        parent_used = base
+        manifest = attempt(parent_used)
         staged = bool(manifest.get("staged"))
         for _ in range(max_rebase):
             try:
                 self._commit(manifest)
                 return manifest
             except CommitConflict:
+                claimed_v = manifest["version"]
                 if staged:
                     # stage chains don't rebase onto foreign commits —
                     # just take a fresh version number; publish() does
                     # the real conflict validation
-                    manifest = attempt(base)
+                    manifest = attempt(parent_used, claimed_v + 1)
+                    continue
+                with open(
+                    os.path.join(
+                        self.root, MANIFEST_DIR, f"v{claimed_v}.json"
+                    )
+                ) as fh:
+                    claimer = json.load(fh)
+                if claimer.get("staged"):
+                    # a staged sibling holds our number; it is not on
+                    # the published chain — keep content, bump number
+                    manifest = attempt(parent_used, claimed_v + 1)
                     continue
                 latest = self._load_latest_published_manifest()
                 if epoch_id is not None and epoch_id in latest["applied_epochs"]:
@@ -469,7 +482,8 @@ class LakeTable:
                     self._cleanup_orphan(orphan_dir)
                     self.manifest = latest
                     raise
-                manifest = attempt(latest)
+                parent_used = latest
+                manifest = attempt(parent_used)
         self._cleanup_orphan(orphan_dir)
         raise CommitConflict(
             f"gave up after {max_rebase} rebase attempts at {self.root}"
@@ -1203,6 +1217,7 @@ class LakeTable:
         mode: str = "cow",
         partial: bool = False,
         stage_only: bool = False,
+        expectations: dict[str, Column] | None = None,
     ) -> MergeStats:
         """Apply a change batch: MERGE INTO this table USING changes.
 
@@ -1236,6 +1251,12 @@ class LakeTable:
         WhenMatchedThen FilterBy over target rows — matched target rows
         failing it stay untouched and the corresponding source rows are
         NOT inserted (Core.hs:3659-3688 legs T1/T2/T3).
+
+        ``expectations`` ({name: boolean Column over the batch}) is the
+        data-quality gate: failing rows are quarantined (see
+        ``quarantine()``) instead of merged; NULL results fail closed.
+        ``stage_only`` commits the result as a STAGED snapshot for
+        write-audit-publish (see ``publish``).
         """
         t0 = time.time()
         if mode not in ("cow", "mor"):
@@ -1306,6 +1327,52 @@ class LakeTable:
         ch = changes
         for c in key:
             ch = ch.where(F.col(c).isNotNull())
+        n_quarantined = 0
+        if expectations:
+            # data-quality gate (Delta Live Tables expectations): rows
+            # failing ANY predicate are QUARANTINED — excluded BEFORE
+            # LWW dedup (a bad row must never beat a good one) and
+            # appended to a sidecar table with their violation names,
+            # so nothing is silently dropped. A NULL predicate result
+            # counts as a violation (fail closed). The quarantine dir
+            # is keyed by epoch and written with overwrite, so crash/
+            # retry and OCC re-execution stay idempotent. Costs one
+            # extra pass over the batch — opt-in.
+            names = list(expectations)
+            ok = F.lit(True)
+            for n in names:
+                ok = ok & F.coalesce(expectations[n], F.lit(False))
+            viol = F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(expectations[n], F.lit(False)),
+                            F.lit(n),
+                        )
+                        for n in names
+                    ]
+                )
+            )
+            bad = ch.where(~ok).select(
+                "*",
+                viol.alias("__violations"),
+                F.lit(epoch_id).alias("__epoch_id"),
+            )
+            qtag = epoch_id if epoch_id is not None else uuid.uuid4().hex[:8]
+            qdir = os.path.join(self.root, "quarantine", f"e_{qtag}")
+            obs_q = Observation(f"quar_{qtag}_{uuid.uuid4().hex[:6]}")
+            (
+                bad.observe(obs_q, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+            try:
+                n_quarantined = int(obs_q.get["n"])
+            except Exception:
+                n_quarantined = 0
+            if n_quarantined == 0:
+                shutil.rmtree(qdir, ignore_errors=True)
+            ch = ch.where(ok)
         # n_source rides the dedup job as an observation — no extra scan
         obs_src = Observation(f"merge_src_v{self.version + 1}")
         ch = ch.observe(obs_src, F.count(F.lit(1)).alias("n"))
@@ -1341,11 +1408,14 @@ class LakeTable:
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
         if mode == "mor":
-            return self._append_mor_delta(
+            st = self._append_mor_delta(
                 deduped, key, batch_payload, op_col, new_schema,
                 epoch_id=epoch_id, t0=t0, obs_src=obs_src,
                 files_per_bucket=files_per_bucket, stage_only=stage_only,
             )
+            if expectations:
+                st.extra["quarantined"] = n_quarantined
+            return st
         timings: dict[str, float] = {}
         persisted = None
         obs_dd = None
@@ -1598,7 +1668,8 @@ class LakeTable:
             buckets_touched=len(touched),
             seconds=time.time() - t0,
             extra={"timings": {k: round(v, 3) for k, v in timings.items()},
-                   "write_tasks": n_parts},
+                   "write_tasks": n_parts,
+                   **({"quarantined": n_quarantined} if expectations else {})},
         )
         self._write_lineage(stats, written)
         return stats
@@ -1723,6 +1794,29 @@ class LakeTable:
         )
         self._write_lineage(stats, written)
         return stats
+
+    def quarantine(self) -> DataFrame:
+        """Rows rejected by merge ``expectations``, with their
+        violation names (``__violations``) and ``__epoch_id`` — the
+        dead-letter side of the data-quality gate. Schemas may vary
+        across epochs (batches evolve); read with mergeSchema."""
+        qdir = os.path.join(self.root, "quarantine")
+        if not os.path.isdir(qdir) or not os.listdir(qdir):
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(self.schema.fields)
+                    + [
+                        T.StructField(
+                            "__violations", T.ArrayType(T.StringType())
+                        ),
+                        T.StructField("__epoch_id", T.StringType()),
+                    ]
+                ),
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(qdir, "*")
+        )
 
     def _forbid_staged(self, opname: str) -> None:
         if self.manifest.get("staged"):

@@ -173,6 +173,42 @@ def test_expire_reclaims_abandoned_staged_files(spark, tmp_path):
     assert dict(_state(LakeTable.load(spark, t.root)))[5] == "a5"
 
 
+def test_staged_claimer_does_not_mask_published_conflicts(spark, tmp_path):
+    """Regression: version numbers are the published chain's conflict
+    detector, so a stale writer must NOT skip past a published commit
+    just because a staged snapshot also holds a number. Interleaving:
+    published v1 (ea) -> staged v2 -> stale handle (forked at v1... at
+    v0 here) merges: its CAS walk must rebase over the STAGED claimer
+    but still observe the PUBLISHED commit ea — both epochs and both
+    batches must survive."""
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=4)
+    by_bucket = {}
+    for r in spark.range(40).select(
+        F.col("id").alias("k"), t1.bucket_of(F.col("id")).alias("b")
+    ).collect():
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    bks = sorted(by_bucket)
+    ka, kb = by_bucket[bks[0]][:2], by_bucket[bks[1]][:2]
+
+    t2 = LakeTable.load(spark, root)               # forks at v0
+    t1.merge(_batch(spark, ka, "a"), epoch_id="ea")          # published v1
+    t1b = LakeTable.load(spark, root)
+    t1b.merge(_batch(spark, [99], "stg"), epoch_id="es",
+              stage_only=True)                               # staged v2
+    st = t2.merge(_batch(spark, kb, "b"), epoch_id="eb")     # stale writer
+    assert not st.skipped
+    final = LakeTable.load(spark, root)
+    assert {"ea", "eb"} <= set(final.applied_epochs())
+    assert "es" not in final.applied_epochs()
+    got = dict(_state(final))
+    for k in ka:
+        assert got[k] == f"a{k}"
+    for k in kb:
+        assert got[k] == f"b{k}"
+    assert 99 not in got
+
+
 def test_mor_stage_and_publish(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     full = _batch(spark, [2], "mor")
