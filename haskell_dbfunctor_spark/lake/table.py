@@ -1196,6 +1196,7 @@ class LakeTable:
         """
         cur = self.schema
         cur_names = {f.name for f in cur.fields}
+        dropped = set(self.manifest.get("dropped_columns", []))
         added = []
         for f_in in incoming.fields:
             if f_in.name in cur_names:
@@ -1205,6 +1206,16 @@ class LakeTable:
                         f"type change for column {f_in.name!r}: "
                         f"{cur_f.dataType} -> {f_in.dataType}"
                     )
+            elif f_in.name in dropped:
+                # name-based parquet projection cannot tell a re-added
+                # column from the dropped one — old files would
+                # RESURRECT their dead values on read (Iceberg avoids
+                # this with field ids; this store refuses instead)
+                raise LakeError(
+                    f"column {f_in.name!r} was previously dropped; "
+                    "re-adding it would resurrect old values from "
+                    "existing files — use a new column name"
+                )
             else:
                 added.append(T.StructField(f_in.name, f_in.dataType, True))
         if not added:
@@ -1866,6 +1877,101 @@ class LakeTable:
         return self.spark.read.option("mergeSchema", "true").parquet(
             os.path.join(qdir, "*")
         )
+
+    def rollback(self, version: int, *, conflict_retries: int = 5) -> dict:
+        """Iceberg rollback_to_snapshot: a NEW commit whose content is
+        snapshot ``version``'s — data files by reference, zero
+        rewrites, history preserved (a mistake-rollback is itself
+        roll-back-able). Epochs applied after the rollback point drop
+        out of the applied set, so replaying them afterwards WORKS
+        (that is the recovery story: roll back a bad epoch, fix the
+        feed, re-apply). CDF consumers see the inverse diff as one
+        ordinary commit; a derived-table sync whose cursor is now
+        ahead fails loudly instead of silently skipping (see
+        lake/sync.py). Requires ``version`` to still be retained
+        (``expire_snapshots``) and not a staged snapshot."""
+        self._forbid_staged("rollback")
+        path = os.path.join(self.root, MANIFEST_DIR, f"v{version}.json")
+        if not os.path.exists(path):
+            raise LakeError(
+                f"rollback: snapshot v{version} is expired or never existed"
+            )
+        with open(path) as fh:
+            old = json.load(fh)
+        if old.get("staged"):
+            raise LakeError(f"rollback: v{version} is a staged snapshot")
+
+        def apply(parent: dict) -> dict:
+            m = dict(old)
+            m.pop("staged", None)
+            m.pop("wap_base", None)
+            m["version"] = parent["version"] + 1
+            return m
+
+        # content replaces the table wholesale -> any concurrent data
+        # commit conflicts (touched = every bucket in either snapshot)
+        touched = sorted(
+            int(b)
+            for b in set(old["buckets"])
+            | set(self.manifest["buckets"])
+            | set(old.get("delta_files", {}))
+            | set(self.manifest.get("delta_files", {}))
+        )
+        for attempt in range(conflict_retries + 1):
+            try:
+                committed = self._commit_rebased(
+                    base=self.manifest, touched=touched, apply=apply
+                )
+                return {
+                    "rolled_back_to": int(version),
+                    "version": committed["version"],
+                }
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_published_manifest()
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only DROP COLUMN: the schema loses the field, no
+        file is rewritten (reads project the remaining columns; the
+        dead bytes go away at the next compaction of each bucket).
+        The name is tombstoned: re-adding it is refused, because
+        name-based parquet projection would resurrect the old values
+        from un-rewritten files (Iceberg's field ids solve this
+        properly; refusing is the honest alternative)."""
+        self._forbid_staged("drop_column")
+        if name in self.key_cols:
+            raise LakeError(f"drop_column: {name!r} is a key column")
+        if name not in self.schema.names:
+            raise LakeError(f"drop_column: unknown column {name!r}")
+        new_schema = T.StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["schema"] = new_schema.json()
+            m["dropped_columns"] = sorted(
+                set(parent.get("dropped_columns", [])) | {name}
+            )
+            # stats/blooms for the dead column are meaningless — strip
+            for cat in ("file_stats", "file_blooms"):
+                entries = m.get(cat)
+                if entries:
+                    m[cat] = {
+                        rel: {c: v for c, v in e.items() if c != name}
+                        for rel, e in entries.items()
+                    }
+            return m
+
+        # schema change is metadata-only and composes with any
+        # concurrent data commit... except one that re-evolves the
+        # same column; the schema-equality conflict rule covers it
+        committed = self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply
+        )
+        return {"dropped": name, "version": committed["version"]}
 
     def _forbid_staged(self, opname: str) -> None:
         if self.manifest.get("staged"):
