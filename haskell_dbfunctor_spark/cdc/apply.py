@@ -63,6 +63,7 @@ def replay(
     mode: str = "cow",
     compact_every: int | None = None,
     epoch_prefix: str = "epoch",
+    expectations: dict | None = None,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -103,6 +104,7 @@ def replay(
             files_per_bucket=files_per_bucket,
             prune_buckets=prune_buckets,
             mode=mode,
+            expectations=expectations,
         )
         if m.skipped:
             stats.epochs_skipped += 1

@@ -97,6 +97,7 @@ def tail_feed_dir(
     order_cols: tuple = ("ts", "seq"),
     cross_batch_lww: bool = True,
     schema: T.StructType | None = None,
+    expectations: dict | None = None,
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -144,6 +145,9 @@ def tail_feed_dir(
             op_col=op_col,
             order_cols=order_cols,
             matched_filter=mf,
+            # per-micro-batch data-quality gate: bad rows quarantine
+            # instead of merging (idempotent per stream epoch id)
+            expectations=expectations,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the cross-batch last-writer-wins matched "
                          "filter; ONLY safe when feed files arrive in "
                          "strict order (saves one compare per matched row)")
+    ap.add_argument("--expect", action="append", default=[],
+                    metavar="NAME=SQL",
+                    help="data-quality expectation (repeatable): rows "
+                         "failing the SQL boolean expression are "
+                         "quarantined instead of merged, e.g. "
+                         "--expect 'text_present=text IS NOT NULL'")
     args = ap.parse_args(argv)
 
     from haskell_dbfunctor_spark.session import get_spark
@@ -70,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.table_root, num_buckets=args.buckets
     )
 
+    expectations = None
+    if args.expect:
+        from pyspark.sql import functions as F
+
+        expectations = {}
+        for item in args.expect:
+            name, _, expr = item.partition("=")
+            if not name or not expr:
+                ap.error(f"--expect needs NAME=SQL, got {item!r}")
+            expectations[name] = F.expr(expr)
+
     if args.stream:
         from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
 
@@ -78,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         # cross_batch_lww defaults True: a late WAL file applied in a
         # later micro-batch must not overwrite newer committed state
         q = tail_feed_dir(spark, table, args.feed_dir,
-                          cross_batch_lww=not args.no_cross_batch_lww)
+                          cross_batch_lww=not args.no_cross_batch_lww,
+                          expectations=expectations)
         q.awaitTermination()
         print(json.dumps({"mode": "stream", "status": "drained"}))
         return 0
@@ -104,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         stop_after=args.stop_after,
         mode="mor" if args.mor else "cow",
         compact_every=args.compact_every,
+        expectations=expectations,
     )
     print(json.dumps({
         "mode": "replay-mor" if args.mor else "replay",

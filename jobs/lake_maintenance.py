@@ -56,6 +56,37 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--cols", required=True,
                     help="comma-separated column names")
 
+    ab = sub.add_parser(
+        "analyze-bloom",
+        help="build per-file Bloom filters (point-lookup file skipping "
+             "for partial-key / payload columns; one distributed pass)",
+    )
+    ab.add_argument("--cols", required=True,
+                    help="comma-separated column names")
+    ab.add_argument("--bits", type=int, default=8192)
+    ab.add_argument("--k", type=int, default=4)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="roll the table back to an earlier snapshot (new commit, "
+             "files by reference; later epochs re-open for replay)",
+    )
+    rb.add_argument("--to-version", type=int, required=True)
+
+    dc = sub.add_parser(
+        "drop-column",
+        help="metadata-only DROP COLUMN (no rewrites; the name is "
+             "tombstoned against re-adding)",
+    )
+    dc.add_argument("--name", required=True)
+
+    pb = sub.add_parser(
+        "publish",
+        help="publish a staged (write-audit-publish) snapshot chain",
+    )
+    pb.add_argument("--version", type=int, default=None,
+                    help="staged chain head (default: newest staged)")
+
     ch = sub.add_parser(
         "changes",
         help="write the change data feed between two snapshots "
@@ -72,8 +103,10 @@ def main(argv: list[str] | None = None) -> int:
     # natural trailing position (`... compact --no-verify`); a parent-
     # parser flag placed after the subcommand is rejected by argparse.
     # `changes` is read-only — no row-count invariant, no flag;
-    # `analyze` is metadata-only, same.
-    for p in (c, e, cd, r):
+    # `analyze`/`analyze-bloom` are metadata-only, same; `rollback`
+    # and `publish` change state BY DESIGN; `drop-column` preserves
+    # rows (checked).
+    for p in (c, e, cd, r, dc):
         p.add_argument("--no-verify", action="store_true",
                        help="skip the before/after row-count check (two "
                             "full table scans — skip on very large tables)")
@@ -92,6 +125,35 @@ def main(argv: list[str] | None = None) -> int:
             "table_version": table.version,
             **res,
         }))
+        return 0
+
+    if args.action == "analyze-bloom":
+        res = table.analyze_bloom(
+            [c.strip() for c in args.cols.split(",")],
+            bits=args.bits, k=args.k,
+        )
+        print(json.dumps({
+            "action": "analyze-bloom",
+            "table_version": table.version,
+            **res,
+        }))
+        return 0
+
+    if args.action == "rollback":
+        res = table.rollback(args.to_version)
+        print(json.dumps({
+            "action": "rollback",
+            "rows": table.read().count(),
+            **res,
+        }))
+        return 0
+
+    if args.action == "publish":
+        version = args.version
+        if version is None:
+            version = LakeTable._latest_version_on_disk(args.table_root)
+        res = table.publish(version)
+        print(json.dumps({"action": "publish", **res}))
         return 0
 
     if args.action == "changes":
@@ -123,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
         res = table.expire_snapshots(keep_last=args.keep_last)
     elif args.action == "compact-deltas":
         res = table.compact_deltas()
+    elif args.action == "drop-column":
+        res = table.drop_column(args.name)
     else:
         res = table.rebucket(args.num_buckets)
 
