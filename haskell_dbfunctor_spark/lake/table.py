@@ -1187,25 +1187,69 @@ class LakeTable:
         return self.bucket_of(*[df[c] for c in self.key_cols])
 
     # ------------------------------------------------- schema evolution
+    # safe widening promotions (Iceberg type-promotion rules): the
+    # parquet reader upcasts narrow file columns through the wider
+    # declared schema, so widening is metadata-only — no rewrites.
+    # Probed on this Spark build (int32/float files read fine under a
+    # long/double schema). Lossy directions (long->int, double->float,
+    # numeric<->string) stay rejected.
+    _WIDEN_CHAINS = (
+        ["tinyint", "smallint", "int", "bigint"],
+        ["float", "double"],
+    )
+
+    @classmethod
+    def _can_widen(cls, frm: T.DataType, to: T.DataType) -> bool:
+        f, t = frm.simpleString(), to.simpleString()
+        for chain in cls._WIDEN_CHAINS:
+            if f in chain and t in chain:
+                return chain.index(f) < chain.index(t)
+        return False
+
     def _evolve_schema(self, incoming: T.StructType) -> T.StructType:
         """Extend table schema with columns new in ``incoming``.
 
-        Additive-only (Iceberg ADD COLUMN); type changes are rejected.
-        Reference analog: addColumn (Core.hs:2505-2513) + the UknownType
-        wildcard in rtabsSameStructure (Core.hs:3744-3779).
+        Additive + widening (Iceberg ADD COLUMN / type promotion): new
+        columns extend the schema; an incoming WIDER numeric type
+        widens the table column in place (old files keep their narrow
+        physical type and upcast at read); an incoming NARROWER type
+        is accepted batch-side (the merge coerces up). Any other type
+        change is rejected. Reference analog: addColumn
+        (Core.hs:2505-2513) + the UknownType wildcard in
+        rtabsSameStructure (Core.hs:3744-3779).
         """
         cur = self.schema
         cur_names = {f.name for f in cur.fields}
         dropped = set(self.manifest.get("dropped_columns", []))
         added = []
+        widened: dict[str, T.DataType] = {}
         for f_in in incoming.fields:
             if f_in.name in cur_names:
                 cur_f = cur[f_in.name]
                 if cur_f.dataType != f_in.dataType:
-                    raise LakeError(
-                        f"type change for column {f_in.name!r}: "
-                        f"{cur_f.dataType} -> {f_in.dataType}"
-                    )
+                    if f_in.name in self.key_cols:
+                        # the TABLE key type never changes: xxhash64
+                        # hashes by physical type (int 5 and long 5
+                        # hash differently), so widening the key would
+                        # scatter existing keys across wrong buckets.
+                        # A NARROWER batch key is fine — the merge
+                        # casts it up to the table type before hashing.
+                        if self._can_widen(f_in.dataType, cur_f.dataType):
+                            continue
+                        raise LakeError(
+                            f"type change for KEY column {f_in.name!r} "
+                            "is not allowed (bucket hashing is "
+                            "type-sensitive); cast the batch instead"
+                        )
+                    if self._can_widen(cur_f.dataType, f_in.dataType):
+                        widened[f_in.name] = f_in.dataType
+                    elif self._can_widen(f_in.dataType, cur_f.dataType):
+                        pass  # narrower batch: merge coerces up
+                    else:
+                        raise LakeError(
+                            f"type change for column {f_in.name!r}: "
+                            f"{cur_f.dataType} -> {f_in.dataType}"
+                        )
             elif f_in.name in dropped:
                 # name-based parquet projection cannot tell a re-added
                 # column from the dropped one — old files would
@@ -1218,9 +1262,13 @@ class LakeTable:
                 )
             else:
                 added.append(T.StructField(f_in.name, f_in.dataType, True))
-        if not added:
+        if not added and not widened:
             return cur
-        return T.StructType(list(cur.fields) + added)
+        base_fields = [
+            T.StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            for f in cur.fields
+        ]
+        return T.StructType(base_fields + added)
 
     # ----------------------------------------------------------- merge
     def merge(
@@ -1379,6 +1427,15 @@ class LakeTable:
         ch = changes
         for c in key:
             ch = ch.where(F.col(c).isNotNull())
+            # normalize key types to the table's declared types BEFORE
+            # hashing: xxhash64 is physical-type-sensitive, so a batch
+            # carrying int where the table declares long would bucket
+            # every key wrong (upcast only — _evolve_schema rejects
+            # key-narrowing/widening of the table side)
+            if c in changes.columns and (
+                changes.schema[c].dataType != self.schema[c].dataType
+            ):
+                ch = ch.withColumn(c, F.col(c).cast(self.schema[c].dataType))
         n_quarantined = 0
         if expectations:
             # data-quality gate (Delta Live Tables expectations): rows
