@@ -2515,6 +2515,58 @@ class LakeTable:
             "removed_files": removed_files,
         }
 
+    def remove_orphans(self, *, grace_seconds: int = 3600) -> dict:
+        """Iceberg remove_orphan_files: delete data files referenced by
+        NO manifest on disk — the residue of a writer that crashed
+        between its snapshot write and its commit (a conflict-handled
+        attempt cleans itself up; a hard crash cannot). Files younger
+        than ``grace_seconds`` are kept: an in-flight writer has
+        written its files but not yet committed its manifest, and
+        deleting under it would fail its commit's liveness. Run this
+        with a grace comfortably above the longest expected write
+        (Iceberg's default is 3 days for the same reason).
+        """
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        referenced: set[str] = set()
+        for f in os.listdir(meta_dir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            for files in m.get("buckets", {}).values():
+                referenced.update(files)
+            for files in m.get("delta_files", {}).values():
+                referenced.update(files)
+        data_dir = os.path.join(self.root, DATA_DIR)
+        removed = kept_young = 0
+        cutoff = time.time() - grace_seconds
+        if os.path.isdir(data_dir):
+            for dirpath, _, files in os.walk(data_dir):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(p, self.root)
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(p) >= cutoff:
+                            kept_young += 1
+                            continue
+                        os.remove(p)
+                        removed += 1
+                    except OSError:
+                        continue
+            # prune emptied dirs bottom-up (same convergence loop as
+            # expire_snapshots)
+            while True:
+                removed_dir = False
+                for sub in os.walk(data_dir, topdown=False):
+                    if sub[0] != data_dir and not os.listdir(sub[0]):
+                        os.rmdir(sub[0])
+                        removed_dir = True
+                if not removed_dir:
+                    break
+        return {"removed_files": removed, "kept_in_grace": kept_young}
+
     # ------------------------------------------------ lineage / metrics
     def _write_lineage(self, stats: MergeStats, written: dict) -> None:
         """Per-commit lineage + metrics, appended as JSONL sidecars.

@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--version", type=int, default=None,
                     help="staged chain head (default: newest staged)")
 
+    ro = sub.add_parser(
+        "remove-orphans",
+        help="delete data files referenced by no manifest (crashed "
+             "write attempts), older than the grace window",
+    )
+    ro.add_argument("--grace-seconds", type=int, default=3600)
+
     ch = sub.add_parser(
         "changes",
         help="write the change data feed between two snapshots "
@@ -146,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
             "rows": table.read().count(),
             **res,
         }))
+        return 0
+
+    if args.action == "remove-orphans":
+        res = table.remove_orphans(grace_seconds=args.grace_seconds)
+        print(json.dumps({"action": "remove-orphans", **res}))
         return 0
 
     if args.action == "publish":

@@ -150,3 +150,55 @@ def test_crash_before_commit_is_invisible_and_retryable(spark, tmp_path):
     assert _state(table) == _state(twin)
     # and a re-apply of the committed epoch is a no-op (idempotent)
     assert table.merge(batch(50, 150, "b"), epoch_id="e1").skipped
+
+
+def test_remove_orphans_cleans_crashed_attempts(spark, tmp_path):
+    """A writer that dies between its snapshot write and its commit
+    leaves files no manifest references; remove_orphans deletes them
+    after the grace window and never touches referenced or
+    younger-than-grace files."""
+    import time as _time
+
+    table = _table_with_fragmented_files(spark, str(tmp_path / "t"),
+                                         n_merges=1)
+    # crash injection: the snapshot directory is written, the commit is not
+    saved = LakeTable._commit
+    def boom(self, manifest):
+        raise RuntimeError("crash before manifest commit")
+    LakeTable._commit = boom
+    batch = spark.range(500, 520).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+        F.lit("U").alias("op"), F.col("id").alias("seq"),
+    )
+    try:
+        with __import__("pytest").raises(RuntimeError):
+            table.merge(batch, epoch_id="crash")
+    finally:
+        LakeTable._commit = saved
+
+    data_dir = os.path.join(table.root, "data")
+    all_files = lambda: {  # noqa: E731
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir) for f in fs
+        if f.endswith(".parquet")
+    }
+    live = {
+        os.path.realpath(os.path.join(table.root, f))
+        for fl in table.manifest["buckets"].values() for f in fl
+    }
+    orphans = {p for p in all_files() if os.path.realpath(p) not in live}
+    assert orphans  # the crashed attempt left files
+
+    # inside grace: nothing is deleted
+    res = table.remove_orphans(grace_seconds=3600)
+    assert res["removed_files"] == 0 and res["kept_in_grace"] >= len(orphans)
+    # age the orphans past the grace and sweep
+    for p in orphans:
+        os.utime(p, (1, 1))
+    res = table.remove_orphans(grace_seconds=60)
+    assert res["removed_files"] == len(orphans)
+    assert all_files() == {p for p in all_files() if os.path.realpath(p) in live}
+    before = _state(table)
+    assert _state(LakeTable.load(spark, table.root)) == before
