@@ -2543,6 +2543,8 @@ class LakeTable:
         if os.path.isdir(data_dir):
             for dirpath, _, files in os.walk(data_dir):
                 for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue  # _SUCCESS markers etc. are not data
                     p = os.path.join(dirpath, fn)
                     rel = os.path.relpath(p, self.root)
                     if rel in referenced:
