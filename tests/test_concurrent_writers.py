@@ -172,6 +172,67 @@ def test_concurrent_threads_no_lost_updates(spark, tmp_path):
         LakeTable.load(spark, root, v)
 
 
+def test_property_concurrent_writers_serializable(spark, tmp_path):
+    """Serializability under contention: 3 writers x 3 epochs over a
+    SMALL shared key space (overlap guaranteed -> real conflicts and
+    re-executions), raced concurrently. The outcome must equal a
+    sequential replay of the same epochs in their actual COMMIT order
+    (read back from the manifest versions) — i.e., the concurrent
+    schedule is equivalent to the serial history the commits claim."""
+    import random
+
+    rng = random.Random(11)
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=4)
+    batches = {
+        f"w{w}-e{e}": [
+            (rng.randrange(30), f"w{w}e{e}") for _ in range(6)
+        ]
+        for w in range(3) for e in range(3)
+    }
+    errors = []
+
+    def writer(wid):
+        try:
+            t = LakeTable.load(spark, root)
+            for e in range(3):
+                eid = f"w{wid}-e{e}"
+                rows = [(k, f"{tag}:{k}") for k, tag in batches[eid]]
+                df = spark.createDataFrame(rows, "k long, v string").select(
+                    "k", "v",
+                    F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+                    F.lit("U").alias("op"),
+                    F.lit(e).cast("long").alias("seq"),
+                )
+                t.merge(df, epoch_id=eid, conflict_retries=40)
+        except Exception as ex:  # pragma: no cover
+            errors.append((wid, ex))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    final = LakeTable.load(spark, root)
+    applied = final.applied_epochs()
+    assert set(applied) == set(batches)
+    # replay the SAME epochs sequentially in their claimed commit order
+    twin = LakeTable.create(spark, str(tmp_path / "twin"), SCHEMA,
+                            key_cols=["k"], num_buckets=4)
+    for eid in sorted(applied, key=lambda e: applied[e]["version"]):
+        rows = [(k, f"{tag}:{k}") for k, tag in batches[eid]]
+        df = spark.createDataFrame(rows, "k long, v string").select(
+            "k", "v",
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(int(eid[-1])).cast("long").alias("seq"),
+        )
+        twin.merge(df, epoch_id=eid)
+    assert _state(final) == _state(twin)
+
+
 def test_compaction_races_merge(spark, tmp_path):
     """A stale handle compacts while another writer merged in between:
     the compaction must either rebase or re-plan, and the logical state
