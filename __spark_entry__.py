@@ -43,8 +43,8 @@ from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
-    normalize_text, tfidf_top_terms, token_count_bpe_ish, vocabulary,
-    winnow_fingerprints,
+    decontaminate, normalize_text, tfidf_top_terms, token_count_bpe_ish,
+    vocabulary, winnow_fingerprints,
 )
 
 
@@ -692,6 +692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q56_winnow_fingerprints"] = q56
 
     # text normalization (lowercase/punct-strip/ws-collapse) — codegen
+    # train/eval decontamination: n-gram overlap vs a deterministic
+    # hash-drawn holdout (the GPT-3/PaLM-style contamination check)
+    q["q71_decontamination"] = lambda s, d: decontaminate(
+        _t(s, d, "documents"), n=4, holdout_fraction=0.10
+    )
+
     q["q59_normalize_text"] = lambda s, d: normalize_text(
         _t(s, d, "documents")
     )
@@ -2202,6 +2208,27 @@ WHERE COALESCE(p.op, 'U') <> 'D'
           FROM events GROUP BY ROLLUP(event_type, cohort)
         )
     """
+    o["q71_decontamination"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         substr(md5('holdout' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '{threshold_hex(0.10)}' AS hold
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, hold,
+         array_to_string(ws[i:i+3], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(ws) - 4 + 2, 1))) AS t(i)
+  WHERE len(ws) >= 4
+), hg AS (SELECT DISTINCT gram FROM g WHERE hold),
+c AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_contaminated
+  FROM g JOIN hg USING (gram) WHERE NOT hold GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(c.n_contaminated, 0) AS n_contaminated,
+       coalesce(c.n_contaminated, 0) > 0 AS is_contaminated
+FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
+"""
     o["q59_normalize_text"] = """
         WITH n AS (
           SELECT doc_id,

@@ -206,3 +206,65 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("doc_id", "word", "score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 4,
+    holdout_fraction: float = 0.10,
+    salt: str = "holdout",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: flag TRAIN docs sharing any word
+    n-gram with the HOLDOUT split — the contamination check every
+    serious LLM training pipeline runs against its eval sets (the
+    n-gram-overlap method published with GPT-3/PaLM).
+
+    The holdout assignment is the same deterministic hash-draw sampler
+    as stratified_hash_sample (md5(salt||id) prefix < threshold), so
+    the split is reproducible with no stored state. Output: one row per
+    TRAIN doc with ``n_contaminated`` (distinct overlapping n-grams)
+    and ``is_contaminated``.
+
+    Scale shape: one linear pass explodes distinct n-grams per doc
+    (distinct-per-doc caps the blowup at words-n+1 per doc); the
+    holdout n-gram set is a fraction of the corpus and joins broadcast
+    (at 100 TB with a fixed benchmark suite as the holdout it is tiny);
+    the contaminated count is one hash aggregation. N-grams here join
+    as raw strings so the DuckDB oracle can mirror them exactly —
+    production would xxhash64 them to longs (8 bytes vs ~n*6) with
+    identical join semantics.
+    """
+    from .sampling import threshold_hex
+
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    is_holdout = draw < F.lit(threshold_hex(holdout_fraction))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams_arr = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        id_col, is_holdout.alias("__hold"), F.explode(grams_arr).alias("gram")
+    )
+    hold_grams = grams.where(F.col("__hold")).select("gram").distinct()
+    hits = (
+        grams.where(~F.col("__hold"))
+        .join(F.broadcast(hold_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated"))
+    )
+    train = docs.select(id_col).where(~is_holdout)
+    return train.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
+    )
