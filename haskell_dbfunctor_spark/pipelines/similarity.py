@@ -294,7 +294,15 @@ def ivf_top_k(
     so a query reads nprobe partitions, not the table; this in-memory
     form expresses the same plan over an unpartitioned input.
     """
-    cent = ivf_train(embeddings, n_centroids, refine_iters)
+    # materialize the trained quantizer (n_centroids rows): `cent` is
+    # referenced by BOTH the probe selection and the assignment —
+    # leaving it lazy re-runs the whole Lloyd training once per
+    # reference in the physical plan (the documented unionAll/self-join
+    # double-compute gotcha). At 100 TB the quantizer is trained once
+    # at ingest and stored; this is the in-memory equivalent.
+    cent = ivf_train(embeddings, n_centroids, refine_iters).localCheckpoint(
+        eager=True
+    )
     assigned = ivf_assign(embeddings, cent)
     qv = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
