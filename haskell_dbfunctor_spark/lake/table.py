@@ -2227,6 +2227,38 @@ class LakeTable:
                     raise
                 self.manifest = self._load_latest_published_manifest()
 
+    def _zorder_col(self, df: DataFrame, cols: Sequence[str], bits: int = 8):
+        """Z-value Column: interleaved bits of per-column quantile
+        ranks. Ranks come from driver-broadcast approxQuantile
+        boundaries (a distributed sketch — NEVER a global ntile window,
+        which would funnel every row through one task at scale); the
+        rank is 'how many boundaries <= x', an O(2^bits) JVM-side fold
+        per row inside codegen."""
+        n_b = (1 << bits) - 1
+        probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
+        ranks = []
+        for c in cols:
+            qdf = df.select(F.col(c).cast("double").alias("__q"))
+            bounds = qdf.approxQuantile("__q", probs, 0.001)
+            ranks.append(
+                F.aggregate(
+                    F.lit(bounds),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(
+                        F.col(c).cast("double") >= b, F.lit(1)
+                    ).otherwise(F.lit(0)),
+                )
+            )
+        z = F.lit(0)
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                z = z + F.shiftleft(
+                    F.shiftright(r, i).bitwiseAND(F.lit(1)),
+                    i * len(ranks) + j,
+                )
+        return z
+
     def _compact_impl(
         self,
         *,
@@ -2234,6 +2266,7 @@ class LakeTable:
         min_files: int = 2,
         buckets: Sequence[int] | None = None,
         sort_by: str | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> dict:
         """Iceberg rewrite_data_files: coalesce small files bucket-wise.
 
@@ -2255,8 +2288,23 @@ class LakeTable:
         bucket (plus tighter parquet row-group stats for the residual
         filter). When ``sort_by`` is set, every selected bucket is
         rewritten (clustering IS the point, not just file count).
+
+        ``zorder_by`` (mutually exclusive) clusters on a Z-ORDER curve
+        over several numeric columns (Delta OPTIMIZE ZORDER BY): rows
+        sort by the interleaved bits of each column's quantile rank, so
+        every file covers a small hyper-rectangle and ``read_where``
+        prunes files on ANY of the columns — a 1-D sort serves only its
+        own column (sibling files span the full range of every other).
         """
         self._forbid_staged("compact")
+        if sort_by and zorder_by:
+            raise LakeError("compact: pass sort_by OR zorder_by, not both")
+        if zorder_by:
+            for c in zorder_by:
+                if c not in self.schema.names:
+                    raise LakeError(
+                        f"compact: unknown zorder_by column {c!r}"
+                    )
         bm = self.manifest["buckets"]
         dm = self.manifest.get("delta_files", {})
         candidates = []
@@ -2280,7 +2328,7 @@ class LakeTable:
             # rewritten on every maintenance run, forever); buckets
             # with pending MoR deltas always qualify (folding them in
             # is strictly useful)
-            if sort_by or has_deltas or len(files) >= min_files or (
+            if sort_by or zorder_by or has_deltas or len(files) >= min_files or (
                 len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
             ):
                 candidates.append((int(b), sum(sizes)))
@@ -2313,6 +2361,18 @@ class LakeTable:
                 df.repartitionByRange(
                     n_parts, F.col(BUCKET_COL), F.col(sort_by)
                 ).sortWithinPartitions(BUCKET_COL, sort_by)
+            )
+        elif zorder_by:
+            # range-split + sort on the space-filling curve value: each
+            # file covers a hyper-rectangle, so per-file [min, max] is
+            # tight on EVERY zorder column at once
+            zdf = df.withColumn("__z", self._zorder_col(df, zorder_by))
+            out = (
+                zdf.repartitionByRange(
+                    n_parts, F.col(BUCKET_COL), F.col("__z")
+                )
+                .sortWithinPartitions(BUCKET_COL, "__z")
+                .drop("__z")
             )
         else:
             part_cols = [F.col(BUCKET_COL)]

@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="cluster the rewrite on this column (range-split "
                         "sibling files + sorted rows; pair with analyze "
                         "for read_where file skipping)")
+    c.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns: cluster on a Z-order "
+                        "curve so range reads prune files on ANY of "
+                        "them (Delta OPTIMIZE ZORDER BY analog)")
 
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
@@ -192,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             min_files=args.min_files,
             sort_by=args.sort_by,
+            zorder_by=(
+                [c.strip() for c in args.zorder_by.split(",")]
+                if args.zorder_by else None
+            ),
         )
     elif args.action == "expire":
         res = table.expire_snapshots(keep_last=args.keep_last)
