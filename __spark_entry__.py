@@ -379,6 +379,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- incremental derived table: CDF-driven bronze -> silver ----
     q["q70_sync_derived_table"] = _sync_derived_table
 
+    # transcript reconstruction — the north star's read shape: the
+    # final replayed state reassembled per entity in STABLE turn order
+    # (here: user sessions ordered by last event id; for the transcript
+    # lake it is conv_id/turn_idx — same plan, one pinned-order
+    # string_agg over the LWW state, q14's machinery over q21's state)
+    def q72(s, d):
+        state = _cdc_lww_state(s, d)
+        turns = F.array_sort(
+            F.collect_list(F.struct("last_event_id", "event_type"))
+        )
+        return state.groupBy("user_id").agg(
+            F.concat_ws(
+                ">", F.transform(turns, lambda t: t["event_type"])
+            ).alias("session"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    q["q72_session_reconstruct"] = q72
+
     # ---- streaming: custom stateful op (applyInPandasWithState) ----
     q["q44_stream_stateful_stats"] = _stream_stateful_stats
 
@@ -1799,6 +1818,23 @@ FROM (
   FROM events
 ) WHERE rn = 1 AND op <> 'D'
   AND user_id = (SELECT min(user_id) FROM events)
+"""
+    o["q72_session_reconstruct"] = """
+WITH state AS (
+  SELECT user_id, event_type, event_id AS last_event_id
+  FROM (
+    SELECT *,
+           CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY last_event_id) AS session,
+       count(*) AS n_turns,
+       max(last_event_id) AS last_event_id
+FROM state GROUP BY user_id
 """
     o["q70_sync_derived_table"] = """
 SELECT user_id, event_type, round(value * 2, 2) AS value2,
