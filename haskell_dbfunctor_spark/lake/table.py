@@ -160,6 +160,7 @@ class LakeTable:
         key_cols: Sequence[str],
         num_buckets: int = 32,
         overwrite: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         meta_dir = os.path.join(root, MANIFEST_DIR)
         if os.path.exists(os.path.join(meta_dir, "version-hint.txt")):
@@ -184,6 +185,12 @@ class LakeTable:
             "buckets": {},  # bucket id (str) -> [relative file paths]
             "applied_epochs": {},  # epoch_id -> {"version": v}
             "created_at": time.time(),
+            # declared CHECK constraints ({name: SQL boolean expr} —
+            # stored as SQL so the manifest stays JSON): merged into
+            # every merge's expectations; violating rows quarantine
+            # instead of landing (Delta CHECK constraint + DLT
+            # expectation rolled into one)
+            "constraints": dict(constraints or {}),
         }
         tbl = cls(spark, root, manifest)
         tbl._commit(manifest)
@@ -1424,6 +1431,20 @@ class LakeTable:
         # payload columns actually present in this batch
         batch_payload = [c for c in data_cols if c in changes.columns]
 
+        declared = self.manifest.get("constraints") or {}
+        if declared:
+            merged_exp = {}
+            for n, sql in declared.items():
+                cond = F.expr(sql)
+                try:
+                    changes.where(cond).schema  # resolves or raises
+                except Exception:
+                    # a partial/narrow batch not carrying the
+                    # constrained column cannot violate it
+                    continue
+                merged_exp[n] = cond
+            merged_exp.update(expectations or {})
+            expectations = merged_exp or None
         ch = changes
         for c in key:
             ch = ch.where(F.col(c).isNotNull())
@@ -2575,6 +2596,48 @@ class LakeTable:
             "removed_files": removed_files,
         }
 
+    def add_constraint(self, name: str, sql: str) -> dict:
+        """Declare a CHECK constraint (metadata-only commit): from now
+        on every merge quarantines rows failing ``sql``. Existing rows
+        are NOT re-validated (same as Delta's default NOVALIDATE)."""
+        self._forbid_staged("add_constraint")
+        # validate now, not at first merge: resolve against an empty
+        # frame of the table schema (catches bad syntax AND unknown
+        # columns; F.expr alone defers parsing)
+        self.spark.createDataFrame([], self.schema).where(F.expr(sql)).schema
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["constraints"] = {
+                **parent.get("constraints", {}), name: sql
+            }
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply
+        )
+        return {"constraint": name, "version": committed["version"]}
+
+    def drop_constraint(self, name: str) -> dict:
+        self._forbid_staged("drop_constraint")
+        if name not in (self.manifest.get("constraints") or {}):
+            raise LakeError(f"no constraint named {name!r}")
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["constraints"] = {
+                k: v for k, v in parent.get("constraints", {}).items()
+                if k != name
+            }
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply
+        )
+        return {"dropped_constraint": name, "version": committed["version"]}
+
     def remove_orphans(self, *, grace_seconds: int = 3600) -> dict:
         """Iceberg remove_orphan_files: delete data files referenced by
         NO manifest on disk — the residue of a writer that crashed
@@ -2628,6 +2691,65 @@ class LakeTable:
                 if not removed_dir:
                     break
         return {"removed_files": removed, "kept_in_grace": kept_young}
+
+    # ------------------------------------------------- metadata tables
+    def files_df(self) -> DataFrame:
+        """The ``files`` metadata table (Iceberg ``table.files``): one
+        row per live data/delta file of THIS snapshot, with bucket,
+        size, and which stat catalogs cover it. Driver-side O(files)
+        manifest walk — no data read."""
+        fstats = self.manifest.get("file_stats", {})
+        blooms = self.manifest.get("file_blooms", {})
+        pdf = set(self.manifest.get("partial_delta_files", []))
+        rows = []
+        for kind, mapping in (
+            ("data", self.manifest.get("buckets", {})),
+            ("delta", self.manifest.get("delta_files", {})),
+        ):
+            for b, files in mapping.items():
+                for rel in files:
+                    p = os.path.join(self.root, rel)
+                    rows.append((
+                        int(b), rel, kind,
+                        int(os.path.getsize(p)) if os.path.exists(p) else None,
+                        sorted(fstats.get(rel, {})),
+                        sorted(blooms.get(rel, {})),
+                        rel in pdf,
+                    ))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, path string, kind string, bytes long, "
+            "stats_cols array<string>, bloom_cols array<string>, "
+            "partial boolean",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``snapshots``/``history`` metadata table: one row per
+        retained snapshot — version, commit instant, parent (CDF
+        lineage), staged flag, epoch/bucket counts."""
+        rows = []
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        for f in sorted(os.listdir(meta_dir)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            rows.append((
+                int(m["version"]),
+                float(m.get("created_at") or 0.0),
+                m.get("parent"),
+                bool(m.get("staged")),
+                len(m.get("applied_epochs", {})),
+                len(m.get("buckets", {})),
+                sum(len(v) for v in m.get("delta_files", {}).values()),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, committed_at double, parent int, staged boolean, "
+            "n_epochs int, n_buckets int, n_delta_files int",
+        ).withColumn(
+            "committed_at", F.timestamp_seconds(F.col("committed_at"))
+        )
 
     # ------------------------------------------------ lineage / metrics
     def _write_lineage(self, stats: MergeStats, written: dict) -> None:
