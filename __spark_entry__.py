@@ -30,7 +30,8 @@ from haskell_dbfunctor_spark.pipelines.dedup_text import (
     near_dup_counts_lsh, simhash16, simhash_near_dup_counts,
 )
 from haskell_dbfunctor_spark.pipelines.sampling import (
-    stratified_hash_sample, threshold_hex, train_test_split_col,
+    pack_shards, stratified_hash_sample, threshold_hex,
+    train_test_split_col,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
     doc_fingerprint, lang_id, text_quality,
@@ -715,6 +716,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-drawn holdout (the GPT-3/PaLM-style contamination check)
     q["q71_decontamination"] = lambda s, d: decontaminate(
         _t(s, d, "documents"), n=4, holdout_fraction=0.10
+    )
+
+    # token-balanced shard packing (training write prep) — the
+    # distributed-cumsum pattern, never a global single-task window
+    q["q73_pack_shards"] = lambda s, d: pack_shards(
+        _t(s, d, "documents"), tokens_per_shard=2000
     )
 
     q["q59_normalize_text"] = lambda s, d: normalize_text(
@@ -2244,6 +2251,20 @@ WHERE COALESCE(p.op, 'U') <> 'D'
           FROM events GROUP BY ROLLUP(event_type, cohort)
         )
     """
+    o["q73_pack_shards"] = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(
+         (sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+         / 2000.0) AS BIGINT) AS shard_id
+FROM toks
+"""
     o["q71_decontamination"] = f"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,

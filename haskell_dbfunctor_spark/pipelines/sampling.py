@@ -99,3 +99,67 @@ def train_test_split_col(
         .otherwise(F.lit("train"))
         .alias(out_col)
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced shard assignment — the write-side prep of a
+    training pipeline: documents packed, in a deterministic global
+    order, into shards of ~``tokens_per_shard`` tokens (greedy
+    sequential packing: shard = floor(tokens_before / target)).
+
+    Scale shape: the global running total is the distributed
+    zipWithIndex pattern (same as operators/core.py:surrogate_key) —
+    range-partition by id, per-partition window cumsum, O(partitions)
+    driver pass for cumulative token offsets — NEVER a global
+    single-task window. Deterministic in the id order, so re-runs
+    shard identically (resumable output writes).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        id_col,
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    sdf = (
+        toks.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        (r[0], r[1])
+        for r in sdf.groupBy("__pid").agg(F.sum("n_tokens")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += tot or 0
+    off = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid_o int, __off long"
+        )
+    )
+    w = W.partitionBy("__pid").orderBy(id_col)
+    return (
+        sdf.join(off, sdf["__pid"] == off["__pid_o"], "left")
+        .withColumn(
+            "__before",
+            F.sum("n_tokens").over(w) - F.col("n_tokens")
+            + F.coalesce(F.col("__off"), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__before") / tokens_per_shard)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
