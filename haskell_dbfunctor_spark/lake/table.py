@@ -855,9 +855,17 @@ class LakeTable:
             rel for files in self.manifest["buckets"].values()
             for rel in files
         ]
+        # a bloom is only valid for the TYPE it hashed: xxhash64 is
+        # physical-type-sensitive, so widening a column (int -> long)
+        # silently invalidates its blooms — rebuild any entry whose
+        # recorded type no longer matches the schema
+        cur_types = {c: self.schema[c].dataType.simpleString() for c in cols}
+        def _stale(entry, c):
+            e = entry.get(c)
+            return e is None or e.get("type") != cur_types[c]
         todo = [
             rel for rel in live
-            if any(c not in prev.get(rel, {}) for c in cols)
+            if any(_stale(prev.get(rel, {}), c) for c in cols)
         ]
         blooms: dict[str, dict] = {rel: dict(prev.get(rel, {})) for rel in live}
         n_read = len(todo)
@@ -909,6 +917,7 @@ class LakeTable:
                         "b64": base64.b64encode(bytes(bitset)).decode(),
                         "bits": bits,
                         "k": k,
+                        "type": cur_types[c],
                     }
 
         if not todo and blooms == prev:
@@ -980,9 +989,15 @@ class LakeTable:
         bm = self.manifest["buckets"]
         files: list[str] = []
         self.last_pruned_files = 0
+        cur_type = self.schema[col].dataType.simpleString()
         for b in plain_ids:
             for rel in bm.get(str(b), []):
                 meta = blooms.get(rel, {}).get(col)
+                if meta is not None and meta.get("type") != cur_type:
+                    # built under a narrower column type: its positions
+                    # came from different physical hashes — using it
+                    # would produce FALSE NEGATIVES. Read the file.
+                    meta = None
                 if meta is not None:
                     key = (meta["bits"], meta["k"])
                     if key not in pos_cache:

@@ -101,6 +101,52 @@ def test_mor_delta_buckets_collapse_before_probe(spark, tmp_path):
     assert (3, 0, "a3") not in old and len(old) == 49
 
 
+def test_widened_column_invalidates_blooms_no_false_negatives(spark, tmp_path):
+    """xxhash64 is physical-type-sensitive: a bloom built while `u`
+    was int stores int-hash positions; after the column widens to
+    long, a long-typed probe would MISS them — the stale bloom must be
+    ignored (file read, correct answer), and re-analyze must rebuild
+    it under the new type."""
+    narrow = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("u", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), narrow,
+                         key_cols=["k"], num_buckets=2)
+    b = spark.createDataFrame(
+        [(i, i // 10, f"a{i}") for i in range(40)],
+        "k long, u int, v string",
+    ).select(
+        "k", "u", "v",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("k")).alias("ts"),
+        F.lit("U").alias("op"), F.col("k").alias("seq"),
+    )
+    t.merge(b, epoch_id="e0")
+    t.analyze_bloom(["u"])
+    assert len(_rows(t.read_where_eq("u", 2))) == 10
+    # widen u via a bigint batch
+    wide = spark.createDataFrame([(100, 7)], "k long, u bigint").select(
+        "k", "u", F.lit("w").alias("v"),
+        F.timestamp_seconds(F.lit(1_700_000_100)).alias("ts"),
+        F.lit("U").alias("op"), F.lit(100).alias("seq"),
+    )
+    t.merge(wide, epoch_id="e1")
+    assert t.schema["u"].dataType.simpleString() == "bigint"
+    # stale int-typed blooms must NOT produce false negatives
+    got = _rows(t.read_where_eq("u", 2))
+    assert len(got) == 10
+    # rebuild: every file re-analyzed under the new type, pruning back
+    res = t.analyze_bloom(["u"])
+    assert res["files_analyzed"] == sum(
+        len(f) for f in t.manifest["buckets"].values()
+    )
+    assert len(_rows(t.read_where_eq("u", 2))) == 10
+    assert _rows(t.read_where_eq("u", 999)) == []
+    assert t.last_pruned_files > 0
+
+
 def test_dead_files_blooms_pruned_from_manifest(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     t.analyze_bloom(["u"])
