@@ -2157,6 +2157,15 @@ class LakeTable:
                     nd.pop(b, None)
             m["buckets"] = nb
             m["delta_files"] = nd
+            # partial-patch markers: union BOTH sides' — the staged
+            # chain's list cannot know about partial deltas a disjoint
+            # published commit added after the fork (losing a marker
+            # silently downgrades those buckets to the fast full-row
+            # collapse = wrong reads); _commit prunes to live deltas
+            m["partial_delta_files"] = sorted(
+                set(staged.get("partial_delta_files", []))
+                | set(pub.get("partial_delta_files", []))
+            )
             ae = dict(pub["applied_epochs"])
             for e in new_epochs:
                 ae[e] = {"version": m["version"], "ts": time.time()}

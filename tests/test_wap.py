@@ -209,6 +209,37 @@ def test_staged_claimer_does_not_mask_published_conflicts(spark, tmp_path):
     assert 99 not in got
 
 
+def test_publish_preserves_concurrent_partial_markers(spark, tmp_path):
+    """A partial-MoR commit published in a DISJOINT bucket while a
+    chain is staged must keep its partial marker through the staged
+    chain's publish — losing it would downgrade that bucket to the
+    full-row collapse and corrupt the patched row."""
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=2)
+    by_bucket = {}
+    for r in spark.range(40).select(
+        F.col("id").alias("k"), t1.bucket_of(F.col("id")).alias("b")
+    ).collect():
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    ka, kb = by_bucket[0][0], by_bucket[1][0]
+    t1.merge(_batch(spark, [ka, kb], "base"), epoch_id="e0")
+
+    st = t1.merge(_batch(spark, [ka], "stg"), epoch_id="s",
+                  stage_only=True)
+    # concurrent publisher patches kb's v via partial MoR (other bucket)
+    t2 = LakeTable.load(spark, root)
+    patch = spark.createDataFrame([(int(kb), "patched")],
+                                  "k long, v string").select(
+        "k", "v", F.lit("U").alias("op"), F.lit(99).alias("seq"),
+    )
+    t2.merge(patch, epoch_id="p", mode="mor", partial=True)
+    assert t1.publish(st.version)["published"]
+    final = LakeTable.load(spark, root)
+    assert final.manifest.get("partial_delta_files")  # marker survived
+    got = dict(_state(final))
+    assert got[kb] == "patched" and got[ka] == f"stg{ka}"
+
+
 def test_mor_stage_and_publish(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     full = _batch(spark, [2], "mor")
