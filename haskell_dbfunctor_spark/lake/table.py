@@ -2129,7 +2129,15 @@ class LakeTable:
             ):
                 self.manifest = pub  # raced duplicate publish: no-op
                 return {"published": False, "version": pub["version"]}
-            if self._manifest_conflicts(base, pub, touched):
+            if self._manifest_conflicts(base, pub, touched) or (
+                pub.get("constraints") != base.get("constraints")
+            ):
+                # constraint DDL is schema-like for WAP purposes: the
+                # staged batches were validated under the fork-time
+                # constraint set, and fast-forwarding them past a
+                # concurrent add_constraint would publish unvalidated
+                # rows (schema/bucket changes are caught by
+                # _manifest_conflicts already)
                 self.manifest = pub
                 raise CommitConflict(
                     "publish: published chain advanced with overlapping "
