@@ -98,6 +98,7 @@ def tail_feed_dir(
     cross_batch_lww: bool = True,
     schema: T.StructType | None = None,
     expectations: dict | None = None,
+    mode: str = "cow",
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -123,6 +124,16 @@ def tail_feed_dir(
     Streaming contract — the batch replay path (cdc/apply.py) evolves
     per epoch without restarts.
     """
+    if mode == "mor" and cross_batch_lww:
+        # MoR applies batches without reading the target, so the
+        # matched-filter that implements cross-batch LWW cannot run:
+        # a late WAL file in a later micro-batch WOULD override newer
+        # committed state. Refuse the unsafe combination loudly.
+        raise ValueError(
+            "tail_feed_dir(mode='mor') is latest-commit-wins: pass "
+            "cross_batch_lww=False ONLY if feed files arrive in strict "
+            "order (or keep mode='cow' for out-of-order feeds)"
+        )
     if schema is None:
         schema = feed_schema_from_table(
             table, op_col=op_col, order_cols=order_cols
@@ -148,6 +159,9 @@ def tail_feed_dir(
             # per-micro-batch data-quality gate: bad rows quarantine
             # instead of merging (idempotent per stream epoch id)
             expectations=expectations,
+            # mor = O(micro-batch) delta appends; schedule
+            # compact_deltas out-of-band (maintenance CLI)
+            mode=mode,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

@@ -365,3 +365,51 @@ def test_resize_media_dims_and_plumbing(spark, sf_dir):
             assert (r["out_width"], r["out_height"]) == (exp_w, exp_h)
     with pytest.raises(NotImplementedError):
         resize_media(media, require_real=True)
+
+
+def test_stream_tail_mor_mode(spark, tmp_path):
+    """tail_feed_dir(mode='mor'): micro-batches append delta files
+    (O(batch) writes, no base rewrites) and the drained state matches
+    the batch LWW oracle on an ORDERED feed — the contract the mode
+    demands (cross_batch_lww is refused under MoR because the
+    matched-filter needs the target read MoR skips)."""
+    import pytest as _pytest
+
+    feed = change_feed(spark, N_EVENTS, n_convs=40, n_epochs=N_EPOCHS)
+    feed_dir = str(tmp_path / "feed")
+    feed.repartition(1, "epoch").write.partitionBy("epoch").parquet(feed_dir)
+    # force strictly ordered file mtimes (the ordered-WAL contract):
+    # the file source processes oldest-first
+    t0 = 1_700_000_000
+    for i, d in enumerate(sorted(os.listdir(feed_dir))):
+        sub = os.path.join(feed_dir, d)
+        if not os.path.isdir(sub):
+            continue
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (t0 + i, t0 + i))
+
+    schema = T.StructType(
+        [f for f in feed.schema.fields if f.name not in ("op", "seq", "epoch")]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema, key_cols=KEY_COLS, num_buckets=8
+    )
+    with _pytest.raises(ValueError):
+        tail_feed_dir(spark, table, feed_dir, mode="mor")  # unsafe combo
+
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True, max_files_per_trigger=2,
+        cross_batch_lww=False, mode="mor",
+    )
+    q.awaitTermination(300)
+    fresh = LakeTable.load(spark, table.root)
+    assert sum(len(f) for f in fresh.manifest["delta_files"].values()) > 0
+    got = fresh.read().select(*KEY_COLS, "text").sort(*KEY_COLS)
+    want = _final_state_oracle(spark, feed).select(
+        *KEY_COLS, "text").sort(*KEY_COLS)
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+    # folding the deltas preserves the drained state
+    fresh.compact_deltas()
+    assert fresh.read().count() == got.count()
