@@ -96,7 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         # later micro-batch must not overwrite newer committed state
         q = tail_feed_dir(spark, table, args.feed_dir,
                           cross_batch_lww=not args.no_cross_batch_lww,
-                          expectations=expectations)
+                          expectations=expectations,
+                          # --mor + --stream = delta-append micro-batches;
+                          # tail_feed_dir refuses it without
+                          # --no-cross-batch-lww (ordered-feed contract)
+                          mode="mor" if args.mor else "cow")
         q.awaitTermination()
         print(json.dumps({"mode": "stream", "status": "drained"}))
         return 0
