@@ -18,7 +18,7 @@ md5 as a 32-bit integer hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -288,6 +288,7 @@ def near_dup_clusters(
     *,
     salt: int = 64,
     num_partitions: int | None = 256,
+    keeper_score: Column | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS with keeper selection — the actual dedup
     deliverable (near-dup COUNTS tell you how contaminated the corpus
@@ -301,6 +302,12 @@ def near_dup_clusters(
 
     Output: (doc_id, cluster_id, cluster_size, is_keeper). Training-set
     dedup = ``where(is_keeper)``.
+
+    ``keeper_score`` switches the keeper from the deterministic
+    cluster minimum to the cluster's HIGHEST-scoring doc (score is any
+    Column over ``docs``, e.g. a text_quality signal — keep the best
+    duplicate, not an arbitrary one); ties break on the smaller
+    doc_id. One extra max_by per cluster, same shuffle count.
     """
     from ..operators.graph import connected_components
 
@@ -309,14 +316,32 @@ def near_dup_clusters(
         salt=salt, num_partitions=num_partitions,
     )
     comp = connected_components(pairs, "d1", "d2")
+    base_cols = (
+        docs.select("doc_id", keeper_score.alias("__score"))
+        if keeper_score is not None
+        else docs.select("doc_id")
+    )
     labeled = (
-        docs.select("doc_id")
+        base_cols
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
-            "doc_id",
+            "*",
             F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
         )
+        .drop("component")
     )
+    if keeper_score is not None:
+        per = labeled.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col("__score"), -F.col("doc_id")),
+            ).alias("__keeper"),
+        )
+        return labeled.join(per, "cluster_id").select(
+            "doc_id", "cluster_id", "cluster_size",
+            (F.col("doc_id") == F.col("__keeper")).alias("is_keeper"),
+        )
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -103,3 +103,31 @@ def test_near_dup_clusters_contract(spark, docs_df=None):
     ).count()
     assert mism == 0
     cl.unpersist()
+
+
+def test_quality_keeper_selection(spark):
+    """keeper_score keeps the highest-scoring doc per cluster (ties ->
+    smaller id); exactly one keeper per cluster, singletons keep
+    themselves."""
+    d = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    cl = near_dup_clusters(
+        docs, keeper_score=F.length("text")
+    ).persist()
+    per = cl.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("nk")
+    )
+    assert per.where(F.col("nk") != 1).count() == 0
+    # the keeper's text length is the cluster max
+    lens = docs.select("doc_id", F.length("text").alias("len"))
+    j = cl.join(lens, "doc_id")
+    mx = j.groupBy("cluster_id").agg(F.max("len").alias("mx"))
+    bad = (
+        j.where("is_keeper").join(mx, "cluster_id")
+        .where(F.col("len") != F.col("mx")).count()
+    )
+    assert bad == 0
+    # singletons keep themselves
+    singles = cl.where((F.col("cluster_size") == 1) & ~F.col("is_keeper"))
+    assert singles.count() == 0
+    cl.unpersist()
