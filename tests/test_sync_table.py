@@ -136,3 +136,19 @@ def test_cursor_ahead_of_source_raises(spark, tmp_path):
     src2 = LakeTable.load(spark, src.root, 0)  # rolled-back handle
     with pytest.raises(LakeError):
         sync_table(src2, dst, _tf)
+
+
+def test_sync_in_mor_mode(spark, tmp_path):
+    """sync_table(mode='mor'): the destination ingests the CDF as
+    delta appends (no base rewrites after the first), state still
+    tracks the source; compaction folds it unchanged."""
+    src, dst = _mk(spark, tmp_path)
+    src.merge(_batch(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]), epoch_id="e0")
+    sync_table(src, dst, _tf, mode="mor")
+    src.merge(_batch(spark, [(1, "aa", 5, 2)]), epoch_id="e1")
+    src.merge(_batch(spark, [(2, "b", 2, 3)], op="D"), epoch_id="e2")
+    sync_table(src, dst, _tf, mode="mor")
+    assert sum(len(f) for f in dst.manifest["delta_files"].values()) > 0
+    assert _got(dst) == _expected(src) == [(1, "AA", 10)]
+    dst.compact_deltas()
+    assert _got(LakeTable.load(spark, dst.root)) == [(1, "AA", 10)]
