@@ -1,3 +1,10 @@
 from .table import LakeTable, MergeStats
+from .transaction import Catalog, Transaction, TransactionAborted
 
-__all__ = ["LakeTable", "MergeStats"]
+__all__ = [
+    "LakeTable",
+    "MergeStats",
+    "Catalog",
+    "Transaction",
+    "TransactionAborted",
+]

@@ -1,0 +1,197 @@
+"""Multi-table atomic transactions (lake/transaction.py).
+
+The catalog-serialized two-phase protocol: stage (WAP merges) →
+CAS intent slot → validate vs published heads → CAS commit/abort
+decision → idempotent roll-forward publish. Readers never observe a
+partial transaction as steady state: nothing publishes before the
+decision exists, and read-time repair (Catalog.read → recover)
+completes crashed-but-committed transactions.
+
+The reference gets cross-output atomicity for free by evaluating a
+whole Julius chain in one process and materializing at the end
+(/root/reference/src/Etl/Julius.hs); these tests pin the distributed
+equivalent: all-or-nothing visibility across tables, crash recovery
+in both directions (abort before decision, roll forward after), and
+serialization with concurrent committers.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.lake.table import LakeError, LakeTable
+from haskell_dbfunctor_spark.lake.transaction import (
+    Catalog, TransactionAborted,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def _batch(spark, ks, tag):
+    rows = [(int(k), f"{tag}{k}") for k in ks]
+    df = spark.createDataFrame(rows, "k long, v string")
+    return df.select(
+        "k", "v",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("k")).alias("ts"),
+        F.lit("U").alias("op"), F.col("k").alias("seq"),
+    )
+
+
+def _state(spark, root):
+    t = LakeTable.load(spark, root)
+    return sorted(tuple(r) for r in t.read().select("k", "v").collect())
+
+
+def _mk(spark, root, num_buckets=2):
+    t = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["k"], num_buckets=num_buckets
+    )
+    t.merge(_batch(spark, range(4), "pub"), epoch_id="e0")
+    return t
+
+
+@pytest.fixture
+def two_tables(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"))
+    b = _mk(spark, str(tmp_path / "b"))
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    return cat, a, b
+
+
+def test_commit_publishes_all_tables(spark, two_tables):
+    cat, a, b = two_tables
+    base_a, base_b = _state(spark, a.root), _state(spark, b.root)
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20, 21], "txn"))
+    # staged work is invisible before commit
+    assert _state(spark, a.root) == base_a
+    assert _state(spark, b.root) == base_b
+    res = txn.commit()
+    assert res["slot"] == 1 and len(res["tables"]) == 2
+    assert (10, "txn10") in _state(spark, a.root)
+    assert (20, "txn20") in _state(spark, b.root)
+    h = cat.history()
+    assert h[0]["decision"] == "commit" and h[0]["applied"]
+
+
+def test_abort_publishes_nothing(spark, two_tables):
+    cat, a, b = two_tables
+    base_a, base_b = _state(spark, a.root), _state(spark, b.root)
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    txn.abort()
+    assert _state(spark, a.root) == base_a
+    assert _state(spark, b.root) == base_b
+    with pytest.raises(LakeError):
+        txn.merge(a, _batch(spark, [11], "late"))
+
+
+def test_validation_conflict_aborts_atomically(spark, tmp_path):
+    # overlap is guaranteed with one bucket: any out-of-band commit on
+    # table A after the txn's fork point conflicts with its staged chain
+    a = _mk(spark, str(tmp_path / "a"), num_buckets=1)
+    b = _mk(spark, str(tmp_path / "b"), num_buckets=1)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base_b = _state(spark, b.root)
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    # out-of-band overlapping publish to A between staging and commit
+    LakeTable.load(spark, a.root).merge(
+        _batch(spark, [99], "oob"), epoch_id="oob"
+    )
+    with pytest.raises(TransactionAborted):
+        txn.commit()
+    # ATOMIC abort: B untouched even though only A conflicted
+    assert _state(spark, b.root) == base_b
+    assert (10, "txn10") not in _state(spark, a.root)
+    assert cat.history()[0]["decision"] == "abort"
+    # the staged-but-aborted work re-runs cleanly from fresh handles
+    txn2 = cat.begin()
+    txn2.merge(LakeTable.load(spark, a.root), _batch(spark, [10], "txn"))
+    txn2.merge(LakeTable.load(spark, b.root), _batch(spark, [20], "txn"))
+    txn2.commit()
+    assert (10, "txn10") in _state(spark, a.root)
+    assert (20, "txn20") in _state(spark, b.root)
+
+
+def test_crash_before_decision_recovers_to_abort(spark, two_tables):
+    cat, a, b = two_tables
+    base_a, base_b = _state(spark, a.root), _state(spark, b.root)
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    slot = txn._claim_slot()  # crash: intent durable, no decision
+    stats = Catalog(spark, cat.root).recover()
+    assert stats["aborted"] == 1
+    assert _state(spark, a.root) == base_a
+    assert _state(spark, b.root) == base_b
+    # the revenant writer cannot resurrect the txn: decision is taken
+    assert cat._decide(slot, "commit") == "abort"
+
+
+def test_crash_after_decision_rolls_forward(spark, two_tables):
+    cat, a, b = two_tables
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    slot = txn._claim_slot()
+    assert cat._decide(slot, "commit") == "commit"
+    # crash mid-roll-forward: only A published
+    LakeTable.load(spark, a.root, version=txn._staged[a.root]).publish(
+        txn._staged[a.root]
+    )
+    assert (20, "txn20") not in _state(spark, b.root)
+    # read-time repair completes the txn (publish is epoch-idempotent,
+    # so re-publishing A is a no-op)
+    repaired = Catalog(spark, cat.root).read(b.root)
+    assert (20, "txn20") in sorted(
+        tuple(r) for r in repaired.read().select("k", "v").collect()
+    )
+    assert (10, "txn10") in _state(spark, a.root)
+    # recovery is idempotent: a second pass skips the applied intent
+    assert Catalog(spark, cat.root).recover()["skipped"] == 1
+
+
+def test_serialized_commits_disjoint_fast_forward(spark, tmp_path):
+    # two txns fork from the same published head of A but touch
+    # DISJOINT buckets: the later one fast-forwards (no abort) — the
+    # same OCC rebase rule as single-table commits
+    a = _mk(spark, str(tmp_path / "a"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    probe = spark.range(200).select(
+        F.col("id").alias("k"), a.bucket_of(F.col("id")).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r.b, []).append(r.k)
+    bks = sorted(by_bucket)
+    assert len(bks) >= 2
+    ks1, ks2 = by_bucket[bks[0]][:2], by_bucket[bks[1]][:2]
+    t1, t2 = cat.begin(), cat.begin()
+    t1.merge(LakeTable.load(spark, a.root), _batch(spark, ks1, "x"))
+    t2.merge(LakeTable.load(spark, a.root), _batch(spark, ks2, "y"))
+    t1.commit()
+    t2.commit()  # disjoint buckets: validates clean, fast-forwards
+    st = _state(spark, a.root)
+    for k in ks1:
+        assert (k, f"x{k}") in st
+    for k in ks2:
+        assert (k, f"y{k}") in st
+
+
+def test_empty_txn_commit_is_noop(spark, two_tables):
+    cat, a, b = two_tables
+    assert cat.begin().commit() == {"slot": None, "tables": {}}
+    assert cat.history() == []
