@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- lake MoR partial patches: column-wise collapse ----
     q["q66_mor_partial_patch"] = _mor_partial_patch_state
 
+    # ---- multi-table atomic commit: state + derived rollup in txns ----
+    q["q74_txn_atomic_commit"] = _txn_atomic_commit_state
+
     # ---- expectations gate: bad rows quarantined, never merged ----
     q["q69_expectations_gate"] = _expectations_gate_state
 
@@ -1349,6 +1352,88 @@ def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _txn_atomic_commit_state(s: SparkSession, d: str) -> DataFrame:
+    """Cross-table atomic commit through the driver gate
+    (lake/transaction.py): the CDC feed lands in TWO transactions,
+    each staging an epoch into the state table A and a refresh of the
+    derived per-type rollup table B computed from A's *staged* head —
+    so each commit publishes a mutually consistent (state, rollup)
+    pair or nothing. Returned rows are B's FINAL contents; they match
+    the q22 rollup over the whole feed iff both (epoch, refresh) pairs
+    became visible atomically and in order. The reference gets this
+    atomicity for free inside one Julius evaluation
+    (/root/reference/src/Etl/Julius.hs); this is the distributed
+    equivalent."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_txn_q74_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_txn_q74_", dir=base)
+    a = LakeTable.create(
+        s, f"{tmp}/a", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    rollup_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("live_keys", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    LakeTable.create(
+        s, f"{tmp}/b", rollup_schema, key_cols=["event_type"], num_buckets=4
+    )
+    cat = Catalog(s, f"{tmp}/cat")
+    half = n // 2
+    for i, part in enumerate(
+        [ev.where(F.col("seq") < half), ev.where(F.col("seq") >= half)]
+    ):
+        txn = cat.begin()
+        ah = cat.read(f"{tmp}/a")
+        txn.merge(ah, part)
+        # the rollup batch reads A's STAGED head (ah sits on the staged
+        # snapshot after the txn merge): derived-from-what-we-commit,
+        # not derived-from-what-was-last-published
+        refresh = ah.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("live_keys"),
+            F.sum("value").alias("sum_value"),
+        ).select(
+            "event_type", "live_keys", "sum_value",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.lit(i)).alias("ts"),
+            F.lit("U").alias("op"), F.lit(i).cast("long").alias("seq"),
+        )
+        txn.merge(cat.read(f"{tmp}/b"), refresh)
+        txn.commit()
+    return cat.read(f"{tmp}/b").read().select(
+        "event_type", "live_keys",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def _mor_partial_patch_state(s: SparkSession, d: str) -> DataFrame:
     """Column-wise PATCH semantics through the driver gate: epoch e0 is
     a full-row MoR commit of the first half of the feed; epoch e1 is a
@@ -1814,6 +1899,13 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
+    # B's final rollup equals the q22 metrics over the whole feed iff
+    # every (state-epoch, rollup-refresh) transaction was atomic
+    o["q74_txn_atomic_commit"] = f"""
+        SELECT event_type, count(*) AS live_keys,
+               round(sum(value), 2) AS sum_value
+        FROM ({_CDC_LWW_SQL}) GROUP BY event_type
+    """
     o["q68_bloom_point_lookup"] = """
 SELECT user_id, event_type, round(value, 2) AS value,
        event_id AS last_event_id

@@ -199,6 +199,56 @@ class Catalog:
         self.recover()
         return LakeTable.load(self.spark, table_root, **load_kwargs)
 
+    def _log_fingerprint(self) -> tuple:
+        """The catalog's visible-state fingerprint: every intent slot
+        with its decision and applied flag. Any transaction that
+        publishes between two identical fingerprints is impossible —
+        a publish requires a new decided intent (or applying an
+        existing one), both of which change the fingerprint."""
+        out = []
+        for n in self._intent_ids():
+            _, dec_p, done_p = self._paths(n)
+            dec = (
+                _read_json(dec_p)["decision"]
+                if os.path.exists(dec_p) else None
+            )
+            out.append((n, dec, os.path.exists(done_p)))
+        return tuple(out)
+
+    def snapshot(
+        self, table_roots: list[str], *, retries: int = 10
+    ) -> dict[str, "LakeTable"]:
+        """Pinned handles forming a CONSISTENT cross-table read point.
+
+        Multi-table commits are atomic, but two independent ``load()``
+        calls can still straddle one (read A, txn publishes A+B, read
+        B: the pair is torn). ``snapshot`` repairs pending txns, pins
+        every table at its current published version, then re-checks
+        the intent-log fingerprint — unchanged means no catalog
+        transaction completed between the pins, so the set reflects a
+        prefix of the serialized txn history; changed means a possible
+        tear, retry. Data files are immutable (copy-on-write), so the
+        pinned versions stay readable regardless of later commits.
+        Only catalog-governed writes are fenced: an out-of-band
+        single-table ``merge`` is invisible to the fingerprint (the
+        same discipline caveat as the commit path)."""
+        for _ in range(retries):
+            self.recover()
+            before = self._log_fingerprint()
+            handles = {
+                r: LakeTable.load(
+                    self.spark, r,
+                    version=LakeTable._latest_published_version(r),
+                )
+                for r in table_roots
+            }
+            if self._log_fingerprint() == before:
+                return handles
+        raise LakeError(
+            f"snapshot: txn log kept advancing through {retries} "
+            "attempts; retry under less commit churn"
+        )
+
     def begin(self) -> "Transaction":
         return Transaction(self)
 

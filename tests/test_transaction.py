@@ -191,6 +191,50 @@ def test_serialized_commits_disjoint_fast_forward(spark, tmp_path):
         assert (k, f"y{k}") in st
 
 
+def test_snapshot_is_consistent_and_pinned(spark, two_tables):
+    cat, a, b = two_tables
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    txn.commit()
+    snap = cat.snapshot([a.root, b.root])
+    assert (10, "txn10") in sorted(
+        tuple(r) for r in snap[a.root].read().select("k", "v").collect()
+    )
+    pinned_b = sorted(
+        tuple(r) for r in snap[b.root].read().select("k", "v").collect()
+    )
+    # later commits do not leak into the pinned handles (immutable
+    # copy-on-write data files; the handle stays on its version)
+    txn2 = cat.begin()
+    txn2.merge(
+        LakeTable.load(spark, b.root), _batch(spark, [30], "late")
+    )
+    txn2.commit()
+    assert sorted(
+        tuple(r) for r in snap[b.root].read().select("k", "v").collect()
+    ) == pinned_b
+    assert (30, "late30") in _state(spark, b.root)
+
+
+def test_snapshot_repairs_pending_txn_first(spark, two_tables):
+    cat, a, b = two_tables
+    txn = cat.begin()
+    txn.merge(a, _batch(spark, [10], "txn"))
+    txn.merge(b, _batch(spark, [20], "txn"))
+    slot = txn._claim_slot()
+    assert cat._decide(slot, "commit") == "commit"
+    # crash before any publish: snapshot must roll the txn forward and
+    # then pin BOTH tables' post-txn versions (never a torn pair)
+    snap = Catalog(spark, cat.root).snapshot([a.root, b.root])
+    assert (10, "txn10") in sorted(
+        tuple(r) for r in snap[a.root].read().select("k", "v").collect()
+    )
+    assert (20, "txn20") in sorted(
+        tuple(r) for r in snap[b.root].read().select("k", "v").collect()
+    )
+
+
 def test_empty_txn_commit_is_noop(spark, two_tables):
     cat, a, b = two_tables
     assert cat.begin().commit() == {"slot": None, "tables": {}}
