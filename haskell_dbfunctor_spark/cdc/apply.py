@@ -51,6 +51,31 @@ class ReplayStats:
         return self.events_applied / self.seconds if self.seconds else 0.0
 
 
+def open_or_create_rollup(
+    spark: SparkSession, root: str, group_cols: list[str]
+) -> LakeTable:
+    """The derived per-group rollup table maintained transactionally
+    with the transcript state: group columns + live row count (+ the
+    merge bookkeeping columns ts/seq the refresh batches carry)."""
+    try:
+        return LakeTable.load(spark, root)
+    except FileNotFoundError:
+        import pyspark.sql.types as T
+
+        fields = [
+            next(f for f in TRANSCRIPT_SCHEMA.fields if f.name == c)
+            for c in group_cols
+        ]
+        schema = T.StructType([
+            *fields,
+            T.StructField("live_rows", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        return LakeTable.create(
+            spark, root, schema, key_cols=list(group_cols), num_buckets=4
+        )
+
+
 def replay(
     table: LakeTable,
     feed: DataFrame,
@@ -64,6 +89,9 @@ def replay(
     compact_every: int | None = None,
     epoch_prefix: str = "epoch",
     expectations: dict | None = None,
+    rollup: LakeTable | None = None,
+    catalog=None,
+    rollup_group_cols: tuple = ("role",),
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -83,7 +111,19 @@ def replay(
     different feed into the same table with the default prefix would
     silently skip every epoch number the first feed already committed
     — give each logical feed/stream its own prefix.
+
+    ``rollup`` (+ ``catalog``, a lake.transaction.Catalog) switches
+    each epoch to a MULTI-TABLE TRANSACTION: the state merge and a
+    CDF-incremental refresh of the per-``rollup_group_cols`` row-count
+    rollup become visible atomically or not at all — a reader joining
+    state to rollup never sees them one epoch apart. The refresh is
+    maintained from the epoch's published→staged diff (O(changes), no
+    state rescan) and resumability is unchanged: the state epoch id is
+    still the checkpoint, and a resumed already-applied epoch aborts
+    its (empty) transaction.
     """
+    if (rollup is None) != (catalog is None):
+        raise ValueError("rollup and catalog come together")
     t0 = time.time()
     if prune_buckets is None:
         # one count() over the feed: on the materialized parquet WAL
@@ -93,19 +133,24 @@ def replay(
         avg_epoch_rows = feed.count() / max(n_epochs, 1)
         prune_buckets = avg_epoch_rows < 50 * table.num_buckets
     stats = ReplayStats()
+    merge_opts = dict(
+        op_col="op",
+        order_cols=("ts", "seq"),
+        files_per_bucket=files_per_bucket,
+        prune_buckets=prune_buckets,
+        mode=mode,
+        expectations=expectations,
+    )
     for e in range(n_epochs):
         eid = f"{epoch_prefix}-{e:05d}"
         batch = epoch_batch(feed, e, evolution_epoch=evolution_epoch)
-        m: MergeStats = table.merge(
-            batch,
-            epoch_id=eid,
-            op_col="op",
-            order_cols=("ts", "seq"),
-            files_per_bucket=files_per_bucket,
-            prune_buckets=prune_buckets,
-            mode=mode,
-            expectations=expectations,
-        )
+        if rollup is not None:
+            m = _txn_epoch(
+                table, rollup, catalog, batch, eid, merge_opts,
+                rollup_group_cols, e,
+            )
+        else:
+            m = table.merge(batch, epoch_id=eid, **merge_opts)
         if m.skipped:
             stats.epochs_skipped += 1
         else:
@@ -118,3 +163,58 @@ def replay(
             break
     stats.seconds = time.time() - t0
     return stats
+
+
+def _txn_epoch(
+    table: LakeTable,
+    rollup: LakeTable,
+    catalog,
+    batch: DataFrame,
+    eid: str,
+    merge_opts: dict,
+    group_cols: tuple,
+    e: int,
+) -> MergeStats:
+    """One epoch as a multi-table transaction: stage the state merge,
+    derive the rollup refresh from the epoch's published→staged CDF
+    diff (O(changes)), stage it, commit both atomically. An
+    already-applied epoch (resume) stages nothing and aborts."""
+    from pyspark.sql import functions as F
+
+    from ..lake.incremental import maintain_group_sums
+
+    txn = catalog.begin()
+    ah = catalog.read(table.root)
+    fork = ah.version
+    m = txn.merge(ah, batch, epoch_id=eid, **merge_opts)
+    if m.skipped:
+        txn.abort()
+        return m
+    rh = catalog.read(rollup.root)
+    cur = rh.read().select(
+        *group_cols, F.col("live_rows").alias("n")
+    )
+    refreshed = maintain_group_sums(
+        cur, ah.changes(fork, preimages=True),
+        list(group_cols), [], count_col="n",
+    )
+    gone = cur.join(refreshed, list(group_cols), "left_anti")
+    refresh = (
+        refreshed.withColumn("op", F.lit("U"))
+        .unionByName(gone.withColumn("op", F.lit("D")))
+        .select(
+            *group_cols, F.col("n").alias("live_rows"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.lit(e)
+            ).alias("ts"),
+            "op", F.lit(e).cast("long").alias("seq"),
+        )
+    )
+    txn.merge(rh, refresh, epoch_id=f"{eid}-rollup", op_col="op",
+              order_cols=("ts", "seq"))
+    txn.commit()
+    # move the caller's handle to the new published head so post-loop
+    # version/read() reflect the commit
+    table.manifest = table._load_latest_published_manifest()
+    rollup.manifest = rollup._load_latest_published_manifest()
+    return m

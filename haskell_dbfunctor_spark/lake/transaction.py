@@ -285,7 +285,12 @@ class Transaction:
         handle = self._handles.get(root, table)
         stats = handle.merge(changes, stage_only=True, **opts)
         self._handles[root] = handle
-        self._staged[root] = handle.version
+        if not stats.skipped:
+            # an epoch-idempotent skip stages nothing: the handle still
+            # sits on its published head, which must NOT be recorded as
+            # a publish target (publish would reject a non-staged
+            # version — and there is nothing to make visible anyway)
+            self._staged[root] = handle.version
         return stats
 
     def abort(self) -> None:

@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the cross-batch last-writer-wins matched "
                          "filter; ONLY safe when feed files arrive in "
                          "strict order (saves one compare per matched row)")
+    ap.add_argument("--rollup-root", default=None,
+                    help="maintain a derived per-group rollup table at "
+                         "this root, committed ATOMICALLY with each "
+                         "state epoch via a multi-table transaction "
+                         "(lake/transaction.py); refreshed "
+                         "incrementally from the epoch's change feed")
+    ap.add_argument("--rollup-by", default="role",
+                    help="comma-separated transcript columns the rollup "
+                         "groups by (default: role)")
     ap.add_argument("--expect", action="append", default=[],
                     metavar="NAME=SQL",
                     help="data-quality expectation (repeatable): rows "
@@ -120,6 +129,17 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.exists(feed_path):
         feed.write.partitionBy("epoch").parquet(feed_path)
     feed = spark.read.parquet(feed_path)
+    rollup = catalog = None
+    if args.rollup_root:
+        from haskell_dbfunctor_spark.cdc.apply import open_or_create_rollup
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        group_cols = [c for c in args.rollup_by.split(",") if c]
+        rollup = open_or_create_rollup(spark, args.rollup_root, group_cols)
+        catalog = Catalog(
+            spark, os.path.join(os.path.dirname(args.rollup_root) or ".",
+                                "_catalog")
+        )
     stats = replay(
         table, feed, args.epochs,
         evolution_epoch=args.evolution_epoch,
@@ -127,8 +147,12 @@ def main(argv: list[str] | None = None) -> int:
         mode="mor" if args.mor else "cow",
         compact_every=args.compact_every,
         expectations=expectations,
+        rollup=rollup,
+        catalog=catalog,
+        rollup_group_cols=tuple(args.rollup_by.split(","))
+        if args.rollup_root else ("role",),
     )
-    print(json.dumps({
+    out = {
         "mode": "replay-mor" if args.mor else "replay",
         "epochs_applied": stats.epochs_applied,
         "epochs_skipped": stats.epochs_skipped,
@@ -137,7 +161,10 @@ def main(argv: list[str] | None = None) -> int:
         "events_per_sec": round(stats.events_per_sec, 1),
         "table_version": table.version,
         "final_rows": table.read().count(),
-    }))
+    }
+    if rollup is not None:
+        out["rollup_rows"] = rollup.read().count()
+    print(json.dumps(out))
     return 0
 
 

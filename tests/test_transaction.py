@@ -239,3 +239,100 @@ def test_empty_txn_commit_is_noop(spark, two_tables):
     cat, a, b = two_tables
     assert cat.begin().commit() == {"slot": None, "tables": {}}
     assert cat.history() == []
+
+
+def _rollup_state(rollup):
+    return sorted(
+        (r.role, r.live_rows)
+        for r in rollup.read().select("role", "live_rows").collect()
+    )
+
+
+def _recomputed(table):
+    return sorted(
+        (r.role, r.n)
+        for r in table.read().groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+
+
+def test_replay_with_transactional_rollup(spark, tmp_path):
+    """The production path: jobs/cdc_ingest.py --rollup-root. Every
+    epoch commits state + derived rollup atomically; the rollup always
+    equals a recompute over the state, including across schema
+    evolution, idempotent re-apply, and mid-stream crash resume."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_rollup, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+
+    feed = change_feed(
+        spark, 2000, n_convs=40, max_turns=20, n_epochs=4,
+        evolution_epoch=2,
+    ).persist()
+    feed.count()
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=4
+    )
+    rollup = open_or_create_rollup(spark, str(tmp_path / "rollup"), ["role"])
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    st = replay(
+        table, feed, 4, evolution_epoch=2,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    assert st.epochs_applied == 4
+    assert _rollup_state(rollup) == _recomputed(table)
+    # the state itself matches a plain (non-transactional) replay
+    plain = open_or_create_transcripts(
+        spark, str(tmp_path / "plain"), num_buckets=4
+    )
+    replay(plain, feed, 4, evolution_epoch=2)
+    assert sorted(
+        tuple(r) for r in table.read().select(
+            "conv_id", "turn_idx", "role", "text"
+        ).collect()
+    ) == sorted(
+        tuple(r) for r in plain.read().select(
+            "conv_id", "turn_idx", "role", "text"
+        ).collect()
+    )
+    # idempotent re-apply: every epoch skips, rollup untouched
+    before = _rollup_state(rollup)
+    st2 = replay(
+        table, feed, 4, evolution_epoch=2,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    assert st2.epochs_applied == 0 and st2.epochs_skipped == 4
+    assert _rollup_state(rollup) == before
+    feed.unpersist()
+
+
+def test_replay_rollup_resumes_from_crash(spark, tmp_path):
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_rollup, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+
+    feed = change_feed(
+        spark, 1500, n_convs=30, max_turns=20, n_epochs=3,
+    ).persist()
+    feed.count()
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=4
+    )
+    rollup = open_or_create_rollup(spark, str(tmp_path / "rollup"), ["role"])
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    st = replay(
+        table, feed, 3, stop_after=1,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    assert st.epochs_applied == 1
+    # even mid-stream the pair is consistent (that's the atomicity)
+    assert _rollup_state(rollup) == _recomputed(table)
+    st2 = replay(
+        table, feed, 3,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    assert st2.epochs_skipped == 1 and st2.epochs_applied == 2
+    assert _rollup_state(rollup) == _recomputed(table)
+    feed.unpersist()
