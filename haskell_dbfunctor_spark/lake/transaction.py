@@ -192,6 +192,53 @@ class Catalog:
                 stats["aborted"] += 1
         return stats
 
+    def _hwm(self) -> int:
+        p = os.path.join(self.txn_dir, "hwm.json")
+        try:
+            return _read_json(p)["hwm"]
+        except (OSError, KeyError, ValueError):
+            return 0
+
+    def expire(self, keep_last: int = 16) -> dict:
+        """Truncate the intent log: drop RESOLVED intents (aborted, or
+        committed AND fully applied), keeping the newest ``keep_last``.
+        Serialization only matters among unresolved intents and their
+        successors; a resolved prefix is history — the committed work
+        is durable in each table's manifests, and aborted chains are
+        reclaimed by per-table ``expire_snapshots``. Keeps the log
+        O(recent) so recover()/read() never walk an unbounded
+        directory.
+
+        Crash-safe order: done marker, then decision, then intent —
+        every partial state re-resolves correctly (a lingering intent
+        without its decision is stolen-aborted, which is a no-op for an
+        already-applied txn). A high-water mark pins the next slot
+        number past everything ever removed so a truncated-empty log
+        cannot reuse a slot whose sibling files a crash left behind."""
+        ids = self._intent_ids()
+        candidates = ids[:-keep_last] if keep_last else ids
+        removed = 0
+        hwm = self._hwm()
+        for n in candidates:
+            intent_p, dec_p, done_p = self._paths(n)
+            if not os.path.exists(dec_p):
+                break  # unresolved — keep it and everything after
+            if _read_json(dec_p)["decision"] == "commit" and not (
+                os.path.exists(done_p)
+            ):
+                break  # committed but not fully applied yet
+            hwm = max(hwm, n)
+            _atomic_write_json(
+                os.path.join(self.txn_dir, "hwm.json"), {"hwm": hwm}
+            )
+            for p in (done_p, dec_p, intent_p):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            removed += 1
+        return {"removed": removed, "kept": len(ids) - removed}
+
     def read(self, table_root: str, **load_kwargs) -> LakeTable:
         """Open a governed table with read-time repair: completes any
         crashed-but-committed transaction first, so a reader never
@@ -308,7 +355,9 @@ class Transaction:
         }
         while True:
             ids = self.catalog._intent_ids()
-            n = (ids[-1] + 1) if ids else 1
+            n = max(
+                (ids[-1] + 1) if ids else 1, self.catalog._hwm() + 1
+            )
             intent_p, _, _ = self.catalog._paths(n)
             try:
                 _atomic_claim_json(intent_p, intent)

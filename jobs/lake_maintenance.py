@@ -27,8 +27,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Lake table maintenance")
-    ap.add_argument("--table-root", required=True)
+    ap.add_argument("--table-root", default=None,
+                    help="required for table actions; txn-* actions "
+                         "use --catalog-root instead")
     sub = ap.add_subparsers(dest="action", required=True)
+
+    tr = sub.add_parser(
+        "txn-recover",
+        help="resolve pending multi-table transactions: roll committed "
+             "ones forward, steal-abort undecided ones",
+    )
+    tr.add_argument("--catalog-root", required=True)
+    tx = sub.add_parser(
+        "txn-expire",
+        help="truncate the resolved prefix of the transaction intent "
+             "log (committed work stays durable in table manifests)",
+    )
+    tx.add_argument("--catalog-root", required=True)
+    tx.add_argument("--keep-last", type=int, default=16)
 
     c = sub.add_parser("compact", help="coalesce small/fragmented bucket files")
     c.add_argument("--target-file-mb", type=int, default=128)
@@ -127,6 +143,20 @@ def main(argv: list[str] | None = None) -> int:
     from haskell_dbfunctor_spark.session import get_spark
 
     spark = get_spark(app_name=f"lake-maintenance-{args.action}")
+
+    if args.action in ("txn-recover", "txn-expire"):
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        cat = Catalog(spark, args.catalog_root)
+        res = (
+            cat.recover() if args.action == "txn-recover"
+            else cat.expire(keep_last=args.keep_last)
+        )
+        print(json.dumps({"action": args.action, **res}))
+        return 0
+
+    if not args.table_root:
+        ap.error(f"{args.action} requires --table-root")
     table = LakeTable.load(spark, args.table_root)
 
     if args.action == "analyze":

@@ -241,6 +241,33 @@ def test_empty_txn_commit_is_noop(spark, two_tables):
     assert cat.history() == []
 
 
+def test_expire_truncates_resolved_prefix_only(spark, two_tables):
+    cat, a, b = two_tables
+    for i in range(3):
+        txn = cat.begin()
+        txn.merge(LakeTable.load(spark, a.root), _batch(spark, [10 + i], "x"))
+        txn.commit()
+    # a pending (undecided) intent must fence the truncation
+    t4 = cat.begin()
+    t4.merge(LakeTable.load(spark, b.root), _batch(spark, [20], "p"))
+    pending = t4._claim_slot()
+    res = cat.expire(keep_last=0)
+    assert res == {"removed": 3, "kept": 1}
+    assert [h["slot"] for h in cat.history()] == [pending]
+    # the pending intent still resolves normally
+    assert Catalog(spark, cat.root).recover()["aborted"] == 1
+    # slot numbers never reuse an expired slot (high-water mark)
+    txn = cat.begin()
+    txn.merge(LakeTable.load(spark, a.root), _batch(spark, [30], "y"))
+    assert txn.commit()["slot"] == pending + 1
+    # full truncation of an all-resolved log still advances slots
+    cat.expire(keep_last=0)
+    assert cat.history() == []
+    txn = cat.begin()
+    txn.merge(LakeTable.load(spark, a.root), _batch(spark, [31], "z"))
+    assert txn.commit()["slot"] == pending + 2
+
+
 def _rollup_state(rollup):
     return sorted(
         (r.role, r.live_rows)
