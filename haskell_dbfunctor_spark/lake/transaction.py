@@ -170,20 +170,37 @@ class Catalog:
                 ) from exc
         _atomic_write_json(done_p, {"ts": time.time()})
 
-    def recover(self, *, upto: int | None = None) -> dict:
+    def recover(
+        self, *, upto: int | None = None, grace_s: float = 5.0
+    ) -> dict:
         """Resolve every pending intent (optionally only slots <
         ``upto``): undecided intents are stolen-aborted (safe — nothing
         publishes before a decision exists), commit-decided ones are
         rolled forward. Run automatically by ``begin().commit()`` and
-        :meth:`read`; safe to run any time, from any process."""
+        :meth:`read`; safe to run any time, from any process.
+
+        ``grace_s``: an undecided intent younger than this is likely a
+        LIVE writer between its slot claim and its decision (a
+        metadata-only window of milliseconds) — recovery polls for its
+        decision instead of stealing the abort immediately, so
+        concurrent readers don't spuriously abort healthy committers.
+        Past the grace the steal proceeds: a dead writer must not
+        wedge the log."""
         stats = {"applied": 0, "aborted": 0, "skipped": 0}
         for n in self._intent_ids():
             if upto is not None and n >= upto:
                 break
-            intent_p, _, done_p = self._paths(n)
+            intent_p, dec_p, done_p = self._paths(n)
             if os.path.exists(done_p):
                 stats["skipped"] += 1
                 continue
+            if not os.path.exists(dec_p):
+                born = _read_json(intent_p).get("ts", 0)
+                while (
+                    not os.path.exists(dec_p)
+                    and time.time() - born < grace_s
+                ):
+                    time.sleep(0.05)
             decision = self._decide(n, "abort")
             if decision == "commit":
                 self._apply(n, _read_json(intent_p))
