@@ -1419,7 +1419,10 @@ def _txn_atomic_commit_state(s: SparkSession, d: str) -> DataFrame:
         txn = cat.begin()
         ah = cat.read(f"{tmp}/a")
         fork = ah.version
-        txn.merge(ah, part)
+        # half-feed batches >> 8 buckets: every bucket is touched, so
+        # the touched-set pre-job buys nothing (CLAUDE.md: 1 Spark job
+        # per merge with prune_buckets=False)
+        txn.merge(ah, part, prune_buckets=False)
         # incremental rollup refresh from A's published→STAGED change
         # feed (ah sits on the staged head after the txn merge):
         # derived-from-what-we-commit, computed from the diff — one
