@@ -165,6 +165,24 @@ def _get_spark(cores: int):
     return get_spark(app_name=f"bench-local{cores}", cores=cores, extra_conf=extra)
 
 
+def calibration_seconds(n: int = 3_000_000) -> float:
+    """Single-thread fixed CPU workload — a contention dosimeter.
+
+    This Firecracker VM is throttled by its hypervisor WITHOUT
+    reporting steal time (measured: loadavg 10+ with zero runnable
+    local processes and vmstat st=0), so neither loadavg nor steal
+    reliably flags a slow window. A fixed pure-Python loop does: its
+    wall time scales directly with whatever CPU the guest actually
+    gets. Quiet reference on this box: ~0.30 s (minimum of repeated
+    samples, 2026-08-17). Ratio observed/quiet ≈ the inflation factor
+    to divide out of this run's timings."""
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
 def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     import __spark_entry__ as entry_mod
 
@@ -179,6 +197,7 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
             return -1.0
 
     load_start = _load1()
+    calib_start = calibration_seconds()
     spark = _get_spark(cores)
     # JVM/codegen/reader warmup so the first timed query isn't charged
     # one-time session costs (~4-5s of Janino compilation + scan init)
@@ -220,6 +239,11 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         # thread count means the numbers are contention-inflated
         "host_load1_start": load_start,
         "host_load1_end": _load1(),
+        # single-thread CPU dosimeter (quiet ~0.30s): hypervisor
+        # throttling is invisible to loadavg/steal here, so divide
+        # timings by calib/0.30 before comparing runs
+        "calib_s_start": calib_start,
+        "calib_s_end": calibration_seconds(),
     }))
 
 
