@@ -72,7 +72,10 @@ def open_or_create_rollup(
             T.StructField("ts", T.TimestampType()),
         ])
         return LakeTable.create(
-            spark, root, schema, key_cols=list(group_cols), num_buckets=4
+            spark, root, schema, key_cols=list(group_cols), num_buckets=4,
+            # group columns may be nullable dimensions (`tool` is NULL
+            # pre-evolution); NULL is a legal rollup key value
+            nullable_keys=True,
         )
 
 
@@ -194,11 +197,26 @@ def _txn_epoch(
     cur = rh.read().select(
         *group_cols, F.col("live_rows").alias("n")
     )
+    ch = ah.changes(fork, preimages=True)
+    for c in group_cols:
+        if c not in ch.columns:
+            # a rollup group column that arrives via schema evolution
+            # (e.g. `tool`) is absent from pre-evolution change feeds;
+            # those rows roll up under the NULL group, exactly as a
+            # recompute over the evolved table would place them
+            ch = ch.withColumn(
+                c, F.lit(None).cast(rollup.schema[c].dataType)
+            )
     refreshed = maintain_group_sums(
-        cur, ah.changes(fork, preimages=True),
-        list(group_cols), [], count_col="n",
+        cur, ch, list(group_cols), [], count_col="n",
     )
-    gone = cur.join(refreshed, list(group_cols), "left_anti")
+    # null-safe anti join: a NULL-keyed group (schema-evolution rows)
+    # must match itself, else it would be delete-marked every epoch
+    anti_cond = None
+    for c in group_cols:
+        eq = cur[c].eqNullSafe(refreshed[c])
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    gone = cur.join(refreshed, anti_cond, "left_anti")
     refresh = (
         refreshed.withColumn("op", F.lit("U"))
         .unionByName(gone.withColumn("op", F.lit("D")))

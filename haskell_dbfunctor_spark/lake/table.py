@@ -161,7 +161,18 @@ class LakeTable:
         num_buckets: int = 32,
         overwrite: bool = False,
         constraints: dict[str, str] | None = None,
+        nullable_keys: bool = False,
     ) -> "LakeTable":
+        """``nullable_keys=True`` declares that NULL is a legal key
+        VALUE (e.g. a rollup keyed on a nullable dimension): merges
+        then use a null-safe apply join. Costs one extra shuffle of
+        the deduped batch per merge — Catalyst rewrites ``<=>`` keys
+        to ``(coalesce(k), isnull(k))``, which the dedup aggregation's
+        raw-column partitioning cannot satisfy — so it is opt-in;
+        fact/CDC tables with non-null keys keep the single-shuffle
+        plan, and their NULL-keyed rows are dropped at merge (reject
+        them explicitly with an expectations entry if they can
+        occur)."""
         meta_dir = os.path.join(root, MANIFEST_DIR)
         if os.path.exists(os.path.join(meta_dir, "version-hint.txt")):
             if not overwrite:
@@ -191,6 +202,7 @@ class LakeTable:
             # instead of landing (Delta CHECK constraint + DLT
             # expectation rolled into one)
             "constraints": dict(constraints or {}),
+            "nullable_keys": bool(nullable_keys),
         }
         tbl = cls(spark, root, manifest)
         tbl._commit(manifest)
@@ -1460,9 +1472,17 @@ class LakeTable:
                 merged_exp[n] = cond
             merged_exp.update(expectations or {})
             expectations = merged_exp or None
+        nullable_keys = bool(self.manifest.get("nullable_keys"))
         ch = changes
         for c in key:
-            ch = ch.where(F.col(c).isNotNull())
+            if not nullable_keys:
+                # non-null-key tables (the default): NULL-keyed rows
+                # cannot address any target row under the raw-equality
+                # apply join, so they are dropped here; tables where
+                # NULL is a legal key VALUE (a rollup on a nullable
+                # dimension) declare create(nullable_keys=True) and
+                # take the null-safe join below instead
+                ch = ch.where(F.col(c).isNotNull())
             # normalize key types to the table's declared types BEFORE
             # hashing: xxhash64 is physical-type-sensitive, so a batch
             # carrying int where the table declares long would bucket
@@ -1602,16 +1622,29 @@ class LakeTable:
                 BUCKET_COL, self.bucket_of(*[F.col(c) for c in key])
             )
 
-            t = target.alias("t")
-            s = deduped.alias("s")
+            # explicit presence markers: key[0].isNotNull() would
+            # misread a row whose key VALUE is legitimately NULL as
+            # "side absent"; a lit(True) column is NULL after the full
+            # outer join exactly when its side is absent
+            t = target.withColumn("__t_present", F.lit(True)).alias("t")
+            s = deduped.withColumn("__s_present", F.lit(True)).alias("s")
             cond = None
             for c in key:
-                eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+                # nullable-key tables join null-safe (NULL matches
+                # NULL — one group); default tables keep raw equality
+                # so the join reuses the dedup aggregation's shuffle
+                # (Catalyst's <=> rewrite repartitions on
+                # (coalesce, isnull) keys — one extra exchange)
+                eq = (
+                    F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                    if nullable_keys
+                    else F.col(f"t.{c}") == F.col(f"s.{c}")
+                )
                 cond = eq if cond is None else (cond & eq)
             j = t.join(s, cond, "full_outer")
 
-            s_present = F.col(f"s.{key[0]}").isNotNull()
-            t_present = F.col(f"t.{key[0]}").isNotNull()
+            s_present = F.coalesce(F.col("s.__s_present"), F.lit(False))
+            t_present = F.coalesce(F.col("t.__t_present"), F.lit(False))
             is_delete = (
                 (F.col(f"s.{op_col}") == delete_op) if op_col else F.lit(False)
             )

@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         from haskell_dbfunctor_spark.cdc.apply import open_or_create_rollup
         from haskell_dbfunctor_spark.lake.transaction import Catalog
 
-        group_cols = [c for c in args.rollup_by.split(",") if c]
+        group_cols = [c.strip() for c in args.rollup_by.split(",") if c.strip()]
         rollup = open_or_create_rollup(spark, args.rollup_root, group_cols)
         catalog = Catalog(
             spark, os.path.join(os.path.dirname(args.rollup_root) or ".",
@@ -149,8 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         expectations=expectations,
         rollup=rollup,
         catalog=catalog,
-        rollup_group_cols=tuple(args.rollup_by.split(","))
-        if args.rollup_root else ("role",),
+        rollup_group_cols=tuple(group_cols) if rollup is not None else ("role",),
     )
     out = {
         "mode": "replay-mor" if args.mor else "replay",

@@ -268,17 +268,66 @@ def test_expire_truncates_resolved_prefix_only(spark, two_tables):
     assert txn.commit()["slot"] == pending + 2
 
 
-def _rollup_state(rollup):
+def test_nullable_keys_merge_upsert_delete(spark, tmp_path):
+    """create(nullable_keys=True): NULL is a legal key VALUE — rows
+    keyed (role, NULL) insert, update, and delete like any other key
+    (default tables drop NULL-keyed batch rows; the silent loss this
+    pins against surfaced as vanished rollup groups)."""
+    schema = T.StructType([
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["role", "tool"],
+        num_buckets=4, nullable_keys=True,
+    )
+
+    def b(rows, ts, seq, op="U"):
+        df = spark.createDataFrame(
+            rows, "role string, tool string, live_rows long"
+        )
+        return df.select(
+            "role", "tool", "live_rows",
+            F.timestamp_seconds(F.lit(ts)).alias("ts"),
+            F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"),
+        )
+
+    def state():
+        return sorted(
+            (r.role, r.tool, r.live_rows) for r in t.read().collect()
+        )
+
+    t.merge(b([("assistant", None, 10), ("user", None, 20),
+               ("tool", "bash", 5)], 1_700_000_000, 0), epoch_id="e0")
+    assert state() == [("assistant", None, 10), ("tool", "bash", 5),
+                       ("user", None, 20)]
+    t.merge(b([("assistant", None, 11)], 1_700_000_001, 1), epoch_id="e1")
+    assert state() == [("assistant", None, 11), ("tool", "bash", 5),
+                       ("user", None, 20)]
+    t.merge(b([("user", None, 0)], 1_700_000_002, 2, op="D"),
+            epoch_id="e2")
+    assert state() == [("assistant", None, 11), ("tool", "bash", 5)]
+
+
+def _null_low(v):
+    # NULL group keys sort below any string (both helpers apply the
+    # same mapping, so the equality comparison is unaffected)
+    return "" if v is None else f"v{v}"
+
+
+def _rollup_state(rollup, cols=("role",)):
     return sorted(
-        (r.role, r.live_rows)
-        for r in rollup.read().select("role", "live_rows").collect()
+        (tuple(_null_low(r[c]) for c in cols), r["live_rows"])
+        for r in rollup.read().select(*cols, "live_rows").collect()
     )
 
 
-def _recomputed(table):
+def _recomputed(table, cols=("role",)):
     return sorted(
-        (r.role, r.n)
-        for r in table.read().groupBy("role")
+        (tuple(_null_low(r[c]) for c in cols), r["n"])
+        for r in table.read().groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("n")).collect()
     )
 
@@ -301,14 +350,20 @@ def test_replay_with_transactional_rollup(spark, tmp_path):
     table = open_or_create_transcripts(
         spark, str(tmp_path / "state"), num_buckets=4
     )
-    rollup = open_or_create_rollup(spark, str(tmp_path / "rollup"), ["role"])
+    # grouping on (role, tool) exercises the evolution path: `tool`
+    # does not exist before epoch 2, so early refreshes must roll
+    # those rows up under the NULL group like a recompute would
+    cols = ("role", "tool")
+    rollup = open_or_create_rollup(
+        spark, str(tmp_path / "rollup"), list(cols)
+    )
     cat = Catalog(spark, str(tmp_path / "cat"))
     st = replay(
         table, feed, 4, evolution_epoch=2,
-        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+        rollup=rollup, catalog=cat, rollup_group_cols=cols,
     )
     assert st.epochs_applied == 4
-    assert _rollup_state(rollup) == _recomputed(table)
+    assert _rollup_state(rollup, cols) == _recomputed(table, cols)
     # the state itself matches a plain (non-transactional) replay
     plain = open_or_create_transcripts(
         spark, str(tmp_path / "plain"), num_buckets=4
@@ -324,13 +379,13 @@ def test_replay_with_transactional_rollup(spark, tmp_path):
         ).collect()
     )
     # idempotent re-apply: every epoch skips, rollup untouched
-    before = _rollup_state(rollup)
+    before = _rollup_state(rollup, cols)
     st2 = replay(
         table, feed, 4, evolution_epoch=2,
-        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+        rollup=rollup, catalog=cat, rollup_group_cols=cols,
     )
     assert st2.epochs_applied == 0 and st2.epochs_skipped == 4
-    assert _rollup_state(rollup) == before
+    assert _rollup_state(rollup, cols) == before
     feed.unpersist()
 
 
