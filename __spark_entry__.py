@@ -44,8 +44,9 @@ from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
-    decontaminate, normalize_text, tfidf_top_terms, token_count_bpe_ish,
-    vocabulary, winnow_fingerprints,
+    chunk_documents, decontaminate, normalize_text, redact_pii,
+    tfidf_top_terms, token_count_bpe_ish, vocabulary,
+    winnow_fingerprints,
 )
 
 
@@ -749,6 +750,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
         )
     q["q62_pivot_counts"] = q62
+
+    # PII redaction (pipelines/text.py:redact_pii). The synthetic
+    # corpus carries no real PII, so the query INJECTS deterministic
+    # emails / phone runs / IPv4s keyed by doc_id before scrubbing —
+    # both engines run the identical regex chain on identical text,
+    # which is the point of the oracle check.
+    def q75(s, d):
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-000-"),
+                F.col("doc_id").cast("string"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ).alias("text"),
+        )
+        return redact_pii(docs)
+    q["q75_redact_pii"] = q75
+
+    # context-window chunking (pipelines/text.py:chunk_documents)
+    q["q76_chunk_documents"] = lambda s, d: chunk_documents(
+        _t(s, d, "documents"), size=200, stride=150
+    )
 
     return q
 
@@ -2453,6 +2479,42 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                count(*) FILTER (event_type = 'signup')   AS n_signup,
                count(*) FILTER (event_type = 'view')     AS n_view
         FROM events GROUP BY user_id
+    """
+    # same regex chain as pipelines/text.py:PII_PATTERNS, same order,
+    # 'g' flag = Spark regexp_replace's replace-all default
+    o["q75_redact_pii"] = r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 555-000-'
+                      || CAST(doc_id AS VARCHAR)
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7' AS text
+          FROM documents
+        ), scrubbed AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '[IP]', 'g'),
+                   '\+?\d[\d -]{7,}\d',
+                   '[PHONE]', 'g') AS clean_text
+          FROM injected
+        )
+        SELECT doc_id, clean_text,
+               clean_text <> text AS was_redacted
+        FROM scrubbed
+    """
+    o["q76_chunk_documents"] = """
+        SELECT doc_id,
+               CAST(off // 150 AS BIGINT) AS chunk_idx,
+               substr(text, CAST(off AS BIGINT) + 1, 200) AS chunk_text
+        FROM (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text), 1), 150)) AS off
+          FROM documents
+        )
     """
     o["q58_session_window"] = """
         WITH e AS (

@@ -268,3 +268,73 @@ def decontaminate(
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
     )
+
+
+# identical pattern set for the engine and the DuckDB oracle: RE2-safe
+# (no lookaround, no backreferences) AND backtracking-safe (no
+# alternation whose leftmost-first vs leftmost-longest semantics could
+# diverge between Java regex and RE2)
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass:
+    emails, IPv4 addresses, and phone-like digit runs replaced by
+    typed placeholder tokens, applied in a fixed order (email → IP →
+    phone) so the passes compose deterministically. A pure
+    ``regexp_replace`` chain: JVM-side, codegen'd, scan-speed, trivially
+    partition-parallel at 100 TB — never a Python UDF. The reference
+    expresses row-level text transforms as RTuple column mappings
+    (/root/reference/src/RTable/Core.hs:1209-1256 ColMapping); this is
+    that seam specialized to the redaction patterns every corpus
+    pipeline ships.
+
+    Output: (doc_id, clean_text, was_redacted).
+    """
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return docs.select(
+        "doc_id",
+        out.alias("clean_text"),
+        (out != F.col(text_col)).alias("was_redacted"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking for training: overlapping character
+    windows of ``size`` every ``stride`` (stride < size ⇒ overlap =
+    size - stride, the standard sliding-window prep for fixed-context
+    models). Offsets come from a generated ``sequence`` + ``posexplode``
+    — one narrow pass, no join, no shuffle, no Python; at 100 TB the
+    explode factor is len/stride per doc and chunks inherit the input
+    partitioning. An empty document yields ONE empty chunk (length-1
+    and length-0 docs behave alike; the driver oracle pins the edge).
+
+    Output: (doc_id, chunk_idx, chunk_text) with
+    chunk_idx = offset / stride.
+    """
+    n = F.length(F.col(text_col))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(offsets).alias("chunk_idx", "__off"),
+        F.col(text_col),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.substring(
+            F.col(text_col), F.col("__off") + 1, F.lit(size)
+        ).alias("chunk_text"),
+    )
