@@ -45,8 +45,8 @@ from haskell_dbfunctor_spark.pipelines.multimodal import (
 )
 from haskell_dbfunctor_spark.pipelines.text import (
     chunk_documents, decontaminate, normalize_text, redact_pii,
-    tfidf_top_terms, token_count_bpe_ish, vocabulary,
-    winnow_fingerprints,
+    remove_repetition, tfidf_top_terms, token_count_bpe_ish,
+    vocabulary, winnow_fingerprints,
 )
 
 
@@ -774,6 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # context-window chunking (pipelines/text.py:chunk_documents)
     q["q76_chunk_documents"] = lambda s, d: chunk_documents(
         _t(s, d, "documents"), size=200, stride=150
+    )
+
+    # intra-document repetition removal (pipelines/text.py)
+    q["q77_remove_repetition"] = lambda s, d: remove_repetition(
+        _t(s, d, "documents")
     )
 
     return q
@@ -2515,6 +2520,24 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                  unnest(range(0, greatest(length(text), 1), 150)) AS off
           FROM documents
         )
+    """
+    o["q77_remove_repetition"] = """
+        WITH words AS (
+          SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+          FROM (
+            SELECT doc_id, string_split(text, ' ') AS ws,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+            FROM documents
+          )
+        ), firsts AS (
+          SELECT doc_id, word, min(pos) AS pos, count(*) AS n
+          FROM words GROUP BY doc_id, word
+        )
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY pos) AS dedup_text,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_removed
+        FROM firsts GROUP BY doc_id
     """
     o["q58_session_window"] = """
         WITH e AS (

@@ -338,3 +338,37 @@ def chunk_documents(
             F.col(text_col), F.col("__off") + 1, F.lit(size)
         ).alias("chunk_text"),
     )
+
+
+def remove_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition removal: drop repeated tokens keeping
+    the FIRST occurrence, order preserved — the token-level form of the
+    boilerplate/repeated-line scrub every web-corpus pipeline runs
+    (CCNet-style) before training. Two hash aggregations, both keyed by
+    doc_id (+token): first-occurrence positions, then an order-restoring
+    re-assembly via ``array_sort`` of (pos, token) structs — no window,
+    no UDF, no driver state; at 100 TB both shuffles partition by
+    doc_id so the op scales with the corpus. The reference would phrase
+    this as an RTuple column mapping over a token fold
+    (/root/reference/src/RTable/Core.hs:1209-1256).
+
+    Output: (doc_id, dedup_text, n_tokens, n_removed).
+    """
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    firsts = words.groupBy("doc_id", "word").agg(
+        F.min("pos").alias("pos"), F.count(F.lit(1)).alias("n"),
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )
