@@ -99,6 +99,9 @@ def tail_feed_dir(
     schema: T.StructType | None = None,
     expectations: dict | None = None,
     mode: str = "cow",
+    rollup: LakeTable | None = None,
+    catalog=None,
+    rollup_group_cols: tuple = ("role",),
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -123,7 +126,18 @@ def tail_feed_dir(
     merge evolves the table schema). This is the standard Structured
     Streaming contract — the batch replay path (cdc/apply.py) evolves
     per epoch without restarts.
+
+    ``rollup`` (+ ``catalog``, a ``lake.transaction.Catalog``): each
+    micro-batch becomes a MULTI-TABLE TRANSACTION committing the state
+    merge and a CDF-incremental refresh of the per-``rollup_group_cols``
+    rollup atomically (same mechanics as ``cdc.apply.replay``'s rollup
+    mode). Exactly-once extends across both tables: a replayed
+    batch_id stages nothing and aborts its empty transaction, and a
+    crash between the commit decision and the publishes is rolled
+    forward by the next batch's (or any reader's) catalog recovery.
     """
+    if (rollup is None) != (catalog is None):
+        raise ValueError("rollup and catalog come together")
     if mode == "mor" and cross_batch_lww:
         # MoR applies batches without reading the target, so the
         # matched-filter that implements cross-batch LWW cannot run:
@@ -150,9 +164,7 @@ def tail_feed_dir(
             # (seq is dropped from the stored row by default)
             stored = [c for c in order_cols if c in table.schema.names]
             mf = lww_matched_filter(tuple(stored) or order_cols[:1])
-        table.merge(
-            batch,
-            epoch_id=f"stream-{batch_id:08d}",
+        merge_opts = dict(
             op_col=op_col,
             order_cols=order_cols,
             matched_filter=mf,
@@ -163,6 +175,16 @@ def tail_feed_dir(
             # compact_deltas out-of-band (maintenance CLI)
             mode=mode,
         )
+        eid = f"stream-{batch_id:08d}"
+        if rollup is not None:
+            from ..cdc.apply import _txn_epoch
+
+            _txn_epoch(
+                table, rollup, catalog, batch, eid, merge_opts,
+                rollup_group_cols, int(batch_id),
+            )
+        else:
+            table.merge(batch, epoch_id=eid, **merge_opts)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation",

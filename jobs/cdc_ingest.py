@@ -101,6 +101,25 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.feed_dir:
             ap.error("--stream requires --feed-dir")
+        rollup = catalog = None
+        if args.rollup_root:
+            from haskell_dbfunctor_spark.cdc.apply import (
+                open_or_create_rollup,
+            )
+            from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+            group_cols = [
+                c.strip() for c in args.rollup_by.split(",") if c.strip()
+            ]
+            rollup = open_or_create_rollup(
+                spark, args.rollup_root, group_cols
+            )
+            catalog = Catalog(
+                spark,
+                os.path.join(
+                    os.path.dirname(args.rollup_root) or ".", "_catalog"
+                ),
+            )
         # cross_batch_lww defaults True: a late WAL file applied in a
         # later micro-batch must not overwrite newer committed state
         q = tail_feed_dir(spark, table, args.feed_dir,
@@ -109,9 +128,15 @@ def main(argv: list[str] | None = None) -> int:
                           # --mor + --stream = delta-append micro-batches;
                           # tail_feed_dir refuses it without
                           # --no-cross-batch-lww (ordered-feed contract)
-                          mode="mor" if args.mor else "cow")
+                          mode="mor" if args.mor else "cow",
+                          rollup=rollup, catalog=catalog,
+                          rollup_group_cols=tuple(group_cols)
+                          if rollup is not None else ("role",))
         q.awaitTermination()
-        print(json.dumps({"mode": "stream", "status": "drained"}))
+        out = {"mode": "stream", "status": "drained"}
+        if rollup is not None:
+            out["rollup_rows"] = rollup.read().count()
+        print(json.dumps(out))
         return 0
 
     feed = change_feed(

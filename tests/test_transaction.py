@@ -268,6 +268,50 @@ def test_expire_truncates_resolved_prefix_only(spark, two_tables):
     assert txn.commit()["slot"] == pending + 2
 
 
+def test_stream_tail_with_transactional_rollup(spark, tmp_path):
+    """tail_feed_dir(rollup=..., catalog=...): every micro-batch
+    commits the state merge and the CDF-incremental rollup refresh
+    atomically; a re-tail from the same checkpoint (or a fresh drain
+    over the same files) replays nothing — exactly-once extends
+    across BOTH tables."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_rollup, open_or_create_transcripts,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.streaming.tailer import (
+        await_or_raise, tail_feed_dir,
+    )
+
+    feed = change_feed(spark, 1200, n_convs=30, max_turns=20, n_epochs=3)
+    feed_dir = str(tmp_path / "feed")
+    feed.repartition(1, "epoch").write.partitionBy("epoch").parquet(feed_dir)
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=4
+    )
+    rollup = open_or_create_rollup(spark, str(tmp_path / "rollup"), ["role"])
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True,
+        max_files_per_trigger=2,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    await_or_raise(q, 300)
+    table = cat.read(table.root)
+    rollup = cat.read(rollup.root)
+    assert _rollup_state(rollup) == _recomputed(table)
+    assert table.read().count() > 0
+    # drain again over the same checkpoint: no batches replay, both
+    # tables byte-stable (exactly-once across the pair)
+    v_state, v_roll = table.version, rollup.version
+    q2 = tail_feed_dir(
+        spark, table, feed_dir, available_now=True,
+        rollup=rollup, catalog=cat, rollup_group_cols=("role",),
+    )
+    await_or_raise(q2, 300)
+    assert LakeTable.load(spark, table.root).version == v_state
+    assert LakeTable.load(spark, rollup.root).version == v_roll
+
+
 def test_nullable_keys_merge_upsert_delete(spark, tmp_path):
     """create(nullable_keys=True): NULL is a legal key VALUE — rows
     keyed (role, NULL) insert, update, and delete like any other key
