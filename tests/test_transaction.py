@@ -268,6 +268,60 @@ def test_expire_truncates_resolved_prefix_only(spark, two_tables):
     assert txn.commit()["slot"] == pending + 2
 
 
+def test_threaded_txns_serialize_and_lose_nothing(spark, tmp_path):
+    """Concurrency soak of the whole protocol: two threads each drive
+    three transactions over the SAME two tables, retrying on
+    TransactionAborted (the OCC contract) with fresh handles. Both
+    tables must converge to the union of every committed batch —
+    nothing lost, nothing half-applied — and the catalog history must
+    hold exactly the committed slots plus any aborted leftovers."""
+    import threading
+
+    a = _mk(spark, str(tmp_path / "a"), num_buckets=4)
+    b = _mk(spark, str(tmp_path / "b"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    errors = []
+
+    def writer(w):
+        try:
+            for i in range(3):
+                base = 100 + w * 10 + i
+                for attempt in range(25):
+                    txn = cat.begin()
+                    try:
+                        txn.merge(
+                            LakeTable.load(spark, a.root),
+                            _batch(spark, [base], f"w{w}-"),
+                        )
+                        txn.merge(
+                            LakeTable.load(spark, b.root),
+                            _batch(spark, [base], f"w{w}-"),
+                        )
+                        txn.commit()
+                        break
+                    except TransactionAborted:
+                        continue
+                else:
+                    raise AssertionError(f"writer {w} gave up on {base}")
+        except Exception as exc:  # surface across the thread boundary
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    expected = {100 + w * 10 + i for w in range(2) for i in range(3)}
+    for root in (a.root, b.root):
+        st = dict(_state(spark, root))
+        for k in expected:
+            assert st.get(k, "").startswith("w"), (root, k, st.get(k))
+    h = cat.history()
+    assert sum(1 for r in h if r["decision"] == "commit") == 6
+    assert all(r["applied"] for r in h if r["decision"] == "commit")
+
+
 def test_stream_tail_with_transactional_rollup(spark, tmp_path):
     """tail_feed_dir(rollup=..., catalog=...): every micro-batch
     commits the state merge and the CDF-incremental rollup refresh
