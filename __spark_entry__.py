@@ -44,9 +44,10 @@ from haskell_dbfunctor_spark.pipelines.multimodal import (
     attach_fake_media, frame_sample, media_features,
 )
 from haskell_dbfunctor_spark.pipelines.text import (
-    chunk_documents, decontaminate, normalize_text, redact_pii,
-    remove_repetition, tfidf_top_terms, token_count_bpe_ish,
-    vocabulary, winnow_fingerprints,
+    chunk_documents, corpus_source_stats, decontaminate,
+    length_histogram, normalize_text, redact_pii, remove_repetition,
+    tfidf_top_terms, token_count_bpe_ish, vocabulary,
+    winnow_fingerprints,
 )
 
 
@@ -779,6 +780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # intra-document repetition removal (pipelines/text.py)
     q["q77_remove_repetition"] = lambda s, d: remove_repetition(
         _t(s, d, "documents")
+    )
+
+    # corpus profiling (pipelines/text.py)
+    q["q78_source_stats"] = lambda s, d: corpus_source_stats(
+        _t(s, d, "documents")
+    )
+    q["q79_length_histogram"] = lambda s, d: length_histogram(
+        _t(s, d, "documents"), bucket=50
     )
 
     return q
@@ -2538,6 +2547,18 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                CAST(sum(n) AS BIGINT) AS n_tokens,
                CAST(sum(n) - count(*) AS BIGINT) AS n_removed
         FROM firsts GROUP BY doc_id
+    """
+    o["q78_source_stats"] = """
+        SELECT source, count(*) AS n_docs,
+               round(avg(length(text)), 3) AS mean_chars,
+               round(1 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                         / count(*), 6) AS dup_rate
+        FROM documents GROUP BY source
+    """
+    o["q79_length_histogram"] = """
+        SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
     """
     o["q58_session_window"] = """
         WITH e AS (

@@ -372,3 +372,37 @@ def remove_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("n").cast("long").alias("n_tokens"),
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
     )
+
+
+def corpus_source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health report — the composition table every
+    training-data pipeline publishes before a mix is approved: doc
+    count, mean length, and exact-duplicate rate (1 - distinct
+    content hashes / docs) per source. One hash aggregation keyed by
+    source; the md5 runs inside the scan (codegen), so this is a
+    single pass at any corpus size. The reference's groupBy+agg
+    (/root/reference/src/RTable/Core.hs:3429-3500 runGroupBy)
+    specialized to corpus profiling.
+
+    Output: (source, n_docs, mean_chars, dup_rate).
+    """
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 3).alias("mean_chars"),
+        F.round(
+            1 - F.count_distinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+def length_histogram(docs: DataFrame, bucket: int = 50) -> DataFrame:
+    """Document-length histogram in fixed-width character buckets —
+    the length-distribution profile used to pick chunking / filtering
+    thresholds. Pure scan + one aggregation on the bucket floor.
+
+    Output: (bucket_lo, n_docs) with bucket_lo = floor(len/bucket)*bucket.
+    """
+    lo = (F.floor(F.length("text") / bucket) * bucket).cast("long")
+    return docs.groupBy(lo.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
