@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -216,6 +217,7 @@ class LakeTable:
         version: int | None = None,
         *,
         as_of: float | None = None,
+        tag: str | None = None,
     ) -> "LakeTable":
         """Open the table at the current (or a historical) snapshot.
 
@@ -224,10 +226,15 @@ class LakeTable:
         any past snapshot reads consistently. ``as_of`` (a unix
         timestamp; mutually exclusive with ``version``) selects the
         newest snapshot committed at-or-before that instant —
-        `TIMESTAMP AS OF` semantics. A table opened at an old snapshot
-        is read-only in spirit — committing from it would fork
-        history; don't.
+        `TIMESTAMP AS OF` semantics. ``tag`` resolves a named snapshot
+        created with :meth:`tag` (`VERSION AS OF 'name'`). A table
+        opened at an old snapshot is read-only in spirit — committing
+        from it would fork history; don't.
         """
+        if tag is not None:
+            if version is not None or as_of is not None:
+                raise LakeError("load: pass only one of version/as_of/tag")
+            version = cls.resolve_tag(root, tag)
         if as_of is not None:
             if version is not None:
                 raise LakeError("load: pass version OR as_of, not both")
@@ -256,6 +263,54 @@ class LakeTable:
         with open(os.path.join(root, MANIFEST_DIR, f"v{version}.json")) as fh:
             manifest = json.load(fh)
         return cls(spark, root, manifest)
+
+    # -------------------------------------------------- tag refs
+    @staticmethod
+    def _tag_path(root: str, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise LakeError(f"invalid tag name {name!r}")
+        return os.path.join(root, MANIFEST_DIR, f"tag-{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Name a snapshot (Iceberg tag ref): an IMMUTABLE pointer
+        created atomically (CAS — re-tagging an existing name raises;
+        ``delete_tag`` first to move it). Tagged snapshots are pinned
+        through ``expire_snapshots``, so `load(tag=...)` stays valid
+        for as long as the tag exists — the audit/repro handle
+        ("the corpus we trained run X on")."""
+        v = self.version if version is None else int(version)
+        if not os.path.exists(
+            os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")
+        ):
+            raise LakeError(f"tag: no snapshot v{v}")
+        _atomic_claim_json(
+            self._tag_path(self.root, name),
+            {"version": v, "created_at": time.time()},
+        )
+        return {"tag": name, "version": v}
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(self.root, name))
+        except FileNotFoundError:
+            raise LakeError(f"no tag {name!r}")
+
+    @classmethod
+    def resolve_tag(cls, root: str, name: str) -> int:
+        try:
+            with open(cls._tag_path(root, name)) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            raise LakeError(f"no tag {name!r} at {root}")
+
+    def tags(self) -> dict[str, int]:
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        out = {}
+        for f in os.listdir(meta_dir):
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(meta_dir, f)) as fh:
+                    out[f[4:-5]] = int(json.load(fh)["version"])
+        return out
 
     @classmethod
     def history(cls, root: str) -> list[dict]:
@@ -2618,6 +2673,9 @@ class LakeTable:
         )
         keep = set(versions[-keep_last:])
         keep.add(self.version)
+        # tag refs PIN their snapshots (Iceberg retention semantics):
+        # an expired-but-tagged version must stay readable by name
+        keep.update(self.tags().values())
         def _all_files(m: dict):
             for files in m["buckets"].values():
                 yield from files

@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--bits", type=int, default=8192)
     ab.add_argument("--k", type=int, default=4)
 
+    tg = sub.add_parser(
+        "tag",
+        help="name the current (or given) snapshot — an immutable ref "
+             "pinned through expire; read back with load(tag=...)",
+    )
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    dtg = sub.add_parser("delete-tag", help="remove a tag ref")
+    dtg.add_argument("--name", required=True)
+
     rb = sub.add_parser(
         "rollback",
         help="roll the table back to an earlier snapshot (new commit, "
@@ -178,6 +188,16 @@ def main(argv: list[str] | None = None) -> int:
             "table_version": table.version,
             **res,
         }))
+        return 0
+
+    if args.action == "tag":
+        res = table.tag(args.name, version=args.version)
+        print(json.dumps({"action": "tag", **res}))
+        return 0
+
+    if args.action == "delete-tag":
+        table.delete_tag(args.name)
+        print(json.dumps({"action": "delete-tag", "tag": args.name}))
         return 0
 
     if args.action == "rollback":
