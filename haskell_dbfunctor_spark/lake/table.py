@@ -312,6 +312,84 @@ class LakeTable:
                     out[f[4:-5]] = int(json.load(fh)["version"])
         return out
 
+    # -------------------------------------------------- branch refs
+    @staticmethod
+    def _branch_path(root: str, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise LakeError(f"invalid branch name {name!r}")
+        return os.path.join(root, MANIFEST_DIR, f"branch-{name}.json")
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """A MUTABLE named ref (Iceberg branch): starts at the current
+        (or given) published snapshot; ``merge_to_branch`` advances it
+        along a write-audit-publish staged chain invisible to main
+        readers; ``fast_forward`` publishes the chain (same conflict
+        rules as ``publish``). One writer per branch — the ref update
+        is last-writer-wins by design, like Iceberg's branch head."""
+        v = self.version if version is None else int(version)
+        p = self._branch_path(self.root, name)
+        if os.path.exists(p):
+            raise LakeError(f"branch {name!r} exists")
+        _atomic_claim_json(p, {"version": v, "created_at": time.time()})
+        return {"branch": name, "version": v}
+
+    def branches(self) -> dict[str, int]:
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        out = {}
+        for f in os.listdir(meta_dir):
+            if f.startswith("branch-") and f.endswith(".json"):
+                with open(os.path.join(meta_dir, f)) as fh:
+                    out[f[7:-5]] = int(json.load(fh)["version"])
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        try:
+            os.unlink(self._branch_path(self.root, name))
+        except FileNotFoundError:
+            raise LakeError(f"no branch {name!r}")
+
+    def checkout_branch(self, name: str) -> "LakeTable":
+        """Handle positioned on the branch head (staged or published);
+        stage-only merges from it extend the branch's chain."""
+        p = self._branch_path(self.root, name)
+        try:
+            with open(p) as fh:
+                v = int(json.load(fh)["version"])
+        except FileNotFoundError:
+            raise LakeError(f"no branch {name!r}")
+        return LakeTable.load(self.spark, self.root, version=v)
+
+    def merge_to_branch(self, name: str, changes: DataFrame, **opts):
+        """MERGE into the branch: stages on the branch's chain and
+        advances the ref. Invisible to main-table readers until
+        ``fast_forward``; an epoch-idempotent skip leaves the ref
+        where it was."""
+        handle = self.checkout_branch(name)
+        stats = handle.merge(changes, stage_only=True, **opts)
+        if not stats.skipped:
+            _atomic_write_json(
+                self._branch_path(self.root, name),
+                {"version": handle.version, "updated_at": time.time()},
+            )
+        return stats
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish the branch's staged chain onto main (metadata-only;
+        ``publish``'s conflict rules apply — overlapping main commits
+        since the fork raise CommitConflict and the branch must be
+        rebuilt from the new head). The ref then points at the
+        published version, like Iceberg's fast-forward."""
+        handle = self.checkout_branch(name)
+        if not handle.manifest.get("staged"):
+            return {"published": False, "version": handle.version}
+        res = handle.publish(handle.version)
+        _atomic_write_json(
+            self._branch_path(self.root, name),
+            {"version": res["version"], "updated_at": time.time()},
+        )
+        self.manifest = self._load_latest_published_manifest()
+        return res
+
     @classmethod
     def history(cls, root: str) -> list[dict]:
         """Commit log: one row per snapshot (version, epoch ids, time)."""
@@ -2676,6 +2754,19 @@ class LakeTable:
         # tag refs PIN their snapshots (Iceberg retention semantics):
         # an expired-but-tagged version must stay readable by name
         keep.update(self.tags().values())
+        # branch heads pin their head manifest AND the fork-point
+        # manifest (publish() loads exactly those two); intermediate
+        # staged manifests of the chain are not needed to read or
+        # fast-forward the head
+        for v in self.branches().values():
+            keep.add(v)
+            try:
+                with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                    base = json.load(fh).get("wap_base")
+                if base is not None:
+                    keep.add(int(base))
+            except FileNotFoundError:
+                pass
         def _all_files(m: dict):
             for files in m["buckets"].values():
                 yield from files

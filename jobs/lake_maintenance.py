@@ -96,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
     dtg = sub.add_parser("delete-tag", help="remove a tag ref")
     dtg.add_argument("--name", required=True)
 
+    br = sub.add_parser(
+        "branch",
+        help="create a mutable branch ref at the current (or given) "
+             "snapshot; write to it with merge_to_branch, publish "
+             "with fast-forward",
+    )
+    br.add_argument("--name", required=True)
+    br.add_argument("--version", type=int, default=None)
+    dbr = sub.add_parser("delete-branch", help="remove a branch ref")
+    dbr.add_argument("--name", required=True)
+    ff = sub.add_parser(
+        "fast-forward",
+        help="publish a branch's staged chain onto main (metadata-only)",
+    )
+    ff.add_argument("--name", required=True)
+
     rb = sub.add_parser(
         "rollback",
         help="roll the table back to an earlier snapshot (new commit, "
@@ -188,6 +204,22 @@ def main(argv: list[str] | None = None) -> int:
             "table_version": table.version,
             **res,
         }))
+        return 0
+
+    if args.action == "branch":
+        res = table.create_branch(args.name, version=args.version)
+        print(json.dumps({"action": "branch", **res}))
+        return 0
+
+    if args.action == "delete-branch":
+        table.delete_branch(args.name)
+        print(json.dumps({"action": "delete-branch", "branch": args.name}))
+        return 0
+
+    if args.action == "fast-forward":
+        res = table.fast_forward(args.name)
+        print(json.dumps({"action": "fast-forward", "branch": args.name,
+                          **res}))
         return 0
 
     if args.action == "tag":

@@ -249,3 +249,55 @@ def test_mor_stage_and_publish(spark, tmp_path):
     after = LakeTable.load(spark, t.root)
     assert dict(_state(after))[2] == "mor2"
     assert sum(len(f) for f in after.manifest["delta_files"].values()) == 1
+
+
+def test_branch_refs_stage_publish_and_survive_expiry(spark, tmp_path):
+    """Iceberg-style branches over the WAP chain: merges to a branch
+    are invisible to main readers, the ref advances per merge (and
+    stays put on an epoch-idempotent replay), expire_snapshots pins
+    the branch head + fork point, and fast_forward publishes the
+    chain onto main — or conflicts if main advanced over the same
+    buckets since the fork."""
+    t = _mk(spark, str(tmp_path / "t"))
+    pub_state = _state(t)
+    # branch keys and the later main key must land in DISJOINT buckets
+    # or fast_forward (correctly) conflicts — probe the bucket map
+    probe = spark.range(10, 200).select(
+        F.col("id").alias("k"), t.bucket_of(F.col("id")).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r.b, []).append(r.k)
+    bks = sorted(by_bucket)
+    k_br, k_main = by_bucket[bks[0]][:3], by_bucket[bks[1]][0]
+    t.create_branch("audit")
+    with pytest.raises(LakeError):
+        t.create_branch("audit")  # duplicate name
+    t.merge_to_branch("audit", _batch(spark, k_br[:2], "br"), epoch_id="b1")
+    t.merge_to_branch("audit", _batch(spark, k_br[2:], "br"), epoch_id="b2")
+    # invisible to main readers; visible on the branch
+    assert _state(LakeTable.load(spark, t.root)) == pub_state
+    br = t.checkout_branch("audit")
+    br_st = _state(br)
+    for k in k_br:
+        assert (k, f"br{k}") in br_st
+    # idempotent replay does not advance the ref
+    head = t.branches()["audit"]
+    t.merge_to_branch("audit", _batch(spark, k_br[:2], "br"), epoch_id="b1")
+    assert t.branches()["audit"] == head
+    # main advances on a DISJOINT bucket, then snapshots expire: the
+    # branch head + fork point survive and the chain fast-forwards
+    t.merge(_batch(spark, [k_main], "main"), epoch_id="m1")
+    t.expire_snapshots(keep_last=1)
+    res = t.fast_forward("audit")
+    assert res["published"]
+    st = _state(LakeTable.load(spark, t.root))
+    for k in k_br:
+        assert (k, f"br{k}") in st
+    assert (k_main, f"main{k_main}") in st
+    assert t.branches()["audit"] == res["version"]
+    # second fast_forward is a no-op (head already published)
+    assert t.fast_forward("audit")["published"] is False
+    t.delete_branch("audit")
+    with pytest.raises(LakeError):
+        t.checkout_branch("audit")
