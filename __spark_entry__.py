@@ -790,6 +790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), bucket=50
     )
 
+    # deterministic per-source cap (pipelines/sampling.py)
+    def q80(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import cap_per_group
+
+        return cap_per_group(
+            _t(s, d, "documents").select("doc_id", "source"),
+            ["source"], 30,
+        )
+    q["q80_cap_per_source"] = q80
+
     return q
 
 
@@ -2559,6 +2569,17 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket_lo,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """
+    # same md5-hex ordering as cap_per_group — identical in both engines
+    o["q80_cap_per_source"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 30
     """
     o["q58_session_window"] = """
         WITH e AS (

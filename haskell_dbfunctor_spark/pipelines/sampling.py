@@ -163,3 +163,31 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group cap — "at most N docs per source", the
+    standard mix-balancing step before training: keeps each group's N
+    rows with the smallest ``md5(id)`` (a seedless, reproducible,
+    order-free subsample; ties broken by the id itself). The window
+    partitions by the group columns — NEVER a global window — so at
+    100 TB each group sorts independently inside its own partitions;
+    md5 is used (not xxhash64) because the DuckDB oracle computes the
+    identical hex ordering. Reference analog: runGroupBy + per-group
+    limit (/root/reference/src/RTable/Core.hs:3429-3500 + limit).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
