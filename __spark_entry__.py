@@ -800,6 +800,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q80_cap_per_source"] = q80
 
+    # unigram LM quality proxy (pipelines/text.py)
+    def q81(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            unigram_logprob_scores,
+        )
+
+        return unigram_logprob_scores(_t(s, d, "documents"))
+    q["q81_unigram_logprob"] = q81
+
     return q
 
 
@@ -2569,6 +2578,23 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket_lo,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """
+    o["q81_unigram_logprob"] = """
+        WITH words AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w <> ''
+        ), freq AS (
+          SELECT w, count(*) AS c FROM words GROUP BY w
+        ), tot AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+        )
+        SELECT doc_id,
+               round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS mean_logprob,
+               count(*) AS n_scored_tokens
+        FROM words JOIN freq USING (w), tot
+        GROUP BY doc_id
     """
     # same md5-hex ordering as cap_per_group — identical in both engines
     o["q80_cap_per_source"] = """

@@ -406,3 +406,33 @@ def length_histogram(docs: DataFrame, bucket: int = 50) -> DataFrame:
     return docs.groupBy(lo.alias("bucket_lo")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Language-model quality proxy: each document's mean unigram
+    log-probability under the corpus's OWN unigram distribution —
+    documents full of rare/garbage tokens score low, fluent ones high;
+    the cheap stand-in for perplexity-based quality filtering when no
+    external LM is available (and the plumbing is identical when the
+    frequency table comes from a real LM instead). Plan: one token
+    explode, one vocab-sized frequency aggregation, a broadcast of the
+    single-row corpus total, and a broadcastable vocab join back onto
+    the token stream — no global window, no UDF; at 100 TB the vocab
+    table is tiny relative to the corpus so the join stays broadcast.
+
+    Output: (doc_id, mean_logprob, n_scored_tokens).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = words.join(F.broadcast(freq), "w").crossJoin(
+        F.broadcast(total)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias(
+            "mean_logprob"
+        ),
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+    )
