@@ -809,6 +809,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob_scores(_t(s, d, "documents"))
     q["q81_unigram_logprob"] = q81
 
+    # embedding outlier filter: cosine to own-label centroid
+    def q82(s, d):
+        from haskell_dbfunctor_spark.pipelines.similarity import (
+            centroid_cosine_scores,
+        )
+
+        return centroid_cosine_scores(_t(s, d, "embeddings"))
+    q["q82_centroid_cosine"] = q82
+
     return q
 
 
@@ -2578,6 +2587,26 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket_lo,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """
+    o["q82_centroid_cosine"] = """
+        WITH ex AS (
+          SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM (
+            SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+          )
+        ), cent AS (
+          SELECT label, list(av ORDER BY i) AS cv
+          FROM (
+            SELECT label, i, avg(v) AS av FROM ex GROUP BY label, i
+          ) GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 c.cv), 5) AS cos_to_centroid
+        FROM embeddings e JOIN cent c USING (label)
     """
     o["q81_unigram_logprob"] = """
         WITH words AS (

@@ -361,3 +361,47 @@ def ann_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def centroid_cosine_scores(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Embedding-space quality/outlier filter: cosine similarity of
+    every vector to ITS OWN label's centroid — low scores flag
+    mislabeled or garbage embeddings before they enter training. The
+    centroid build is one posexplode + (label, dim)-keyed hash agg
+    (labels × dims rows — tiny), re-assembled per label via array_sort
+    of (dim, value) structs; the score join broadcasts the centroid
+    table, so the corpus-sized side never shuffles. All math in
+    double, JVM-side (zip_with/aggregate) — no UDF, no global window.
+
+    Output: (vec_id, label, cos_to_centroid).
+    """
+    dims = embeddings.select(
+        label_col,
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    )
+    cent = (
+        dims.groupBy(label_col, "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("av"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                lambda x: x["av"],
+            ).alias("cv")
+        )
+    )
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = embeddings.join(F.broadcast(cent), label_col).select(
+        "vec_id",
+        label_col,
+        (
+            _dot(ev, F.col("cv"))
+            / (_norm(ev) * _norm(F.col("cv")))
+        ).alias("raw"),
+    )
+    return scored.select(
+        "vec_id", label_col,
+        F.round("raw", 5).alias("cos_to_centroid"),
+    )
