@@ -818,6 +818,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return centroid_cosine_scores(_t(s, d, "embeddings"))
     q["q82_centroid_cosine"] = q82
 
+    # bucketized range join: clicks attributed to same-user 2h
+    # purchase windows (operators/rangejoin.py — the scalable
+    # replacement for the reference's O(N*M) theta join,
+    # /root/reference/src/RTable/Core.hs:2704-2715)
+    def q83(s, d):
+        from haskell_dbfunctor_spark.operators.rangejoin import (
+            bucketized_range_join,
+        )
+
+        ev = _t(s, d, "events")
+        w = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("window_id"),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        p = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        pairs = bucketized_range_join(
+            w, p, w_start="w_start", w_end="w_end", p_ts="ts",
+            bucket_s=7200, equi_cols=["user_id"],
+        )
+        aggd = pairs.groupBy("window_id").agg(
+            F.count(F.lit(1)).alias("nc"), F.sum("value").alias("sv")
+        )
+        return (
+            w.select("window_id", "user_id")
+            .join(aggd, "window_id", "left")
+            .select(
+                "window_id",
+                "user_id",
+                F.coalesce("nc", F.lit(0)).alias("n_clicks"),
+                F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),
+            )
+        )
+    q["q83_range_join"] = q83
+
+    # character-distribution entropy quality gate (pipelines/text.py)
+    def q84(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            char_entropy_scores,
+        )
+
+        return char_entropy_scores(_t(s, d, "documents"))
+    q["q84_char_entropy"] = q84
+
+    # cross-corpus near-dup gate: incoming batch (doc_id%7==0) vs the
+    # existing corpus — LSH candidates verified by exact Jaccard
+    def q85(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            cross_corpus_near_dups,
+        )
+
+        docs = _t(s, d, "documents")
+        inc = docs.where(F.col("doc_id") % 7 == 0)
+        corp = docs.where(F.col("doc_id") % 7 != 0)
+        return cross_corpus_near_dups(inc, corp, threshold=0.8)
+    q["q85_cross_corpus_dedup"] = q85
+
     return q
 
 
@@ -2624,6 +2684,77 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                count(*) AS n_scored_tokens
         FROM words JOIN freq USING (w), tot
         GROUP BY doc_id
+    """
+    o["q83_range_join"] = """
+        WITH w AS (
+          SELECT event_id AS window_id, user_id,
+                 ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+          FROM events WHERE event_type = 'purchase'
+        ), p AS (
+          SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click'
+        ), j AS (
+          SELECT w.window_id, count(*) AS nc, sum(p.value) AS sv
+          FROM w JOIN p
+            ON p.user_id = w.user_id
+           AND p.ts >= w.w_start AND p.ts < w.w_end
+          GROUP BY 1
+        )
+        SELECT w.window_id, w.user_id,
+               coalesce(j.nc, 0) AS n_clicks,
+               round(coalesce(j.sv, 0.0), 4) AS sum_value
+        FROM w LEFT JOIN j USING (window_id)
+    """
+    o["q84_char_entropy"] = """
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents
+        ), f AS (
+          SELECT doc_id, c, count(*) AS cnt
+          FROM ch WHERE c <> '' GROUP BY doc_id, c
+        ), f2 AS (
+          SELECT doc_id, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+          FROM f
+        ), e AS (
+          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_total,
+                 round(-sum((CAST(cnt AS DOUBLE) / n)
+                            * ln(CAST(cnt AS DOUBLE) / n)), 6) AS entropy
+          FROM f2 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(e.n_chars_total, 0) AS n_chars_total,
+               coalesce(e.entropy, 0.0) AS entropy
+        FROM documents d LEFT JOIN e USING (doc_id)
+    """
+    # exact all-pairs cross-side Jaccard — pins BOTH the LSH capture
+    # (recall must be 1.0 on this corpus for the row sets to match)
+    # AND the best-match tie-break (max jaccard, then smallest id)
+    o["q85_cross_corpus_dedup"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word
+          WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT d1 AS in_doc_id, d2 AS match_doc_id,
+                 c * 1.0 / (s1.n + s2.n - c) AS jac
+          FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+        )
+        SELECT in_doc_id, match_doc_id, round(jac, 5) AS jaccard
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY in_doc_id
+                   ORDER BY jac DESC, match_doc_id ASC) AS rn
+          FROM j
+        ) WHERE rn = 1
     """
     # same md5-hex ordering as cap_per_group — identical in both engines
     o["q80_cap_per_source"] = """

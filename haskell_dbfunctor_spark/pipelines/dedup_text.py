@@ -531,3 +531,124 @@ def simhash64(docs: DataFrame) -> DataFrame:
     Engine-only (xxhash64 has no cross-engine SQL twin); verified
     against brute-force Hamming in tests/test_temporal_sampling_ivf.py."""
     return _simhash_bits(docs, F.xxhash64(F.col("word")), bits=64)
+
+
+def cross_corpus_near_dups(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """Dedupe an INCOMING batch against an EXISTING corpus — the
+    "new crawl vs what we already trained on" gate of an LLM-data
+    pipeline. Unlike the self-join paths (lsh_candidate_pairs /
+    near_dup_clusters), candidates only cross sides: incoming x
+    incoming and corpus x corpus pairs are never generated, so the
+    (usually huge) corpus never self-joins.
+
+    One shingle pass over the UNION of both sides (side tag carried
+    through the signature aggregation — the signatures are computed
+    once, not per side), banded signatures exploded to (band, bucket),
+    incoming side equi-joined to corpus side on the bucket key with
+    the first-matching-band map-side dedup, candidates verified by
+    EXACT word-set Jaccard >= ``threshold``, then one best match per
+    incoming doc: max Jaccard, ties to the smallest corpus doc_id.
+
+    Returns (in_doc_id, match_doc_id, jaccard[round 5]). Precision
+    1.0 (exact verification); recall is the LSH capture rate at
+    (k, bands) — 1.0 on the test corpora at k=16/bands=8 (pinned by
+    the q85 oracle, which computes the exact all-pairs answer).
+
+    Replaces the reference's only available strategy — an O(N*M)
+    nested-loop theta join (/root/reference/src/RTable/Core.hs:2704-
+    2715) — with candidate volume controlled by (k, bands). At 100 TB
+    the corpus side's banded signatures are a persisted index (written
+    once per corpus version, e.g. a lake table); each incoming batch
+    joins against the index, never against corpus text.
+    """
+    from ..operators.skew import salted_equi_join
+
+    rows_per_band = max(k // bands, 1)
+    tagged = incoming.select("doc_id", "text").withColumn(
+        "side", F.lit(1)
+    ).unionByName(corpus.select("doc_id", "text").withColumn("side", F.lit(0)))
+    dw = tagged.select(
+        "doc_id", "side",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            )
+        ).alias("word"),
+    )
+    sigs = dw.groupBy("doc_id", "side").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+        F.collect_set("word").alias("words"),
+    )
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"mh_{i}"
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "side", "words", bucket_arr.alias("buckets"),
+        F.posexplode(bucket_arr).alias("band", "bucket"),
+    ).localCheckpoint(eager=True)
+    left = banded.where(F.col("side") == 1)
+    right = banded.where(F.col("side") == 0)
+    # emit each cross pair once, at the first band where the two
+    # bucket arrays agree (same map-side dedup as lsh_candidate_pairs)
+    cond = (
+        F.array_position(
+            F.zip_with(F.col("l.buckets"), F.col("r.buckets"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        == F.col("l.band") + 1
+    )
+    pairs = salted_equi_join(
+        left, right, ["band", "bucket"],
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=cond,
+        num_partitions=num_partitions,
+    )
+    verified = (
+        pairs.select(
+            F.col("doc_id").alias("in_doc_id"),
+            F.col("doc_id_r").alias("match_doc_id"),
+            F.size(F.array_intersect("words", "words_r")).alias("c"),
+            F.size("words").alias("n1"),
+            F.size("words_r").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    best = verified.groupBy("in_doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"), (-F.col("match_doc_id")).alias("neg_id")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "in_doc_id",
+        (-F.col("b.neg_id")).alias("match_doc_id"),
+        F.round(F.col("b.jaccard"), 5).alias("jaccard"),
+    )
