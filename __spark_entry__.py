@@ -878,6 +878,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cross_corpus_near_dups(inc, corp, threshold=0.8)
     q["q85_cross_corpus_dedup"] = q85
 
+    # per-source length-quantile outlier gate (pipelines/text.py)
+    def q86(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            length_percentile_trim,
+        )
+
+        return length_percentile_trim(_t(s, d, "documents"))
+    q["q86_percentile_trim"] = q86
+
+    # exact-N reproducible uniform downsample (pipelines/sampling.py)
+    def q87(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            uniform_sample_n,
+        )
+
+        return uniform_sample_n(
+            _t(s, d, "documents").select("doc_id", "source"), 100,
+            seed="eval",
+        )
+    q["q87_uniform_sample_n"] = q87
+
+    # full-snapshot reconcile (lake/reconcile.py): a periodic full
+    # dump applied as a MINIMAL diff — inserts + updates + "not
+    # matched by source" deletes; the narrow dump (doc_id, lang,
+    # source) must preserve the uncarried text/n_chars columns
+    def q88(s, d):
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import time as _time
+
+        import pyspark.sql.types as T
+
+        from haskell_dbfunctor_spark.lake.reconcile import reconcile
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+            "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+        )
+        for old in _os.listdir(base):
+            if old.startswith("hdbf_rec_q88_"):
+                p = f"{base}/{old}"
+                try:
+                    if _time.time() - _os.path.getmtime(p) > 3600:
+                        _shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
+        tmp = _tempfile.mkdtemp(prefix="hdbf_rec_q88_", dir=base)
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ])
+        t = LakeTable.create(
+            s, f"{tmp}/t", schema, key_cols=["doc_id"], num_buckets=8
+        )
+        t.merge(docs, op_col=None, order_cols=())
+        snap = (
+            docs.where(F.col("doc_id") % 10 != 3)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 10 == 4, F.lit("xx"))
+                .otherwise(F.col("lang")).alias("lang"),
+                "source",
+            )
+            .unionByName(
+                docs.where(F.col("doc_id") % 10 == 5).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("new").alias("lang"),
+                    F.lit("newsrc").alias("source"),
+                )
+            )
+        )
+        reconcile(t, snap)
+        return t.read().select("doc_id", "lang", "source", "text", "n_chars")
+    q["q88_snapshot_reconcile"] = q88
+
     return q
 
 
@@ -2755,6 +2837,45 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                    ORDER BY jac DESC, match_doc_id ASC) AS rn
           FROM j
         ) WHERE rn = 1
+    """
+    # final state after reconcile == snapshot for carried columns,
+    # target values preserved for uncarried ones, absent keys deleted
+    o["q88_snapshot_reconcile"] = """
+        WITH snap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 4 THEN 'xx' ELSE lang END AS lang,
+                 source
+          FROM documents WHERE doc_id % 10 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000, 'new', 'newsrc'
+          FROM documents WHERE doc_id % 10 = 5
+        )
+        SELECT s.doc_id, s.lang, s.source, d.text, d.n_chars
+        FROM snap s LEFT JOIN documents d USING (doc_id)
+    """
+    # quantile_cont == Spark's exact percentile (both type-7 linear
+    # interpolation), so the band edges match bit-for-bit
+    o["q86_percentile_trim"] = """
+        WITH l AS (
+          SELECT doc_id, source, length(text) AS n_chars FROM documents
+        ), q AS (
+          SELECT source,
+                 quantile_cont(n_chars, 0.05) AS lo,
+                 quantile_cont(n_chars, 0.95) AS hi
+          FROM l GROUP BY source
+        )
+        SELECT doc_id, l.source, n_chars,
+               (n_chars >= lo AND n_chars <= hi) AS keep
+        FROM l JOIN q USING (source)
+    """
+    o["q87_uniform_sample_n"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source
+          FROM documents
+          ORDER BY substring(md5('eval' || CAST(doc_id AS VARCHAR)), 1, 16),
+                   doc_id
+          LIMIT 100
+        )
     """
     # same md5-hex ordering as cap_per_group — identical in both engines
     o["q80_cap_per_source"] = """

@@ -1,3 +1,4 @@
+from .reconcile import reconcile, snapshot_diff
 from .table import LakeTable, MergeStats
 from .transaction import Catalog, Transaction, TransactionAborted
 
@@ -7,4 +8,6 @@ __all__ = [
     "Catalog",
     "Transaction",
     "TransactionAborted",
+    "reconcile",
+    "snapshot_diff",
 ]

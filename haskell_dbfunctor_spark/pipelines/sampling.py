@@ -191,3 +191,29 @@ def cap_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def uniform_sample_n(
+    df: DataFrame, n: int, key_col: str = "doc_id", *, seed: str = ""
+) -> DataFrame:
+    """EXACTLY ``n`` rows, uniform over the whole table, reproducible:
+    the global top-n by ``md5(seed || key)`` (ties to the smallest
+    key). Complements ``hash_sample`` (fraction, approximate count)
+    and ``cap_per_group`` (per-group cap) with the "give me exactly
+    100k eval docs" primitive.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps a local n-heap, the driver merges heaps; no global
+    sort, no full shuffle, O(n) driver memory. Deterministic across
+    runs, engines, and partitionings because the order key is a pure
+    row function.
+    """
+    draw = hash_bucket_hex(
+        F.concat(F.lit(seed), F.col(key_col).cast("string")), digits=16
+    )
+    return (
+        df.withColumn("__draw", draw)
+        .orderBy(F.col("__draw"), F.col(key_col))
+        .limit(n)
+        .drop("__draw")
+    )

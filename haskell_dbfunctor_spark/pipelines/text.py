@@ -479,3 +479,56 @@ def char_entropy_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.coalesce(ent, F.lit(0.0)), 6).alias("entropy"),
         )
     )
+
+
+def length_percentile_trim(
+    docs: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-source length-outlier gate: flag documents whose character
+    length falls outside the [lo, hi] quantile band OF THEIR OWN
+    source (truncation artifacts sit at the short tail, concatenation
+    / boilerplate blobs at the long tail — and the cutoffs must be
+    per-source because length distributions differ wildly between,
+    say, web text and code).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation — the same type-7 definition as DuckDB's
+    quantile_cont, so the q86 oracle matches bit-for-bit). At 100 TB
+    the exact aggregate must hold each group's full value multiset;
+    ``exact=False`` switches to ``percentile_approx`` (mergeable
+    Greenwald-Khanna sketch, bounded memory per group, map-side
+    combinable) — the scale default, verified within tolerance of the
+    exact path in tests/test_range_join.py.
+
+    Both paths: one hash agg over (group, len) → tiny per-group
+    cutoff table → broadcast join back. No window over the corpus.
+
+    Emits (doc_id, <group_col>, n_chars, keep).
+    """
+    lens = docs.select(
+        "doc_id", group_col, F.length(text_col).alias("n_chars")
+    )
+    pctl = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, F.lit(p), F.lit(10000)))
+    )
+    cuts = lens.groupBy(group_col).agg(
+        pctl(F.col("n_chars"), lo).alias("__lo"),
+        pctl(F.col("n_chars"), hi).alias("__hi"),
+    )
+    return lens.join(F.broadcast(cuts), group_col).select(
+        "doc_id",
+        group_col,
+        "n_chars",
+        (
+            (F.col("n_chars") >= F.col("__lo"))
+            & (F.col("n_chars") <= F.col("__hi"))
+        ).alias("keep"),
+    )

@@ -189,3 +189,48 @@ def test_cross_corpus_matches_exact_on_testdata(spark, sf_dir, k, bands):
     ).select("d1", (-F.col("b.neg")).alias("d2"))
     want = {(r.d1, r.d2) for r in best.collect()}
     assert got == want
+
+
+# ------------------------------------------- percentile trim / sample-n
+
+def test_percentile_trim_approx_close_to_exact(spark, sf_dir):
+    """Sketch-vs-exact parity, measured on ONE group so the comparison
+    is about the GK sketch, not tiny-strata edge definitions (exact
+    interpolates between order stats, the sketch returns an actual
+    element — on a 2-doc stratum those bands legitimately differ at
+    both edges)."""
+    from haskell_dbfunctor_spark.pipelines.text import length_percentile_trim
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("source", F.lit("all"))
+    )
+    ne = length_percentile_trim(docs, exact=True).where("keep").count()
+    na = length_percentile_trim(docs, exact=False).where("keep").count()
+    total = docs.count()
+    # element-vs-interpolation costs <= 1 rank per band edge; GK at
+    # accuracy 10000 adds <= total/10000 per edge
+    assert abs(ne - na) <= 2 + 2 * (total // 10000 + 1)
+
+
+def test_uniform_sample_n_exact_count_and_stability(spark, sf_dir):
+    from haskell_dbfunctor_spark.pipelines.sampling import uniform_sample_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = uniform_sample_n(docs, 25, seed="s1")
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    assert len(ids_a) == 25
+    # stable under repartitioning
+    ids_b = sorted(
+        r.doc_id
+        for r in uniform_sample_n(docs.repartition(13), 25, seed="s1")
+        .select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+    # a different seed draws a different set
+    ids_c = sorted(
+        r.doc_id
+        for r in uniform_sample_n(docs, 25, seed="s2")
+        .select("doc_id").collect()
+    )
+    assert ids_a != ids_c
