@@ -148,3 +148,34 @@ def reconcile(
         delete_op="D",
         **merge_opts,
     )
+
+
+def version_diff(
+    table: LakeTable, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """STATE diff between two snapshots of ``table``: the minimal
+    change batch (key + payload + ``__rec_op`` U/D) that turns
+    ``from_version``'s state into ``to_version``'s (default: current).
+
+    Complements ``changes_since`` (the CDF log): the log replays the
+    COMMITS between two versions — per-epoch, with intermediate
+    states — and is only available while those epochs' change files
+    survive retention. The state diff compares the two snapshots
+    themselves, so it works across compactions/expiry (any two
+    loadable versions), collapses A→B→A churn to nothing, and is the
+    right input for "rebuild a downstream copy that last saw v1".
+    Cost: reads both snapshots + one full-outer key join (same shape
+    as :func:`snapshot_diff`); the CDF path is O(changes) — prefer it
+    when the epochs are still retained and you want per-commit grain.
+    """
+    old = LakeTable.load(table.spark, table.root, version=from_version)
+    new = (
+        table
+        if to_version is None
+        else LakeTable.load(table.spark, table.root, version=to_version)
+    )
+    # reuse snapshot_diff with "table state = old, snapshot = new":
+    # U rows are inserts/updates landing between the versions, D rows
+    # are keys deleted. new.read() carries the evolved schema, so
+    # added columns appear with NULL for pre-evolution rows.
+    return snapshot_diff(old, new.read())

@@ -141,3 +141,18 @@ def test_nullable_key_reconcile(spark, tmp_path):
         for r in t.read().collect()
     )
     assert got == [(-1, "null-row", 2), (1, "a", 10)]
+
+
+def test_version_diff_state_not_log(spark, tmp_path):
+    from haskell_dbfunctor_spark.lake.reconcile import version_diff
+
+    t = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    v1 = t.version
+    # churn: k1 -> X -> back to original; k2 deleted; k3 inserted
+    reconcile(t, _snap(spark, [(1, "X", 10), (2, "b", 20)]))
+    reconcile(t, _snap(spark, [(1, "a", 10), (3, "c", 30)]))
+    d = version_diff(t, v1)
+    got = sorted((r["k"], r["__rec_op"]) for r in d.collect())
+    # A->B->A churn on k1 collapses to NOTHING in a state diff
+    # (changes_since would show both commits)
+    assert got == [(2, "D"), (3, "U")]
