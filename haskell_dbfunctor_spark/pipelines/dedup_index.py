@@ -1,0 +1,237 @@
+"""Persisted MinHash/LSH dedup index — the 100 TB near-dup path made
+incremental.
+
+The one-shot paths (``cross_corpus_near_dups``, ``near_dup_counts_lsh``)
+recompute signatures from text every run. At corpus scale the banded
+signatures are a TABLE, not a subexpression: built once, maintained
+from the corpus's own change feed, and joined against by every
+incoming batch. This module provides exactly that, closing the loop
+between the engine's two halves:
+
+- ``signature_cols``: per-doc MinHash words/bands as PURE row-wise
+  expressions (array_min over transform) — no explode, no groupBy, no
+  shuffle; signature computation runs at scan speed and qualifies as
+  a 1:1 row transform;
+- ``create_dedup_index`` / ``sync_dedup_index``: the index is a
+  :class:`LakeTable` keyed by doc_id and maintained by
+  :func:`lake.sync.sync_table` off the documents table's CDF —
+  O(changed docs) per refresh, exactly-once via the sync cursor,
+  deletes propagate (a removed doc can no longer match);
+- ``cross_corpus_near_dups_indexed``: dedupe an incoming batch
+  against the INDEX — signatures are computed only for the batch;
+  the corpus side contributes (doc_id, words, buckets) rows from
+  storage. Same output contract (and same oracle) as
+  ``cross_corpus_near_dups``; verified equal in
+  tests/test_dedup_index.py.
+
+Bucket scheme is bit-identical to ``cross_corpus_near_dups`` /
+``lsh_candidate_pairs``: mh_i = min over words of md5(word || '#i'),
+band bucket = xxhash64(concat_ws('|', band's mh block)). Docs with no
+words are excluded (the aggregation paths drop them implicitly —
+they can never match anything).
+
+Reference tie: replaces the O(N·M) nested-loop join semantics
+(/root/reference/src/RTable/Core.hs:2704-2715) with an index lookup
+whose cost is governed by (k, bands) and the batch size, never by
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake.sync import sync_table
+from ..lake.table import LakeTable
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("words", T.ArrayType(T.StringType())),
+    T.StructField("buckets", T.ArrayType(T.LongType())),
+])
+
+
+def signature_cols(
+    text_col: str = "text", k: int = 16, bands: int = 8
+) -> dict[str, F.Column]:
+    """``{"words": Column, "buckets": Column}`` computed row-wise from
+    ``text_col``. NULL text yields NULL words (callers filter).
+
+    Contract: stage ``words`` as a column named ``__sig_words`` FIRST
+    (withColumn), then select ``buckets`` — buckets reference the
+    staged column, not the raw expression, so the split/distinct pass
+    is not duplicated into each of the k minhash transforms (the
+    outer-expression-in-lambda re-evaluation gotcha, CLAUDE.md)."""
+    rows_per_band = max(k // bands, 1)
+    words = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    # mh_i must come from the SAME words value — reference the named
+    # column, not the expression, or the split re-evaluates k times.
+    # Factory closure, NOT a default-arg lambda: pyspark dispatches on
+    # lambda ARITY, so `lambda w, i=i` would become an (element, index)
+    # lambda with i shadowed by the index Column.
+    def _mh(i: int):
+        return lambda w: F.md5(F.concat(w, F.lit(f"#{i}")))
+
+    mhs = [
+        F.array_min(F.transform(F.col("__sig_words"), _mh(i)))
+        for i in range(k)
+    ]
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "|", *mhs[b * rows_per_band:(b + 1) * rows_per_band]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return {"words": words, "buckets": buckets}
+
+
+def with_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 16, bands: int = 8
+) -> DataFrame:
+    """``df`` minus ``text_col`` plus (words, buckets) — one scan-speed
+    projection, empty/NULL-word docs dropped."""
+    cols = signature_cols(text_col, k, bands)
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__sig_words", cols["words"])
+        .where(F.size("__sig_words") > 0)
+        .select(
+            *keep,
+            F.col("__sig_words").alias("words"),
+            cols["buckets"].alias("buckets"),
+        )
+    )
+
+
+def create_dedup_index(
+    spark: SparkSession, root: str, *, num_buckets: int = 64
+) -> LakeTable:
+    return LakeTable.create(
+        spark, root, INDEX_SCHEMA, key_cols=["doc_id"], num_buckets=num_buckets
+    )
+
+
+def sync_dedup_index(
+    docs: LakeTable,
+    index: LakeTable,
+    *,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    mode: str = "cow",
+) -> dict:
+    """Advance ``index`` to ``docs``'s current version off the change
+    feed: O(changed docs) signature recomputes per refresh, cursor +
+    exactly-once from sync_table, deletes drop index rows.
+
+    Note the transform keeps DELETE rows even when their text is gone
+    (signature NULL): sync_table routes them by ``_change_type``, and
+    a delete only needs the key.
+    """
+
+    def tf(feed: DataFrame) -> DataFrame:
+        cols = signature_cols(text_col, k, bands)
+        sig = feed.withColumn("__sig_words", cols["words"]).where(
+            (F.col("_change_type") == "D") | (F.size("__sig_words") > 0)
+        )
+        # cast to the index's declared (nullable-element) array types:
+        # computed arrays come out containsNull=false and the lake
+        # treats a containsNull change as a type change
+        return sig.select(
+            "doc_id",
+            F.col("__sig_words").cast(INDEX_SCHEMA["words"].dataType)
+            .alias("words"),
+            cols["buckets"].cast(INDEX_SCHEMA["buckets"].dataType)
+            .alias("buckets"),
+            "_change_type",
+            "_commit_version",
+        )
+
+    return sync_table(docs, index, transform=tf, mode=mode)
+
+
+def cross_corpus_near_dups_indexed(
+    incoming: DataFrame,
+    index: LakeTable | DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 8,
+    *,
+    text_col: str = "text",
+    salt: int = 64,
+    num_partitions: int | None = 256,
+) -> DataFrame:
+    """``cross_corpus_near_dups`` against a PERSISTED index: only the
+    incoming batch's signatures are computed; the corpus side reads
+    (doc_id, words, buckets) from the index table. Same output
+    contract: (in_doc_id, match_doc_id, jaccard[round 5]), best match
+    per incoming doc (max Jaccard, ties to smallest corpus doc_id).
+
+    The candidate join is slim (ids + band keys; word sets join in
+    afterwards by id) — same byte-amplification avoidance as the
+    one-shot path.
+    """
+    from ..operators.skew import salted_equi_join
+
+    ix = index.read() if isinstance(index, LakeTable) else index
+    inc = with_signatures(
+        incoming.select("doc_id", text_col), text_col, k, bands
+    ).localCheckpoint(eager=True)
+    banded_in = inc.select(
+        "doc_id", "buckets", F.posexplode("buckets").alias("band", "bucket")
+    )
+    banded_ix = ix.select(
+        "doc_id", "buckets", F.posexplode("buckets").alias("band", "bucket")
+    )
+    cond = (
+        F.array_position(
+            F.zip_with(F.col("l.buckets"), F.col("r.buckets"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        == F.col("l.band") + 1
+    )
+    pairs = salted_equi_join(
+        banded_in, banded_ix, ["band", "bucket"],
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=cond,
+        num_partitions=num_partitions,
+    ).select(
+        F.col("doc_id").alias("in_doc_id"),
+        F.col("doc_id_r").alias("match_doc_id"),
+    )
+    w_in = inc.select(
+        F.col("doc_id").alias("in_doc_id"), F.col("words").alias("w1")
+    )
+    w_ix = ix.select(
+        F.col("doc_id").alias("match_doc_id"), F.col("words").alias("w2")
+    )
+    verified = (
+        pairs.join(w_in, "in_doc_id").join(w_ix, "match_doc_id")
+        .select(
+            "in_doc_id",
+            "match_doc_id",
+            F.size(F.array_intersect("w1", "w2")).alias("c"),
+            F.size("w1").alias("n1"),
+            F.size("w2").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    best = verified.groupBy("in_doc_id").agg(
+        F.max(
+            F.struct(F.col("jaccard"), (-F.col("match_doc_id")).alias("neg_id"))
+        ).alias("b")
+    )
+    return best.select(
+        "in_doc_id",
+        (-F.col("b.neg_id")).alias("match_doc_id"),
+        F.round(F.col("b.jaccard"), 5).alias("jaccard"),
+    )

@@ -1,0 +1,148 @@
+"""Persisted dedup index (pipelines/dedup_index.py).
+
+Invariants: (1) the indexed query returns EXACTLY what the one-shot
+cross_corpus_near_dups returns on the same split; (2) the index
+follows the documents table incrementally — after a merge + sync,
+querying reflects adds/updates/deletes without a rebuild; (3) the
+signature projection matches the aggregation-based signatures
+bit-for-bit (same bucket scheme).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.lake.table import LakeTable
+from haskell_dbfunctor_spark.pipelines.dedup_index import (
+    create_dedup_index, cross_corpus_near_dups_indexed, sync_dedup_index,
+    with_signatures,
+)
+from haskell_dbfunctor_spark.pipelines.dedup_text import cross_corpus_near_dups
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _docs_lake(spark, tmp_path, docs_df):
+    t = LakeTable.create(
+        spark, str(tmp_path / "docs"), DOC_SCHEMA, key_cols=["doc_id"],
+        num_buckets=4,
+    )
+    t.merge(docs_df.select("doc_id", "text"), op_col=None, order_cols=())
+    return t
+
+
+def _result_set(df):
+    return sorted(
+        (r.in_doc_id, r.match_doc_id, r.jaccard) for r in df.collect()
+    )
+
+
+def test_indexed_equals_one_shot(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = docs.where(F.col("doc_id") % 7 == 0)
+    corp = docs.where(F.col("doc_id") % 7 != 0)
+
+    dl = _docs_lake(spark, tmp_path, corp)
+    ix = create_dedup_index(spark, str(tmp_path / "ix"), num_buckets=4)
+    st = sync_dedup_index(dl, ix)
+    assert not st["skipped"]
+
+    got = _result_set(
+        cross_corpus_near_dups_indexed(inc, ix, num_partitions=16)
+    )
+    want = _result_set(
+        cross_corpus_near_dups(inc, corp, num_partitions=16)
+    )
+    assert got == want and len(want) > 0
+
+
+def test_signature_projection_matches_aggregation(spark, sf_dir):
+    """Row-wise signatures == groupBy signatures (bucket scheme is
+    shared with lsh_candidate_pairs / cross_corpus_near_dups)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    proj = {
+        r.doc_id: (sorted(r.words), list(r.buckets))
+        for r in with_signatures(docs.select("doc_id", "text")).collect()
+    }
+    k, bands, rpb = 16, 8, 2
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            )
+        ).alias("word"),
+    )
+    sigs = dw.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat("word", F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+        F.collect_set("word").alias("words"),
+    )
+    agg = {
+        r.doc_id: (sorted(r.words), list(r.buckets))
+        for r in sigs.select(
+            "doc_id", "words",
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    "|", *[f"mh_{i}" for i in range(b * rpb, (b + 1) * rpb)]
+                ))
+                for b in range(bands)
+            ]).alias("buckets"),
+        ).collect()
+    }
+    assert proj == agg
+
+
+def test_incremental_sync_tracks_adds_updates_deletes(spark, tmp_path):
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated totally different words here"),
+        ],
+        DOC_SCHEMA,
+    )
+    dl = _docs_lake(spark, tmp_path, base)
+    ix = create_dedup_index(spark, str(tmp_path / "ix"), num_buckets=2)
+    sync_dedup_index(dl, ix)
+
+    inc = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], DOC_SCHEMA
+    )
+    assert _result_set(
+        cross_corpus_near_dups_indexed(inc, ix, num_partitions=8, salt=4)
+    ) == [(100, 1, 1.0)]
+
+    # delete doc 1, update doc 2 to match the incoming text, add doc 9
+    ch = spark.createDataFrame(
+        [
+            (1, None, "D", 1),
+            (2, "alpha beta gamma delta epsilon zeta", "U", 2),
+            (9, "brand new corpus doc entirely", "U", 3),
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    dl.merge(ch, op_col="op", order_cols=("seq",), drop_cols=("seq",))
+    st = sync_dedup_index(dl, ix)
+    assert not st["skipped"]
+    # doc 1 gone -> best match is now doc 2
+    assert _result_set(
+        cross_corpus_near_dups_indexed(inc, ix, num_partitions=8, salt=4)
+    ) == [(100, 2, 1.0)]
+    # re-sync with no new commits is a cursor no-op
+    assert sync_dedup_index(dl, ix)["skipped"]
+
+
+def test_empty_docs_excluded(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], DOC_SCHEMA)
+    got = {r.doc_id for r in with_signatures(df).collect()}
+    assert got == {3}
