@@ -960,6 +960,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.read().select("doc_id", "lang", "source", "text", "n_chars")
     q["q88_snapshot_reconcile"] = q88
 
+    # cross-corpus near-dup against the PERSISTED MinHash/LSH index
+    # (pipelines/dedup_index.py): corpus signatures come from a lake
+    # table maintained off the documents CDF — only the incoming
+    # batch's signatures are computed per query. Same contract (and
+    # oracle) as q85; the index build is cached per sf dir, so the
+    # measured cost is the index lookup itself — the 100 TB shape.
+    q["q89_indexed_dedup"] = _indexed_cross_corpus
+
     return q
 
 
@@ -1002,6 +1010,91 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
     return ann_top_k_pruned(
         s, bucketed, qrow["embedding"], query_vec_id=0, k=10, probe=1
+    )
+
+
+def _indexed_cross_corpus(s: SparkSession, d: str) -> DataFrame:
+    """q89: the dedup INDEX path — corpus (doc_id%7!=0) lives in a
+    LakeTable whose MinHash/LSH signatures are a second LakeTable
+    synced off its change feed; the incoming batch (doc_id%7==0) is
+    deduped against the index with signatures computed batch-side
+    only. The docs+index build is deterministic per sf dir and cached
+    (tmpfs, atomic-rename publish, like _two_epoch_lake): the index is
+    the write-once layout, the per-query cost is the lookup join."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.pipelines.dedup_index import (
+        create_dedup_index, cross_corpus_near_dups_indexed,
+        sync_dedup_index,
+    )
+
+    docs = _t(s, d, "documents")
+    inc = docs.where(F.col("doc_id") % 7 == 0)
+
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    src = f"{d}/documents.parquet"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    final = f"{base}/hdbf_dedupix_{tag}"
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_dedupix_{stem}_")
+                    and old != f"hdbf_dedupix_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
+
+    def _load_valid(root: str):
+        """(index table) if the cached build is current, else None —
+        current means the sync cursor has consumed every docs commit
+        (a cheap metadata compare; an older code revision's dir that
+        fails to load or is behind gets rebuilt)."""
+        try:
+            dl = LakeTable.load(s, f"{root}/docs")
+            ix = LakeTable.load(s, f"{root}/ix")
+            if sync_dedup_index(dl, ix)["skipped"]:
+                return ix
+        except (OSError, ValueError, KeyError):
+            pass
+        return None
+
+    if _os.path.exists(final):
+        ix = _load_valid(final)
+        if ix is not None:
+            return cross_corpus_near_dups_indexed(inc, ix)
+        _shutil.rmtree(final, ignore_errors=True)
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    tmp = _tempfile.mkdtemp(prefix="hdbf_dedupix_build_", dir=base)
+    dl = LakeTable.create(
+        s, f"{tmp}/docs", doc_schema, key_cols=["doc_id"], num_buckets=8
+    )
+    dl.merge(
+        docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text"),
+        op_col=None, order_cols=(),
+    )
+    ix = create_dedup_index(s, f"{tmp}/ix", num_buckets=8)
+    sync_dedup_index(dl, ix)
+    try:
+        _os.rename(tmp, final)  # atomic publish
+    except OSError:
+        racer = _load_valid(final)
+        if racer is not None:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return cross_corpus_near_dups_indexed(inc, racer)
+        return cross_corpus_near_dups_indexed(inc, ix)
+    return cross_corpus_near_dups_indexed(
+        inc, LakeTable.load(s, f"{final}/ix")
     )
 
 
@@ -2838,6 +2931,10 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
           FROM j
         ) WHERE rn = 1
     """
+    # q89 answers the SAME question as q85 (incoming %7==0 batch vs
+    # the rest of the corpus, J>=0.8, best match per incoming doc) via
+    # the persisted index, so the exact-Jaccard oracle is shared
+    o["q89_indexed_dedup"] = o["q85_cross_corpus_dedup"]
     # final state after reconcile == snapshot for carried columns,
     # target values preserved for uncarried ones, absent keys deleted
     o["q88_snapshot_reconcile"] = """
