@@ -968,6 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measured cost is the index lookup itself — the 100 TB shape.
     q["q89_indexed_dedup"] = _indexed_cross_corpus
 
+    # ANN from the persisted IVF index (pipelines/ivf_index.py):
+    # frozen quantizer + CDF-synced cell assignments + cid-clustered
+    # stats-pruned cell reads — ivf_top_k's promised scale posture
+    # made physical. Build cached per sf dir; cost = probe + 2 cells.
+    q["q90_indexed_ivf_ann"] = _indexed_ivf
+
     return q
 
 
@@ -1096,6 +1102,90 @@ def _indexed_cross_corpus(s: SparkSession, d: str) -> DataFrame:
     return cross_corpus_near_dups_indexed(
         inc, LakeTable.load(s, f"{final}/ix")
     )
+
+
+def _indexed_ivf(s: SparkSession, d: str) -> DataFrame:
+    """q90: ANN served from the PERSISTED IVF index
+    (pipelines/ivf_index.py). The quantizer trains ONCE on the initial
+    corpus (vec_id%5!=4) and freezes; the late batch (vec_id%5==4)
+    arrives as a second corpus commit and reaches the index through an
+    incremental CDF sync — assigned to existing cells row-wise, no
+    retrain, no corpus rescan. The query probes 2 cells and reads only
+    their (cid-clustered, stats-pruned) files. Build cached per sf dir
+    like _two_epoch_lake; the measured cost is the probe+read."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.pipelines.ivf_index import (
+        cluster_index, create_ivf_index, create_quantizer,
+        ivf_top_k_indexed, sync_ivf_index, train_quantizer,
+    )
+
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    src = f"{d}/embeddings.parquet"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    final = f"{base}/hdbf_ivfix_{tag}"
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_ivfix_{stem}_")
+                    and old != f"hdbf_ivfix_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
+
+    def _load_valid(root: str):
+        try:
+            cl = LakeTable.load(s, f"{root}/corpus")
+            qz = LakeTable.load(s, f"{root}/quant")
+            ix = LakeTable.load(s, f"{root}/ix")
+            if sync_ivf_index(cl, ix, qz)["skipped"]:
+                return qz, ix
+        except (OSError, ValueError, KeyError):
+            pass
+        return None
+
+    if _os.path.exists(final):
+        got = _load_valid(final)
+        if got is not None:
+            return ivf_top_k_indexed(got[1], got[0], 0, 10, nprobe=2)
+        _shutil.rmtree(final, ignore_errors=True)
+
+    emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+    init = emb.where(F.col("vec_id") % 5 != 4)
+    late = emb.where(F.col("vec_id") % 5 == 4)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    tmp = _tempfile.mkdtemp(prefix="hdbf_ivfix_build_", dir=base)
+    cl = LakeTable.create(
+        s, f"{tmp}/corpus", schema, key_cols=["vec_id"], num_buckets=8
+    )
+    cl.merge(init, op_col=None, order_cols=())
+    qz = create_quantizer(s, f"{tmp}/quant")
+    train_quantizer(init, qz)
+    ix = create_ivf_index(s, f"{tmp}/ix", num_buckets=8)
+    sync_ivf_index(cl, ix, qz)
+    cl.merge(late, op_col=None, order_cols=())
+    sync_ivf_index(cl, ix, qz)
+    cluster_index(ix, target_file_bytes=256 * 1024)
+    try:
+        _os.rename(tmp, final)  # atomic publish
+    except OSError:
+        racer = _load_valid(final)
+        if racer is not None:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return ivf_top_k_indexed(racer[1], racer[0], 0, 10, nprobe=2)
+        return ivf_top_k_indexed(ix, qz, 0, 10, nprobe=2)
+    got = _load_valid(final)
+    return ivf_top_k_indexed(got[1], got[0], 0, 10, nprobe=2)
 
 
 def _wal_feed_dir(
@@ -1328,13 +1418,23 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE_SQL = _sample_oracle()
 
 
-def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, dims: int = 64) -> str:
+def _ivf_oracle(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dims: int = 64,
+    train_where: str = "TRUE",
+) -> str:
     """DuckDB mirror of ivf_top_k(refine_iters=1): seed centroids =
     smallest vec_ids rounded to 6dp, assignment = argmax of 6dp cosine
     (cid tiebreak), one Lloyd step with 6dp-rounded means, probe the
     nprobe nearest refined centroids, exact cosine within. The 6dp
     rounding at every comparison point is what keeps two independent
-    double-summation orders convergent."""
+    double-summation orders convergent.
+
+    ``train_where`` restricts quantizer TRAINING (seeds + the Lloyd
+    step) to a subset — the frozen-quantizer contract of the persisted
+    IVF index (q90): late-arriving vectors are still ASSIGNED (a1 runs
+    over the full table) but never move the centroids."""
     hi = dims + 1
 
     def cos(e1: str, e2: str) -> str:
@@ -1349,15 +1449,16 @@ def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, dims: int = 64) -> str:
     qv = "CAST(q.qv[i] AS DOUBLE)"
     return f"""
         WITH dims AS (SELECT unnest(range(1, {hi})) AS i),
+        train AS (SELECT * FROM embeddings WHERE {train_where}),
         cent0 AS (
           SELECT vec_id AS cid,
                  list_transform(embedding,
                                 x -> round(CAST(x AS DOUBLE), 6)) AS cv
-          FROM embeddings WHERE vec_id < {n_centroids}
+          FROM train ORDER BY vec_id LIMIT {n_centroids}
         ),
         cos0 AS (
           SELECT e.vec_id, c.cid, round({cos(emb, cv)}, 6) AS c6
-          FROM embeddings e, cent0 c
+          FROM train e, cent0 c
         ),
         a0 AS (
           SELECT vec_id, cid FROM (
@@ -1370,7 +1471,7 @@ def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, dims: int = 64) -> str:
         elem AS (
           SELECT a0.cid, d.i,
                  round(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS m
-          FROM a0 JOIN embeddings e USING (vec_id), dims d
+          FROM a0 JOIN train e USING (vec_id), dims d
           GROUP BY a0.cid, d.i
         ),
         cent1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM elem GROUP BY cid),
@@ -2935,6 +3036,12 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
     # the rest of the corpus, J>=0.8, best match per incoming doc) via
     # the persisted index, so the exact-Jaccard oracle is shared
     o["q89_indexed_dedup"] = o["q85_cross_corpus_dedup"]
+    # q90: same IVF mirror as q53 but the quantizer trains only on the
+    # initial corpus (vec_id%5!=4) and is frozen — late vectors are
+    # assigned (a1 spans the full table) but never move a centroid
+    o["q90_indexed_ivf_ann"] = _ivf_oracle(
+        n_centroids=8, nprobe=2, train_where="vec_id % 5 <> 4"
+    )
     # final state after reconcile == snapshot for carried columns,
     # target values preserved for uncarried ones, absent keys deleted
     o["q88_snapshot_reconcile"] = """
