@@ -79,6 +79,27 @@ def open_or_create_rollup(
         )
 
 
+def open_or_create_dedup_index(
+    spark: SparkSession, root: str, num_buckets: int = 16
+) -> LakeTable:
+    """The transcript near-dup signature index (MinHash words/bands
+    per turn, pipelines/dedup_index.py) maintained transactionally
+    with the state table — keyed exactly like the state (conv_id,
+    turn_idx)."""
+    try:
+        return LakeTable.load(spark, root)
+    except FileNotFoundError:
+        from ..pipelines.dedup_index import index_schema
+
+        key_fields = [
+            f for f in TRANSCRIPT_SCHEMA.fields if f.name in KEY_COLS
+        ]
+        return LakeTable.create(
+            spark, root, index_schema(key_fields), key_cols=KEY_COLS,
+            num_buckets=num_buckets,
+        )
+
+
 def replay(
     table: LakeTable,
     feed: DataFrame,
@@ -95,6 +116,7 @@ def replay(
     rollup: LakeTable | None = None,
     catalog=None,
     rollup_group_cols: tuple = ("role",),
+    dedup_index: LakeTable | None = None,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -124,9 +146,20 @@ def replay(
     state rescan) and resumability is unchanged: the state epoch id is
     still the checkpoint, and a resumed already-applied epoch aborts
     its (empty) transaction.
+
+    ``dedup_index`` (requires ``catalog``) likewise maintains a
+    MinHash/LSH signature index over the transcript ``text``
+    (pipelines/dedup_index.py, keyed like the state table) inside the
+    same per-epoch transaction: signatures are recomputed only for the
+    epoch's net changes (post-image CDF diff — quarantined rows never
+    reach the index), deletes and text-degenerate rows drop index
+    entries, and a reader joining state to index never sees them one
+    epoch apart.
     """
-    if (rollup is None) != (catalog is None):
-        raise ValueError("rollup and catalog come together")
+    if rollup is not None and catalog is None:
+        raise ValueError("rollup requires a catalog")
+    if dedup_index is not None and catalog is None:
+        raise ValueError("dedup_index requires a catalog")
     t0 = time.time()
     if prune_buckets is None:
         # one count() over the feed: on the materialized parquet WAL
@@ -147,10 +180,10 @@ def replay(
     for e in range(n_epochs):
         eid = f"{epoch_prefix}-{e:05d}"
         batch = epoch_batch(feed, e, evolution_epoch=evolution_epoch)
-        if rollup is not None:
+        if rollup is not None or dedup_index is not None:
             m = _txn_epoch(
                 table, rollup, catalog, batch, eid, merge_opts,
-                rollup_group_cols, e,
+                rollup_group_cols, e, dedup_index=dedup_index,
             )
         else:
             m = table.merge(batch, epoch_id=eid, **merge_opts)
@@ -170,18 +203,21 @@ def replay(
 
 def _txn_epoch(
     table: LakeTable,
-    rollup: LakeTable,
+    rollup: LakeTable | None,
     catalog,
     batch: DataFrame,
     eid: str,
     merge_opts: dict,
     group_cols: tuple,
     e: int,
+    *,
+    dedup_index: LakeTable | None = None,
 ) -> MergeStats:
     """One epoch as a multi-table transaction: stage the state merge,
-    derive the rollup refresh from the epoch's published→staged CDF
-    diff (O(changes)), stage it, commit both atomically. An
-    already-applied epoch (resume) stages nothing and aborts."""
+    derive each enabled derived-table refresh (rollup, dedup index)
+    from the epoch's published→staged CDF diff (O(changes)), stage
+    them, commit all atomically. An already-applied epoch (resume)
+    stages nothing and aborts."""
     from pyspark.sql import functions as F
 
     from ..lake.incremental import maintain_group_sums
@@ -193,46 +229,82 @@ def _txn_epoch(
     if m.skipped:
         txn.abort()
         return m
-    rh = catalog.read(rollup.root)
-    cur = rh.read().select(
-        *group_cols, F.col("live_rows").alias("n")
-    )
-    ch = ah.changes(fork, preimages=True)
-    for c in group_cols:
-        if c not in ch.columns:
-            # a rollup group column that arrives via schema evolution
-            # (e.g. `tool`) is absent from pre-evolution change feeds;
-            # those rows roll up under the NULL group, exactly as a
-            # recompute over the evolved table would place them
-            ch = ch.withColumn(
-                c, F.lit(None).cast(rollup.schema[c].dataType)
-            )
-    refreshed = maintain_group_sums(
-        cur, ch, list(group_cols), [], count_col="n",
-    )
-    # null-safe anti join: a NULL-keyed group (schema-evolution rows)
-    # must match itself, else it would be delete-marked every epoch
-    anti_cond = None
-    for c in group_cols:
-        eq = cur[c].eqNullSafe(refreshed[c])
-        anti_cond = eq if anti_cond is None else (anti_cond & eq)
-    gone = cur.join(refreshed, anti_cond, "left_anti")
-    refresh = (
-        refreshed.withColumn("op", F.lit("U"))
-        .unionByName(gone.withColumn("op", F.lit("D")))
-        .select(
-            *group_cols, F.col("n").alias("live_rows"),
-            F.timestamp_seconds(
-                F.lit(1_700_000_000) + F.lit(e)
-            ).alias("ts"),
-            "op", F.lit(e).cast("long").alias("seq"),
+    # ONE CDF diff serves every derived leg: the rollup consumes the
+    # Delta-CDF preimage contract, the index only post-images (derived
+    # below by dropping U_pre and renaming U_post)
+    want_pre = rollup is not None
+    ch = ah.changes(fork, preimages=want_pre)
+    if rollup is not None:
+        rh = catalog.read(rollup.root)
+        cur = rh.read().select(
+            *group_cols, F.col("live_rows").alias("n")
         )
-    )
-    txn.merge(rh, refresh, epoch_id=f"{eid}-rollup", op_col="op",
-              order_cols=("ts", "seq"))
+        chr_ = ch
+        for c in group_cols:
+            if c not in chr_.columns:
+                # a rollup group column that arrives via schema
+                # evolution (e.g. `tool`) is absent from pre-evolution
+                # change feeds; those rows roll up under the NULL
+                # group, exactly as a recompute over the evolved table
+                # would place them
+                chr_ = chr_.withColumn(
+                    c, F.lit(None).cast(rollup.schema[c].dataType)
+                )
+        refreshed = maintain_group_sums(
+            cur, chr_, list(group_cols), [], count_col="n",
+        )
+        # null-safe anti join: a NULL-keyed group (schema-evolution
+        # rows) must match itself, else delete-marked every epoch
+        anti_cond = None
+        for c in group_cols:
+            eq = cur[c].eqNullSafe(refreshed[c])
+            anti_cond = eq if anti_cond is None else (anti_cond & eq)
+        gone = cur.join(refreshed, anti_cond, "left_anti")
+        refresh = (
+            refreshed.withColumn("op", F.lit("U"))
+            .unionByName(gone.withColumn("op", F.lit("D")))
+            .select(
+                *group_cols, F.col("n").alias("live_rows"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.lit(e)
+                ).alias("ts"),
+                "op", F.lit(e).cast("long").alias("seq"),
+            )
+        )
+        txn.merge(rh, refresh, epoch_id=f"{eid}-rollup", op_col="op",
+                  order_cols=("ts", "seq"))
+    if dedup_index is not None:
+        from ..pipelines.dedup_index import signature_batch
+
+        ih = catalog.read(dedup_index.root)
+        post = ch
+        if want_pre:
+            post = (
+                ch.where(F.col("_change_type") != "U_pre")
+                .withColumn(
+                    "_change_type",
+                    F.when(F.col("_change_type") == "U_post", "U")
+                    .otherwise(F.col("_change_type")),
+                )
+            )
+        chi = post.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "D", F.lit("D"))
+            .otherwise(F.lit("U")),
+        )
+        ib = signature_batch(chi, ih.key_cols).withColumn(
+            "seq", F.lit(e).cast("long")
+        )
+        txn.merge(ih, ib, epoch_id=f"{eid}-dedupix", op_col="op",
+                  order_cols=("seq",))
     txn.commit()
-    # move the caller's handle to the new published head so post-loop
+    # move the caller's handles to the new published head so post-loop
     # version/read() reflect the commit
     table.manifest = table._load_latest_published_manifest()
-    rollup.manifest = rollup._load_latest_published_manifest()
+    if rollup is not None:
+        rollup.manifest = rollup._load_latest_published_manifest()
+    if dedup_index is not None:
+        dedup_index.manifest = (
+            dedup_index._load_latest_published_manifest()
+        )
     return m

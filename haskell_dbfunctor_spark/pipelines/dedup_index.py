@@ -43,11 +43,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..lake.sync import sync_table
 from ..lake.table import LakeTable
 
-INDEX_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("words", T.ArrayType(T.StringType())),
-    T.StructField("buckets", T.ArrayType(T.LongType())),
-])
+def index_schema(
+    key_fields: list[T.StructField] | None = None,
+) -> T.StructType:
+    """Index schema for the given key columns (default: documents'
+    single ``doc_id`` key; the CDC-transcript index passes
+    [conv_id: string, turn_idx: int])."""
+    keys = key_fields or [T.StructField("doc_id", T.LongType())]
+    return T.StructType([
+        *keys,
+        T.StructField("words", T.ArrayType(T.StringType())),
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+    ])
+
+
+INDEX_SCHEMA = index_schema()
 
 
 def signature_cols(
@@ -109,10 +119,16 @@ def with_signatures(
 
 
 def create_dedup_index(
-    spark: SparkSession, root: str, *, num_buckets: int = 64
+    spark: SparkSession,
+    root: str,
+    *,
+    num_buckets: int = 64,
+    key_fields: list[T.StructField] | None = None,
 ) -> LakeTable:
+    schema = index_schema(key_fields)
+    keys = [f.name for f in (key_fields or schema.fields[:1])]
     return LakeTable.create(
-        spark, root, INDEX_SCHEMA, key_cols=["doc_id"], num_buckets=num_buckets
+        spark, root, schema, key_cols=keys, num_buckets=num_buckets
     )
 
 
@@ -143,7 +159,7 @@ def sync_dedup_index(
         # computed arrays come out containsNull=false and the lake
         # treats a containsNull change as a type change
         return sig.select(
-            "doc_id",
+            *index.key_cols,
             F.col("__sig_words").cast(INDEX_SCHEMA["words"].dataType)
             .alias("words"),
             cols["buckets"].cast(INDEX_SCHEMA["buckets"].dataType)
@@ -153,6 +169,38 @@ def sync_dedup_index(
         )
 
     return sync_table(docs, index, transform=tf, mode=mode)
+
+
+def signature_batch(
+    feed: DataFrame,
+    key_cols,
+    *,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    op_col: str = "op",
+) -> DataFrame:
+    """A dedup-index MERGE batch from a raw change batch (op-coded, as
+    in the CDC replay loop, NOT a CDF feed): (key cols, words, buckets,
+    op). Delete rows pass through with NULL signatures (a delete only
+    needs the key); non-delete rows with empty/NULL text are emitted as
+    DELETES — a turn whose text degenerates must leave the index, not
+    linger with a stale signature."""
+    cols = signature_cols(text_col, k, bands)
+    sig = feed.withColumn("__sig_words", cols["words"])
+    return sig.select(
+        *key_cols,
+        F.col("__sig_words").cast(INDEX_SCHEMA["words"].dataType)
+        .alias("words"),
+        cols["buckets"].cast(INDEX_SCHEMA["buckets"].dataType)
+        .alias("buckets"),
+        F.when(
+            (F.col(op_col) == "D")
+            | F.col("__sig_words").isNull()
+            | (F.size("__sig_words") == 0),
+            F.lit("D"),
+        ).otherwise(F.lit("U")).alias(op_col),
+    )
 
 
 def cross_corpus_near_dups_indexed(

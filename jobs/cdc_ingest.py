@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rollup-by", default="role",
                     help="comma-separated transcript columns the rollup "
                          "groups by (default: role)")
+    ap.add_argument("--dedup-index-root", default=None,
+                    help="maintain a MinHash/LSH near-dup signature "
+                         "index over transcript text at this root, "
+                         "committed atomically with each state epoch "
+                         "(replay mode; pipelines/dedup_index.py)")
     ap.add_argument("--expect", action="append", default=[],
                     metavar="NAME=SQL",
                     help="data-quality expectation (repeatable): rows "
@@ -75,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
                          "quarantined instead of merged, e.g. "
                          "--expect 'text_present=text IS NOT NULL'")
     args = ap.parse_args(argv)
+    if args.dedup_index_root and args.stream:
+        ap.error("--dedup-index-root is replay-mode only")
 
     from haskell_dbfunctor_spark.session import get_spark
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
@@ -154,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.exists(feed_path):
         feed.write.partitionBy("epoch").parquet(feed_path)
     feed = spark.read.parquet(feed_path)
-    rollup = catalog = None
+    rollup = catalog = dedup_index = None
     if args.rollup_root:
         from haskell_dbfunctor_spark.cdc.apply import open_or_create_rollup
         from haskell_dbfunctor_spark.lake.transaction import Catalog
@@ -165,6 +172,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, os.path.join(os.path.dirname(args.rollup_root) or ".",
                                 "_catalog")
         )
+    if args.dedup_index_root:
+        from haskell_dbfunctor_spark.cdc.apply import (
+            open_or_create_dedup_index,
+        )
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        dedup_index = open_or_create_dedup_index(
+            spark, args.dedup_index_root
+        )
+        if catalog is None:
+            catalog = Catalog(
+                spark,
+                os.path.join(
+                    os.path.dirname(args.dedup_index_root) or ".",
+                    "_catalog",
+                ),
+            )
     stats = replay(
         table, feed, args.epochs,
         evolution_epoch=args.evolution_epoch,
@@ -175,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
         rollup=rollup,
         catalog=catalog,
         rollup_group_cols=tuple(group_cols) if rollup is not None else ("role",),
+        dedup_index=dedup_index,
     )
     out = {
         "mode": "replay-mor" if args.mor else "replay",
@@ -188,6 +213,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if rollup is not None:
         out["rollup_rows"] = rollup.read().count()
+    if dedup_index is not None:
+        out["dedup_index_rows"] = dedup_index.read().count()
     print(json.dumps(out))
     return 0
 

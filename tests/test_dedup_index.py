@@ -142,6 +142,46 @@ def test_incremental_sync_tracks_adds_updates_deletes(spark, tmp_path):
     assert sync_dedup_index(dl, ix)["skipped"]
 
 
+def test_replay_maintains_transcript_index(spark, tmp_path):
+    """CDC replay with --dedup-index-root semantics: the transcript
+    signature index is refreshed from each epoch's CDF diff inside the
+    same multi-table transaction. Final index == a from-scratch
+    signature build over the final state; resume is a no-op for BOTH
+    tables."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_dedup_index, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    feed = change_feed(spark, 4000, seed=7, n_convs=40, n_epochs=4)
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "t"), num_buckets=4
+    )
+    ix = open_or_create_dedup_index(spark, str(tmp_path / "ix"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    st = replay(table, feed, 4, catalog=cat, dedup_index=ix)
+    assert st.epochs_applied == 4
+
+    def key_sigs(df):
+        return {
+            (r.conv_id, r.turn_idx): (sorted(r.words), list(r.buckets))
+            for r in df.collect()
+        }
+
+    got = key_sigs(ix.read())
+    want = key_sigs(
+        with_signatures(table.read().select("conv_id", "turn_idx", "text"))
+    )
+    assert got == want and len(want) > 0
+
+    # resume: every epoch skips, neither table advances
+    v_t, v_ix = table.version, ix.version
+    st2 = replay(table, feed, 4, catalog=cat, dedup_index=ix)
+    assert st2.epochs_skipped == 4 and st2.epochs_applied == 0
+    assert table.version == v_t and ix.version == v_ix
+
+
 def test_empty_docs_excluded(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], DOC_SCHEMA)
     got = {r.doc_id for r in with_signatures(df).collect()}
