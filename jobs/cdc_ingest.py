@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                          "index over transcript text at this root, "
                          "committed atomically with each state epoch "
                          "(replay mode; pipelines/dedup_index.py)")
+    ap.add_argument("--dedup-index-mor", action="store_true",
+                    help="apply dedup-index refreshes as merge-on-read "
+                         "deltas (O(batch) index writes; pair with "
+                         "--compact-every to bound the read tax)")
     ap.add_argument("--expect", action="append", default=[],
                     metavar="NAME=SQL",
                     help="data-quality expectation (repeatable): rows "
@@ -200,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
         catalog=catalog,
         rollup_group_cols=tuple(group_cols) if rollup is not None else ("role",),
         dedup_index=dedup_index,
+        dedup_index_mode="mor" if args.dedup_index_mor else "cow",
     )
     out = {
         "mode": "replay-mor" if args.mor else "replay",
