@@ -331,8 +331,28 @@ def _txn_epoch(
             ib = signature_batch(
                 win, ih.key_cols, op_col=op_c, carry_cols=oc
             )
+            ix_opts = {}
+            if (
+                merge_opts.get("matched_filter") is not None
+                and dedup_index_mode != "mor"
+            ):
+                # streaming cross-batch LWW: the index must reject the
+                # same late batches the state rejects, or a late WAL
+                # file would roll a signature back while the state
+                # keeps the newer text. Compare on the order columns
+                # the index actually stores (ts rides along as a
+                # payload column and evolves the schema on first use;
+                # until then the index is empty and needs no filter).
+                from ..streaming.tailer import lww_matched_filter
+
+                stored = [c for c in oc if c in ih.schema.names]
+                if stored:
+                    ix_opts["matched_filter"] = lww_matched_filter(
+                        tuple(stored)
+                    )
             txn.merge(ih, ib, epoch_id=f"{eid}-dedupix",
-                      op_col=op_c, order_cols=oc, mode=dedup_index_mode)
+                      op_col=op_c, order_cols=oc, mode=dedup_index_mode,
+                      **ix_opts)
     txn.commit()
     # move the caller's handles to the new published head so post-loop
     # version/read() reflect the commit

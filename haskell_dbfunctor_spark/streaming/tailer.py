@@ -102,6 +102,8 @@ def tail_feed_dir(
     rollup: LakeTable | None = None,
     catalog=None,
     rollup_group_cols: tuple = ("role",),
+    dedup_index: LakeTable | None = None,
+    dedup_index_mode: str = "cow",
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -135,9 +137,26 @@ def tail_feed_dir(
     batch_id stages nothing and aborts its empty transaction, and a
     crash between the commit decision and the publishes is rolled
     forward by the next batch's (or any reader's) catalog recovery.
+
+    ``dedup_index`` (requires ``catalog``): likewise maintains the
+    MinHash/LSH signature index (pipelines/dedup_index.py) per
+    micro-batch in the same transaction; under ``cross_batch_lww`` the
+    index merge applies the same late-batch filter as the state (on
+    the order columns the index stores), so state and index never
+    disagree about which event's text won.
     """
-    if (rollup is None) != (catalog is None):
-        raise ValueError("rollup and catalog come together")
+    if rollup is not None and catalog is None:
+        raise ValueError("rollup requires a catalog")
+    if dedup_index is not None and catalog is None:
+        raise ValueError("dedup_index requires a catalog")
+    if dedup_index is not None and dedup_index_mode == "mor" and cross_batch_lww:
+        # same reasoning as the state-table check below: MoR index
+        # refreshes never read the index, so the cross-batch LWW
+        # matched filter cannot protect it from late WAL files
+        raise ValueError(
+            "dedup_index_mode='mor' is latest-commit-wins: pass "
+            "cross_batch_lww=False ONLY for strictly ordered feeds"
+        )
     if mode == "mor" and cross_batch_lww:
         # MoR applies batches without reading the target, so the
         # matched-filter that implements cross-batch LWW cannot run:
@@ -176,12 +195,14 @@ def tail_feed_dir(
             mode=mode,
         )
         eid = f"stream-{batch_id:08d}"
-        if rollup is not None:
+        if rollup is not None or dedup_index is not None:
             from ..cdc.apply import _txn_epoch
 
             _txn_epoch(
                 table, rollup, catalog, batch, eid, merge_opts,
                 rollup_group_cols, int(batch_id),
+                dedup_index=dedup_index,
+                dedup_index_mode=dedup_index_mode,
             )
         else:
             table.merge(batch, epoch_id=eid, **merge_opts)

@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a MinHash/LSH near-dup signature "
                          "index over transcript text at this root, "
                          "committed atomically with each state epoch "
-                         "(replay mode; pipelines/dedup_index.py)")
+                         "or micro-batch (pipelines/dedup_index.py)")
     ap.add_argument("--dedup-index-mor", action="store_true",
                     help="apply dedup-index refreshes as merge-on-read "
                          "deltas (O(batch) index writes; pair with "
@@ -84,8 +84,6 @@ def main(argv: list[str] | None = None) -> int:
                          "quarantined instead of merged, e.g. "
                          "--expect 'text_present=text IS NOT NULL'")
     args = ap.parse_args(argv)
-    if args.dedup_index_root and args.stream:
-        ap.error("--dedup-index-root is replay-mode only")
 
     from haskell_dbfunctor_spark.session import get_spark
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
@@ -112,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.feed_dir:
             ap.error("--stream requires --feed-dir")
-        rollup = catalog = None
+        rollup = catalog = dedup_index = None
         if args.rollup_root:
             from haskell_dbfunctor_spark.cdc.apply import (
                 open_or_create_rollup,
@@ -131,6 +129,23 @@ def main(argv: list[str] | None = None) -> int:
                     os.path.dirname(args.rollup_root) or ".", "_catalog"
                 ),
             )
+        if args.dedup_index_root:
+            from haskell_dbfunctor_spark.cdc.apply import (
+                open_or_create_dedup_index,
+            )
+            from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+            dedup_index = open_or_create_dedup_index(
+                spark, args.dedup_index_root
+            )
+            if catalog is None:
+                catalog = Catalog(
+                    spark,
+                    os.path.join(
+                        os.path.dirname(args.dedup_index_root) or ".",
+                        "_catalog",
+                    ),
+                )
         # cross_batch_lww defaults True: a late WAL file applied in a
         # later micro-batch must not overwrite newer committed state
         q = tail_feed_dir(spark, table, args.feed_dir,
@@ -142,11 +157,16 @@ def main(argv: list[str] | None = None) -> int:
                           mode="mor" if args.mor else "cow",
                           rollup=rollup, catalog=catalog,
                           rollup_group_cols=tuple(group_cols)
-                          if rollup is not None else ("role",))
+                          if rollup is not None else ("role",),
+                          dedup_index=dedup_index,
+                          dedup_index_mode="mor" if args.dedup_index_mor
+                          else "cow")
         q.awaitTermination()
         out = {"mode": "stream", "status": "drained"}
         if rollup is not None:
             out["rollup_rows"] = rollup.read().count()
+        if dedup_index is not None:
+            out["dedup_index_rows"] = dedup_index.read().count()
         print(json.dumps(out))
         return 0
 

@@ -182,6 +182,88 @@ def test_replay_maintains_transcript_index(spark, tmp_path):
     assert table.version == v_t and ix.version == v_ix
 
 
+def test_stream_tail_maintains_index_with_cross_batch_lww(spark, tmp_path):
+    """--stream + --dedup-index-root semantics: each micro-batch
+    commits state + index atomically, and a LATE WAL file in a later
+    micro-batch can overwrite NEITHER the state text NOR its index
+    signature (the index merge applies the same ts matched-filter)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from haskell_dbfunctor_spark.cdc.apply import open_or_create_dedup_index
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+    from haskell_dbfunctor_spark.streaming.tailer import (
+        await_or_raise, tail_feed_dir,
+    )
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    ix = open_or_create_dedup_index(spark, str(tmp_path / "ix"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+
+    def seg(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "op string, conv_id string, turn_idx int, text string, "
+            "ts timestamp, seq long"
+        )
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{feed_dir}/{name}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time()
+    seg(
+        [
+            ("U", "c1", 0, "the new winning text", datetime(2025, 1, 2), 2),
+            ("U", "c2", 5, "another turn entirely", datetime(2025, 1, 1), 1),
+        ],
+        "wal-000", t0,
+    )
+    # stale rewrite of c1/0 and a delete of c2/5, in a LATER batch
+    seg(
+        [
+            ("U", "c1", 0, "stale loser text", datetime(2025, 1, 1), 1),
+            ("D", "c2", 5, None, datetime(2025, 1, 3), 3),
+        ],
+        "wal-001", t0 + 1,
+    )
+
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True, max_files_per_trigger=1,
+        dedup_index=ix, catalog=cat,
+    )
+    await_or_raise(q, 300)
+
+    assert [r.text for r in table.read().collect()] == [
+        "the new winning text"
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): sorted(r.words) for r in ix.read().collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): sorted(r.words)
+        for r in with_signatures(
+            table.read().select("conv_id", "turn_idx", "text")
+        ).collect()
+    }
+    assert got == want == {
+        ("c1", 0): sorted("the new winning text".split())
+    }
+
+
 def test_empty_docs_excluded(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], DOC_SCHEMA)
     got = {r.doc_id for r in with_signatures(df).collect()}
