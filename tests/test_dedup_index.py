@@ -264,6 +264,44 @@ def test_stream_tail_maintains_index_with_cross_batch_lww(spark, tmp_path):
     }
 
 
+def test_index_refresh_paths_agree(spark, tmp_path):
+    """The raw-batch leg (no expectations gate) and the post-gate CDF
+    leg must converge to the same index. Same feed replayed through
+    both (the gate path forced by an always-true expectation): final
+    index states identical, including a key whose text degenerates
+    (leaves the index) and in-epoch LWW collisions."""
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_dedup_index, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    feed = change_feed(spark, 3000, seed=11, n_convs=30, n_epochs=3)
+
+    def run(sub, expectations):
+        table = open_or_create_transcripts(
+            spark, str(tmp_path / sub / "t"), num_buckets=4
+        )
+        ix = open_or_create_dedup_index(
+            spark, str(tmp_path / sub / "ix"), num_buckets=4
+        )
+        cat = Catalog(spark, str(tmp_path / sub / "_catalog"))
+        replay(
+            table, feed, 3, catalog=cat, dedup_index=ix,
+            expectations=expectations,
+        )
+        return {
+            (r.conv_id, r.turn_idx): (sorted(r.words), list(r.buckets))
+            for r in ix.read().collect()
+        }
+
+    raw = run("raw", None)
+    gated = run("gated", {"always": F.lit(True)})
+    assert raw == gated and len(raw) > 0
+
+
 def test_empty_docs_excluded(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], DOC_SCHEMA)
     got = {r.doc_id for r in with_signatures(df).collect()}
