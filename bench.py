@@ -70,6 +70,7 @@ def _cpu_sample() -> tuple[float, float]:
 def run_cdc(
     spark, n_events: int, n_epochs: int = CDC_EPOCHS,
     feed_kwargs: dict | None = None, mode: str = "cow",
+    index: str | None = None,
 ) -> dict:
     """One full CDC replay: deterministic feed (materialized once, read
     back per epoch with partition pruning — a WAL is storage, not a
@@ -99,6 +100,18 @@ def run_cdc(
         feed = spark.read.parquet(feed_path)
 
         table = open_or_create_transcripts(spark, root, num_buckets=64)
+        dedup_index = catalog = None
+        if index:  # "cow" | "mor": maintain the signature index in the
+            # same per-epoch transaction (--index-cost mode)
+            from haskell_dbfunctor_spark.cdc.apply import (
+                open_or_create_dedup_index,
+            )
+            from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+            dedup_index = open_or_create_dedup_index(
+                spark, os.path.join(root, "_dedup_ix")
+            )
+            catalog = Catalog(spark, os.path.join(root, "_catalog"))
         st0, tt0 = _cpu_sample()
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
@@ -106,7 +119,13 @@ def run_cdc(
             # MoR defers work to compaction — charge it inside the
             # measured window (a production schedule folds deltas
             # periodically; write-only throughput would overstate MoR)
-            compact_every=(max(n_epochs // 2, 1) if mode == "mor" else None),
+            compact_every=(
+                max(n_epochs // 2, 1)
+                if (mode == "mor" or index == "mor") else None
+            ),
+            dedup_index=dedup_index,
+            catalog=catalog,
+            dedup_index_mode=index or "cow",
         )
         # odd epoch counts leave the final epochs' deltas pending —
         # fold them INSIDE the timed window so the headline charges
@@ -116,6 +135,13 @@ def run_cdc(
             t_c = time.time()
             table.compact_deltas()
             extra_compact = time.time() - t_c
+        if (
+            index == "mor"
+            and dedup_index.manifest.get("delta_files")
+        ):
+            t_c = time.time()
+            dedup_index.compact_deltas()
+            extra_compact += time.time() - t_c
         st1, tt1 = _cpu_sample()
         final_rows = table.read().count()
         # steady state = excluding epoch 0 (JVM/codegen warmup dominates
@@ -148,6 +174,14 @@ def run_cdc(
             ),
             "final_rows": final_rows,
             "host_steal_pct": round(steal_pct, 1),
+            **(
+                {
+                    "index": index,
+                    "index_rows": dedup_index.read().count(),
+                }
+                if index
+                else {}
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -384,9 +418,50 @@ def main_skew(cores: int, n_events: int, pairs: int = 2,
     }))
 
 
+def main_index_cost(cores: int, n_events: int, pairs: int = 2,
+                    n_epochs: int = 4) -> None:
+    """Marginal cost of maintaining the near-dup signature index
+    inside the per-epoch transaction (cdc_ingest --dedup-index-root):
+    alternating same-session rounds of state-only vs index-CoW vs
+    index-MoR on the same deterministic feed (drift-immune ratios;
+    MoR legs charge their compactions inside the window)."""
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    run_cdc(spark, min(n_events, 200_000), n_epochs=2)  # JVM warmup
+    legs = [None, "cow", "mor"]
+    res: dict[str, list[float]] = {"state": [], "cow": [], "mor": []}
+    for r in range(pairs):
+        order = legs[r % 3:] + legs[:r % 3]  # rotate per round
+        for leg in order:
+            out = run_cdc(spark, n_events, n_epochs=n_epochs, index=leg)
+            name = leg or "state"
+            res[name].append(out["steady_events_per_sec"])
+            print(f"# round {r} {name}: "
+                  f"{out['steady_events_per_sec']:.0f} ev/s "
+                  f"(load1 {out['host_load1']})", file=sys.stderr)
+    med = {k: sorted(v)[len(v) // 2] for k, v in res.items()}
+    print(json.dumps({
+        "metric": "dedup_index_marginal_cost",
+        "value": round(med["cow"] / med["state"], 3),
+        "unit": "ratio (index-cow vs state-only steady ev/s)",
+        "mor_ratio": round(med["mor"] / med["state"], 3),
+        "n_events": n_events,
+        "n_epochs": n_epochs,
+        "cores": cores,
+        "median_steady_events_per_sec": med,
+        "all_runs": res,
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--index-cost", action="store_true",
+                    help="marginal throughput cost of the transactional "
+                         "dedup-index legs (state vs cow vs mor)")
     ap.add_argument("--mor", action="store_true",
                     help="CDC replay with merge-on-read deltas (O(batch) "
                          "writes) instead of copy-on-write")
@@ -405,6 +480,9 @@ if __name__ == "__main__":
     if args.skew:
         main_skew(args.cores, args.events, pairs=min(args.pairs, 3),
                   n_epochs=args.epochs)
+    elif args.index_cost:
+        main_index_cost(args.cores, args.events,
+                        pairs=min(args.pairs, 3), n_epochs=args.epochs)
     elif args.scaling:
         main_scaling(args.small, args.large, args.events,
                      pairs=args.pairs, n_epochs=args.epochs,
