@@ -302,6 +302,75 @@ def test_index_refresh_paths_agree(spark, tmp_path):
     assert raw == gated and len(raw) > 0
 
 
+def test_signature_projection_property(spark):
+    """Property: for ARBITRARY text (unicode, repeated/leading
+    whitespace, empties, single words), the row-wise projection equals
+    the aggregation-based signature build word-for-word and
+    bucket-for-bucket, and empty-word docs are exactly the excluded
+    set."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+        min_size=0, max_size=8,
+    )
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=1, max_size=25))
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], DOC_SCHEMA
+        )
+        proj = {
+            r.doc_id: (sorted(r.words), list(r.buckets))
+            for r in with_signatures(df).collect()
+        }
+        # oracle: python-side reference for words; Spark agg for hashes
+        expect_ids = {
+            i for i, t in enumerate(texts)
+            if [w for w in t.split(" ") if w]
+        }
+        assert set(proj) == expect_ids
+        for i, t in enumerate(texts):
+            if i in proj:
+                assert proj[i][0] == sorted(set(w for w in t.split(" ") if w))
+        dw = df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda w: w != "")
+                )
+            ).alias("word"),
+        )
+        k, bands, rpb = 16, 8, 2
+        sigs = dw.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat("word", F.lit(f"#{i}")))).alias(f"mh_{i}")
+                for i in range(k)
+            ]
+        )
+        agg = {
+            r.doc_id: list(r.buckets)
+            for r in sigs.select(
+                "doc_id",
+                F.array(*[
+                    F.xxhash64(F.concat_ws(
+                        "|", *[f"mh_{i}" for i in range(b * rpb, (b + 1) * rpb)]
+                    ))
+                    for b in range(bands)
+                ]).alias("buckets"),
+            ).collect()
+        }
+        assert {i: proj[i][1] for i in proj} == agg
+
+    run()
+
+
 def test_empty_docs_excluded(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], DOC_SCHEMA)
     got = {r.doc_id for r in with_signatures(df).collect()}
