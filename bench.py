@@ -108,8 +108,11 @@ def run_cdc(
             )
             from haskell_dbfunctor_spark.lake.transaction import Catalog
 
+            # match the state table's bucket count: the index shuffles
+            # the same key space, and 16 buckets would cap its merge
+            # parallelism at half the cores
             dedup_index = open_or_create_dedup_index(
-                spark, os.path.join(root, "_dedup_ix")
+                spark, os.path.join(root, "_dedup_ix"), num_buckets=64
             )
             catalog = Catalog(spark, os.path.join(root, "_catalog"))
         st0, tt0 = _cpu_sample()
@@ -430,7 +433,10 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
         os.makedirs(d, exist_ok=True)
         os.environ["SPARK_GRAFT_BENCH_DIR"] = d
     spark = _get_spark(cores)
-    run_cdc(spark, min(n_events, 200_000), n_epochs=2)  # JVM warmup
+    # warm up THROUGH the index leg: the txn/index code paths carry
+    # their own first-use JIT, which would otherwise land entirely on
+    # round 0's first index run
+    run_cdc(spark, min(n_events, 200_000), n_epochs=2, index="cow")
     legs = [None, "cow", "mor"]
     res: dict[str, list[float]] = {"state": [], "cow": [], "mor": []}
     for r in range(pairs):

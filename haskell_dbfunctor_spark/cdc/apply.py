@@ -80,23 +80,28 @@ def open_or_create_rollup(
 
 
 def open_or_create_dedup_index(
-    spark: SparkSession, root: str, num_buckets: int = 16
+    spark: SparkSession, root: str, num_buckets: int = 16,
+    hash_family: str = "xxh",
 ) -> LakeTable:
     """The transcript near-dup signature index (MinHash words/bands
     per turn, pipelines/dedup_index.py) maintained transactionally
     with the state table — keyed exactly like the state (conv_id,
-    turn_idx)."""
+    turn_idx). Defaults to the "xxh" signature family (native
+    xxhash64 minhashes — 2.7x faster per pass than the md5 family the
+    SQL-oracled document queries pin); the choice is recorded in the
+    index's ``dedup.hash_family`` property and an existing index
+    keeps its own."""
     try:
         return LakeTable.load(spark, root)
     except FileNotFoundError:
-        from ..pipelines.dedup_index import index_schema
+        from ..pipelines.dedup_index import create_dedup_index
 
         key_fields = [
             f for f in TRANSCRIPT_SCHEMA.fields if f.name in KEY_COLS
         ]
-        return LakeTable.create(
-            spark, root, index_schema(key_fields), key_cols=KEY_COLS,
-            num_buckets=num_buckets,
+        return create_dedup_index(
+            spark, root, num_buckets=num_buckets, key_fields=key_fields,
+            hash_family=hash_family,
         )
 
 
@@ -294,9 +299,10 @@ def _txn_epoch(
                 F.when(F.col("_change_type") == "D", F.lit("D"))
                 .otherwise(F.lit("U")),
             )
-            ib = signature_batch(chi, ih.key_cols).withColumn(
-                "seq", F.lit(e).cast("long")
-            )
+            ib = signature_batch(
+                chi, ih.key_cols,
+                hash_family=ih.properties.get("dedup.hash_family", "md5"),
+            ).withColumn("seq", F.lit(e).cast("long"))
             txn.merge(ih, ib, epoch_id=f"{eid}-dedupix", op_col="op",
                       order_cols=("seq",), mode=dedup_index_mode)
         else:
@@ -329,7 +335,8 @@ def _txn_epoch(
                 ]
             )
             ib = signature_batch(
-                win, ih.key_cols, op_col=op_c, carry_cols=oc
+                win, ih.key_cols, op_col=op_c, carry_cols=oc,
+                hash_family=ih.properties.get("dedup.hash_family", "md5"),
             )
             ix_opts = {}
             if (

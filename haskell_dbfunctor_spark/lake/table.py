@@ -163,6 +163,7 @@ class LakeTable:
         overwrite: bool = False,
         constraints: dict[str, str] | None = None,
         nullable_keys: bool = False,
+        properties: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``nullable_keys=True`` declares that NULL is a legal key
         VALUE (e.g. a rollup keyed on a nullable dimension): merges
@@ -204,6 +205,12 @@ class LakeTable:
             # expectation rolled into one)
             "constraints": dict(constraints or {}),
             "nullable_keys": bool(nullable_keys),
+            # free-form table properties (Iceberg table-properties
+            # analog): producer conventions readers must agree on,
+            # e.g. the dedup index's signature hash family. Carried
+            # forward by every commit (all commit paths copy the
+            # parent manifest).
+            "properties": dict(properties or {}),
         }
         tbl = cls(spark, root, manifest)
         tbl._commit(manifest)
@@ -661,6 +668,10 @@ class LakeTable:
     @property
     def key_cols(self) -> list[str]:
         return list(self.manifest["key_cols"])
+
+    @property
+    def properties(self) -> dict:
+        return dict(self.manifest.get("properties", {}))
 
     @property
     def num_buckets(self) -> int:

@@ -169,9 +169,14 @@ def test_replay_maintains_transcript_index(spark, tmp_path):
             for r in df.collect()
         }
 
+    hf = ix.properties["dedup.hash_family"]
+    assert hf == "xxh"  # the ingest index defaults to the fast family
     got = key_sigs(ix.read())
     want = key_sigs(
-        with_signatures(table.read().select("conv_id", "turn_idx", "text"))
+        with_signatures(
+            table.read().select("conv_id", "turn_idx", "text"),
+            hash_family=hf,
+        )
     )
     assert got == want and len(want) > 0
 
@@ -256,7 +261,8 @@ def test_stream_tail_maintains_index_with_cross_batch_lww(spark, tmp_path):
     want = {
         (r.conv_id, r.turn_idx): sorted(r.words)
         for r in with_signatures(
-            table.read().select("conv_id", "turn_idx", "text")
+            table.read().select("conv_id", "turn_idx", "text"),
+            hash_family=ix.properties["dedup.hash_family"],
         ).collect()
     }
     assert got == want == {
