@@ -974,6 +974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # made physical. Build cached per sf dir; cost = probe + 2 cells.
     q["q90_indexed_ivf_ann"] = _indexed_ivf
 
+    # predicate-level DML (lake/dml.py): DELETE FROM / UPDATE ... WHERE
+    # as file-granular copy-on-write rewrites — the reference can only
+    # rebuild the whole RTable (deleteRTab/updateRTab,
+    # Core.hs:1524-1600); here only match-bearing data files rewrite
+    q["q91_delete_where"] = _delete_where_state
+    q["q92_update_where"] = _update_where_state
+
     return q
 
 
@@ -1580,6 +1587,84 @@ def _two_epoch_lake(s: SparkSession, d: str):
             return racer, v1
         return table, v1
     return LakeTable.load(s, f"{final}/lake"), v1
+
+
+def _dml_state_lake(s: SparkSession, d: str, prefix: str):
+    """A FRESH event-state lake for a predicate-DML query (q91/q92):
+    one CoW merge epoch of the full feed into a table storing exactly
+    the q21 LWW-state columns. Never cached — DML mutates the table, so
+    sharing a build across queries would let one query's delete leak
+    into another's oracle. Old scratch dirs age out after an hour."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_id").alias("seq"),
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("last_event_id", T.LongType()),
+    ])
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith(prefix):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix=prefix, dir=base)
+    t = LakeTable.create(
+        s, f"{tmp}/lake", schema,
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
+    t.merge(ev, epoch_id="e0", prune_buckets=False)
+    return t
+
+
+_STATE_COLS = ["user_id", "event_type", "value", "ts", "last_event_id"]
+
+
+def _delete_where_state(s: SparkSession, d: str) -> DataFrame:
+    """q91: DELETE FROM state WHERE event_type='view' AND value>500 —
+    file-granular CoW delete (lake/dml.py): a discovery scan with the
+    predicate pushed to parquet attributes matches via
+    input_file_name(); ONLY match-bearing files rewrite, the rest of
+    the snapshot carries by reference. The reference's deleteRTab
+    rebuilds the whole table (Core.hs:1524-1546)."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q91_")
+    t.delete_where("event_type = 'view' AND value > 500")
+    return t.read().select(*_STATE_COLS)
+
+
+def _update_where_state(s: SparkSession, d: str) -> DataFrame:
+    """q92: UPDATE state SET value = value + 100 WHERE
+    event_type='purchase' — assignments see the OLD row, cast to the
+    declared column type, and only match-bearing files rewrite
+    (updateRTab analog, Core.hs:1560-1600)."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q92_")
+    t.update_where(
+        "event_type = 'purchase'", {"value": F.col("value") + F.lit(100.0)}
+    )
+    return t.read().select(*_STATE_COLS)
 
 
 def _stats_pruned_read(s: SparkSession, d: str) -> DataFrame:
@@ -3031,6 +3116,20 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                    ORDER BY jac DESC, match_doc_id ASC) AS rn
           FROM j
         ) WHERE rn = 1
+    """
+    # q91/q92: predicate DML over the q21 LWW state; SQL semantics —
+    # NULL-predicate rows untouched, assignments see the old row
+    o["q91_delete_where"] = f"""
+        SELECT user_id, event_type, value, ts, last_event_id
+        FROM ({_CDC_LWW_SQL})
+        WHERE NOT coalesce(event_type = 'view' AND value > 500, FALSE)
+    """
+    o["q92_update_where"] = f"""
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value + 100.0
+                    ELSE value END AS value,
+               ts, last_event_id
+        FROM ({_CDC_LWW_SQL})
     """
     # q89 answers the SAME question as q85 (incoming %7==0 batch vs
     # the rest of the corpus, J>=0.8, best match per incoming doc) via

@@ -1,3 +1,4 @@
+from .dml import delete_where, update_where
 from .reconcile import reconcile, snapshot_diff
 from .table import LakeTable, MergeStats
 from .transaction import Catalog, Transaction, TransactionAborted
@@ -10,4 +11,6 @@ __all__ = [
     "TransactionAborted",
     "reconcile",
     "snapshot_diff",
+    "delete_where",
+    "update_where",
 ]

@@ -1,0 +1,468 @@
+"""Predicate-level DML on a LakeTable: ``DELETE FROM ... WHERE`` and
+``UPDATE ... SET ... WHERE`` (Iceberg row-level-operations analog).
+
+The MERGE path (lake/table.py) mutates by KEY — the CDC shape. Real
+lakes also need predicate mutations ("delete this source's documents",
+"backfill a normalized column for March"), which the reference can only
+express as a full-table rewrite (``deleteRTab``/``updateRTab`` rebuild
+the whole in-memory RTable, /root/reference/src/RTable/Core.hs:1524-1600).
+At 100 TB the whole point is to touch only the data that matches:
+
+- **Copy-on-write (default).** One discovery scan finds the data files
+  that contain matching rows — parquet predicate pushdown prunes
+  row-groups physically, ``input_file_name()`` attributes the survivors
+  — then ONLY those files are rewritten (surviving rows re-coalesced
+  per bucket); every other file carries into the new snapshot by
+  reference. This is exactly Iceberg's CoW DELETE granularity: file,
+  not partition, not table. Buckets with pending merge-on-read deltas
+  can't be rewritten file-wise (the latest image of a key is spread
+  over base + deltas), so those buckets rewrite whole and fold their
+  deltas — the same rule every CoW path in table.py follows.
+- **``mode="mor"``** appends O(matching-rows) delta files instead:
+  delete writes key tombstones, update writes patched full rows —
+  both delegate to ``LakeTable.merge(mode="mor")``, inheriting its
+  exactly-once epochs, CDF lineage, and read-side collapse.
+
+Semantics pinned to SQL: rows where the predicate is NULL are NOT
+matched (DELETE keeps them, UPDATE leaves them); UPDATE assignments
+evaluate against the OLD row (set a = b, b = a swaps); assignments cast
+to the column's declared type (predicate DML never evolves the schema);
+key columns cannot be assigned (that's an identity change — express it
+as delete + insert through MERGE).
+
+Exactly-once: pass ``epoch_id`` — a replay of an applied epoch is a
+no-op, and a DML epoch that matched zero rows still commits a
+metadata-only record so the replay doesn't pay the discovery scan
+again. Concurrency follows merge: disjoint-bucket conflicts rebase
+inside the commit; overlapping conflicts re-execute the whole operation
+(discovery included) against the winner's snapshot, serializably.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Mapping, Sequence
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .table import (
+    BUCKET_COL,
+    DATA_DIR,
+    CommitConflict,
+    LakeError,
+    LakeTable,
+    MergeStats,
+)
+
+
+def _as_column(pred: Column | str) -> Column:
+    return F.expr(pred) if isinstance(pred, str) else pred
+
+
+def _match(pred: Column) -> Column:
+    # SQL row-level ops match only TRUE: NULL predicate = not matched
+    return F.coalesce(pred, F.lit(False))
+
+
+def _rel_of(uri: str, root: str) -> str:
+    """input_file_name() URI -> manifest-relative path."""
+    p = urlparse(uri)
+    path = unquote(p.path) if p.scheme else uri
+    return os.path.relpath(path, os.path.abspath(root))
+
+
+def _resolve_assignments(
+    table: LakeTable, assignments: Mapping[str, Column | str]
+) -> dict[str, Column]:
+    if not assignments:
+        raise LakeError("update_where: empty assignments")
+    by_name = {f.name: f for f in table.schema.fields}
+    out: dict[str, Column] = {}
+    for c, v in assignments.items():
+        if c not in by_name:
+            raise LakeError(f"update_where: unknown column {c!r}")
+        if c in table.key_cols:
+            raise LakeError(
+                f"update_where: {c!r} is a key column — a key change is "
+                "an identity change; express it as MERGE delete+insert"
+            )
+        # pin the declared type: predicate DML never evolves the schema
+        out[c] = _as_column(v).cast(by_name[c].dataType)
+    return out
+
+
+def _discover(
+    table: LakeTable, match: Column
+) -> tuple[list[str], list[int], int]:
+    """(matched base-file rels, matched delta-bearing bucket ids,
+    matched row count) — one pass per file class.
+
+    The base-file scan carries the predicate into the parquet reader
+    (row-group stats prune physically) and groups by
+    ``input_file_name()`` collected at execution time — the only
+    file attribution that survives Spark's FileIndex coalescing
+    (CLAUDE.md: inputFiles() lists pre-pruning). Delta-bearing buckets
+    must collapse base+deltas before predicating on a mutable column,
+    so they are discovered (and later rewritten) bucket-whole.
+    """
+    dm = table.manifest.get("delta_files", {})
+    delta_ids = sorted(int(b) for b in dm if dm[b])
+    base_ids = sorted(set(range(table.num_buckets)) - set(delta_ids))
+
+    matched_files: list[str] = []
+    n_matched = 0
+    base_files = table._files(base_ids)
+    if base_files:
+        per_file = (
+            table.spark.read.schema(table.schema)
+            .parquet(*base_files)
+            .where(match)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        matched_files = [_rel_of(r["__f"], table.root) for r in per_file]
+        n_matched += sum(int(r["__n"]) for r in per_file)
+
+    matched_delta: list[int] = []
+    if delta_ids:
+        per_bucket = (
+            table.read(delta_ids)
+            .where(match)
+            .groupBy(
+                table.bucket_of(
+                    *[F.col(c) for c in table.key_cols]
+                ).alias("__b")
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        matched_delta = sorted(int(r["__b"]) for r in per_bucket)
+        n_matched += sum(int(r["__n"]) for r in per_bucket)
+    return matched_files, matched_delta, n_matched
+
+
+def _bucket_of_rel(rel: str) -> int:
+    # data files live at data/s{v}-{uuid}/__bucket=<b>/part-*.parquet
+    for part in rel.split(os.sep):
+        if part.startswith(f"{BUCKET_COL}="):
+            return int(part.split("=", 1)[1])
+    raise LakeError(f"cannot derive bucket from data path {rel!r}")
+
+
+def _record_epoch_only(table: LakeTable, epoch_id: str) -> MergeStats:
+    """Metadata-only commit recording a zero-match DML epoch, so a
+    replay skips the discovery scan. touched=() rebases over anything."""
+
+    def apply(parent: dict) -> dict:
+        m = dict(parent)
+        m["version"] = parent["version"] + 1
+        applied = dict(parent["applied_epochs"])
+        applied[epoch_id] = {"version": m["version"], "ts": time.time()}
+        m["applied_epochs"] = applied
+        return m
+
+    committed = table._commit_rebased(
+        base=table.manifest, touched=(), apply=apply, epoch_id=epoch_id
+    )
+    return MergeStats(
+        epoch_id=epoch_id,
+        version=table.version,
+        skipped=committed is None,
+    )
+
+
+def _rewrite_commit(
+    table: LakeTable,
+    out: DataFrame,
+    matched_files: list[str],
+    matched_delta: list[int],
+    *,
+    epoch_id: str | None,
+    target_file_bytes: int,
+) -> dict | None:
+    """Write ``out`` (already carrying BUCKET_COL) as the replacement
+    for ``matched_files`` + the whole of ``matched_delta`` buckets, and
+    commit. Returns the committed manifest (None = epoch already
+    applied by a racer)."""
+    touched = sorted(
+        {_bucket_of_rel(f) for f in matched_files} | set(matched_delta)
+    )
+    matched_bytes = sum(
+        os.path.getsize(p)
+        for f in matched_files
+        if os.path.exists(p := os.path.join(table.root, f))
+    )
+    n_parts = max(-(-matched_bytes // target_file_bytes), len(touched), 1)
+    files_per = max(-(-n_parts // max(len(touched), 1)), 1)
+    part_cols = [F.col(BUCKET_COL)]
+    if files_per > 1:
+        # seeded subsplit != the bucket hash (same hash mod two
+        # divisors is correlated — CLAUDE.md): big rewrites still
+        # spread across write tasks within a bucket
+        part_cols.append(
+            F.pmod(
+                F.xxhash64(
+                    F.lit(0x51F7), *[F.col(c) for c in table.key_cols]
+                ),
+                F.lit(files_per),
+            )
+        )
+    new_version = table.version + 1
+    snap_rel = os.path.join(DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}")
+    snap_abs = os.path.join(table.root, snap_rel)
+    (
+        out.repartition(int(n_parts), *part_cols)
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(snap_abs)
+    )
+    written = table._scan_written(snap_abs, snap_rel)
+    removed = set(matched_files)
+
+    def apply(parent: dict) -> dict:
+        m = dict(parent)
+        m["version"] = parent["version"] + 1
+        new_buckets = dict(parent["buckets"])
+        for b in touched:
+            if b in matched_delta:
+                # whole-bucket rewrite folded base + deltas
+                new_buckets[str(b)] = written.get(str(b), [])
+            else:
+                kept = [
+                    f for f in new_buckets.get(str(b), [])
+                    if f not in removed
+                ]
+                new_buckets[str(b)] = kept + written.get(str(b), [])
+        m["buckets"] = new_buckets
+        # never carry delta refs across a base rewrite (CLAUDE.md)
+        m["delta_files"] = {
+            b: fl
+            for b, fl in parent.get("delta_files", {}).items()
+            if int(b) not in set(matched_delta)
+        }
+        if epoch_id is not None:
+            applied = dict(parent["applied_epochs"])
+            applied[epoch_id] = {"version": m["version"], "ts": time.time()}
+            m["applied_epochs"] = applied
+        return m
+
+    return table._commit_rebased(
+        base=table.manifest,
+        touched=touched,
+        apply=apply,
+        epoch_id=epoch_id,
+        orphan_dir=snap_abs,
+    )
+
+
+def delete_where(
+    table: LakeTable,
+    predicate: Column | str,
+    *,
+    epoch_id: str | None = None,
+    mode: str = "cow",
+    conflict_retries: int = 5,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> MergeStats:
+    """``DELETE FROM table WHERE predicate``.
+
+    CoW (default): rewrite only the data files that contain matching
+    rows. ``mode="mor"``: append key tombstones for the matching rows
+    (O(matches) write; read-side collapse drops them; ``compact_deltas``
+    folds them into the base).
+    """
+    if mode not in ("cow", "mor"):
+        raise LakeError(f"delete_where: unknown mode {mode!r}")
+    table._forbid_staged("delete_where")
+    pred = _match(_as_column(predicate))
+    if mode == "mor":
+        # a tombstone only needs the key, but MoR full-row mode wants
+        # every column — the matched rows already have them all
+        batch = table.read().where(pred).withColumn(
+            "__dml_op", F.lit("D")
+        ).withColumn("__dml_seq", F.lit(0).cast("long"))
+        stats = table.merge(
+            batch,
+            epoch_id=epoch_id,
+            op_col="__dml_op",
+            order_cols=("__dml_seq",),
+            drop_cols=("__dml_seq",),
+            mode="mor",
+            conflict_retries=conflict_retries,
+        )
+        # MoR never reads the target at write time, so merge can't
+        # attribute deletes — but a pure tombstone batch deletes
+        # exactly its deduped rows
+        stats.n_deleted = stats.n_deduped
+        return stats
+
+    t0 = time.time()
+    for attempt in range(conflict_retries + 1):
+        if (
+            epoch_id is not None
+            and epoch_id in table.manifest["applied_epochs"]
+        ):
+            return MergeStats(
+                epoch_id=epoch_id, version=table.version, skipped=True
+            )
+        files, delta_buckets, n = _discover(table, pred)
+        if not files and not delta_buckets:
+            if epoch_id is not None:
+                return _record_epoch_only(table, epoch_id)
+            return MergeStats(epoch_id=None, version=table.version)
+        survivors = (
+            table.spark.read.schema(table.schema)
+            .parquet(*[os.path.join(table.root, f) for f in files])
+            .where(~pred)
+            if files
+            else None
+        )
+        if delta_buckets:
+            folded = table.read(delta_buckets).where(~pred)
+            survivors = (
+                folded if survivors is None
+                else survivors.unionByName(folded)
+            )
+        out = survivors.withColumn(
+            BUCKET_COL,
+            table.bucket_of(*[F.col(c) for c in table.key_cols]),
+        )
+        try:
+            committed = _rewrite_commit(
+                table, out, files, delta_buckets,
+                epoch_id=epoch_id, target_file_bytes=target_file_bytes,
+            )
+        except CommitConflict:
+            if attempt == conflict_retries:
+                raise
+            table.manifest = table._load_latest_published_manifest()
+            continue
+        return MergeStats(
+            epoch_id=epoch_id,
+            version=table.version,
+            skipped=committed is None,
+            n_deleted=n,
+            buckets_touched=len(
+                {_bucket_of_rel(f) for f in files} | set(delta_buckets)
+            ),
+            seconds=time.time() - t0,
+            extra={"files_rewritten": len(files),
+                   "delta_buckets_folded": len(delta_buckets)},
+        )
+
+
+def update_where(
+    table: LakeTable,
+    predicate: Column | str,
+    assignments: Mapping[str, Column | str],
+    *,
+    epoch_id: str | None = None,
+    mode: str = "cow",
+    conflict_retries: int = 5,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> MergeStats:
+    """``UPDATE table SET col = expr, ... WHERE predicate``.
+
+    Assignments see the OLD row (one projection with
+    ``when(pred, expr).otherwise(col)`` per assigned column — a swap is
+    a swap) and cast to the column's declared type. CoW rewrites only
+    match-bearing files (non-matching rows in those files pass through
+    bit-unchanged); ``mode="mor"`` appends the patched matching rows as
+    O(matches) full-row deltas via MERGE.
+    """
+    if mode not in ("cow", "mor"):
+        raise LakeError(f"update_where: unknown mode {mode!r}")
+    table._forbid_staged("update_where")
+    pred = _match(_as_column(predicate))
+    assigns = _resolve_assignments(table, assignments)
+
+    def patched(df: DataFrame, only_matches: bool) -> DataFrame:
+        cols = []
+        for f in table.schema.fields:
+            c = f.name
+            if c in assigns:
+                v = assigns[c] if only_matches else (
+                    F.when(pred, assigns[c]).otherwise(F.col(c))
+                )
+                cols.append(v.alias(c))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    if mode == "mor":
+        batch = patched(table.read().where(pred), True).withColumn(
+            "__dml_op", F.lit("U")
+        ).withColumn("__dml_seq", F.lit(0).cast("long"))
+        stats = table.merge(
+            batch,
+            epoch_id=epoch_id,
+            op_col="__dml_op",
+            order_cols=("__dml_seq",),
+            drop_cols=("__dml_seq",),
+            mode="mor",
+            conflict_retries=conflict_retries,
+        )
+        # a patch batch updates exactly its deduped rows (see delete)
+        stats.n_updated = stats.n_deduped
+        return stats
+
+    t0 = time.time()
+    for attempt in range(conflict_retries + 1):
+        if (
+            epoch_id is not None
+            and epoch_id in table.manifest["applied_epochs"]
+        ):
+            return MergeStats(
+                epoch_id=epoch_id, version=table.version, skipped=True
+            )
+        files, delta_buckets, n = _discover(table, pred)
+        if not files and not delta_buckets:
+            if epoch_id is not None:
+                return _record_epoch_only(table, epoch_id)
+            return MergeStats(epoch_id=None, version=table.version)
+        rewritten = (
+            patched(
+                table.spark.read.schema(table.schema).parquet(
+                    *[os.path.join(table.root, f) for f in files]
+                ),
+                False,
+            )
+            if files
+            else None
+        )
+        if delta_buckets:
+            folded = patched(table.read(delta_buckets), False)
+            rewritten = (
+                folded if rewritten is None
+                else rewritten.unionByName(folded)
+            )
+        out = rewritten.withColumn(
+            BUCKET_COL,
+            table.bucket_of(*[F.col(c) for c in table.key_cols]),
+        )
+        try:
+            committed = _rewrite_commit(
+                table, out, files, delta_buckets,
+                epoch_id=epoch_id, target_file_bytes=target_file_bytes,
+            )
+        except CommitConflict:
+            if attempt == conflict_retries:
+                raise
+            table.manifest = table._load_latest_published_manifest()
+            continue
+        return MergeStats(
+            epoch_id=epoch_id,
+            version=table.version,
+            skipped=committed is None,
+            n_updated=n,
+            buckets_touched=len(
+                {_bucket_of_rel(f) for f in files} | set(delta_buckets)
+            ),
+            seconds=time.time() - t0,
+            extra={"files_rewritten": len(files),
+                   "delta_buckets_folded": len(delta_buckets)},
+        )

@@ -2148,6 +2148,21 @@ class LakeTable:
             os.path.join(qdir, "*")
         )
 
+    def delete_where(self, predicate, **opts) -> MergeStats:
+        """``DELETE FROM this WHERE predicate`` — see ``lake/dml.py``
+        (CoW rewrites only match-bearing files; ``mode="mor"`` appends
+        O(matches) tombstones)."""
+        from .dml import delete_where as _dw
+
+        return _dw(self, predicate, **opts)
+
+    def update_where(self, predicate, assignments, **opts) -> MergeStats:
+        """``UPDATE this SET ... WHERE predicate`` — see ``lake/dml.py``
+        (assignments see the old row and cast to the declared type)."""
+        from .dml import update_where as _uw
+
+        return _uw(self, predicate, assignments, **opts)
+
     def rollback(self, version: int, *, conflict_retries: int = 5) -> dict:
         """Iceberg rollback_to_snapshot: a NEW commit whose content is
         snapshot ``version``'s — data files by reference, zero
