@@ -152,6 +152,32 @@ def main(argv: list[str] | None = None) -> int:
                          "U_pre/U_post image pairs")
     ch.add_argument("--out", required=True, help="output parquet dir")
 
+    dw = sub.add_parser(
+        "delete-where",
+        help="DELETE FROM table WHERE <sql predicate> (retention/GDPR "
+             "deletes; CoW rewrites only match-bearing files, "
+             "--mode mor appends O(matches) tombstones)",
+    )
+    dw.add_argument("--predicate", required=True,
+                    help="SQL boolean expression over table columns, "
+                         "e.g. \"ts < timestamp'2026-01-01'\"")
+    uw = sub.add_parser(
+        "update-where",
+        help="UPDATE table SET col=expr[,col=expr] WHERE <sql predicate> "
+             "(backfills; assignments see the OLD row and cast to the "
+             "declared type)",
+    )
+    uw.add_argument("--predicate", required=True)
+    uw.add_argument("--set", required=True, dest="assignments",
+                    action="append",
+                    help="col=sql-expr, repeatable: --set "
+                         "\"tool=upper(tool)\" --set \"text=trim(text)\"")
+    for p in (dw, uw):
+        p.add_argument("--mode", choices=("cow", "mor"), default="cow")
+        p.add_argument("--epoch-id", default=None,
+                       help="exactly-once id: a replayed epoch is a "
+                            "no-op (zero-match epochs also record)")
+
     # on every state-changing subparser so the flag parses in the
     # natural trailing position (`... compact --no-verify`); a parent-
     # parser flag placed after the subcommand is rejected by argparse.
@@ -268,6 +294,34 @@ def main(argv: list[str] | None = None) -> int:
                            else args.to_version),
             "out": args.out,
             "change_rows": n,
+        }))
+        return 0
+
+    if args.action in ("delete-where", "update-where"):
+        # row counts change BY DESIGN — no before/after invariant
+        if args.action == "delete-where":
+            st = table.delete_where(
+                args.predicate, epoch_id=args.epoch_id, mode=args.mode
+            )
+        else:
+            assigns = {}
+            for pair in args.assignments:
+                col, _, expr = pair.partition("=")
+                if not _:
+                    ap.error(f"--set pair missing '=': {pair!r}")
+                assigns[col.strip()] = expr.strip()
+            st = table.update_where(
+                args.predicate, assigns,
+                epoch_id=args.epoch_id, mode=args.mode,
+            )
+        print(json.dumps({
+            "action": args.action,
+            "table_version": table.version,
+            "skipped": st.skipped,
+            "n_deleted": st.n_deleted,
+            "n_updated": st.n_updated,
+            "buckets_touched": st.buckets_touched,
+            **st.extra,
         }))
         return 0
 

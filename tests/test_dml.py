@@ -172,6 +172,37 @@ def test_cow_delete_folds_pending_deltas(spark, tmp_path):
     assert _rows(t) == want
 
 
+def test_maintenance_cli_dml_subcommands(spark, tmp_path, capsys):
+    import json
+
+    from jobs.lake_maintenance import main
+
+    t = _mk(spark, tmp_path / "t", ROWS)
+    rc = main([
+        "--table-root", t.root, "delete-where",
+        "--predicate", "val >= 500", "--epoch-id", "ret1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_deleted"] == 10 and not out["skipped"]
+    rc = main([
+        "--table-root", t.root, "update-where",
+        "--predicate", "grp = 'a'",
+        "--set", "val=val + 7", "--set", "grp=upper(grp)",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_updated"] == sum(
+        1 for r in ROWS if r[1] == "a" and r[2] < 500
+    )
+    t = LakeTable.load(spark, t.root)
+    want = sorted(
+        (k, "A" if g == "a" else g, v + 7 if g == "a" else v)
+        for (k, g, v) in ROWS if v < 500
+    )
+    assert _rows(t) == want
+
+
 def test_dml_refused_on_staged_snapshot(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", ROWS[:9])
     batch = spark.createDataFrame([(100, "z", 1)], SCHEMA).withColumn(
