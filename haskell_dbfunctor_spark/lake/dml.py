@@ -40,7 +40,9 @@ inside the commit; overlapping conflicts re-execute the whole operation
 
 from __future__ import annotations
 
+import datetime
 import os
+import re
 import time
 import uuid
 from typing import Mapping, Sequence
@@ -74,6 +76,79 @@ def _rel_of(uri: str, root: str) -> str:
     return os.path.relpath(path, os.path.abspath(root))
 
 
+_LIT = r"(?:-?\d+(?:\.\d+)?|'[^']*'|(?:timestamp|date)\s*'[^']*')"
+_CMP_RE = re.compile(
+    rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|<|>|=)\s*({_LIT})\s*$"
+)
+_UNPRUNABLE_RE = re.compile(
+    r"[()]|\bor\b|\bnot\b|\bin\b|\bbetween\b|\bis\b|\blike\b|\bcase\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_lit(lit: str):
+    """SQL literal -> the manifest-stats ordering domain
+    (LakeTable._stat_key): numbers as-is, strings raw, timestamp/date
+    literals as epoch seconds (naive = UTC, matching the session TZ)."""
+    m = re.match(r"^(timestamp|date)\s*'([^']*)'$", lit, re.IGNORECASE)
+    if m:
+        dt = datetime.datetime.fromisoformat(m.group(2))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt.timestamp()
+    if lit.startswith("'"):
+        return lit[1:-1]
+    return float(lit) if "." in lit else int(lit)
+
+
+def _conjunct_bounds(predicate: str) -> list[tuple[str, str, object]] | None:
+    """Best-effort parse of a SQL predicate STRING into prunable
+    ``col <op> literal`` conjuncts, for manifest-stats file skipping.
+    Strictly conservative: any construct beyond a bare top-level AND of
+    simple comparisons (parens, OR, NOT, IN, BETWEEN, IS, LIKE,
+    functions) returns None — no pruning, never a wrong skip. The
+    retention shape (``ts < timestamp'...'``) is the case that matters:
+    at 100 TB it must skip ~every file without opening a footer."""
+    if _UNPRUNABLE_RE.search(predicate):
+        return None
+    out = []
+    for part in re.split(r"\band\b", predicate, flags=re.IGNORECASE):
+        m = _CMP_RE.match(part)
+        if not m:
+            return None
+        col, op, lit = m.groups()
+        try:
+            out.append((col, op, _parse_lit(lit)))
+        except ValueError:
+            return None
+    return out or None
+
+
+def _file_cannot_match(entry: dict, bounds) -> bool:
+    """True iff the file's [min, max] stats PROVE no row satisfies the
+    conjunction. Mixed-type comparisons (e.g. string stats vs numeric
+    literal) never prune."""
+    for col, op, v in bounds:
+        s = entry.get(col)
+        if s is None:
+            continue
+        fmin, fmax = s
+        try:
+            if op == "=" and (v < fmin or v > fmax):
+                return True
+            if op in ("<", "<=") and (
+                fmin > v or (op == "<" and fmin >= v)
+            ):
+                return True
+            if op in (">", ">=") and (
+                fmax < v or (op == ">" and fmax <= v)
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
 def _resolve_assignments(
     table: LakeTable, assignments: Mapping[str, Column | str]
 ) -> dict[str, Column]:
@@ -95,18 +170,26 @@ def _resolve_assignments(
 
 
 def _discover(
-    table: LakeTable, match: Column
-) -> tuple[list[str], list[int], int]:
+    table: LakeTable, match: Column, predicate_src=None
+) -> tuple[list[str], list[int], int, int]:
     """(matched base-file rels, matched delta-bearing bucket ids,
-    matched row count) — one pass per file class.
+    matched row count, files pruned by manifest stats) — one pass per
+    file class.
 
-    The base-file scan carries the predicate into the parquet reader
+    When the caller passed the predicate as a SQL STRING and it parses
+    into simple range conjuncts (``_conjunct_bounds``), files whose
+    manifest [min, max] stats prove zero matches are skipped before
+    Spark ever lists them — run ``analyze([col])`` first; files
+    without stats are always scanned (never wrongly skipped). The
+    base-file scan then carries the predicate into the parquet reader
     (row-group stats prune physically) and groups by
     ``input_file_name()`` collected at execution time — the only
     file attribution that survives Spark's FileIndex coalescing
     (CLAUDE.md: inputFiles() lists pre-pruning). Delta-bearing buckets
     must collapse base+deltas before predicating on a mutable column,
-    so they are discovered (and later rewritten) bucket-whole.
+    so they are discovered (and later rewritten) bucket-whole — and
+    never stat-pruned (a delta may have moved a value outside the base
+    file's recorded bounds).
     """
     dm = table.manifest.get("delta_files", {})
     delta_ids = sorted(int(b) for b in dm if dm[b])
@@ -114,7 +197,24 @@ def _discover(
 
     matched_files: list[str] = []
     n_matched = 0
+    n_pruned = 0
     base_files = table._files(base_ids)
+    bounds = (
+        _conjunct_bounds(predicate_src)
+        if isinstance(predicate_src, str)
+        else None
+    )
+    if bounds and base_files:
+        fstats = table.manifest.get("file_stats", {})
+        root = os.path.abspath(table.root)
+        kept = []
+        for p in base_files:
+            entry = fstats.get(os.path.relpath(p, root), {})
+            if entry and _file_cannot_match(entry, bounds):
+                n_pruned += 1
+            else:
+                kept.append(p)
+        base_files = kept
     if base_files:
         per_file = (
             table.spark.read.schema(table.schema)
@@ -142,7 +242,7 @@ def _discover(
         )
         matched_delta = sorted(int(r["__b"]) for r in per_bucket)
         n_matched += sum(int(r["__n"]) for r in per_bucket)
-    return matched_files, matched_delta, n_matched
+    return matched_files, matched_delta, n_matched, n_pruned
 
 
 def _bucket_of_rel(rel: str) -> int:
@@ -309,7 +409,9 @@ def delete_where(
             return MergeStats(
                 epoch_id=epoch_id, version=table.version, skipped=True
             )
-        files, delta_buckets, n = _discover(table, pred)
+        files, delta_buckets, n, n_pruned = _discover(
+            table, pred, predicate
+        )
         if not files and not delta_buckets:
             if epoch_id is not None:
                 return _record_epoch_only(table, epoch_id)
@@ -351,6 +453,7 @@ def delete_where(
             ),
             seconds=time.time() - t0,
             extra={"files_rewritten": len(files),
+                   "files_stat_pruned": n_pruned,
                    "delta_buckets_folded": len(delta_buckets)},
         )
 
@@ -419,7 +522,9 @@ def update_where(
             return MergeStats(
                 epoch_id=epoch_id, version=table.version, skipped=True
             )
-        files, delta_buckets, n = _discover(table, pred)
+        files, delta_buckets, n, n_pruned = _discover(
+            table, pred, predicate
+        )
         if not files and not delta_buckets:
             if epoch_id is not None:
                 return _record_epoch_only(table, epoch_id)
@@ -464,5 +569,6 @@ def update_where(
             ),
             seconds=time.time() - t0,
             extra={"files_rewritten": len(files),
+                   "files_stat_pruned": n_pruned,
                    "delta_buckets_folded": len(delta_buckets)},
         )

@@ -172,6 +172,38 @@ def test_cow_delete_folds_pending_deltas(spark, tmp_path):
     assert _rows(t) == want
 
 
+def test_conjunct_bounds_parser_is_conservative():
+    from haskell_dbfunctor_spark.lake.dml import _conjunct_bounds
+
+    assert _conjunct_bounds("val >= 500") == [("val", ">=", 500)]
+    assert _conjunct_bounds("a < 1.5 AND b = 'x'") == [
+        ("a", "<", 1.5), ("b", "=", "x")
+    ]
+    ts = _conjunct_bounds("ts < timestamp'2026-01-01 00:00:00'")
+    assert ts and ts[0][0] == "ts" and isinstance(ts[0][2], float)
+    # anything beyond simple AND-of-comparisons must bail (no pruning,
+    # never a wrong skip)
+    for p in ("val >= 500 OR grp = 'a'", "(val >= 500)", "NOT val > 1",
+              "val IN (1,2)", "grp IS NULL", "grp LIKE 'a%'",
+              "length(grp) > 2", "val BETWEEN 1 AND 2"):
+        assert _conjunct_bounds(p) is None, p
+
+
+def test_delete_where_prunes_files_via_manifest_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", ROWS)
+    t.analyze(["val"])
+    # val >= 590 matches only k=59: every file whose recorded max(val)
+    # sits below the cutoff is skipped without being opened
+    stats = t.delete_where("val >= 590")
+    assert stats.n_deleted == 1
+    assert stats.extra["files_stat_pruned"] > 0
+    assert stats.extra["files_rewritten"] >= 1
+    assert len(_rows(t)) == len(ROWS) - 1
+    # a Column predicate (no SQL string to parse) still works, no prune
+    s2 = t.delete_where(F.col("val") >= 580)
+    assert s2.extra["files_stat_pruned"] == 0 and s2.n_deleted == 1
+
+
 def test_maintenance_cli_dml_subcommands(spark, tmp_path, capsys):
     import json
 
