@@ -981,6 +981,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q91_delete_where"] = _delete_where_state
     q["q92_update_where"] = _update_where_state
 
+    # SemDeDup-style embedding-space dedup: IVF clusters confine the
+    # quadratic comparison to Σ|cluster|² (cross-cluster near-dups
+    # invisible by construction); keep-first rule via min lower-id
+    # clustermate above the 6dp cosine threshold
+    def q93(s, d):
+        from haskell_dbfunctor_spark.pipelines.similarity import (
+            semantic_dedup,
+        )
+
+        return semantic_dedup(_t(s, d, "embeddings"), threshold=0.35)
+
+    q["q93_semantic_dedup"] = q93
+
+    # temperature-based source rebalancing (T5/mT5 mixing rule) as a
+    # deterministic md5-draw filter; output = per-source keep rate +
+    # kept count (the mixing report a data pipeline logs per epoch)
+    def q94(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            temperature_sample,
+        )
+
+        kept = temperature_sample(
+            _t(s, d, "documents").select("doc_id", "source"),
+            "doc_id", "source", tau=0.5,
+        )
+        return kept.groupBy("source", "keep_rate").agg(
+            F.count(F.lit(1)).alias("n_kept")
+        )
+
+    q["q94_temperature_mix"] = q94
+
     return q
 
 
@@ -1425,24 +1456,9 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE_SQL = _sample_oracle()
 
 
-def _ivf_oracle(
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    dims: int = 64,
-    train_where: str = "TRUE",
-) -> str:
-    """DuckDB mirror of ivf_top_k(refine_iters=1): seed centroids =
-    smallest vec_ids rounded to 6dp, assignment = argmax of 6dp cosine
-    (cid tiebreak), one Lloyd step with 6dp-rounded means, probe the
-    nprobe nearest refined centroids, exact cosine within. The 6dp
-    rounding at every comparison point is what keeps two independent
-    double-summation orders convergent.
-
-    ``train_where`` restricts quantizer TRAINING (seeds + the Lloyd
-    step) to a subset — the frozen-quantizer contract of the persisted
-    IVF index (q90): late-arriving vectors are still ASSIGNED (a1 runs
-    over the full table) but never move the centroids."""
-    hi = dims + 1
+def _ivf_cos(hi: int):
+    """DuckDB cosine-similarity SQL fragment builder over 1..hi-1
+    element indexes (shared by every IVF-family oracle)."""
 
     def cos(e1: str, e2: str) -> str:
         return (
@@ -1451,11 +1467,22 @@ def _ivf_oracle(
             f" * sqrt(list_sum(list_transform(range(1,{hi}), i -> ({e2}) * ({e2})))))"
         )
 
+    return cos
+
+
+def _ivf_assign_ctes(
+    n_centroids: int = 8, dims: int = 64, train_where: str = "TRUE"
+) -> str:
+    """The CTE chain computing the ivf_train(refine_iters=1) +
+    ivf_assign mirror: seed centroids (smallest vec_ids, 6dp), one
+    Lloyd step (6dp means), final full-table assignment ``a1(vec_id,
+    cid)``. Shared verbatim by the ANN oracles (q53/q90) and the
+    SemDeDup oracle (q93) so they can never drift from each other."""
+    hi = dims + 1
+    cos = _ivf_cos(hi)
     emb = "CAST(e.embedding[i] AS DOUBLE)"
     cv = "c.cv[i]"
-    qv = "CAST(q.qv[i] AS DOUBLE)"
-    return f"""
-        WITH dims AS (SELECT unnest(range(1, {hi})) AS i),
+    return f"""dims AS (SELECT unnest(range(1, {hi})) AS i),
         train AS (SELECT * FROM embeddings WHERE {train_where}),
         cent0 AS (
           SELECT vec_id AS cid,
@@ -1493,7 +1520,33 @@ def _ivf_oracle(
                                       ORDER BY c6 DESC, cid) AS rn
             FROM cos1
           ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _ivf_oracle(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dims: int = 64,
+    train_where: str = "TRUE",
+) -> str:
+    """DuckDB mirror of ivf_top_k(refine_iters=1): seed centroids =
+    smallest vec_ids rounded to 6dp, assignment = argmax of 6dp cosine
+    (cid tiebreak), one Lloyd step with 6dp-rounded means, probe the
+    nprobe nearest refined centroids, exact cosine within. The 6dp
+    rounding at every comparison point is what keeps two independent
+    double-summation orders convergent.
+
+    ``train_where`` restricts quantizer TRAINING (seeds + the Lloyd
+    step) to a subset — the frozen-quantizer contract of the persisted
+    IVF index (q90): late-arriving vectors are still ASSIGNED (a1 runs
+    over the full table) but never move the centroids."""
+    hi = dims + 1
+    cos = _ivf_cos(hi)
+    emb = "CAST(e.embedding[i] AS DOUBLE)"
+    cv = "c.cv[i]"
+    qv = "CAST(q.qv[i] AS DOUBLE)"
+    return f"""
+        WITH {_ivf_assign_ctes(n_centroids, dims, train_where)},
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         probe AS (
           SELECT cid FROM (
@@ -3130,6 +3183,49 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                     ELSE value END AS value,
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
+    """
+    # q93: the assignment CTEs are shared verbatim with q53/q90, so
+    # the cluster boundaries can never drift between the oracles
+    _sd_cos = _ivf_cos(65)(
+        "CAST(x.embedding[i] AS DOUBLE)", "CAST(y.embedding[i] AS DOUBLE)"
+    )
+    o["q93_semantic_dedup"] = f"""
+        WITH {_ivf_assign_ctes(8, 64)},
+        ev AS (
+          SELECT a1.vec_id, a1.cid, e.embedding
+          FROM a1 JOIN embeddings e USING (vec_id)
+        ),
+        p AS (
+          SELECT x.vec_id, min(y.vec_id) AS dup_of
+          FROM ev x JOIN ev y
+            ON x.cid = y.cid AND y.vec_id < x.vec_id
+          WHERE round({_sd_cos}, 6) >= 0.35
+          GROUP BY x.vec_id
+        )
+        SELECT ev.vec_id, ev.cid, p.dup_of, p.dup_of IS NULL AS keep
+        FROM ev LEFT JOIN p USING (vec_id)
+    """
+    # q94: integer md5 draw vs 6dp-rounded rate — the same
+    # boundary-exact device as q52's hex thresholds, numeric because
+    # the rate is data-dependent (can't be precomputed as a constant)
+    o["q94_temperature_mix"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        m AS (SELECT max(n) AS mx FROM c),
+        r AS (
+          SELECT source,
+                 round(least(1.0, pow(CAST(n AS DOUBLE) / mx, -0.5)), 6)
+                   AS keep_rate
+          FROM c, m
+        ),
+        k AS (
+          SELECT d.source, r.keep_rate
+          FROM documents d JOIN r USING (source)
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT)
+                < keep_rate * 4294967296.0
+        )
+        SELECT source, keep_rate, count(*) AS n_kept
+        FROM k GROUP BY source, keep_rate
     """
     # q89 answers the SAME question as q85 (incoming %7==0 batch vs
     # the rest of the corpus, J>=0.8, best match per incoming doc) via

@@ -193,6 +193,64 @@ def cap_per_group(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    *,
+    tau: float = 0.5,
+    base_rate: float = 1.0,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the T5/mT5 multilingual
+    mixing rule) as a deterministic filter: group ``s`` keeps rate
+    ``r_s = min(1, base_rate * (n_s / max_n)^(tau - 1))`` — ``tau=1``
+    keeps every group at ``base_rate`` (proportional mix), ``tau=0``
+    equalizes kept counts across groups (inverse-frequency), values
+    between flatten the head without starving the tail. Keep decision:
+    the md5 draw of ``seed || key`` (as a 32-bit integer) falls below
+    ``round(r_s, 6) * 16^8`` — integer draw vs 6dp-rounded rate, so an
+    external SQL engine lands on the same side of every boundary.
+
+    Returns the kept rows plus the group's ``keep_rate`` column.
+
+    Scale: one tiny hash agg for the group counts (O(groups) rows),
+    broadcast back; the filter itself is a pure per-row expression on
+    the scan — no shuffle of the data, no window. Rows whose group or
+    key is NULL are dropped (no defined rate / no defined draw).
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__mx"))
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(base_rate)
+                * F.pow(
+                    F.col("__n").cast("double") / F.col("__mx"),
+                    F.lit(tau - 1.0),
+                ),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    draw = F.conv(
+        hash_bucket_hex(
+            F.concat(F.lit(seed), F.col(key_col).cast("string"))
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .join(F.broadcast(rates), group_col)
+        .where(draw < F.col("keep_rate") * F.lit(float(_SCALE)))
+    )
+
+
 def uniform_sample_n(
     df: DataFrame, n: int, key_col: str = "doc_id", *, seed: str = ""
 ) -> DataFrame:

@@ -334,6 +334,53 @@ def ivf_top_k(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 8,
+    refine_iters: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication: cluster with the
+    IVF coarse quantizer (``ivf_train``/``ivf_assign`` — deterministic,
+    oracle-reproducible), then compare vectors ONLY within their
+    cluster; a vector is a duplicate when some lower-id clustermate has
+    6dp cosine >= ``threshold``. Returns (vec_id, cid, dup_of, keep):
+    ``dup_of`` = the smallest such clustermate (NULL if none) — the
+    deterministic keep-first rule — and ``keep`` = dup_of IS NULL.
+
+    Scale: the quadratic pair generation is confined to clusters
+    (Σ|cluster|² with n_centroids ~ sqrt(N), not N²) — the
+    precision/recall trade SemDeDup makes by construction (cross-
+    cluster near-dups are invisible). The cid self-join is a
+    low-cardinality exploding join, so it is salted + width-pinned
+    (AQE would coalesce it into one task — the q24/q42/q47 trap).
+    """
+    from ..operators.skew import salted_equi_join
+
+    cent = ivf_train(embeddings, n_centroids, refine_iters)
+    assigned = ivf_assign(embeddings, cent)  # (vec_id, cid)
+    e = assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    l = e.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "cid"
+    )
+    r = e.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "cid"
+    )
+    pairs = salted_equi_join(
+        l, r, "cid",
+        salt=32, salt_by=["v1"],
+        extra_cond=F.col("l.v1") > F.col("r.v2"),
+        num_partitions=128,
+    ).where(_cos6(F.col("e1"), F.col("e2")) >= F.lit(threshold))
+    dup = pairs.groupBy(F.col("v1").alias("vec_id")).agg(
+        F.min("v2").alias("dup_of")
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id", "cid", "dup_of", F.col("dup_of").isNull().alias("keep")
+    )
+
+
 def ann_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket.
 

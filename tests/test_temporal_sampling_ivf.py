@@ -266,3 +266,66 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     ]
     overlap = len(set(part) & set(exact))
     assert overlap >= 5, (part, exact)
+
+
+def test_semantic_dedup_keep_first_and_cluster_confined(spark, sf_dir):
+    from haskell_dbfunctor_spark.pipelines.similarity import (
+        ivf_assign, ivf_train, semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.35).collect()
+    assert len(out) == emb.count()  # every vector labeled
+    by_id = {r.vec_id: r for r in out}
+    dups = [r for r in out if r.dup_of is not None]
+    assert dups, "corpus carries injected near-dups; none found"
+    cids = {r.vec_id: r.cid for r in ivf_assign(
+        emb, ivf_train(emb, 8, 1)
+    ).collect()}
+    for r in dups:
+        assert not r.keep
+        assert r.dup_of < r.vec_id  # keep-first: point to a LOWER id
+        assert cids[r.dup_of] == r.cid  # never across clusters
+    # the pointed-at keeper of a 2-vector dup pair is itself kept
+    # unless it has an even-lower dup (chains allowed, cycles not)
+    for r in dups:
+        tgt = by_id[r.dup_of]
+        assert tgt.keep or tgt.dup_of < r.dup_of
+
+
+def test_temperature_sample_tau_extremes(spark, sf_dir):
+    from haskell_dbfunctor_spark.pipelines.sampling import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    n_by_src = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # tau=1: proportional — every group keeps base_rate = everything
+    all_kept = temperature_sample(docs, "doc_id", "source", tau=1.0)
+    assert all_kept.count() == docs.count()
+    assert all_kept.select("keep_rate").distinct().collect()[0][0] == 1.0
+    # tau=0: inverse-frequency — expected kept counts equalize (the
+    # largest group keeps ~min_n rows); md5-draw noise is a few
+    # percent at these sizes, assert the flattening is material
+    flat = temperature_sample(docs, "doc_id", "source", tau=0.0)
+    kept = {
+        r.source: r.n
+        for r in flat.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    mn = min(n_by_src.values())
+    for s, nk in kept.items():
+        assert abs(nk - mn) <= max(0.35 * mn, 12), (s, nk, mn)
+    # determinism: same inputs, same sample
+    again = temperature_sample(docs, "doc_id", "source", tau=0.0)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in flat.collect()
+    )
