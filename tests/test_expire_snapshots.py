@@ -41,3 +41,25 @@ def test_expire_keeps_current_state(spark, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         LakeTable.load(spark, root, version=1)
+
+
+def test_expire_prunes_emptied_snapshot_dirs(spark, tmp_path):
+    """ADVICE regression: a snapshot dir whose every file expired must
+    not linger as an empty data/s{v}/ directory tree (os.walk's
+    topdown=False lists parents before child rmdirs happen)."""
+    feed = change_feed(spark, 2000, n_convs=5, n_epochs=4)
+    schema = T.StructType(
+        [f for f in feed.schema.fields if f.name not in ("op", "seq", "epoch")]
+    )
+    root = str(tmp_path / "lake")
+    table = LakeTable.create(spark, root, schema, key_cols=KEY_COLS, num_buckets=2)
+    # few convs + few buckets: every epoch rewrites every bucket, so
+    # early snapshots' files are fully superseded (nothing carried)
+    for e in range(4):
+        table.merge(epoch_batch(feed, e), epoch_id=f"e{e}", prune_buckets=False)
+    table.expire_snapshots(keep_last=1)
+    data_dir = os.path.join(root, "data")
+    for entry in os.listdir(data_dir):
+        p = os.path.join(data_dir, entry)
+        has_files = any(files for _, _, files in os.walk(p))
+        assert has_files, f"empty snapshot dir left behind: {entry}"

@@ -376,3 +376,27 @@ def test_pipeline_chain(rt):
     rows = p.to_df().collect()
     assert [r["Number"] for r in rows] == [10, 240, 2412]
     assert p.counts()["after_filter"] == 5
+
+
+def test_salted_equi_join_fallbacks(spark):
+    """ADVICE regression: a left frame carrying ONLY the join column
+    must not call xxhash64() with zero args (salt falls back to a
+    per-row id hash), and results must equal a plain join either way."""
+    from haskell_dbfunctor_spark.operators.skew import salted_equi_join
+
+    left = spark.range(0, 200).select((F.col("id") % 3).alias("k"))
+    right = spark.range(0, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    out = salted_equi_join(left, right, "k", salt=8)
+    plain = left.join(right, "k")
+    assert out.count() == plain.count() == 200
+    assert sorted(
+        (r.k, r.v) for r in out.groupBy("k", "v").count().collect()
+    ) == sorted((r.k, r.v) for r in plain.groupBy("k", "v").count().collect())
+    # salt_by with real columns still matches the plain join
+    left2 = spark.range(0, 100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    out2 = salted_equi_join(left2, right, "k", salt=8, salt_by=["payload"])
+    assert out2.count() == 100
