@@ -1012,6 +1012,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q94_temperature_mix"] = q94
 
+    # tokenizer induction, round 1: corpus-weighted adjacent char-pair
+    # stats (the BPE merge candidates). The corpus-scale pass is one
+    # word-count hash agg; pairs only ever see the compact vocabulary.
+    def q95(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import bpe_pair_stats
+
+        return bpe_pair_stats(_t(s, d, "documents"), top_n=20)
+
+    q["q95_bpe_pair_stats"] = q95
+
+    # memorization-risk audit: word 6-gram passages repeated verbatim
+    # across >= 2 distinct documents (cross-doc complement of q77's
+    # intra-doc repetition and q71's holdout decontamination)
+    def q96(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            duplicated_passages,
+        )
+
+        return duplicated_passages(
+            _t(s, d, "documents"), n=6, min_docs=2, top_k=20
+        )
+
+    q["q96_duplicated_passages"] = q96
+
     return q
 
 
@@ -3363,5 +3387,41 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         )
         SELECT d.doc_id, coalesce(p.n_fp, 0) AS n_fp, p.min_fp
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+    # q95: BPE round-1 pair statistics. Single-char words contribute no
+    # pairs on either side (range(1, length(w)) is empty at length 1 ==
+    # Spark's size(chars) >= 2 guard). Deterministic rank tiebreak.
+    o["q95_bpe_pair_stats"] = """
+        WITH words AS (
+          SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                    w -> w <> '')) AS w
+          FROM documents
+        ), vocab AS (
+          SELECT w, count(*) AS wc FROM words GROUP BY w
+        ), pairs AS (
+          SELECT substr(w, i, 1) AS sym1, substr(w, i + 1, 1) AS sym2, wc
+          FROM vocab, unnest(range(1, length(w))) AS t(i)
+        )
+        SELECT sym1, sym2, CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY sym1, sym2
+        ORDER BY pair_count DESC, sym1, sym2 LIMIT 20
+    """
+    # q96: cross-doc duplicated word 6-grams. Per-doc DISTINCT grams
+    # (mirrors the Spark array_distinct-before-explode) so count(*) ==
+    # distinct-doc count; 1-based INCLUSIVE list slice ws[i:i+5].
+    o["q96_duplicated_passages"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+5], ' ') AS gram
+          FROM toks, unnest(range(1, len(ws) - 4)) AS t(i)
+          WHERE len(ws) >= 6
+        )
+        SELECT gram, count(*) AS n_docs
+        FROM grams GROUP BY gram HAVING count(*) >= 2
+        ORDER BY n_docs DESC, gram LIMIT 20
     """
     return o

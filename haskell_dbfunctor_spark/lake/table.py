@@ -3075,3 +3075,99 @@ class LakeTable:
             T.StructField("committed_at", T.DoubleType()),
         ])
         return self.spark.createDataFrame(rows, schema)
+
+    # ------------------------------------- metadata tables (Iceberg parity)
+    def snapshots_df(self) -> DataFrame:
+        """The `snapshots` metadata table: one row per committed
+        version (Iceberg's `db.tbl.snapshots` / `history`). Pure
+        manifest reads — never touches data files."""
+        rows = [
+            (
+                r["version"],
+                r["created_at"],
+                len(r["applied_epochs"]),
+                r["applied_epochs"][-1] if r["applied_epochs"] else None,
+                r["n_buckets_with_data"],
+                r["staged"],
+            )
+            for r in self.history(self.root)
+        ]
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("created_at", T.DoubleType()),
+            T.StructField("n_applied_epochs", T.LongType()),
+            T.StructField("last_epoch_id", T.StringType()),
+            T.StructField("n_buckets_with_data", T.LongType()),
+            T.StructField("staged", T.BooleanType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, *, footers: bool = True) -> DataFrame:
+        """The `files` metadata table: one row per LIVE data file of the
+        current snapshot — (bucket, file, kind base|delta, n_bytes,
+        n_rows, n_row_groups, analyzed column-stats as a JSON string).
+        ``footers=False`` skips the per-file parquet footer read
+        (n_rows/n_row_groups become NULL) for manifests with very many
+        files; bytes come from os.stat either way. Driver-side O(files)
+        like `analyze` — this is table metadata, not a data scan."""
+        import pyarrow.parquet as pq
+
+        fstats = self.manifest.get("file_stats", {})
+        rows = []
+        for kind, mapping in (
+            ("base", self.manifest["buckets"]),
+            ("delta", self.manifest.get("delta_files", {})),
+        ):
+            for b, files in mapping.items():
+                for rel in files:
+                    path = os.path.join(self.root, rel)
+                    n_rows = n_rg = None
+                    if footers:
+                        md = pq.ParquetFile(path).metadata
+                        n_rows, n_rg = md.num_rows, md.num_row_groups
+                    st = fstats.get(rel)
+                    rows.append((
+                        int(b), rel, kind, os.stat(path).st_size,
+                        n_rows, n_rg,
+                        json.dumps(st, sort_keys=True) if st else None,
+                    ))
+        schema = T.StructType([
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("file", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_row_groups", T.LongType()),
+            T.StructField("column_stats", T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions_df(self) -> DataFrame:
+        """The `partitions` metadata table: per-bucket file/byte/row
+        totals plus pending-delta and partial-patch flags — the skew
+        and compaction-debt dashboard (a 100x-hot bucket shows up here
+        as one row with outsized n_bytes; delta-bearing buckets are the
+        compact_deltas work list)."""
+        agg = (
+            self.files_df(footers=True)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
+                .alias("n_delta_files"),
+                F.sum("n_bytes").alias("n_bytes"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+        pdf = set(self.manifest.get("partial_delta_files", []))
+        partials = {
+            int(b)
+            for b, files in self.manifest.get("delta_files", {}).items()
+            if any(f in pdf for f in files)
+        }
+        flag = (
+            F.col("bucket").isin(sorted(partials))
+            if partials
+            else F.lit(False)
+        )
+        return agg.withColumn("has_partial_patches", flag)

@@ -559,3 +559,170 @@ def length_percentile_trim(
             & (F.col("n_chars") <= F.col("__hi"))
         ).alias("keep"),
     )
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.trim(F.col(text_col)), " "), lambda w: w != "")
+
+
+def corpus_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) corpus vocabulary with occurrence counts — the ONE
+    corpus-scale pass every tokenizer-induction step downstream reuses.
+    Map-side combinable hash agg; at 100 TB the output is bounded by
+    distinct-word count (~10^7), not corpus size, so everything after
+    it is effectively free."""
+    return (
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def bpe_pair_stats(
+    docs: DataFrame, top_n: int = 20, *, text_col: str = "text"
+) -> DataFrame:
+    """First BPE round of tokenizer induction: adjacent character-pair
+    frequencies over the corpus, weighted by word count. The classic
+    distributed-BPE shape (reference's fold/groupBy semantics,
+    /root/reference/src/RTable/Core.hs:1571-1594 rtabFoldr' +
+    :3279-3304 runGroupBy, recast as two hash aggs): ONE corpus-scale
+    word count (map-side combinable), then pair statistics over the
+    compact vocabulary — the expensive pass never sees pairs, only
+    words. Emits the top_n (sym1, sym2, pair_count) merge candidates
+    with deterministic (count DESC, sym1, sym2) ranking.
+    """
+    vocab = corpus_vocab(docs, text_col)
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    pairs = F.expr(
+        "transform(sequence(0, size(__chars) - 2), "
+        "i -> struct(__chars[i] AS sym1, __chars[i + 1] AS sym2))"
+    )
+    return (
+        vocab.select(F.col("wc"), chars.alias("__chars"))
+        .where(F.size(F.col("__chars")) >= 2)
+        .select(F.explode(pairs).alias("p"), "wc")
+        .groupBy(F.col("p.sym1").alias("sym1"), F.col("p.sym2").alias("sym2"))
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "sym1", "sym2")
+        .limit(top_n)
+    )
+
+
+def _merge_pair_expr(syms, a: str, b: str):
+    """Fold expression applying ONE BPE merge (a,b) -> a||b to a symbol
+    array, greedy left-to-right, non-overlapping (so 'aaa' under (a,a)
+    segments as ['aa','a']). Scalar struct accumulator: `out` is the
+    merged prefix, `open` means the last emitted symbol is a raw `a`
+    eligible to absorb a following `b`. Only accumulator fields and the
+    lambda argument appear inside the lambda (the per-element
+    re-evaluation trap char_entropy_scores documents)."""
+    merged = a + b
+
+    def step(acc, s):
+        hit = acc["open"] & (s == F.lit(b))
+        return F.struct(
+            F.when(
+                hit,
+                F.concat(
+                    F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            )
+            .otherwise(F.concat(acc["out"], F.array(s)))
+            .alias("out"),
+            F.when(hit, F.lit(False)).otherwise(s == F.lit(a)).alias("open"),
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(False).alias("open"),
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 8, *, text_col: str = "text"
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn n_merges BPE merges over the corpus. One corpus-scale
+    vocabulary aggregation, then every round runs ONLY over the compact
+    (symbols, wc) vocabulary frame: count adjacent symbol pairs
+    weighted by wc, take the argmax (count DESC, sym1, sym2 tiebreak),
+    apply the merge to the symbol arrays with a JVM-side fold
+    (no Python in the loop). Returns (merges, final vocab frame with
+    `syms` segmented). The per-round driver collect is ONE row — the
+    winning pair — which is how distributed BPE works everywhere: the
+    model (merge list) is driver-state, the data stays distributed.
+    """
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    vocab = (
+        corpus_vocab(docs, text_col)
+        .select(chars.alias("syms"), "wc")
+        .persist()
+    )
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    pairs = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] AS sym1, syms[i + 1] AS sym2))"
+    )
+    for _ in range(n_merges):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(F.explode(pairs).alias("p"), "wc")
+            .groupBy("p.sym1", "p.sym2")
+            .agg(F.sum("wc").alias("pc"))
+            .orderBy(F.desc("pc"), "sym1", "sym2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["sym1"], top[0]["sym2"]
+        merges.append((a, b))
+        nxt = vocab.select(
+            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "wc"
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def duplicated_passages(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    top_k: int = 20,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Memorization-risk audit: word n-gram passages shared verbatim by
+    >= min_docs DISTINCT documents, ranked by document count. The
+    cross-document complement of remove_repetition (intra-doc) and
+    decontaminate (vs a holdout): passages many training docs repeat
+    verbatim are boilerplate the model will memorize.
+
+    Scale shape: per-doc n-grams are deduped map-side (array_distinct
+    BEFORE the explode), so the single shuffle is a plain
+    count(*)-per-gram hash agg with map-side combine — never a
+    count-distinct. Top-k via orderBy+limit (TakeOrderedAndProject:
+    per-partition heaps, no global sort)."""
+    ws = _words(text_col)
+    grams = F.expr(
+        f"transform(sequence(0, size(__ws) - {n}), "
+        f"i -> array_join(slice(__ws, i + 1, {n}), ' '))"
+    )
+    return (
+        docs.select("doc_id", ws.alias("__ws"))
+        .where(F.size("__ws") >= n)
+        .select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(top_k)
+    )

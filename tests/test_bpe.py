@@ -1,0 +1,118 @@
+"""BPE tokenizer induction (pipelines/text.py): the distributed
+bpe_learn must match a pure-Python reference BPE (classic Sennrich
+greedy merge, leftmost-first non-overlapping) on both the learned
+merge list and the final segmentation — including doubled-letter
+overlap cases like 'aaa' where greedy semantics actually bite."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from haskell_dbfunctor_spark.pipelines.text import (  # noqa: E402
+    bpe_learn,
+    bpe_pair_stats,
+    duplicated_passages,
+)
+
+
+def _py_bpe(word_counts, n_merges):
+    """Reference BPE: vocab as symbol tuples, argmax pair by
+    (count DESC, sym1, sym2), greedy leftmost non-overlapping merge."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (a, b), _cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b))
+        nxt = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return merges, vocab
+
+
+def _corpus_df(spark, words):
+    # one doc per word repetition keeps corpus word counts explicit
+    return spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(words)],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    docs = _corpus_df(
+        spark,
+        [
+            ["lower", "low", "lowest", "low"],
+            ["newer", "new", "newest", "wider", "wider"],
+            ["low", "newer", "er", "er", "e"],
+        ],
+    )
+    wc = {}
+    for row in docs.collect():
+        for w in row.text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_vocab = _py_bpe(wc, 6)
+    merges, vocab = bpe_learn(docs, n_merges=6)
+    assert merges == want_merges
+    got = {
+        tuple(r.syms): r.wc for r in vocab.select("syms", "wc").collect()
+    }
+    vocab.unpersist()
+    assert got == want_vocab
+
+
+def test_bpe_merge_greedy_nonoverlapping(spark):
+    # 'aaaa' under merge (a,a) -> ['aa','aa']; 'aaa' -> ['aa','a']
+    docs = _corpus_df(spark, [["aaa", "aaaa", "aaa", "aaaa", "aaaa"]])
+    merges, vocab = bpe_learn(docs, n_merges=1)
+    assert merges == [("a", "a")]
+    got = {tuple(r.syms): r.wc for r in vocab.collect()}
+    vocab.unpersist()
+    assert got == {("aa", "a"): 2, ("aa", "aa"): 3}
+
+
+def test_bpe_pair_stats_weighted_by_word_count(spark):
+    docs = _corpus_df(spark, [["ab", "ab", "bc"], ["ab", "x"]])
+    rows = bpe_pair_stats(docs, top_n=5).collect()
+    assert [(r.sym1, r.sym2, r.pair_count) for r in rows] == [
+        ("a", "b", 3),
+        ("b", "c", 1),
+    ]
+
+
+def test_duplicated_passages_counts_distinct_docs(spark):
+    shared = "a b c d e f"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0"),
+            (1, "head1 " + shared),
+            # gram repeated INSIDE one doc must count once
+            (2, shared + " " + shared),
+            (3, "unrelated words only here now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_passages(docs, n=6, min_docs=2, top_k=10).collect()
+    got = {r.gram: r.n_docs for r in rows}
+    assert got[shared] == 3
+    # every returned gram must be genuinely cross-doc
+    assert all(v >= 2 for v in got.values())
