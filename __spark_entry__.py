@@ -1036,6 +1036,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q96_duplicated_passages"] = q96
 
+    # tokenizer APPLICATION: segment every word through a frozen BPE
+    # merge list with the JVM fold and count tokens per doc — zero
+    # shuffles, scan-speed. The oracle reproduces segmentation lengths
+    # via the independent placeholder-replace equivalence.
+    def q97(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import bpe_apply_counts
+
+        return bpe_apply_counts(_t(s, d, "documents"))
+
+    q["q97_bpe_apply"] = q97
+
+    # flagship composite: the standard pre-training curation flow as
+    # ONE plan — quality gate -> lang gate -> exact dedup -> per-source
+    # cap -> corpus mix stats. Two shuffles at any scale.
+    def q98(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import curate_corpus
+
+        return curate_corpus(_t(s, d, "documents"), min_tokens=20, cap=25)
+
+    q["q98_curate_corpus"] = q98
+
     return q
 
 
@@ -3423,5 +3444,67 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT gram, count(*) AS n_docs
         FROM grams GROUP BY gram HAVING count(*) >= 2
         ORDER BY n_docs DESC, gram LIMIT 20
+    """
+    # q97: fixed-merge BPE application via the placeholder-replace
+    # equivalence — each merged token maps to a unique single char, so
+    # chained replace() (all occurrences, leftmost non-overlapping)
+    # yields exactly the BPE symbol count as the string length. Merges
+    # (e,r)->chr(1), (t,h)->chr(2), (th,e)=chr(2)||'e'->chr(3),
+    # (a,n)->chr(4) — an INDEPENDENT algorithm from the Spark fold.
+    o["q97_bpe_apply"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(trim(text), ' '),
+                                    w -> w <> '')) AS w
+          FROM documents
+        ), seg AS (
+          SELECT doc_id,
+                 length(replace(replace(replace(replace(w,
+                   'er', chr(1)), 'th', chr(2)),
+                   chr(2) || 'e', chr(3)), 'an', chr(4))) AS n
+          FROM words
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+          FROM seg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_words, 0) AS n_words,
+               coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+    # q98: curation composite — quality gate (>=20 tokens), lang gate
+    # (q30's marker heuristic), exact dedup keeping min doc_id per
+    # content hash (arg_min carries the keeper's attrs), per-source cap
+    # of 25 by md5(doc_id) (q80's deterministic subsample), then
+    # per-source mix stats.
+    o["q98_curate_corpus"] = """
+        WITH base AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w <> '')) AS n_tokens,
+                 md5(lower(trim(text))) AS content_key
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 20
+            AND ((length(text) - length(replace(text, ' data ', ''))) / 6 > 0
+                 OR (length(text) - length(replace(text, ' table ', ''))) / 7 > 0)
+        ), keep AS (
+          SELECT content_key, min(doc_id) AS doc_id,
+                 arg_min(source, doc_id) AS source,
+                 arg_min(n_tokens, doc_id) AS n_tokens
+          FROM base GROUP BY content_key
+        ), capped AS (
+          SELECT * FROM (
+            SELECT doc_id, source, n_tokens,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM keep
+          ) WHERE rn <= 25
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM capped GROUP BY source
     """
     return o

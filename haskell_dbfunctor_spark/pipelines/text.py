@@ -726,3 +726,104 @@ def duplicated_passages(
         .orderBy(F.desc("n_docs"), "gram")
         .limit(top_k)
     )
+
+
+# A fixed demo merge list for tokenizer-application queries: merge 3
+# exercises a multi-char left symbol ("th"+"e"), which only matches
+# when ("t","h") actually merged — the case where naive substring
+# replacement on raw text would diverge from true BPE.
+BPE_FIXED_MERGES = (("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"))
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges=BPE_FIXED_MERGES,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a FIXED (already-learned) BPE merge list and count the
+    resulting tokens per document — the tokenizer-APPLICATION half of
+    induction (bpe_learn): at training time the merge table is frozen
+    driver state and tokenization is a pure map over the corpus.
+
+    Scale shape: zero shuffles. Per doc, a JVM fold segments each word
+    through every merge in order (greedy leftmost non-overlapping, the
+    same _merge_pair_expr bpe_learn uses) and a per-doc aggregate sums
+    symbol counts — all inside one codegen'd projection, so at 100 TB
+    this runs at scan speed with map-side everything. Only the lambda
+    argument `w` is referenced inside the per-word lambda (the
+    per-element re-evaluation trap char_entropy_scores documents).
+
+    The DuckDB oracle cross-checks with a genuinely different
+    algorithm: each merged token maps to a unique placeholder CHAR, so
+    chained `replace()` (leftmost non-overlapping, all occurrences)
+    reproduces BPE segmentation lengths exactly — two independent
+    formulations, one answer.
+
+    Reference analog: runColMapping's derived-column transform
+    (/root/reference/src/RTable/Core.hs:1676-1704) with the fold
+    semantics of rtabFoldr' (:1571-1594)."""
+
+    def seg_size(w):
+        syms = F.filter(F.split(w, ""), lambda c: c != "")
+        for a, b in merges:
+            syms = _merge_pair_expr(syms, a, b)
+        return F.size(syms).cast("long")
+
+    ws = _words(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + seg_size(w)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame, min_tokens: int = 20, cap: int = 25
+) -> DataFrame:
+    """End-to-end corpus curation composite — the standard pre-training
+    data flow as ONE plan: quality gate (token count) -> language gate
+    (lang_id heuristic) -> exact dedup (content-hash keeper) ->
+    per-source cap (deterministic md5 subsample) -> per-source corpus
+    stats. Composes the q29/q30/q23/q80 building blocks end-to-end.
+
+    Scale shape: both gates and the content hash are computed in a
+    single map-side projection over the scan (no join-back on doc_id);
+    dedup is one hash agg on the content key with min_by carrying the
+    keeper's attributes (never a window over content groups); the cap
+    window partitions by source (bounded groups, never global); the
+    final rollup is a tiny hash agg. Two shuffles total at any scale.
+
+    Reference analog: the full Julius ETL chain — Filter -> ColMapping
+    -> GroupBy -> OrderBy (/root/reference/src/Etl/Julius.hs:1401-1523)
+    recast as a curation pipeline."""
+    text = F.col("text")
+    nt = _n_tokens(text)
+
+    def hits(marker: str):
+        return (
+            F.length(text)
+            - F.length(F.replace(text, F.lit(marker), F.lit("")))
+        ) / len(marker)
+
+    is_en = (hits(" data ") > 0) | (hits(" table ") > 0)
+    base = docs.select(
+        "doc_id",
+        "source",
+        nt.alias("n_tokens"),
+        F.md5(F.lower(F.trim(text))).alias("content_key"),
+    ).where((nt >= min_tokens) & is_en)
+    keepers = (
+        base.groupBy("content_key")
+        .agg(F.min_by(F.struct("doc_id", "source", "n_tokens"), "doc_id").alias("k"))
+        .select("k.doc_id", "k.source", "k.n_tokens")
+    )
+    from haskell_dbfunctor_spark.pipelines.sampling import cap_per_group
+
+    capped = cap_per_group(keepers, ["source"], cap)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )

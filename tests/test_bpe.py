@@ -116,3 +116,69 @@ def test_duplicated_passages_counts_distinct_docs(spark):
     assert got[shared] == 3
     # every returned gram must be genuinely cross-doc
     assert all(v >= 2 for v in got.values())
+
+
+def test_bpe_apply_counts_matches_python_segmentation(spark):
+    from haskell_dbfunctor_spark.pipelines.text import (
+        BPE_FIXED_MERGES,
+        bpe_apply_counts,
+    )
+
+    def _seg_len(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    texts = [
+        "the weather there is rather nice",   # th+e after t+h, e+r chains
+        "an anthem andante ant",               # a+n everywhere
+        "ttthhh erer theater",                 # partial/overlap shapes
+        "",                                     # zero words
+        "x",                                    # single char word
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_apply_counts(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().split(" ") if w]
+        want = (
+            len(words),
+            sum(_seg_len(w, BPE_FIXED_MERGES) for w in words),
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_curate_corpus_composite(spark):
+    from haskell_dbfunctor_spark.pipelines.text import curate_corpus
+
+    long_en = " ".join(["data"] + ["w%d" % i for i in range(25)])  # 26 toks, ' data ' hit? needs spaces around
+    long_en = "x data " + " ".join("w%d" % i for i in range(25))   # marker ' data ' present
+    short_en = "x data y"                                          # fails quality gate
+    long_non_en = " ".join("w%d" % i for i in range(30))           # fails lang gate
+    docs = spark.createDataFrame(
+        [
+            (0, long_en, "en", "web", 1),
+            (1, long_en, "en", "web", 1),      # exact dup of 0 -> deduped
+            (2, short_en, "en", "web", 1),     # too short
+            (3, long_non_en, "en", "books", 1),  # no marker
+            (4, "y table " + " ".join("u%d" % i for i in range(25)),
+             "en", "books", 1),                # table marker, long
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.source: (r.n_docs, r.n_tokens_total)
+            for r in curate_corpus(docs, min_tokens=20, cap=25).collect()}
+    assert rows == {"web": (1, 27), "books": (1, 27)}
