@@ -2933,40 +2933,54 @@ class LakeTable:
         return {"removed_files": removed, "kept_in_grace": kept_young}
 
     # ------------------------------------------------- metadata tables
-    def files_df(self) -> DataFrame:
+    def files_df(self, *, footers: bool = True) -> DataFrame:
         """The ``files`` metadata table (Iceberg ``table.files``): one
-        row per live data/delta file of THIS snapshot, with bucket,
-        size, and which stat catalogs cover it. Driver-side O(files)
-        manifest walk — no data read."""
+        row per LIVE base/delta file of THIS snapshot — bucket, relative
+        path, kind (``base``/``delta``), byte size, parquet-footer row
+        and row-group counts, which stat/bloom catalogs cover it, the
+        partial-patch flag, and the analyzed column stats as a JSON
+        string. ``footers=False`` skips the per-file footer read
+        (n_rows/n_row_groups become NULL) for manifests with very many
+        files. Driver-side O(files) manifest walk — never a data scan."""
+        import pyarrow.parquet as pq
+
         fstats = self.manifest.get("file_stats", {})
         blooms = self.manifest.get("file_blooms", {})
         pdf = set(self.manifest.get("partial_delta_files", []))
         rows = []
         for kind, mapping in (
-            ("data", self.manifest.get("buckets", {})),
+            ("base", self.manifest.get("buckets", {})),
             ("delta", self.manifest.get("delta_files", {})),
         ):
             for b, files in mapping.items():
                 for rel in files:
                     p = os.path.join(self.root, rel)
+                    n_rows = n_rg = None
+                    if footers:
+                        md = pq.ParquetFile(p).metadata
+                        n_rows, n_rg = md.num_rows, md.num_row_groups
+                    st = fstats.get(rel)
                     rows.append((
-                        int(b), rel, kind,
-                        int(os.path.getsize(p)) if os.path.exists(p) else None,
-                        sorted(fstats.get(rel, {})),
+                        int(b), rel, kind, int(os.path.getsize(p)),
+                        n_rows, n_rg,
+                        sorted(st) if st else [],
                         sorted(blooms.get(rel, {})),
                         rel in pdf,
+                        json.dumps(st, sort_keys=True) if st else None,
                     ))
         return self.spark.createDataFrame(
             rows,
-            "bucket int, path string, kind string, bytes long, "
-            "stats_cols array<string>, bloom_cols array<string>, "
-            "partial boolean",
+            "bucket int, file string, kind string, n_bytes long, "
+            "n_rows long, n_row_groups long, stats_cols array<string>, "
+            "bloom_cols array<string>, partial boolean, "
+            "column_stats string",
         )
 
     def snapshots_df(self) -> DataFrame:
         """The ``snapshots``/``history`` metadata table: one row per
         retained snapshot — version, commit instant, parent (CDF
-        lineage), staged flag, epoch/bucket counts."""
+        lineage), staged flag, applied-epoch / bucket / delta-file
+        counts, and the latest applied epoch id (by commit version)."""
         rows = []
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         for f in sorted(os.listdir(meta_dir)):
@@ -2974,21 +2988,49 @@ class LakeTable:
                 continue
             with open(os.path.join(meta_dir, f)) as fh:
                 m = json.load(fh)
+            applied = m.get("applied_epochs", {})
+
+            def _ver(e):
+                rec = applied[e]
+                return rec.get("version", -1) if isinstance(rec, dict) else -1
+
+            last = max(applied, key=lambda e: (_ver(e), e)) if applied else None
             rows.append((
                 int(m["version"]),
                 float(m.get("created_at") or 0.0),
                 m.get("parent"),
                 bool(m.get("staged")),
-                len(m.get("applied_epochs", {})),
+                len(applied),
+                last,
                 len(m.get("buckets", {})),
                 sum(len(v) for v in m.get("delta_files", {}).values()),
             ))
         return self.spark.createDataFrame(
             rows,
             "version int, committed_at double, parent int, staged boolean, "
-            "n_epochs int, n_buckets int, n_delta_files int",
+            "n_applied_epochs int, last_epoch_id string, "
+            "n_buckets int, n_delta_files int",
         ).withColumn(
             "committed_at", F.timestamp_seconds(F.col("committed_at"))
+        )
+
+    def partitions_df(self) -> DataFrame:
+        """The ``partitions`` metadata table: per-bucket file/byte/row
+        totals plus pending-delta and partial-patch flags — the skew
+        and compaction-debt dashboard (a 100x-hot bucket shows up as
+        one row with outsized n_bytes; delta-bearing buckets are the
+        compact_deltas work list)."""
+        return (
+            self.files_df(footers=True)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
+                .alias("n_delta_files"),
+                F.sum("n_bytes").alias("n_bytes"),
+                F.sum("n_rows").alias("n_rows"),
+                F.max("partial").alias("has_partial_patches"),
+            )
         )
 
     # ------------------------------------------------ lineage / metrics
@@ -3076,98 +3118,3 @@ class LakeTable:
         ])
         return self.spark.createDataFrame(rows, schema)
 
-    # ------------------------------------- metadata tables (Iceberg parity)
-    def snapshots_df(self) -> DataFrame:
-        """The `snapshots` metadata table: one row per committed
-        version (Iceberg's `db.tbl.snapshots` / `history`). Pure
-        manifest reads — never touches data files."""
-        rows = [
-            (
-                r["version"],
-                r["created_at"],
-                len(r["applied_epochs"]),
-                r["applied_epochs"][-1] if r["applied_epochs"] else None,
-                r["n_buckets_with_data"],
-                r["staged"],
-            )
-            for r in self.history(self.root)
-        ]
-        schema = T.StructType([
-            T.StructField("version", T.LongType()),
-            T.StructField("created_at", T.DoubleType()),
-            T.StructField("n_applied_epochs", T.LongType()),
-            T.StructField("last_epoch_id", T.StringType()),
-            T.StructField("n_buckets_with_data", T.LongType()),
-            T.StructField("staged", T.BooleanType()),
-        ])
-        return self.spark.createDataFrame(rows, schema)
-
-    def files_df(self, *, footers: bool = True) -> DataFrame:
-        """The `files` metadata table: one row per LIVE data file of the
-        current snapshot — (bucket, file, kind base|delta, n_bytes,
-        n_rows, n_row_groups, analyzed column-stats as a JSON string).
-        ``footers=False`` skips the per-file parquet footer read
-        (n_rows/n_row_groups become NULL) for manifests with very many
-        files; bytes come from os.stat either way. Driver-side O(files)
-        like `analyze` — this is table metadata, not a data scan."""
-        import pyarrow.parquet as pq
-
-        fstats = self.manifest.get("file_stats", {})
-        rows = []
-        for kind, mapping in (
-            ("base", self.manifest["buckets"]),
-            ("delta", self.manifest.get("delta_files", {})),
-        ):
-            for b, files in mapping.items():
-                for rel in files:
-                    path = os.path.join(self.root, rel)
-                    n_rows = n_rg = None
-                    if footers:
-                        md = pq.ParquetFile(path).metadata
-                        n_rows, n_rg = md.num_rows, md.num_row_groups
-                    st = fstats.get(rel)
-                    rows.append((
-                        int(b), rel, kind, os.stat(path).st_size,
-                        n_rows, n_rg,
-                        json.dumps(st, sort_keys=True) if st else None,
-                    ))
-        schema = T.StructType([
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("file", T.StringType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("n_rows", T.LongType()),
-            T.StructField("n_row_groups", T.LongType()),
-            T.StructField("column_stats", T.StringType()),
-        ])
-        return self.spark.createDataFrame(rows, schema)
-
-    def partitions_df(self) -> DataFrame:
-        """The `partitions` metadata table: per-bucket file/byte/row
-        totals plus pending-delta and partial-patch flags — the skew
-        and compaction-debt dashboard (a 100x-hot bucket shows up here
-        as one row with outsized n_bytes; delta-bearing buckets are the
-        compact_deltas work list)."""
-        agg = (
-            self.files_df(footers=True)
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_files"),
-                F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
-                .alias("n_delta_files"),
-                F.sum("n_bytes").alias("n_bytes"),
-                F.sum("n_rows").alias("n_rows"),
-            )
-        )
-        pdf = set(self.manifest.get("partial_delta_files", []))
-        partials = {
-            int(b)
-            for b, files in self.manifest.get("delta_files", {}).items()
-            if any(f in pdf for f in files)
-        }
-        flag = (
-            F.col("bucket").isin(sorted(partials))
-            if partials
-            else F.lit(False)
-        )
-        return agg.withColumn("has_partial_patches", flag)

@@ -88,13 +88,13 @@ def test_metadata_tables(spark, tmp_path):
     live = {
         rel for fl in t.manifest["buckets"].values() for rel in fl
     }
-    assert {r["path"] for r in files if r["kind"] == "data"} == live
+    assert {r["file"] for r in files if r["kind"] == "base"} == live
     assert sum(1 for r in files if r["kind"] == "delta") == 1
-    assert all(r["bytes"] > 0 for r in files)
-    assert any("n" in r["stats_cols"] for r in files if r["kind"] == "data")
+    assert all(r["n_bytes"] > 0 for r in files)
+    assert any("n" in r["stats_cols"] for r in files if r["kind"] == "base")
 
     snaps = {r["version"]: r for r in t.snapshots_df().collect()}
     assert set(snaps) == {0, 1, 2, 3}
-    assert snaps[3]["n_epochs"] == 2  # analyze commit carries epochs
+    assert snaps[3]["n_applied_epochs"] == 2  # analyze commit carries epochs
     assert snaps[2]["n_delta_files"] == 1
     assert not any(r["staged"] for r in snaps.values())
