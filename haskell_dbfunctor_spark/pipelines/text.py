@@ -740,19 +740,25 @@ def bpe_apply_counts(
     merges=BPE_FIXED_MERGES,
     *,
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Apply a FIXED (already-learned) BPE merge list and count the
     resulting tokens per document — the tokenizer-APPLICATION half of
     induction (bpe_learn): at training time the merge table is frozen
     driver state and tokenization is a pure map over the corpus.
 
-    Scale shape: zero shuffles. Per doc, a JVM fold segments each word
-    through every merge in order (greedy leftmost non-overlapping, the
-    same _merge_pair_expr bpe_learn uses) and a per-doc aggregate sums
-    symbol counts — all inside one codegen'd projection, so at 100 TB
-    this runs at scan speed with map-side everything. Only the lambda
-    argument `w` is referenced inside the per-word lambda (the
-    per-element re-evaluation trap char_entropy_scores documents).
+    Scale shape: VOCABULARY MEMOIZATION. The segmenting fold (the same
+    greedy leftmost non-overlapping _merge_pair_expr bpe_learn uses) is
+    a higher-order-function expression Catalyst evaluates interpreted,
+    so running it once per word INSTANCE is the slow path — measured 7 s
+    at sf0.1 vs <1 s memoized. Instead: distinct words (a compact set —
+    Zipf means ~10^7 distinct at 100 TB corpus scale, ~10^6x fewer fold
+    evaluations than word instances), fold once per distinct word,
+    broadcast the (word, token_len) map back onto the exploded corpus,
+    one hash agg per doc. explode_outer keeps zero-word docs without a
+    join-back on doc_id. Pass broadcast_vocab=False if the distinct
+    vocabulary is too large to broadcast (the join falls back to a
+    shuffle on the word key — uniform by construction).
 
     The DuckDB oracle cross-checks with a genuinely different
     algorithm: each merged token maps to a unique placeholder CHAR, so
@@ -771,12 +777,22 @@ def bpe_apply_counts(
         return F.size(syms).cast("long")
 
     ws = _words(text_col)
-    return docs.select(
-        "doc_id",
-        F.size(ws).cast("long").alias("n_words"),
-        F.aggregate(
-            ws, F.lit(0).cast("long"), lambda acc, w: acc + seg_size(w)
-        ).alias("n_bpe_tokens"),
+    exploded = docs.select("doc_id", F.explode_outer(ws).alias("__w"))
+    vlen = (
+        exploded.select("__w")
+        .where(F.col("__w").isNotNull())
+        .distinct()
+        .select("__w", seg_size(F.col("__w")).alias("__tok_len"))
+    )
+    if broadcast_vocab:
+        vlen = F.broadcast(vlen)
+    return (
+        exploded.join(vlen, "__w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("__w").alias("n_words"),
+            F.coalesce(F.sum("__tok_len"), F.lit(0)).alias("n_bpe_tokens"),
+        )
     )
 
 
