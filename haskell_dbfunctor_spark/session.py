@@ -46,7 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # snappy default; SPARK_GRAFT_PARQUET_CODEC overrides (lz4 /
+        # uncompressed measured ~equal on this box's tmpfs — BENCH.md)
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # saveAsTable targets (bucketed co-located joins) — keep the
         # warehouse out of the repo checkout
         .config(
