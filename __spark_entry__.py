@@ -980,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Core.hs:1524-1600); here only match-bearing data files rewrite
     q["q91_delete_where"] = _delete_where_state
     q["q92_update_where"] = _update_where_state
+    q["q99_snapshot_sync"] = _snapshot_sync_state
 
     # SemDeDup-style embedding-space dedup: IVF clusters confine the
     # quadratic comparison to Σ|cluster|² (cross-cluster near-dups
@@ -1761,6 +1762,29 @@ def _update_where_state(s: SparkSession, d: str) -> DataFrame:
     t = _dml_state_lake(s, d, "hdbf_dml_q92_")
     t.update_where(
         "event_type = 'purchase'", {"value": F.col("value") + F.lit(100.0)}
+    )
+    return t.read().select(*_STATE_COLS)
+
+
+def _snapshot_sync_state(s: SparkSession, d: str) -> DataFrame:
+    """q99: MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE — the
+    full-snapshot-sync mode (Delta parity): the source sends a
+    complete snapshot (here: the current state minus user_id%5==0,
+    values doubled) with NO explicit delete events, and target rows
+    absent from it are deleted. Forces the full bucket range (pruning
+    would silently keep unmatched rows in untouched buckets); deletes
+    surface in stats and the CDF. Reference analog: upsertRTab has no
+    by-absence leg at all (Core.hs:3659-3688) — this is the snapshot-
+    replace semantics a periodic-full-dump CDC source needs."""
+    t = _dml_state_lake(s, d, "hdbf_sync_q99_")
+    snap = (
+        t.read()
+        .where(F.col("user_id") % 5 != 0)
+        .withColumn("value", F.col("value") * 2)
+    )
+    t.merge(
+        snap, epoch_id="sync", op_col=None, order_cols=(),
+        not_matched_by_source="delete",
     )
     return t.read().select(*_STATE_COLS)
 
@@ -3506,5 +3530,22 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
         FROM capped GROUP BY source
+    """
+    # q99: snapshot sync — final state is EXACTLY the snapshot the
+    # source sent (LWW state minus user_id%5==0, values doubled);
+    # everything else was deleted by absence.
+    o["q99_snapshot_sync"] = """
+        WITH state AS (
+          SELECT user_id, event_type, value, ts, event_id AS last_event_id
+          FROM (
+            SELECT *,
+                   CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT user_id, event_type, value * 2 AS value, ts, last_event_id
+        FROM state WHERE user_id % 5 <> 0
     """
     return o

@@ -1487,6 +1487,8 @@ class LakeTable:
         drop_cols: Sequence[str] = ("seq", "epoch"),
         update_cols: Sequence[str] | None = None,
         matched_filter: Column | None = None,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_filter: Column | None = None,
         on_duplicate: str = "last_writer_wins",
         delete_op: str = "D",
         files_per_bucket: int = 1,
@@ -1535,6 +1537,19 @@ class LakeTable:
         ``quarantine()``) instead of merged; NULL results fail closed.
         ``stage_only`` commits the result as a STAGED snapshot for
         write-audit-publish (see ``publish``).
+
+        ``not_matched_by_source="delete"`` is Delta's WHEN NOT MATCHED
+        BY SOURCE THEN DELETE — the full-snapshot-sync mode: target
+        rows whose key is absent from the batch are deleted, so a
+        periodic full snapshot (op_col=None) replaces the table state
+        without the source having to emit explicit delete events.
+        ``not_matched_by_source_filter`` (a Column over ``t.``-qualified
+        target rows, like ``matched_filter``) scopes which unmatched
+        rows are eligible — e.g. only the partition the snapshot
+        covers. Forces prune_buckets=False (every target row must be
+        examined — bucket pruning would silently keep unmatched rows in
+        untouched buckets) and requires mode="cow" (MoR never reads
+        target rows at write time).
         """
         t0 = time.time()
         if mode not in ("cow", "mor"):
@@ -1553,6 +1568,26 @@ class LakeTable:
                 "on TARGET rows, which MoR never reads at write time); "
                 "use mode='cow' for filtered merges"
             )
+        if not_matched_by_source not in (None, "delete"):
+            raise LakeError(
+                "not_matched_by_source must be None or 'delete' "
+                f"(got {not_matched_by_source!r})"
+            )
+        if not_matched_by_source_filter is not None and not_matched_by_source is None:
+            raise LakeError(
+                "not_matched_by_source_filter requires "
+                "not_matched_by_source='delete'"
+            )
+        if not_matched_by_source is not None:
+            if mode == "mor":
+                raise LakeError(
+                    "mode='mor' cannot evaluate not_matched_by_source (it "
+                    "deletes TARGET rows, which MoR never reads at write "
+                    "time); use mode='cow' for snapshot syncs"
+                )
+            # every target row must be examined: bucket pruning would
+            # silently keep unmatched rows living in untouched buckets
+            prune_buckets = False
         if mode == "mor" and update_cols is not None:
             raise LakeError(
                 "mode='mor' has no update_cols: pass partial=True and a "
@@ -1823,12 +1858,29 @@ class LakeTable:
             # (reference leg S1), deletes of absent keys are no-ops
             keep = keep & ~(s_present & ~t_present & is_delete)
 
+            # WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot sync):
+            # target rows absent from the batch — a NULL filter result
+            # keeps the row (fail open: don't delete on uncertainty)
+            if not_matched_by_source == "delete":
+                eligible = (
+                    F.lit(True)
+                    if not_matched_by_source_filter is None
+                    else F.coalesce(
+                        not_matched_by_source_filter, F.lit(False)
+                    )
+                )
+                nmbs_del = t_present & ~s_present & eligible
+            else:
+                nmbs_del = F.lit(False)
+            keep = keep & ~nmbs_del
+
             action = (
                 F.when(s_present & is_delete & t_present, F.lit("delete"))
                 .when(s_present & ~is_delete & ~t_present, F.lit("insert"))
                 .when(
                     s_present & ~is_delete & t_present & may_update, F.lit("update")
                 )
+                .when(nmbs_del, F.lit("delete"))
                 .otherwise(F.lit("keep"))
             )
 
