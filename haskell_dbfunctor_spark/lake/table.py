@@ -1232,6 +1232,22 @@ class LakeTable:
             )
         old = LakeTable.load(self.spark, self.root, from_version)
         new = LakeTable.load(self.spark, self.root, to_version)
+        crossed = [
+            r for r in new.manifest.get("renamed_columns", [])
+            if from_version < r["version"] <= to_version
+        ]
+        if crossed:
+            r = crossed[0]
+            # a rename rewrites every row; a name-based diff across it
+            # would report the renamed column as drop+add on EVERY key
+            # (and collapse keys to NULL if a key column renamed) —
+            # refuse, like Delta CDF across column-mapping changes
+            raise LakeError(
+                f"changes: column rename {r['old']!r}->{r['new']!r} at "
+                f"v{r['version']} lies inside [{from_version}, "
+                f"{to_version}] — the rewrite touched every row; "
+                "re-read the snapshot and resync instead"
+            )
         if old.num_buckets == new.num_buckets:
             ob, nb = old.manifest["buckets"], new.manifest["buckets"]
             od = old.manifest.get("delta_files", {})
@@ -2720,6 +2736,110 @@ class LakeTable:
             "files_after": files_after,
             "version": committed["version"],
         }
+
+    def rename_column(
+        self, old: str, new: str, *, conflict_retries: int = 5
+    ) -> dict:
+        """RENAME COLUMN — as a guarded full copy-on-write rewrite.
+
+        Name-keyed parquet cannot rename metadata-only the way Iceberg
+        field ids (or Delta's column-mapping mode) can: schema-by-name
+        projection would read NULLs from pre-rename files, and every
+        catalog in this engine — per-file stats, bloom entries, Z-order
+        clustering, the dedup/IVF index sync — keys on the PHYSICAL
+        column name. Delta Lake makes the same call (RENAME requires
+        column-mapping mode; without it, rewrite). So: one CoW pass
+        over the whole table (pending MoR deltas fold in, like
+        ``rebucket``), the new schema commits atomically with the new
+        file set, and the OLD name is tombstoned like ``drop_column``
+        so a later re-add can't resurrect stale values from retained
+        old snapshots. Old snapshots keep reading the old name via
+        their own manifests (time travel is vintage-consistent);
+        ``changes`` across the rename boundary is refused by the
+        additive-only evolution rule. Key columns may rename too —
+        bucket hashing is by VALUE, so the layout is unchanged.
+        """
+        self._forbid_staged("rename_column")
+        if old not in self.schema.names:
+            raise LakeError(f"rename_column: unknown column {old!r}")
+        if new in self.schema.names:
+            raise LakeError(f"rename_column: {new!r} already exists")
+        if new in set(self.manifest.get("dropped_columns", [])):
+            raise LakeError(
+                f"rename_column: {new!r} was dropped earlier; reusing the "
+                "name would resurrect its old values from un-rewritten "
+                "files of retained snapshots"
+            )
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._rename_column_impl(old, new)
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_published_manifest()
+
+    def _rename_column_impl(self, old: str, new: str) -> dict:
+        df = self.read().withColumnRenamed(old, new).withColumn(
+            BUCKET_COL, self.bucket_of(*[
+                F.col(new if c == old else c) for c in self.key_cols
+            ])
+        )
+        new_schema = T.StructType([
+            T.StructField(new, f.dataType, f.nullable)
+            if f.name == old else f
+            for f in self.schema.fields
+        ])
+        new_key = [new if c == old else c for c in self.key_cols]
+        new_version = self.version + 1
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
+        snap_abs = os.path.join(self.root, snap_rel)
+        n_parts = max(
+            min(self.spark.sparkContext.defaultParallelism, self.num_buckets),
+            1,
+        )
+        (
+            df.repartition(n_parts, BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        written = self._scan_written(snap_abs, snap_rel)
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            manifest["schema"] = new_schema.json()
+            manifest["key_cols"] = new_key
+            manifest["buckets"] = written
+            # rewrite folded every pending delta into the new base
+            manifest["delta_files"] = {}
+            manifest["partial_delta_files"] = []
+            # tombstone the old name (drop_column rule: a re-add would
+            # resurrect stale values from retained old snapshots)
+            manifest["dropped_columns"] = sorted(
+                set(parent.get("dropped_columns", [])) | {old}
+            )
+            # rename history: changes() refuses to diff across this
+            # version (the rewrite touched every row — a name-based
+            # diff would report drop+add garbage; consumers resync)
+            manifest["renamed_columns"] = list(
+                parent.get("renamed_columns", [])
+            ) + [{"version": manifest["version"], "old": old, "new": new}]
+            # stats/blooms were keyed by dead files + the old name;
+            # the rewrite invalidates them wholesale — re-analyze
+            manifest["file_stats"] = {}
+            manifest["file_blooms"] = {}
+            return manifest
+
+        committed = self._commit_rebased(
+            base=self.manifest,
+            touched=range(self.num_buckets),
+            apply=apply,
+            orphan_dir=snap_abs,
+        )
+        return {"version": committed["version"], "renamed": {old: new}}
 
     def rebucket(
         self,
