@@ -40,6 +40,7 @@ Scale design (the part that matters at 10^10 events / 100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -141,6 +142,64 @@ def _atomic_claim_json(path: str, obj: dict) -> None:
         )
     finally:
         os.unlink(tmp)
+
+
+# ---------------------------------------------------------------------
+# Two-level manifest (Iceberg manifest-list analog).
+#
+# A manifest inlines its file listing + per-file stats/blooms while they
+# are small; past META_SPILL_BYTES_DEFAULT the per-commit rewrite of the
+# full listing becomes the scale bottleneck (a bloom-bearing 10^4-file
+# table is an O(100 MB) JSON rewritten on EVERY commit, even one that
+# touched a single bucket). Spilled manifests instead store
+# ``bucket_refs: {bucket_id: "sc-<sha1>.json"}`` where each sidecar holds
+# that bucket's base files, delta files, and their stats/bloom entries.
+# Sidecars are CONTENT-ADDRESSED: an untouched bucket hashes to the same
+# name, so a commit writes only the touched buckets' sidecars + a small
+# manifest — O(touched), not O(table). Sidecars are written before the
+# manifest CAS (same ordering as data files), so a lost commit leaves
+# orphan sidecars for gc_orphans; expire_snapshots removes sidecars
+# referenced only by expired manifests. Readers hydrate back to the
+# inline shape at load, so every consumer of ``manifest["buckets"]`` /
+# ``file_stats`` / ``file_blooms`` is unaffected.
+META_SPILL_BYTES_DEFAULT = 4 * 1024 * 1024
+_BIG_MANIFEST_KEYS = ("buckets", "delta_files", "file_stats", "file_blooms")
+
+
+def _hydrate_manifest(root: str, m: dict) -> dict:
+    """Resolve a spilled manifest's bucket sidecars back to the inline
+    shape (no-op for inline manifests)."""
+    refs = m.get("bucket_refs")
+    if refs is None:
+        return m
+    meta_dir = os.path.join(root, MANIFEST_DIR)
+    buckets: dict[str, list] = {}
+    deltas: dict[str, list] = {}
+    stats: dict[str, dict] = {}
+    blooms: dict[str, dict] = {}
+    for bid in sorted(refs, key=lambda b: int(b)):
+        with open(os.path.join(meta_dir, refs[bid])) as fh:
+            sc = json.load(fh)
+        if sc.get("files"):
+            buckets[bid] = sc["files"]
+        if sc.get("delta_files"):
+            deltas[bid] = sc["delta_files"]
+        stats.update(sc.get("file_stats") or {})
+        blooms.update(sc.get("file_blooms") or {})
+    out = {k: v for k, v in m.items() if k != "bucket_refs"}
+    out["buckets"] = buckets
+    if deltas:
+        out["delta_files"] = deltas
+    if stats:
+        out["file_stats"] = stats
+    if blooms:
+        out["file_blooms"] = blooms
+    return out
+
+
+def _read_manifest_file(root: str, path: str) -> dict:
+    with open(path) as fh:
+        return _hydrate_manifest(root, json.load(fh))
 
 
 class LakeTable:
@@ -267,8 +326,9 @@ class LakeTable:
                 # (replay's create-if-missing, entry fixtures) catch
                 # FileNotFoundError/OSError for "table absent"
                 raise FileNotFoundError(f"no table at {root}")
-        with open(os.path.join(root, MANIFEST_DIR, f"v{version}.json")) as fh:
-            manifest = json.load(fh)
+        manifest = _read_manifest_file(
+            root, os.path.join(root, MANIFEST_DIR, f"v{version}.json")
+        )
         return cls(spark, root, manifest)
 
     # -------------------------------------------------- tag refs
@@ -409,7 +469,11 @@ class LakeTable:
                 m = json.load(fh)
             out.append({
                 "version": m["version"],
-                "n_buckets_with_data": len(m["buckets"]),
+                # spilled manifests list refs instead of inline buckets
+                "n_buckets_with_data": len(
+                    m["buckets"] if "buckets" in m
+                    else m.get("bucket_refs") or {}
+                ),
                 "applied_epochs": sorted(m["applied_epochs"]),
                 "created_at": m.get("created_at"),
                 "staged": bool(m.get("staged")),
@@ -431,8 +495,9 @@ class LakeTable:
         v = self._latest_version_on_disk(self.root)
         if v is None:
             raise LakeError(f"no table at {self.root}")
-        with open(os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")) as fh:
-            return json.load(fh)
+        return _read_manifest_file(
+            self.root, os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")
+        )
 
     @classmethod
     def _latest_published_version(cls, root: str) -> int | None:
@@ -457,8 +522,9 @@ class LakeTable:
         v = self._latest_published_version(self.root)
         if v is None:
             raise LakeError(f"no published snapshot at {self.root}")
-        with open(os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")) as fh:
-            return json.load(fh)
+        return _read_manifest_file(
+            self.root, os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")
+        )
 
     def _commit(self, manifest: dict) -> None:
         """CAS-commit ``manifest`` as version ``manifest['version']``.
@@ -499,9 +565,80 @@ class LakeTable:
                 f for f in pdf if f in live_deltas
             ]
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
-        _atomic_claim_json(os.path.join(meta_dir, f"v{v}.json"), manifest)
+        _atomic_claim_json(
+            os.path.join(meta_dir, f"v{v}.json"),
+            self._dehydrate_for_commit(manifest),
+        )
         self._advance_hint(meta_dir)
         self.manifest = manifest
+
+    def _spill_threshold(self, manifest: dict) -> int:
+        env = os.environ.get("SPARK_GRAFT_META_SPILL_BYTES")
+        if env is not None:
+            return int(env)
+        props = manifest.get("properties") or {}
+        try:
+            return int(props.get(
+                "metadata.spill-bytes", META_SPILL_BYTES_DEFAULT
+            ))
+        except (TypeError, ValueError):
+            return META_SPILL_BYTES_DEFAULT
+
+    def _dehydrate_for_commit(self, manifest: dict) -> dict:
+        """Spill the manifest's per-bucket file listing + stats/blooms
+        to content-addressed sidecars once the inline form outgrows the
+        spill threshold (sticky: a spilled table stays spilled, since
+        ``metadata_spill`` rides the manifest forward). Untouched
+        buckets hash to an existing sidecar — nothing is rewritten for
+        them — so commit metadata cost is O(touched buckets)."""
+        if not manifest.get("metadata_spill"):
+            inline = sum(
+                len(json.dumps(manifest.get(k) or {}, separators=(",", ":")))
+                for k in _BIG_MANIFEST_KEYS
+            )
+            if inline <= self._spill_threshold(manifest):
+                return manifest
+            manifest["metadata_spill"] = True  # sticky on the hydrated copy
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        buckets = manifest.get("buckets") or {}
+        deltas = manifest.get("delta_files") or {}
+        stats = manifest.get("file_stats") or {}
+        blooms = manifest.get("file_blooms") or {}
+        refs: dict[str, str] = {}
+        for bid in set(buckets) | set(deltas):
+            files = buckets.get(bid) or []
+            dfiles = deltas.get(bid) or []
+            if not files and not dfiles:
+                continue
+            scoped = files + dfiles
+            sc = {
+                "files": files,
+                "delta_files": dfiles,
+                "file_stats": {r: stats[r] for r in scoped if r in stats},
+                "file_blooms": {r: blooms[r] for r in scoped if r in blooms},
+            }
+            payload = json.dumps(sc, sort_keys=True, separators=(",", ":"))
+            name = (
+                "sc-" + hashlib.sha1(payload.encode()).hexdigest()[:20]
+                + ".json"
+            )
+            p = os.path.join(meta_dir, name)
+            if not os.path.exists(p):
+                tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                # content-addressed: a concurrent identical write is
+                # byte-identical, so rename-replace (not CAS) is safe
+                os.rename(tmp, p)
+            refs[bid] = name
+        out = {
+            k: v for k, v in manifest.items() if k not in _BIG_MANIFEST_KEYS
+        }
+        out["bucket_refs"] = refs
+        out["metadata_spill"] = True
+        return out
 
     def _advance_hint(self, meta_dir: str) -> None:
         """Advance version-hint.txt to the max manifest on disk.
@@ -2249,8 +2386,7 @@ class LakeTable:
             raise LakeError(
                 f"rollback: snapshot v{version} is expired or never existed"
             )
-        with open(path) as fh:
-            old = json.load(fh)
+        old = _read_manifest_file(self.root, path)
         if old.get("staged"):
             raise LakeError(f"rollback: v{version} is a staged snapshot")
 
@@ -2359,17 +2495,17 @@ class LakeTable:
         duplicate publish of the same epochs no-ops).
         """
         staged_v = self.version if version is None else int(version)
-        with open(
-            os.path.join(self.root, MANIFEST_DIR, f"v{staged_v}.json")
-        ) as fh:
-            staged = json.load(fh)
+        staged = _read_manifest_file(
+            self.root,
+            os.path.join(self.root, MANIFEST_DIR, f"v{staged_v}.json"),
+        )
         if not staged.get("staged"):
             raise LakeError(f"version {staged_v} is not a staged snapshot")
         base_v = staged["wap_base"]
-        with open(
-            os.path.join(self.root, MANIFEST_DIR, f"v{base_v}.json")
-        ) as fh:
-            base = json.load(fh)
+        base = _read_manifest_file(
+            self.root,
+            os.path.join(self.root, MANIFEST_DIR, f"v{base_v}.json"),
+        )
         sb, bb = staged["buckets"], base["buckets"]
         sd = staged.get("delta_files", {})
         bd = base.get("delta_files", {})
@@ -2971,24 +3107,45 @@ class LakeTable:
             for files in m.get("delta_files", {}).values():
                 yield from files
 
+        def _refs_of(path: str) -> set[str]:
+            with open(path) as fh:
+                return set((json.load(fh).get("bucket_refs") or {}).values())
+
         live: set[str] = set()
         for v in keep:
-            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
-                m = json.load(fh)
+            m = _read_manifest_file(
+                self.root, os.path.join(meta_dir, f"v{v}.json")
+            )
             live.update(_all_files(m))
         removed_files = 0
+        expired_sidecars: set[str] = set()
         for v in versions:
             if v in keep:
                 continue
-            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
-                m = json.load(fh)
+            mpath = os.path.join(meta_dir, f"v{v}.json")
+            expired_sidecars |= _refs_of(mpath)
+            m = _read_manifest_file(self.root, mpath)
             for f in _all_files(m):
                 if f not in live:
                     p = os.path.join(self.root, f)
                     if os.path.exists(p):
                         os.remove(p)
                         removed_files += 1
-            os.remove(os.path.join(meta_dir, f"v{v}.json"))
+            os.remove(mpath)
+        # sidecars referenced ONLY by expired manifests die with them;
+        # a sidecar referenced by no manifest at all belongs to an
+        # in-flight commit (written before its manifest CAS) and is
+        # left for gc_orphans' grace-gated sweep
+        if expired_sidecars:
+            retained_sidecars: set[str] = set()
+            for f in os.listdir(meta_dir):
+                if f.startswith("v") and f.endswith(".json"):
+                    retained_sidecars |= _refs_of(os.path.join(meta_dir, f))
+            for sc in expired_sidecars - retained_sidecars:
+                try:
+                    os.remove(os.path.join(meta_dir, sc))
+                except FileNotFoundError:
+                    pass
         # prune empty snapshot dirs bottom-up; os.walk's topdown=False
         # still lists parent dirnames before child rmdirs happen, so
         # loop until a full pass removes nothing (a dir emptied by this
@@ -3063,15 +3220,33 @@ class LakeTable:
         """
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         referenced: set[str] = set()
+        live_sidecars: set[str] = set()
         for f in os.listdir(meta_dir):
             if not (f.startswith("v") and f.endswith(".json")):
                 continue
-            with open(os.path.join(meta_dir, f)) as fh:
-                m = json.load(fh)
+            m = _read_manifest_file(self.root, os.path.join(meta_dir, f))
             for files in m.get("buckets", {}).values():
                 referenced.update(files)
             for files in m.get("delta_files", {}).values():
                 referenced.update(files)
+            with open(os.path.join(meta_dir, f)) as fh:
+                live_sidecars.update(
+                    (json.load(fh).get("bucket_refs") or {}).values()
+                )
+        cutoff_meta = time.time() - grace_seconds
+        for f in os.listdir(meta_dir):
+            # sidecars written by a commit that lost its CAS (or
+            # crashed pre-CAS) are unreferenced; grace-gate like data
+            if (
+                f.startswith("sc-") and f.endswith(".json")
+                and f not in live_sidecars
+            ):
+                p = os.path.join(meta_dir, f)
+                try:
+                    if os.path.getmtime(p) < cutoff_meta:
+                        os.remove(p)
+                except OSError:
+                    pass
         data_dir = os.path.join(self.root, DATA_DIR)
         removed = kept_young = 0
         cutoff = time.time() - grace_seconds
@@ -3158,8 +3333,7 @@ class LakeTable:
         for f in sorted(os.listdir(meta_dir)):
             if not (f.startswith("v") and f.endswith(".json")):
                 continue
-            with open(os.path.join(meta_dir, f)) as fh:
-                m = json.load(fh)
+            m = _read_manifest_file(self.root, os.path.join(meta_dir, f))
             applied = m.get("applied_epochs", {})
 
             def _ver(e):

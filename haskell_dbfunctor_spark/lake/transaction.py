@@ -79,6 +79,7 @@ from .table import (
     MergeStats,
     _atomic_claim_json,
     _atomic_write_json,
+    _read_manifest_file,
 )
 
 _INTENT_RE = re.compile(r"^t(\d{8})\.json$")
@@ -90,7 +91,10 @@ def _read_json(path: str) -> dict:
 
 
 def _manifest(root: str, version: int) -> dict:
-    return _read_json(os.path.join(root, MANIFEST_DIR, f"v{version}.json"))
+    # hydrates spilled (two-level) manifests back to the inline shape
+    return _read_manifest_file(
+        root, os.path.join(root, MANIFEST_DIR, f"v{version}.json")
+    )
 
 
 class TransactionAborted(CommitConflict):

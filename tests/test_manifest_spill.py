@@ -1,0 +1,177 @@
+"""Two-level manifest (Iceberg manifest-list analog): past the spill
+threshold the per-bucket file listing + stats/blooms move to
+content-addressed ``sc-*.json`` sidecars, so a commit writes O(touched
+buckets) metadata instead of rewriting the whole listing. Readers
+hydrate back to the inline shape; expire/gc collect dead sidecars."""
+
+import json
+import os
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.lake.table import (
+    MANIFEST_DIR,
+    LakeTable,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+SPILL = {"metadata.spill-bytes": "0"}  # force two-level from commit 1
+
+
+def _batch(spark, ids, v="v"):
+    return spark.createDataFrame(
+        [(i, f"{v}{i}") for i in ids], "k long, v string"
+    )
+
+
+def _make(spark, tmp_path, props=SPILL, n=32):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key_cols=["k"], num_buckets=8, properties=props)
+    t.merge(_batch(spark, range(n)), epoch_id="e0", op_col=None,
+            order_cols=())
+    return t
+
+
+def _raw_manifest(t, v=None):
+    v = t.version if v is None else v
+    with open(os.path.join(t.root, MANIFEST_DIR, f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _sidecars(t):
+    return {
+        f for f in os.listdir(os.path.join(t.root, MANIFEST_DIR))
+        if f.startswith("sc-") and f.endswith(".json")
+    }
+
+
+def test_spilled_manifest_shape_and_roundtrip(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    raw = _raw_manifest(t)
+    assert "buckets" not in raw and "file_stats" not in raw
+    assert raw["metadata_spill"] is True
+    assert raw["bucket_refs"] and all(
+        r.startswith("sc-") for r in raw["bucket_refs"].values()
+    )
+    # reload hydrates to the inline shape and reads correctly
+    t2 = LakeTable.load(spark, t.root)
+    assert "buckets" in t2.manifest and "bucket_refs" not in t2.manifest
+    assert {r.k for r in t2.read().collect()} == set(range(32))
+
+
+def test_untouched_buckets_reuse_sidecars(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    refs_v1 = _raw_manifest(t)["bucket_refs"]
+    t.merge(_batch(spark, [0], v="w"), epoch_id="e1", op_col=None,
+            order_cols=())
+    refs_v2 = _raw_manifest(t)["bucket_refs"]
+    changed = [b for b in refs_v1 if refs_v1[b] != refs_v2.get(b)]
+    # a single-key merge touches exactly one bucket; the other 7
+    # buckets' sidecars are reused byte-identically (content-addressed)
+    assert len(changed) == 1
+    assert t.read().where(F.col("k") == 0).collect()[0].v == "w0"
+
+
+def test_default_threshold_stays_inline_when_small(spark, tmp_path):
+    t = _make(spark, tmp_path, props=None)
+    raw = _raw_manifest(t)
+    assert "bucket_refs" not in raw and "buckets" in raw
+
+
+def test_spill_is_sticky(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    # delete all but one key: table shrinks, but stays spilled
+    t.merge(
+        _batch(spark, range(1, 32)).withColumn("op", F.lit("D")),
+        epoch_id="e1", op_col="op", order_cols=(),
+    )
+    assert "bucket_refs" in _raw_manifest(t)
+    assert t.read().count() == 1
+
+
+def test_changes_and_stats_blooms_hydrate(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.analyze(["k"])
+    t.analyze_bloom(["k"])
+    t.merge(_batch(spark, [3], v="w"), epoch_id="e1", op_col=None,
+            order_cols=())
+    assert "file_stats" in t.manifest and "file_blooms" in t.manifest
+    # CDF across spilled snapshots
+    cdf = t.changes(t.version - 1, t.version)
+    assert cdf.count() == 1
+    # stats/bloom-backed point read still correct after hydration
+    assert t.read_where_eq("k", 3).collect()[0].v == "w3"
+
+
+def test_mor_deltas_spill_and_collapse(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.merge(_batch(spark, [5], v="m"), epoch_id="mor1", mode="mor",
+            op_col=None, order_cols=())
+    raw = _raw_manifest(t)
+    assert "delta_files" not in raw  # rides in the sidecars
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.manifest.get("delta_files")
+    assert t2.read().where(F.col("k") == 5).collect()[0].v == "m5"
+
+
+def test_expire_collects_dead_sidecars(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    for i in range(4):
+        t.merge(_batch(spark, [i], v=f"e{i}"), epoch_id=f"u{i}",
+                op_col=None, order_cols=())
+    before = _sidecars(t)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_versions"]
+    after = _sidecars(t)
+    live = set(_raw_manifest(t)["bucket_refs"].values())
+    assert live <= after
+    assert after < before  # dead sidecars removed
+    assert {r.k for r in t.read().collect()} == set(range(32))
+
+
+def test_gc_orphans_sweeps_unreferenced_sidecars(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    meta = os.path.join(t.root, MANIFEST_DIR)
+    orphan = os.path.join(meta, "sc-deadbeefdeadbeefdead.json")
+    with open(orphan, "w") as fh:
+        json.dump({"files": ["data/nope.parquet"]}, fh)
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    live_before = set(_raw_manifest(t)["bucket_refs"].values())
+    t.remove_orphans(grace_seconds=3600)
+    left = _sidecars(t)
+    assert os.path.basename(orphan) not in left
+    assert live_before <= left  # referenced sidecars untouched
+
+
+def test_wap_publish_on_spilled_table(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.merge(_batch(spark, [7], v="staged"), epoch_id="s1",
+            op_col=None, order_cols=(), stage_only=True)
+    t.publish()
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.read().where(F.col("k") == 7).collect()[0].v == "staged7"
+
+
+def test_rebase_conflict_path_on_spilled_table(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    stale = LakeTable.load(spark, t.root)
+    t.merge(_batch(spark, [1], v="a"), epoch_id="w1", op_col=None,
+            order_cols=())
+    # stale handle commits after a foreign commit on a DIFFERENT key:
+    # the CAS fails, the rebase hydrates the latest spilled manifest
+    stale.merge(_batch(spark, [2], v="b"), epoch_id="w2", op_col=None,
+                order_cols=())
+    final = LakeTable.load(spark, t.root)
+    got = {r.k: r.v for r in final.read().collect()}
+    assert got[1] == "a1" and got[2] == "b2"
