@@ -177,9 +177,24 @@ def _hydrate_manifest(root: str, m: dict) -> dict:
     deltas: dict[str, list] = {}
     stats: dict[str, dict] = {}
     blooms: dict[str, dict] = {}
-    for bid in sorted(refs, key=lambda b: int(b)):
-        with open(os.path.join(meta_dir, refs[bid])) as fh:
-            sc = json.load(fh)
+
+    def _read_sc(name: str) -> dict:
+        with open(os.path.join(meta_dir, name)) as fh:
+            return json.load(fh)
+
+    ordered = sorted(refs, key=lambda b: int(b))
+    if len(ordered) >= 64:
+        # many small reads — overlap them (on an object store each is
+        # a GET; locally the page cache makes this near-free either way)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            sidecars = dict(zip(
+                ordered, pool.map(lambda b: _read_sc(refs[b]), ordered)
+            ))
+    else:
+        sidecars = {bid: _read_sc(refs[bid]) for bid in ordered}
+    for bid in ordered:
+        sc = sidecars[bid]
         if sc.get("files"):
             buckets[bid] = sc["files"]
         if sc.get("delta_files"):
@@ -539,6 +554,31 @@ class LakeTable:
         # here so `load(as_of=...)` time travel has a true timeline
         # (merge and friends copy the previous manifest otherwise)
         manifest["created_at"] = time.time()
+        # bounded epoch retention (Delta setTransactionRetentionDuration
+        # analog): applied_epochs otherwise grows one entry per epoch
+        # FOREVER — 10^6 streaming micro-batches is tens of MB rewritten
+        # on every commit. With `epochs.retention-count` set, keep only
+        # the newest N entries (by applied version). Contract change the
+        # caller opts into: re-delivery of an epoch OLDER than the
+        # retained window is no longer detected as a duplicate — size
+        # the retention above the maximum possible replay window
+        # (exactly like Delta's txn appId/version retention).
+        props = manifest.get("properties") or {}
+        try:
+            epoch_ret = int(props.get("epochs.retention-count", 0))
+        except (TypeError, ValueError):
+            epoch_ret = 0
+        applied = manifest.get("applied_epochs") or {}
+        if epoch_ret > 0 and len(applied) > epoch_ret:
+            def _applied_v(rec):
+                return rec.get("version", -1) if isinstance(rec, dict) else -1
+            keep = sorted(
+                applied, key=lambda e: (_applied_v(applied[e]), e)
+            )[-epoch_ret:]
+            manifest["epochs_pruned"] = (
+                manifest.get("epochs_pruned", 0) + len(applied) - len(keep)
+            )
+            manifest["applied_epochs"] = {e: applied[e] for e in keep}
         # drop file_stats entries for files no longer referenced by
         # this snapshot (rewritten/removed) — bounds manifest size and
         # guarantees read_where never consults a dead path's stats

@@ -175,3 +175,41 @@ def test_rebase_conflict_path_on_spilled_table(spark, tmp_path):
     final = LakeTable.load(spark, t.root)
     got = {r.k: r.v for r in final.read().collect()}
     assert got[1] == "a1" and got[2] == "b2"
+
+
+def test_epoch_retention_bounds_applied_epochs(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "r"), SCHEMA, key_cols=["k"], num_buckets=4,
+        properties={"epochs.retention-count": "3"},
+    )
+    for i in range(6):
+        t.merge(_batch(spark, [i]), epoch_id=f"e{i}", op_col=None,
+                order_cols=())
+    applied = t.manifest["applied_epochs"]
+    assert set(applied) == {"e3", "e4", "e5"}
+    assert t.manifest["epochs_pruned"] == 3
+    # a RETAINED epoch re-delivered is still an exactly-once no-op
+    v = t.version
+    res = t.merge(_batch(spark, [4], v="dup"), epoch_id="e4",
+                  op_col=None, order_cols=())
+    assert res.skipped and t.version == v
+    assert t.read().where(F.col("k") == 4).collect()[0].v == "v4"
+    # a PRUNED epoch re-delivered re-applies (the documented contract:
+    # retention must exceed the maximum replay window)
+    res = t.merge(_batch(spark, [0], v="re"), epoch_id="e0",
+                  op_col=None, order_cols=())
+    assert not res.skipped and t.version == v + 1
+
+
+def test_parallel_hydration_many_buckets(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), SCHEMA, key_cols=["k"],
+        num_buckets=128, properties=SPILL,
+    )
+    t.merge(_batch(spark, range(400)), epoch_id="e0", op_col=None,
+            order_cols=())
+    assert len(_raw_manifest(t)["bucket_refs"]) >= 64  # pool path
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.read().count() == 400
+    assert {r.k for r in t2.read().where(F.col("k") < 5).collect()} \
+        == set(range(5))
