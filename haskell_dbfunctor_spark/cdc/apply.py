@@ -23,7 +23,8 @@ from .generator import KEY_COLS, TRANSCRIPT_SCHEMA, epoch_batch
 
 
 def open_or_create_transcripts(
-    spark: SparkSession, root: str, num_buckets: int = 32
+    spark: SparkSession, root: str, num_buckets: int = 32,
+    properties: dict[str, str] | None = None,
 ) -> LakeTable:
     try:
         return LakeTable.load(spark, root)
@@ -34,7 +35,8 @@ def open_or_create_transcripts(
 
         base = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
         return LakeTable.create(
-            spark, root, base, key_cols=KEY_COLS, num_buckets=num_buckets
+            spark, root, base, key_cols=KEY_COLS, num_buckets=num_buckets,
+            properties=properties,
         )
 
 

@@ -83,7 +83,25 @@ def main(argv: list[str] | None = None) -> int:
                          "failing the SQL boolean expression are "
                          "quarantined instead of merged, e.g. "
                          "--expect 'text_present=text IS NOT NULL'")
+    ap.add_argument("--epoch-retention", type=int, default=0,
+                    help="keep only the newest N applied-epoch ids in "
+                         "the manifest (bounds metadata growth on "
+                         "long-running streams; re-delivery older than "
+                         "the window is NOT deduplicated — size above "
+                         "the max replay window). 0 = unlimited. "
+                         "Applies at table creation.")
+    ap.add_argument("--meta-spill-bytes", type=int, default=None,
+                    help="inline-manifest size past which the file "
+                         "listing spills to per-bucket sidecars "
+                         "(two-level manifest; default 4 MiB). "
+                         "Applies at table creation.")
     args = ap.parse_args(argv)
+
+    table_props: dict[str, str] = {}
+    if args.epoch_retention:
+        table_props["epochs.retention-count"] = str(args.epoch_retention)
+    if args.meta_spill_bytes is not None:
+        table_props["metadata.spill-bytes"] = str(args.meta_spill_bytes)
 
     from haskell_dbfunctor_spark.session import get_spark
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
@@ -91,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="cdc-ingest")
     table = open_or_create_transcripts(
-        spark, args.table_root, num_buckets=args.buckets
+        spark, args.table_root, num_buckets=args.buckets,
+        properties=table_props or None,
     )
 
     expectations = None
