@@ -3110,13 +3110,19 @@ class LakeTable:
                 )
         return written
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, *, prune_lineage: bool = False
+    ) -> dict:
         """Iceberg expire_snapshots: delete manifests older than the
         newest ``keep_last`` and any data file referenced only by them.
         Copy-on-write means untouched buckets share files across
         snapshots, so liveness is computed over the retained set.
         Readers of retained snapshots are unaffected (files are
         immutable; only unreferenced ones are removed).
+        ``prune_lineage=True`` also drops the per-commit lineage/metrics
+        records of expired versions — the audit log otherwise grows one
+        file per commit forever; keep it False when the lineage table
+        is the system of record for provenance.
         """
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         versions = sorted(
@@ -3200,8 +3206,17 @@ class LakeTable:
                         removed_dir = True
                 if not removed_dir:
                     break
+        expired = [v for v in versions if v not in keep]
+        if prune_lineage:
+            lin_dir = os.path.join(self.root, "lineage")
+            if os.path.isdir(lin_dir):
+                for v in expired:
+                    try:
+                        os.remove(os.path.join(lin_dir, f"commit-{v}.json"))
+                    except FileNotFoundError:
+                        pass
         return {
-            "expired_versions": [v for v in versions if v not in keep],
+            "expired_versions": expired,
             "removed_files": removed_files,
         }
 

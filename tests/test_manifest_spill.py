@@ -213,3 +213,18 @@ def test_parallel_hydration_many_buckets(spark, tmp_path):
     assert t2.read().count() == 400
     assert {r.k for r in t2.read().where(F.col("k") < 5).collect()} \
         == set(range(5))
+
+
+def test_expire_prune_lineage(spark, tmp_path):
+    t = _make(spark, tmp_path, props=None)
+    for i in range(3):
+        t.merge(_batch(spark, [i], v=f"l{i}"), epoch_id=f"L{i}",
+                op_col=None, order_cols=())
+    lin = os.path.join(t.root, "lineage")
+    n_before = len(os.listdir(lin))
+    res = t.expire_snapshots(keep_last=1, prune_lineage=True)
+    left = {f for f in os.listdir(lin)}
+    assert len(left) < n_before
+    for v in res["expired_versions"]:
+        assert f"commit-{v}.json" not in left
+    assert t.metrics().count() == len(left)
