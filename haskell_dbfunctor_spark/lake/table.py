@@ -2754,6 +2754,7 @@ class LakeTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
         buckets: Sequence[int] | None = None,
+        max_buckets: int | None = None,
         sort_by: str | None = None,
         zorder_by: Sequence[str] | None = None,
     ) -> dict:
@@ -2820,12 +2821,19 @@ class LakeTable:
             if sort_by or zorder_by or has_deltas or len(files) >= min_files or (
                 len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
             ):
-                candidates.append((int(b), sum(sizes)))
+                candidates.append((int(b), sum(sizes), len(files) + len(dm.get(b, []))))
         if not candidates:
             return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        if max_buckets is not None and len(candidates) > max_buckets:
+            # budget-limited incremental maintenance: at 100 TB a full
+            # OPTIMIZE is a table rewrite — compact the WORST buckets
+            # (most fragments) each cycle and converge over cycles
+            candidates = sorted(
+                candidates, key=lambda c: (-c[2], c[0])
+            )[:max_buckets]
 
-        touched = sorted(b for b, _ in candidates)
-        total_bytes = sum(s for _, s in candidates)
+        touched = sorted(b for b, _, _ in candidates)
+        total_bytes = sum(s for _, s, _ in candidates)
         files_before = sum(
             len(bm.get(str(b), [])) + len(dm.get(str(b), [])) for b in touched
         )

@@ -228,3 +228,32 @@ def test_expire_prune_lineage(spark, tmp_path):
     for v in res["expired_versions"]:
         assert f"commit-{v}.json" not in left
     assert t.metrics().count() == len(left)
+
+
+def test_compact_max_buckets_budget(spark, tmp_path):
+    t = _make(spark, tmp_path, props=None)
+    # fragment buckets with MoR delta merges (CoW rewrites don't
+    # fragment: a touched bucket's files are replaced, not appended)
+    for i in range(16):
+        t.merge(_batch(spark, [i], v=f"f{i}"), epoch_id=f"frag{i}",
+                mode="mor", op_col=None, order_cols=())
+    dm = t.manifest.get("delta_files", {})
+    frag = {
+        b: len(t.manifest["buckets"].get(b, [])) + len(fs)
+        for b, fs in dm.items()
+    }
+    assert len(frag) > 2
+    res = t.compact(max_buckets=2)
+    assert res["buckets_compacted"] == 2
+    # the two worst (most-fragmented) buckets got picked and folded
+    worst = sorted(frag, key=lambda b: (-frag[b], int(b)))[:2]
+    after_dm = t.manifest.get("delta_files", {})
+    assert all(not after_dm.get(b) for b in worst)
+    assert t.read().count() == 32
+    # repeated budgeted cycles converge to fully compacted
+    while t.compact(max_buckets=2)["buckets_compacted"]:
+        pass
+    assert not t.manifest.get("delta_files", {})
+    assert all(len(fs) == 1 for fs in t.manifest["buckets"].values())
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[3] == "f33" and got[20] == "v20"
