@@ -22,7 +22,10 @@ def test_expire_keeps_current_state(spark, tmp_path):
         r.asDict().items() for r in table.read().select(*KEY_COLS, "text").collect()
     )
     n_manifests_before = len(
-        [f for f in os.listdir(f"{root}/metadata") if f.endswith(".json")]
+        # count version manifests only (under forced metadata spill
+        # the dir also holds sc-*.json sidecars)
+        [f for f in os.listdir(f"{root}/metadata")
+         if f.startswith("v") and f.endswith(".json")]
     )
     assert n_manifests_before == 4  # v0..v3
 
