@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce small/fragmented bucket files")
     c.add_argument("--target-file-mb", type=int, default=128)
     c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--max-buckets", type=int, default=None,
+                   help="budget-limited maintenance: rewrite at most "
+                        "this many buckets per run, worst-fragmented "
+                        "first (converges over repeated runs; a full "
+                        "OPTIMIZE at 100 TB is a table rewrite)")
     c.add_argument("--sort-by", default=None,
                    help="cluster the rewrite on this column (range-split "
                         "sibling files + sorted rows; pair with analyze "
@@ -60,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--prune-lineage", action="store_true",
+                   help="also drop expired versions' lineage/metrics "
+                        "records (bounds the audit log)")
+
+    mt = sub.add_parser(
+        "maintain",
+        help="one-shot nightly cycle: budgeted compact -> expire "
+             "-> orphan sweep",
+    )
+    mt.add_argument("--max-buckets", type=int, default=32)
+    mt.add_argument("--target-file-mb", type=int, default=128)
+    mt.add_argument("--keep-last", type=int, default=2)
+    mt.add_argument("--prune-lineage", action="store_true")
+    mt.add_argument("--grace-seconds", type=int, default=3600)
 
     cd = sub.add_parser("compact-deltas",
                         help="fold pending merge-on-read delta files into "
@@ -185,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
     # `analyze`/`analyze-bloom` are metadata-only, same; `rollback`
     # and `publish` change state BY DESIGN; `drop-column` preserves
     # rows (checked).
-    for p in (c, e, cd, r, dc):
+    for p in (c, e, cd, r, dc, mt):
         p.add_argument("--no-verify", action="store_true",
                        help="skip the before/after row-count check (two "
                             "full table scans — skip on very large tables)")
@@ -331,6 +350,7 @@ def main(argv: list[str] | None = None) -> int:
         res = table.compact(
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             min_files=args.min_files,
+            max_buckets=args.max_buckets,
             sort_by=args.sort_by,
             zorder_by=(
                 [c.strip() for c in args.zorder_by.split(",")]
@@ -338,7 +358,23 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
     elif args.action == "expire":
-        res = table.expire_snapshots(keep_last=args.keep_last)
+        res = table.expire_snapshots(
+            keep_last=args.keep_last, prune_lineage=args.prune_lineage
+        )
+    elif args.action == "maintain":
+        res = {
+            "compact": table.compact(
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                max_buckets=args.max_buckets,
+            ),
+            "expire": table.expire_snapshots(
+                keep_last=args.keep_last,
+                prune_lineage=args.prune_lineage,
+            ),
+            "orphans": table.remove_orphans(
+                grace_seconds=args.grace_seconds
+            ),
+        }
     elif args.action == "compact-deltas":
         res = table.compact_deltas()
     elif args.action == "drop-column":
