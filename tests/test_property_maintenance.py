@@ -28,12 +28,17 @@ event = st.tuples(
 )
 
 MAINT = ["none", "compact", "compact_sorted", "compact_deltas",
-         "rebucket", "analyze", "expire"]
+         "rebucket", "analyze", "expire", "compact_budget",
+         "expire_prune"]
 
 
 def _run_maint(table, action):
     if action == "compact":
         table.compact(min_files=1)
+    elif action == "compact_budget":
+        table.compact(min_files=1, max_buckets=1)
+    elif action == "expire_prune":
+        table.expire_snapshots(keep_last=2, prune_lineage=True)
     elif action == "compact_sorted":
         table.compact(sort_by="seq")
     elif action == "compact_deltas":
@@ -73,13 +78,16 @@ def _batch_oracle(batches):
     st.lists(event, min_size=3, max_size=30),
     st.lists(st.sampled_from(MAINT), min_size=3, max_size=3),
     st.lists(st.sampled_from(["cow", "mor"]), min_size=3, max_size=3),
+    st.booleans(),  # two-level (spilled) manifest layout
 )
 def test_state_invariant_under_maintenance_interleaving(
-    spark, tmp_path_factory, events, schedule, modes
+    spark, tmp_path_factory, events, schedule, modes, spill
 ):
     root = str(tmp_path_factory.mktemp("maint"))
-    table = LakeTable.create(spark, root, SCHEMA, key_cols=["k"],
-                             num_buckets=4)
+    table = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["k"], num_buckets=4,
+        properties={"metadata.spill-bytes": "0"} if spill else None,
+    )
     pdf = pd.DataFrame(
         [{"k": k, "op": op, "v": v, "ts": ts, "seq": i}
          for i, (k, op, v, ts) in enumerate(events)]
