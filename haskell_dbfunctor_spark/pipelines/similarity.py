@@ -359,6 +359,13 @@ def semantic_dedup(
     from ..operators.skew import salted_equi_join
 
     cent = ivf_train(embeddings, n_centroids, refine_iters)
+    # materialize the (tiny: n_centroids rows) trained quantizer ONCE:
+    # its plan is two full-corpus aggregations, and `assigned` feeds
+    # three consumers below (both self-join legs + the final join) —
+    # left lazy, the training subtree re-evaluates per consumer
+    cent = embeddings.sparkSession.createDataFrame(
+        cent.collect(), schema=cent.schema
+    )
     assigned = ivf_assign(embeddings, cent)  # (vec_id, cid)
     e = assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
     l = e.select(
