@@ -982,6 +982,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q92_update_where"] = _update_where_state
     q["q99_snapshot_sync"] = _snapshot_sync_state
 
+    # entity-disjoint train/val/test split (leakage-safe: every row of
+    # an entity lands in ONE split — turns of one conversation
+    # straddling splits is the classic eval-contamination bug). The
+    # assignment is a pure md5-threshold CASE on the scan (zero
+    # exchanges for the labeling itself); the straddle-proof aggregate
+    # is O(entities) and must come out 1.
+    def q100(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            leakage_safe_split,
+        )
+
+        a = leakage_safe_split(
+            _t(s, d, "events").select("event_id", "user_id"), "user_id"
+        )
+        stats = a.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_entities"),
+        )
+        straddle = (
+            a.groupBy("user_id")
+            .agg(F.countDistinct("split").alias("__s"))
+            .agg(F.max("__s").alias("max_splits_per_entity"))
+        )
+        return stats.crossJoin(F.broadcast(straddle))
+
+    q["q100_leakage_safe_split"] = q100
+
     # SemDeDup-style embedding-space dedup: IVF clusters confine the
     # quadratic comparison to Σ|cluster|² (cross-cluster near-dups
     # invisible by construction); keep-first rule via min lower-id
@@ -3547,5 +3574,31 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         )
         SELECT user_id, event_type, value * 2 AS value, ts, last_event_id
         FROM state WHERE user_id % 5 <> 0
+    """
+    # q100: entity-disjoint split — same md5 hex draw + lexicographic
+    # thresholds as the Spark side (pipelines/sampling.py:
+    # leakage_safe_split); max_splits_per_entity == 1 is the proof no
+    # entity straddles splits.
+    _t1, _t2 = threshold_hex(0.8), threshold_hex(0.9)
+    o["q100_leakage_safe_split"] = f"""
+        WITH a AS (
+          SELECT event_id, user_id,
+                 CASE WHEN substr(md5('split' || CAST(user_id AS VARCHAR)), 1, 8)
+                        < '{_t1}' THEN 'train'
+                      WHEN substr(md5('split' || CAST(user_id AS VARCHAR)), 1, 8)
+                        < '{_t2}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM events
+        ), stats AS (
+          SELECT split, count(*) AS n_rows,
+                 count(DISTINCT user_id) AS n_entities
+          FROM a GROUP BY split
+        ), straddle AS (
+          SELECT max(s) AS max_splits_per_entity FROM (
+            SELECT user_id, count(DISTINCT split) AS s FROM a GROUP BY user_id
+          )
+        )
+        SELECT split, n_rows, n_entities, max_splits_per_entity
+        FROM stats CROSS JOIN straddle
     """
     return o

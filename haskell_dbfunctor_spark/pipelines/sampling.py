@@ -275,3 +275,46 @@ def uniform_sample_n(
         .limit(n)
         .drop("__draw")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    entity_col: str,
+    *,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+    seed: str = "split",
+) -> DataFrame:
+    """Entity-disjoint train/val/test assignment: EVERY row of an
+    entity (conversation, user, document) lands in the SAME split —
+    the group-level split that prevents train/test leakage through
+    shared context (turns of one conversation straddling splits is the
+    classic eval-contamination bug). ``fractions`` are the train and
+    val shares; test gets the remainder.
+
+    Assignment is a pure per-row expression: the md5 hex draw of
+    ``seed || entity`` against ``threshold_hex`` boundaries —
+    deterministic, engine-portable (lexicographic compare on lowercase
+    hex), and entity-consistent BY CONSTRUCTION (the draw input is the
+    entity key alone), so no shuffle, no window, no entity table join.
+    Rows with a NULL entity get NULL split (filter or expect them
+    upstream).
+
+    Scale: a literal-threshold CASE on the scan — whole-stage codegen,
+    zero exchanges; works identically on 10^2 or 10^10 rows.
+    """
+    f_train, f_val = fractions
+    if not (0.0 <= f_train and 0.0 <= f_val and f_train + f_val <= 1.0):
+        raise ValueError(f"bad fractions {fractions}")
+    t1 = threshold_hex(f_train)
+    t2 = threshold_hex(f_train + f_val)
+    draw = hash_bucket_hex(
+        F.concat(F.lit(seed), F.col(entity_col).cast("string"))
+    )
+    split = (
+        F.when(F.col(entity_col).isNull(), F.lit(None).cast("string"))
+        .when(draw < F.lit(t1), F.lit(names[0]))
+        .when(draw < F.lit(t2), F.lit(names[1]))
+        .otherwise(F.lit(names[2]))
+    )
+    return df.withColumn("split", split)
