@@ -640,26 +640,11 @@ class LakeTable:
                 return manifest
             manifest["metadata_spill"] = True  # sticky on the hydrated copy
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
-        buckets = manifest.get("buckets") or {}
-        deltas = manifest.get("delta_files") or {}
-        stats = manifest.get("file_stats") or {}
-        blooms = manifest.get("file_blooms") or {}
-        refs: dict[str, str] = {}
-        for bid in set(buckets) | set(deltas):
-            files = buckets.get(bid) or []
-            dfiles = deltas.get(bid) or []
-            if not files and not dfiles:
-                continue
-            scoped = files + dfiles
-            sc = {
-                "files": files,
-                "delta_files": dfiles,
-                "file_stats": {r: stats[r] for r in scoped if r in stats},
-                "file_blooms": {r: blooms[r] for r in scoped if r in blooms},
-            }
-            payload = json.dumps(sc, sort_keys=True, separators=(",", ":"))
+
+        def _write_sidecar(prefix: str, obj: dict) -> str:
+            payload = json.dumps(obj, sort_keys=True, separators=(",", ":"))
             name = (
-                "sc-" + hashlib.sha1(payload.encode()).hexdigest()[:20]
+                prefix + hashlib.sha1(payload.encode()).hexdigest()[:20]
                 + ".json"
             )
             p = os.path.join(meta_dir, name)
@@ -672,12 +657,86 @@ class LakeTable:
                 # content-addressed: a concurrent identical write is
                 # byte-identical, so rename-replace (not CAS) is safe
                 os.rename(tmp, p)
-            refs[bid] = name
+            return name
+
+        buckets = manifest.get("buckets") or {}
+        deltas = manifest.get("delta_files") or {}
+        stats = manifest.get("file_stats") or {}
+        refs: dict[str, str] = {}
+        for bid in set(buckets) | set(deltas):
+            files = buckets.get(bid) or []
+            dfiles = deltas.get(bid) or []
+            if not files and not dfiles:
+                continue
+            scoped = files + dfiles
+            refs[bid] = _write_sidecar("sc-", {
+                "files": files,
+                "delta_files": dfiles,
+                "file_stats": {r: stats[r] for r in scoped if r in stats},
+            })
         out = {
             k: v for k, v in manifest.items() if k not in _BIG_MANIFEST_KEYS
         }
         out["bucket_refs"] = refs
+        # blooms are the BULK of the metadata (a bitset per file per
+        # column) but only point lookups consume them — they spill to
+        # their OWN per-bucket sidecars (scb-*) that readers load
+        # LAZILY (see _bloom_map), so plain scans never pay the bloom
+        # bytes. Inline blooms present => (re)split; an explicit empty
+        # dict is the wholesale-invalidation signal (rename/rewrite
+        # paths) and drops the refs; no inline key => carry the
+        # parent's refs forward verbatim (entries for rewritten files
+        # go stale-but-harmless: lookups are keyed by LIVE file path,
+        # and data file names are never reused).
+        inline_blooms = manifest.get("file_blooms")
+        if inline_blooms is not None:
+            out.pop("bloom_refs", None)
+            if inline_blooms:
+                bloom_refs: dict[str, str] = {}
+                for bid in set(buckets) | set(deltas):
+                    scoped = (buckets.get(bid) or []) + (deltas.get(bid) or [])
+                    entries = {
+                        r: inline_blooms[r] for r in scoped
+                        if r in inline_blooms and inline_blooms[r]
+                    }
+                    if entries:
+                        bloom_refs[bid] = _write_sidecar("scb-", entries)
+                if bloom_refs:
+                    out["bloom_refs"] = bloom_refs
         out["metadata_spill"] = True
+        return out
+
+    def _bloom_map(
+        self,
+        bucket_ids: Sequence[int] | None = None,
+        manifest: dict | None = None,
+    ) -> dict:
+        """Per-file bloom entries ({rel: {col: meta}}): the inline map
+        when present, else lazily-loaded ``bloom_refs`` sidecars
+        (optionally only the given buckets'). Sidecars are
+        content-addressed, so the per-ref cache can never go stale."""
+        m = self.manifest if manifest is None else manifest
+        inline = m.get("file_blooms")
+        if inline is not None:
+            return inline
+        refs = m.get("bloom_refs") or {}
+        if bucket_ids is not None:
+            want = {str(b) for b in bucket_ids}
+            refs = {b: r for b, r in refs.items() if b in want}
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        out: dict = {}
+        for b in sorted(refs):
+            ref = refs[b]
+            if ref not in cache:
+                try:
+                    with open(os.path.join(meta_dir, ref)) as fh:
+                        cache[ref] = json.load(fh)
+                except FileNotFoundError:
+                    cache[ref] = {}
+            out.update(cache[ref])
         return out
 
     def _advance_hint(self, meta_dir: str) -> None:
@@ -1183,7 +1242,7 @@ class LakeTable:
         for c in cols:
             if c not in self.schema.names:
                 raise LakeError(f"analyze_bloom: unknown column {c!r}")
-        prev = self.manifest.get("file_blooms", {})
+        prev = self._bloom_map()  # inline or lazily-loaded scb sidecars
         live = [
             rel for files in self.manifest["buckets"].values()
             for rel in files
@@ -1317,7 +1376,9 @@ class LakeTable:
         delta_ids = sorted(b for b in wanted if dm.get(str(b)))
         plain_ids = sorted(wanted - set(delta_ids))
 
-        blooms = self.manifest.get("file_blooms", {})
+        # lazy: only the scanned buckets' bloom sidecars load (a plain
+        # scan never touches bloom bytes at all)
+        blooms = self._bloom_map(plain_ids)
         pos_cache: dict[tuple[int, int], list[int]] = {}
         bm = self.manifest["buckets"]
         files: list[str] = []
@@ -2485,6 +2546,12 @@ class LakeTable:
                 set(parent.get("dropped_columns", [])) | {name}
             )
             # stats/blooms for the dead column are meaningless — strip
+            # (blooms may live in lazy scb sidecars: materialize the
+            # parent's map inline so the strip lands; dehydrate
+            # re-splits on commit)
+            if "file_blooms" not in m and m.get("bloom_refs"):
+                m["file_blooms"] = self._bloom_map(manifest=parent)
+                m.pop("bloom_refs", None)
             for cat in ("file_stats", "file_blooms"):
                 entries = m.get(cat)
                 if entries:
@@ -3163,7 +3230,10 @@ class LakeTable:
 
         def _refs_of(path: str) -> set[str]:
             with open(path) as fh:
-                return set((json.load(fh).get("bucket_refs") or {}).values())
+                m = json.load(fh)
+            return set((m.get("bucket_refs") or {}).values()) | set(
+                (m.get("bloom_refs") or {}).values()
+            )
 
         live: set[str] = set()
         for v in keep:
@@ -3293,15 +3363,15 @@ class LakeTable:
             for files in m.get("delta_files", {}).values():
                 referenced.update(files)
             with open(os.path.join(meta_dir, f)) as fh:
-                live_sidecars.update(
-                    (json.load(fh).get("bucket_refs") or {}).values()
-                )
+                raw = json.load(fh)
+            live_sidecars.update((raw.get("bucket_refs") or {}).values())
+            live_sidecars.update((raw.get("bloom_refs") or {}).values())
         cutoff_meta = time.time() - grace_seconds
         for f in os.listdir(meta_dir):
             # sidecars written by a commit that lost its CAS (or
             # crashed pre-CAS) are unreferenced; grace-gate like data
             if (
-                f.startswith("sc-") and f.endswith(".json")
+                f.startswith(("sc-", "scb-")) and f.endswith(".json")
                 and f not in live_sidecars
             ):
                 p = os.path.join(meta_dir, f)
@@ -3355,7 +3425,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         fstats = self.manifest.get("file_stats", {})
-        blooms = self.manifest.get("file_blooms", {})
+        blooms = self._bloom_map()  # files_df is O(files) introspection
         pdf = set(self.manifest.get("partial_delta_files", []))
         rows = []
         for kind, mapping in (

@@ -257,3 +257,41 @@ def test_compact_max_buckets_budget(spark, tmp_path):
     assert all(len(fs) == 1 for fs in t.manifest["buckets"].values())
     got = {r.k: r.v for r in t.read().collect()}
     assert got[3] == "f33" and got[20] == "v20"
+
+
+def test_lazy_bloom_sidecars(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.analyze_bloom(["k"])
+    raw = _raw_manifest(t)
+    assert raw.get("bloom_refs") and all(
+        r.startswith("scb-") for r in raw["bloom_refs"].values()
+    )
+    assert "file_blooms" not in raw
+    # a fresh load does NOT hydrate bloom bytes (lazy)
+    t2 = LakeTable.load(spark, t.root)
+    assert "file_blooms" not in t2.manifest
+    # point lookup with bucket pruning loads ONLY that bucket's
+    # bloom sidecar (lazy per-bucket hydration)
+    b3 = spark.range(1).select(
+        t2.bucket_of(F.lit(3).cast("long")).alias("b")
+    ).collect()[0].b
+    assert t2.read_where_eq("k", 3, buckets=[b3]).collect()[0].v == "v3"
+    loaded_refs = set(getattr(t2, "_bloom_cache", {}))
+    assert 0 < len(loaded_refs) < len(raw["bloom_refs"])
+    # a later merge carries bloom refs forward; rewritten files simply
+    # have no entry (read, never wrongly skipped)
+    t2.merge(_batch(spark, [3], v="w"), epoch_id="e9", op_col=None,
+             order_cols=())
+    assert t2.read_where_eq("k", 3).collect()[0].v == "w3"
+    # expire collects scb sidecars referenced only by expired manifests
+    for i in range(3):
+        t2.analyze_bloom(["k"])
+        t2.merge(_batch(spark, [i], v=f"x{i}"), epoch_id=f"x{i}",
+                 op_col=None, order_cols=())
+    t2.expire_snapshots(keep_last=1)
+    live = set(_raw_manifest(t2).get("bloom_refs", {}).values())
+    on_disk = {
+        f for f in os.listdir(os.path.join(t2.root, MANIFEST_DIR))
+        if f.startswith("scb-")
+    }
+    assert live <= on_disk
