@@ -84,6 +84,8 @@ def test_untouched_buckets_reuse_sidecars(spark, tmp_path):
 
 
 def test_default_threshold_stays_inline_when_small(spark, tmp_path):
+    if os.environ.get("SPARK_GRAFT_META_SPILL_BYTES") == "0":
+        pytest.skip("env forces spill; default-inline premise is void")
     t = _make(spark, tmp_path, props=None)
     raw = _raw_manifest(t)
     assert "bucket_refs" not in raw and "buckets" in raw
