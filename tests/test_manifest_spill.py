@@ -297,3 +297,15 @@ def test_lazy_bloom_sidecars(spark, tmp_path):
         if f.startswith("scb-")
     }
     assert live <= on_disk
+
+
+def test_history_and_snapshots_df_on_spilled_table(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.merge(_batch(spark, [1], v="w"), epoch_id="e1", mode="mor",
+            op_col=None, order_cols=())
+    hist = LakeTable.history(t.root)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    # refs-aware bucket count: data-bearing buckets, not zero
+    assert hist[-1]["n_buckets_with_data"] > 0
+    rows = {r.version: r for r in t.snapshots_df().collect()}
+    assert rows[2].n_delta_files >= 1  # hydrated counts, not refs
