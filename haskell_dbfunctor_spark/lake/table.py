@@ -3092,6 +3092,32 @@ class LakeTable:
         )
         return {"version": committed["version"], "renamed": {old: new}}
 
+    def maintain(
+        self,
+        *,
+        max_buckets: int = 32,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 2,
+        prune_lineage: bool = False,
+        grace_seconds: int = 3600,
+    ) -> dict:
+        """One-shot maintenance cycle (the nightly cron body): budgeted
+        compaction of the worst-fragmented buckets, snapshot expiry,
+        then the grace-gated orphan sweep. Each step is independently
+        safe and idempotent; repeated cycles converge the layout
+        (``compact(max_buckets=K)`` picks the worst fragments each
+        run). CLI twin: ``jobs/lake_maintenance.py maintain``."""
+        return {
+            "compact": self.compact(
+                target_file_bytes=target_file_bytes,
+                max_buckets=max_buckets,
+            ),
+            "expire": self.expire_snapshots(
+                keep_last=keep_last, prune_lineage=prune_lineage
+            ),
+            "orphans": self.remove_orphans(grace_seconds=grace_seconds),
+        }
+
     def rebucket(
         self,
         new_num_buckets: int,

@@ -362,19 +362,13 @@ def main(argv: list[str] | None = None) -> int:
             keep_last=args.keep_last, prune_lineage=args.prune_lineage
         )
     elif args.action == "maintain":
-        res = {
-            "compact": table.compact(
-                target_file_bytes=args.target_file_mb * 1024 * 1024,
-                max_buckets=args.max_buckets,
-            ),
-            "expire": table.expire_snapshots(
-                keep_last=args.keep_last,
-                prune_lineage=args.prune_lineage,
-            ),
-            "orphans": table.remove_orphans(
-                grace_seconds=args.grace_seconds
-            ),
-        }
+        res = table.maintain(
+            max_buckets=args.max_buckets,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            keep_last=args.keep_last,
+            prune_lineage=args.prune_lineage,
+            grace_seconds=args.grace_seconds,
+        )
     elif args.action == "compact-deltas":
         res = table.compact_deltas()
     elif args.action == "drop-column":

@@ -309,3 +309,15 @@ def test_history_and_snapshots_df_on_spilled_table(spark, tmp_path):
     assert hist[-1]["n_buckets_with_data"] > 0
     rows = {r.version: r for r in t.snapshots_df().collect()}
     assert rows[2].n_delta_files >= 1  # hydrated counts, not refs
+
+
+def test_maintain_method_cycle(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    for i in range(4):
+        t.merge(_batch(spark, [i], v=f"m{i}"), epoch_id=f"m{i}",
+                mode="mor", op_col=None, order_cols=())
+    res = t.maintain(max_buckets=2, keep_last=1, prune_lineage=True,
+                     grace_seconds=0)
+    assert res["compact"]["buckets_compacted"] == 2
+    assert res["expire"]["expired_versions"]
+    assert t.read().count() == 32
