@@ -153,7 +153,7 @@ def _atomic_claim_json(path: str, obj: dict) -> None:
 # table is an O(100 MB) JSON rewritten on EVERY commit, even one that
 # touched a single bucket). Spilled manifests instead store
 # ``bucket_refs: {bucket_id: "sc-<sha1>.json"}`` where each sidecar holds
-# that bucket's base files, delta files, and their stats/bloom entries.
+# that bucket's base files, delta files, and their stats entries.
 # Sidecars are CONTENT-ADDRESSED: an untouched bucket hashes to the same
 # name, so a commit writes only the touched buckets' sidecars + a small
 # manifest — O(touched), not O(table). Sidecars are written before the
@@ -161,7 +161,11 @@ def _atomic_claim_json(path: str, obj: dict) -> None:
 # orphan sidecars for gc_orphans; expire_snapshots removes sidecars
 # referenced only by expired manifests. Readers hydrate back to the
 # inline shape at load, so every consumer of ``manifest["buckets"]`` /
-# ``file_stats`` / ``file_blooms`` is unaffected.
+# ``file_stats`` is unaffected. Blooms are the asymmetric case: ~10x
+# the bytes of min/max stats but consumed only by point lookups, so
+# they spill to their OWN lazily-loaded scb-* sidecars (``bloom_refs``
+# + ``_bloom_map``) and are NOT hydrated at load; stats stay eagerly
+# hydrated (small + consulted by every read_where).
 META_SPILL_BYTES_DEFAULT = 4 * 1024 * 1024
 _BIG_MANIFEST_KEYS = ("buckets", "delta_files", "file_stats", "file_blooms")
 
