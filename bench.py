@@ -254,7 +254,9 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     cdc = run_cdc(spark, cdc_events, n_epochs=4)
     cdc_mor = run_cdc(spark, cdc_events, n_epochs=4, mode="mor")
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    calib_end = calibration_seconds()
+    heavies = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -263,24 +265,47 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
         "cores": cores,
         "cdc": cdc,
         "cdc_mor": cdc_mor,
+        "cdc_events_per_sec": cdc_mor["steady_events_per_sec"],
+        "cdc_events_per_sec_cow": cdc["steady_events_per_sec"],
+        "host_load1_start": load_start,
+        "host_load1_end": _load1(),
+        "calib_s_start": calib_start,
+        "calib_s_end": calib_end,
+    }
+    # Full per-query detail goes to a sidecar file: the 100-query
+    # timings dict pushed the stdout JSON line past the driver's ~2.2KB
+    # tail-capture window in round 2, front-truncating the line into
+    # unparseability (BENCH_r02 parsed: null). stdout carries a compact
+    # summary (headline total, CDC steady rates, calibration dosimeter,
+    # 5 heaviest queries) that fits well inside the capture window.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": heavies,  # 5 heaviest; full dict in BENCH_DETAIL.json
+        "n_queries": len(timings),
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
         # headline = merge-on-read, the production mode at 10^10 scale
         # (an epoch is <<1% of the table; CoW would rewrite O(table)
         # per epoch). Both modes produce identical final state, and the
-        # MoR timing INCLUDES its periodic delta compaction (run_cdc
-        # passes compact_every), so the deferred cost is charged — not
-        # a write-only number.
+        # MoR timing INCLUDES its periodic delta compaction, so the
+        # deferred cost is charged — not a write-only number.
         "cdc_events_per_sec": cdc_mor["steady_events_per_sec"],
         "cdc_events_per_sec_cow": cdc["steady_events_per_sec"],
-        # co-tenant context: this shared SMT host swings wall-clock up
-        # to 5x on a minutes timescale (see BENCH.md); loadavg >> own
-        # thread count means the numbers are contention-inflated
+        # co-tenant context (see BENCH.md): single-thread CPU dosimeter,
+        # quiet ~0.30s; divide timings by calib/0.30 before comparing
         "host_load1_start": load_start,
         "host_load1_end": _load1(),
-        # single-thread CPU dosimeter (quiet ~0.30s): hypervisor
-        # throttling is invisible to loadavg/steal here, so divide
-        # timings by calib/0.30 before comparing runs
         "calib_s_start": calib_start,
-        "calib_s_end": calibration_seconds(),
+        "calib_s_end": calib_end,
+        "detail_file": "BENCH_DETAIL.json",
     }))
 
 

@@ -190,6 +190,17 @@ def union_all(l: DataFrame, r: DataFrame) -> DataFrame:
     return l.unionByName(r)
 
 
+def union_keep_left_dups(l: DataFrame, r: DataFrame) -> DataFrame:
+    """Reference-exact runUnion (Core.hs:3004-3005): left-side rows pass
+    through with their multiplicity PRESERVED; only right-side rows not
+    already present on the left are appended (each once). Differs from
+    SQL UNION (``union``), which dedups globally — the reference
+    implements Data.List.union (xs ++ [y | y <- nub ys, y ∉ xs]): left
+    dups survive, appended right rows are nub-ed and membership-tested
+    against the WHOLE left — which is exactly SQL EXCEPT (subtract)."""
+    return l.unionByName(r.subtract(l))
+
+
 def intersect(l: DataFrame, r: DataFrame) -> DataFrame:
     """runIntersect / i (Core.hs:3078-3101)."""
     return l.intersect(r)
@@ -585,7 +596,14 @@ def upsert(
             raise UniquenessViolationInUpsert(
                 f"upsert source not unique on {list(match_cols)}"
             )
-    ta, sa = target.alias("__t"), source.alias("__s")
+    # Side presence via literal markers, NEVER key[0].isNotNull: a
+    # TARGET row whose first match column is NULL matches nothing
+    # (reference NULL equality, Core.hs:802-824) and must pass through
+    # untouched as T2 — keying presence off the join key would classify
+    # it as an S1 insert and null its payload (the lake merge pins the
+    # same rule with __s_present/__t_present; see CLAUDE.md).
+    ta = target.withColumn("__t_present", F.lit(True)).alias("__t")
+    sa = source.withColumn("__s_present", F.lit(True)).alias("__s")
     tc = lambda c: F.col(f"__t.{c}")  # noqa: E731
     sc = lambda c: F.col(f"__s.{c}")  # noqa: E731
     cond = None
@@ -593,8 +611,8 @@ def upsert(
         eq = tc(c) == sc(c)
         cond = eq if cond is None else cond & eq
     j = ta.join(sa, cond, "full_outer")
-    t_present = tc(match_cols[0]).isNotNull()
-    s_present = sc(match_cols[0]).isNotNull()
+    t_present = tc("__t_present").isNotNull()
+    s_present = sc("__s_present").isNotNull()
     may_update = t_present & (
         matched_filter if matched_filter is not None else F.lit(True)
     )

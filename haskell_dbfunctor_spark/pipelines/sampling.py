@@ -26,6 +26,8 @@ Core.hs); this is a training-pipeline extension (north rule).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 _SCALE = 16 ** 8  # 8 hex digits of md5

@@ -337,7 +337,7 @@ def ivf_top_k(
 def semantic_dedup(
     embeddings: DataFrame,
     *,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     refine_iters: int = 1,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -349,15 +349,26 @@ def semantic_dedup(
     ``dup_of`` = the smallest such clustermate (NULL if none) — the
     deterministic keep-first rule — and ``keep`` = dup_of IS NULL.
 
-    Scale: the quadratic pair generation is confined to clusters
-    (Σ|cluster|² with n_centroids ~ sqrt(N), not N²) — the
-    precision/recall trade SemDeDup makes by construction (cross-
-    cluster near-dups are invisible). The cid self-join is a
+    Scale: the quadratic pair generation is confined to clusters — with
+    n_centroids ~ sqrt(N) the expected pair volume is Σ|cluster|² ≈
+    N²/n_centroids ≈ N^1.5, not N². That only holds if the centroid
+    count GROWS with the corpus, so the default (``n_centroids=None``)
+    counts the corpus and uses ceil(sqrt(N)) clamped to [8, 65536];
+    a fixed small count re-opens the quadratic (8 cells at 100× corpus
+    → each cluster 12.5× bigger → 156× the pairs). Callers needing a
+    pinned, oracle-reproducible clustering (q93) pass it explicitly.
+    This is the precision/recall trade SemDeDup makes by construction
+    (cross-cluster near-dups are invisible). The cid self-join is a
     low-cardinality exploding join, so it is salted + width-pinned
     (AQE would coalesce it into one task — the q24/q42/q47 trap).
     """
     from ..operators.skew import salted_equi_join
 
+    if n_centroids is None:
+        import math
+
+        n = embeddings.count()  # one cheap count-star pass
+        n_centroids = min(65536, max(8, math.isqrt(max(n, 1) - 1) + 1))
     cent = ivf_train(embeddings, n_centroids, refine_iters)
     # materialize the (tiny: n_centroids rows) trained quantizer ONCE:
     # its plan is two full-corpus aggregations, and `assigned` feeds

@@ -173,13 +173,24 @@ def vocabulary(docs: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, *, broadcast_vocab: bool = True
+) -> DataFrame:
     """Per-doc top-k terms by tf-idf (tf * ln(N/df)), ranked with a
     per-doc window (group-wise top-k). Scores are rounded to 6dp
     BEFORE ranking: ln() differs across engines in the last ulp, and
     mathematically-equal scores from different (tf, df) pairs (e.g.
     2*ln(10) vs ln(100)) must tie identically everywhere; ties break
-    on the term."""
+    on the term.
+
+    Scale contract: the document-frequency table has one row per
+    DISTINCT word — at web-corpus scale that is ~10^7 rows of strings,
+    borderline-to-over Spark's broadcast limits. Default
+    ``broadcast_vocab=True`` broadcasts it (right for bounded vocabs);
+    pass ``broadcast_vocab=False`` to fall back to a shuffle hash join
+    on the word key (the tf side is already shuffled on (doc_id, word),
+    so the extra exchange is vocab-sized, not corpus-sized). Same knob
+    and rationale as ``bpe_apply_counts``."""
     from pyspark.sql import Window
 
     words = docs.select(
@@ -191,8 +202,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    df_side = F.broadcast(df_) if broadcast_vocab else df_
     scored = (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(df_side, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
@@ -408,7 +420,9 @@ def length_histogram(docs: DataFrame, bucket: int = 50) -> DataFrame:
     )
 
 
-def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+def unigram_logprob_scores(
+    docs: DataFrame, *, broadcast_vocab: bool = True
+) -> DataFrame:
     """Language-model quality proxy: each document's mean unigram
     log-probability under the corpus's OWN unigram distribution —
     documents full of rare/garbage tokens score low, fluent ones high;
@@ -416,9 +430,14 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     external LM is available (and the plumbing is identical when the
     frequency table comes from a real LM instead). Plan: one token
     explode, one vocab-sized frequency aggregation, a broadcast of the
-    single-row corpus total, and a broadcastable vocab join back onto
-    the token stream — no global window, no UDF; at 100 TB the vocab
-    table is tiny relative to the corpus so the join stays broadcast.
+    single-row corpus total, and a vocab join back onto the token
+    stream — no global window, no UDF.
+
+    Scale contract: the frequency table has one row per DISTINCT word.
+    It is tiny relative to the corpus, but NOT bounded — at web scale
+    ~10^7 string rows can exceed broadcast limits. Default broadcasts;
+    pass ``broadcast_vocab=False`` for a shuffle hash join on the word
+    key instead (same knob as ``bpe_apply_counts``/``tfidf_top_terms``).
 
     Output: (doc_id, mean_logprob, n_scored_tokens).
     """
@@ -427,9 +446,8 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     ).where(F.col("w") != "")
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
-    scored = words.join(F.broadcast(freq), "w").crossJoin(
-        F.broadcast(total)
-    )
+    freq_side = F.broadcast(freq) if broadcast_vocab else freq
+    scored = words.join(freq_side, "w").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias(
             "mean_logprob"

@@ -1,1 +1,3 @@
-from .csv import CSVOptions, TableMeta, read_csv, write_csv  # noqa: F401
+from .csv import (  # noqa: F401
+    CSVOptions, TableMeta, copy_csv, read_csv, write_csv,
+)

@@ -143,6 +143,29 @@ def write_csv(
     )
 
 
+def copy_csv(
+    spark, src: str, dst: str, options: CSVOptions | None = None
+) -> None:
+    """copyCSV (CSV.hs:302-309) — read a CSV, write it back out
+    (readCSV >> writeCSV: a parse/encode round-trip, not a byte copy).
+    Distributed: the reader/writer pair handles files of any size; for
+    a single local file the output is one part per input split."""
+    opts = options or CSVOptions()
+    df = (
+        spark.read.option("sep", opts.delimiter)
+        .option("header", str(opts.has_header).lower())
+        .option("inferSchema", "false")
+        .csv(src)
+    )
+    (
+        df.write.option("sep", opts.delimiter)
+        .option("header", str(opts.has_header).lower())
+        .option("emptyValue", "")
+        .mode("overwrite")
+        .csv(dst)
+    )
+
+
 def head_csv(df: DataFrame):
     """headCSV (CSV.hs:679-680) — the first row (file order for a
     single-file read; arbitrary-but-deterministic otherwise)."""

@@ -101,3 +101,17 @@ def test_print_rtable_formats(spark, capsys):
     out = capsys.readouterr().out
     assert "1.50" in out  # %.2f double formatting (CSV.hs:430)
     assert "x" in out
+
+
+def test_copy_csv(spark, csv_path, tmp_path):
+    # copyCSV (CSV.hs:302-309): readCSV >> writeCSV round trip
+    from haskell_dbfunctor_spark.sources import copy_csv
+
+    dst = str(tmp_path / "copied")
+    copy_csv(spark, csv_path, dst, CSVOptions(delimiter=";"))
+    back = read_csv(spark, dst, META, CSVOptions(delimiter=";"))
+    orig = read_csv(spark, csv_path, META, CSVOptions(delimiter=";"))
+    assert back.count() == orig.count()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orig.collect())
+    )

@@ -170,6 +170,21 @@ def test_set_ops(rt, rt_pdf):
     assert union_all(a, b).count() == a.count() + b.count()
 
 
+def test_union_keep_left_dups(spark):
+    # Data.List.union parity (Core.hs:3004-3005): left dups preserved,
+    # right appended nub-ed and only if absent from the left
+    from haskell_dbfunctor_spark.operators import union_keep_left_dups
+
+    l = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, v int"
+    )
+    r = spark.createDataFrame(
+        [("a", 1), ("c", 3), ("c", 3), ("d", 4)], "k string, v int"
+    )
+    got = sorted(map(tuple, union_keep_left_dups(l, r).collect()))
+    assert got == [("a", 1), ("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+
 def test_minus_null_aware(spark):
     # NULL = NULL for set membership (areTheyEqual, Core.hs:3204-3228)
     a = spark.createDataFrame([(None, 1), ("x", 2)], "k string, v int")
@@ -307,6 +322,32 @@ def test_upsert_reference_semantics(spark):
     # full-row CDC style (update_cols=None) skips the eager extra scan:
     # callers dedupe upstream (LWW); construction must not raise
     upsert(trg, dup_src, ["k"])
+
+
+def test_upsert_null_keyed_target_passthrough(spark):
+    # A NULL-keyed TARGET row matches nothing (reference NULL equality,
+    # Core.hs:802-824) and must survive as T2 with its payload intact.
+    # Regression: presence derived from key[0].isNotNull classified it
+    # as an S1 insert and nulled every non-key column.
+    trg = spark.createDataFrame(
+        [("a", 1, "old"), (None, 99, "keepme")], ["k", "v", "tag"]
+    )
+    src = spark.createDataFrame([("a", 10, "new")], ["k", "v", "tag"])
+    out = upsert(trg, src, ["k"], update_cols=["v"]).toPandas()
+    assert len(out) == 2
+    nullrow = out[out["k"].isna()].iloc[0]
+    assert nullrow["v"] == 99 and nullrow["tag"] == "keepme"
+    arow = out[out["k"] == "a"].iloc[0]
+    assert arow["v"] == 10 and arow["tag"] == "old"
+
+    # symmetric: a NULL-keyed SOURCE row matches nothing → S1 insert
+    src2 = spark.createDataFrame(
+        [(None, 7, "ins")], "k string, v bigint, tag string"
+    )
+    out2 = upsert(trg, src2, ["k"], update_cols=["v"]).toPandas()
+    assert len(out2) == 3
+    assert (out2["k"].isna().sum()) == 2
+    assert set(out2[out2["k"].isna()]["tag"]) == {"keepme", "ins"}
 
 
 # ------------------------------------------------------ column mapping
