@@ -127,12 +127,20 @@ def _conjunct_bounds(predicate: str) -> list[tuple[str, str, object]] | None:
 def _file_cannot_match(entry: dict, bounds) -> bool:
     """True iff the file's [min, max] stats PROVE no row satisfies the
     conjunction. Mixed-type comparisons (e.g. string stats vs numeric
-    literal) never prune."""
+    literal) never prune. String domains never prune either: Spark
+    orders strings by Java UTF-16 code units while Python compares
+    code points — beyond the BMP (emoji in transcripts) the orderings
+    DIVERGE, so a code-point range check against code-unit-ordered
+    min/max stats could wrongly prove non-match and silently skip a
+    matching file. Numeric/timestamp bounds (the retention shape that
+    matters at scale) are ordering-stable across both."""
     for col, op, v in bounds:
         s = entry.get(col)
         if s is None:
             continue
         fmin, fmax = s
+        if isinstance(v, str) or isinstance(fmin, str) or isinstance(fmax, str):
+            continue
         try:
             if op == "=" and (v < fmin or v > fmax):
                 return True

@@ -26,9 +26,11 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from .table import LakeError, LakeTable
+from .table import SYNC_EPOCH_PREFIX, LakeError, LakeTable
 
-SYNC_PREFIX = "sync-v"
+# single source of truth lives in table.py: _commit's epoch-retention
+# pruning pins the newest entry with this prefix (the cursor)
+SYNC_PREFIX = SYNC_EPOCH_PREFIX
 
 
 def sync_cursor(dst: LakeTable) -> int:

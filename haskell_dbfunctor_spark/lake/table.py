@@ -62,6 +62,9 @@ from pyspark.sql import (
 MANIFEST_DIR = "metadata"
 DATA_DIR = "data"
 BUCKET_COL = "__bucket"
+# sync_table's cursor epoch prefix (lake/sync.py imports this): the
+# newest such entry is exempt from epochs.retention-count pruning
+SYNC_EPOCH_PREFIX = "sync-v"
 
 
 class LakeError(Exception):
@@ -576,13 +579,29 @@ class LakeTable:
         if epoch_ret > 0 and len(applied) > epoch_ret:
             def _applied_v(rec):
                 return rec.get("version", -1) if isinstance(rec, dict) else -1
-            keep = sorted(
+            keep = set(sorted(
                 applied, key=lambda e: (_applied_v(applied[e]), e)
-            )[-epoch_ret:]
+            )[-epoch_ret:])
+            # cursor-bearing epochs are EXEMPT from retention: the
+            # newest "sync-v<N>" entry IS sync_table's cursor — pruning
+            # it (easy on a destination that also takes non-sync
+            # merges) regresses the cursor to 0, and the next sync
+            # re-walks the whole source history (O(table)) or dies on
+            # expired source manifests. Only the newest entry per
+            # prefix is pinned, so the log stays bounded.
+            sync_entries = [
+                e for e in applied if e.startswith(SYNC_EPOCH_PREFIX)
+            ]
+            if sync_entries:
+                keep.add(max(
+                    sync_entries, key=lambda e: (_applied_v(applied[e]), e)
+                ))
             manifest["epochs_pruned"] = (
                 manifest.get("epochs_pruned", 0) + len(applied) - len(keep)
             )
-            manifest["applied_epochs"] = {e: applied[e] for e in keep}
+            manifest["applied_epochs"] = {
+                e: applied[e] for e in applied if e in keep
+            }
         # drop file_stats entries for files no longer referenced by
         # this snapshot (rewritten/removed) — bounds manifest size and
         # guarantees read_where never consults a dead path's stats
@@ -1129,7 +1148,20 @@ class LakeTable:
         def apply(parent: dict) -> dict:
             m = dict(parent)
             m["version"] = parent["version"] + 1
-            m["file_stats"] = stats
+            # MERGE per-file entries into the up-to-date parent's map
+            # instead of replacing it wholesale: two concurrent
+            # analyzes of DIFFERENT columns would otherwise be
+            # last-writer-wins and one side's stats silently vanish
+            # (never a wrong skip — just invisible lost pruning).
+            # Ours wins per (file, column) — recomputed from footers,
+            # so both sides' values are identical anyway.
+            merged = {
+                rel: dict(entry)
+                for rel, entry in (parent.get("file_stats") or {}).items()
+            }
+            for rel, entry in stats.items():
+                merged.setdefault(rel, {}).update(entry)
+            m["file_stats"] = merged
             return m
 
         # metadata-only commit: touched=() means it rebases over ANY
@@ -1185,10 +1217,18 @@ class LakeTable:
         bm = self.manifest["buckets"]
         files: list[str] = []
         self.last_pruned_files = 0  # introspection for tests/metrics
+        # string domains never stat-prune: Spark orders strings by Java
+        # UTF-16 code units, Python by code points — beyond the BMP the
+        # orderings diverge, so a code-point range check could wrongly
+        # skip a matching file. Numeric/timestamp (epoch-seconds) stats
+        # are ordering-stable across both (same rule as dml.py).
+        _strings = (isinstance(klo, str), isinstance(khi, str))
         for b in plain_ids:
             for rel in bm.get(str(b), []):
                 s = fstats.get(rel, {}).get(col)
-                if s is not None:
+                if s is not None and not any(_strings) and not (
+                    isinstance(s[0], str) or isinstance(s[1], str)
+                ):
                     fmin, fmax = s
                     if (khi is not None and fmin > khi) or (
                         klo is not None and fmax < klo
@@ -1328,7 +1368,19 @@ class LakeTable:
         def apply(parent: dict) -> dict:
             m = dict(parent)
             m["version"] = parent["version"] + 1
-            m["file_blooms"] = blooms
+            # MERGE per-(file, column) into the up-to-date parent's
+            # bloom map (hydrating its lazy scb sidecars if spilled):
+            # wholesale assignment would make two concurrent
+            # analyze_blooms of different columns last-writer-wins —
+            # the loser's blooms silently vanish (lost pruning, never
+            # a wrong skip). Ours wins per cell; both sides compute
+            # identical bitsets for the same (file, column, type).
+            pmap = self._bloom_map(manifest=parent)
+            merged = {rel: dict(e) for rel, e in pmap.items()}
+            for rel, entry in blooms.items():
+                if entry:
+                    merged.setdefault(rel, {}).update(entry)
+            m["file_blooms"] = merged
             return m
 
         self._commit_rebased(base=self.manifest, touched=(), apply=apply)
@@ -1594,8 +1646,16 @@ class LakeTable:
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         v = current
         while v > version:
-            with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
-                v = json.load(fh).get("parent", v - 1)
+            try:
+                with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                    v = json.load(fh).get("parent", v - 1)
+            except OSError as e:
+                raise LakeError(
+                    f"changes_since: cursor {version} is outside the "
+                    f"retained snapshot window (manifest v{v} expired — "
+                    "expire_snapshots ran past it); the consumer must "
+                    "re-bootstrap from a full read"
+                ) from e
             chain.append(v)
         if chain[-1] != version:
             raise LakeError(
@@ -1962,6 +2022,9 @@ class LakeTable:
             )
             qtag = epoch_id if epoch_id is not None else uuid.uuid4().hex[:8]
             qdir = os.path.join(self.root, "quarantine", f"e_{qtag}")
+            # epoch-keyed tags are overwrite-idempotent across retries;
+            # a uuid tag is NOT — a failed/skipped attempt tears its
+            # dir down via _drop_ephemeral_quarantine below
             obs_q = Observation(f"quar_{qtag}_{uuid.uuid4().hex[:6]}")
             (
                 bad.observe(obs_q, F.count(F.lit(1)).alias("n"))
@@ -2009,13 +2072,30 @@ class LakeTable:
             )
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
+
+        def _drop_ephemeral_quarantine():
+            # uuid-tagged (no epoch_id) quarantine dirs are per-attempt:
+            # a merge that fails to commit (or no-ops to a racing
+            # writer) must tear its dir down, or the caller's
+            # re-execution writes a second one and quarantine()
+            # double-reports the same violations. Epoch-keyed dirs are
+            # overwrite-idempotent and stay.
+            if expectations and n_quarantined and epoch_id is None:
+                shutil.rmtree(qdir, ignore_errors=True)
+
         if mode == "mor":
-            st = self._append_mor_delta(
-                deduped, key, batch_payload, op_col, new_schema,
-                epoch_id=epoch_id, t0=t0, obs_src=obs_src,
-                files_per_bucket=files_per_bucket, stage_only=stage_only,
-                partial=partial,
-            )
+            try:
+                st = self._append_mor_delta(
+                    deduped, key, batch_payload, op_col, new_schema,
+                    epoch_id=epoch_id, t0=t0, obs_src=obs_src,
+                    files_per_bucket=files_per_bucket, stage_only=stage_only,
+                    partial=partial,
+                )
+            except Exception:
+                _drop_ephemeral_quarantine()
+                raise
+            if st.skipped:
+                _drop_ephemeral_quarantine()
             if expectations:
                 st.extra["quarantined"] = n_quarantined
             return st
@@ -2280,11 +2360,16 @@ class LakeTable:
                 )
             return manifest
 
-        committed = self._commit_rebased(
-            base=base, touched=touched, apply=apply,
-            epoch_id=epoch_id, orphan_dir=snap_abs,
-        )
+        try:
+            committed = self._commit_rebased(
+                base=base, touched=touched, apply=apply,
+                epoch_id=epoch_id, orphan_dir=snap_abs,
+            )
+        except Exception:
+            _drop_ephemeral_quarantine()
+            raise
         if committed is None:  # a racing writer applied this epoch
+            _drop_ephemeral_quarantine()
             return MergeStats(
                 epoch_id=epoch_id, version=self.version, skipped=True
             )
@@ -2654,7 +2739,15 @@ class LakeTable:
             m = dict(staged)
             m.pop("staged", None)
             m.pop("wap_base", None)
-            m["version"] = (self._latest_version_on_disk(self.root) or 0) + 1
+            # Claim EXACTLY pub+1: the CAS on the version number is the
+            # conflict detector for the published chain (same rule as
+            # _commit_rebased). Allocating max-on-disk+1 would silently
+            # skip past a concurrent published commit landing between
+            # the pub load above and the claim — its bucket changes
+            # would be reverted (lost update). The only legal skip is
+            # over a STAGED claimer (not on the published chain),
+            # handled in the retry path below.
+            m["version"] = pub["version"] + 1
             # CDF lineage: the published parent, NOT version-1 (which
             # may be a staged sibling) — changes_since walks this
             m["parent"] = pub["version"]
@@ -2681,15 +2774,36 @@ class LakeTable:
                 set(staged.get("partial_delta_files", []))
                 | set(pub.get("partial_delta_files", []))
             )
-            ae = dict(pub["applied_epochs"])
-            for e in new_epochs:
-                ae[e] = {"version": m["version"], "ts": time.time()}
-            m["applied_epochs"] = ae
-            try:
-                self._commit(m)
-                return {"published": True, "version": m["version"]}
-            except CommitConflict:
-                continue
+            while True:
+                ae = dict(pub["applied_epochs"])
+                for e in new_epochs:
+                    ae[e] = {"version": m["version"], "ts": time.time()}
+                m["applied_epochs"] = ae
+                try:
+                    self._commit(m)
+                    return {"published": True, "version": m["version"]}
+                except CommitConflict:
+                    # inspect the claimer: a STAGED sibling holding the
+                    # number is not on the published chain — keep the
+                    # content and bump to the next number (the one
+                    # legal skip). A PUBLISHED claimer means the chain
+                    # advanced: fall through to the outer loop, which
+                    # reloads pub and RE-VALIDATES against it before
+                    # any new claim (this is the lost-update guard).
+                    try:
+                        with open(
+                            os.path.join(
+                                self.root, MANIFEST_DIR,
+                                f"v{m['version']}.json",
+                            )
+                        ) as fh:
+                            claimer = json.load(fh)
+                    except OSError:
+                        break  # claimed but unreadable yet: re-validate
+                    if claimer.get("staged"):
+                        m["version"] += 1
+                        continue
+                    break
         raise CommitConflict(
             f"publish: gave up after {conflict_retries} retries"
         )

@@ -110,3 +110,46 @@ def test_expectations_under_mor(spark, tmp_path):
     assert st.extra["quarantined"] == 1
     assert set(_state(t)) == {1}
     assert t.quarantine().count() == 1
+
+
+def test_ephemeral_quarantine_cleaned_on_conflict(spark, tmp_path):
+    """A merge WITHOUT an epoch_id tags its quarantine dir with a fresh
+    uuid per attempt; if the commit loses an OCC race on the same
+    bucket (re-execution required), the losing attempt's dir must be
+    removed — otherwise the re-executed merge writes a second dir and
+    quarantine() double-reports the same violations."""
+    from haskell_dbfunctor_spark.lake.table import CommitConflict
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_batch(spark, [(1, "seed", 1, 1)]), epoch_id="e0")
+
+    real_commit = t._commit
+    injected = {"done": False}
+
+    def racing_commit(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            t2 = LakeTable.load(spark, t.root)
+            # same key -> same bucket -> true overlap -> re-execute
+            t2.merge(_batch(spark, [(1, "race", 2, 2)]))
+        return real_commit(manifest)
+
+    bad_batch = _batch(spark, [(1, "", -5, 3), (2, "ok", 5, 3)])
+    t._commit = racing_commit
+    try:
+        try:
+            t.merge(bad_batch, expectations=_expect())
+            conflicted = False
+        except CommitConflict:
+            conflicted = True
+    finally:
+        t._commit = real_commit
+
+    if conflicted:  # losing attempt left NO quarantine residue
+        fresh = LakeTable.load(spark, t.root)
+        assert fresh.quarantine().count() == 0
+        # caller re-executes: exactly one violation recorded
+        fresh.merge(bad_batch, expectations=_expect())
+        assert fresh.quarantine().count() == 1
+    else:  # rebase succeeded (disjoint) — still exactly one record
+        assert LakeTable.load(spark, t.root).quarantine().count() == 1

@@ -183,3 +183,41 @@ def test_maintenance_cli_analyze(spark, table):
     assert rc == 0
     t2 = LakeTable.load(spark, table.root)
     assert any(t2.manifest["file_stats"].values())
+
+
+def test_concurrent_analyze_merges_columns(spark, table):
+    """Two analyzes of DIFFERENT columns racing each other must both
+    survive: the apply closure merges per-(file, column) entries into
+    the up-to-date parent instead of replacing the map wholesale."""
+    table.merge(_batch(spark, [("U", k, f"v{k}", k) for k in range(16)]),
+                epoch_id="e0")
+    # handle B forks from the same base as handle A
+    tb = LakeTable.load(spark, table.root)
+    table.analyze(["seq"])   # commits stats for seq
+    tb.analyze(["k"])        # concurrent commit: stats for k only
+    fresh = LakeTable.load(spark, table.root)
+    fstats = fresh.manifest.get("file_stats") or {}
+    cols_seen = {c for e in fstats.values() for c in e}
+    assert "seq" in cols_seen, "first analyze's stats lost"
+    assert "k" in cols_seen, "second analyze's stats lost"
+    # and both prune
+    fresh.read_where("seq", 1000, None).count()
+    assert fresh.last_pruned_files > 0
+    fresh.read_where("k", 1000, None).count()
+    assert fresh.last_pruned_files > 0
+
+
+def test_string_stats_never_prune(spark, table):
+    """String-domain stats must not file-prune: Python code-point vs
+    Java UTF-16 code-unit ordering diverge beyond the BMP, so a range
+    check could wrongly skip a matching file. Correctness over pruning:
+    the read still returns exact results, with zero skipped files."""
+    table.merge(_batch(spark, [("U", k, f"v{k:02d}", k) for k in range(8)]),
+                epoch_id="e0")
+    table.analyze(["v", "seq"])
+    out = table.read_where("v", "v06", "v07")
+    assert sorted(r["k"] for r in out.collect()) == [6, 7]
+    assert table.last_pruned_files == 0  # strings: no pruning, ever
+    # numeric stats on the same table still prune
+    table.read_where("seq", 1000, None).count()
+    assert table.last_pruned_files > 0

@@ -152,3 +152,47 @@ def test_sync_in_mor_mode(spark, tmp_path):
     assert _got(dst) == _expected(src) == [(1, "AA", 10)]
     dst.compact_deltas()
     assert _got(LakeTable.load(spark, dst.root)) == [(1, "AA", 10)]
+
+
+def test_cursor_survives_epoch_retention(spark, tmp_path):
+    """epochs.retention-count on a destination that also receives
+    non-sync merges must NEVER prune the newest sync-v entry — pruning
+    it regresses the cursor to 0 and the next sync re-walks the whole
+    source history (or dies on expired source manifests)."""
+    src, _ = _mk(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst2"), DST_SCHEMA, key_cols=["k"],
+        num_buckets=2, properties={"epochs.retention-count": "3"},
+    )
+    src.merge(_batch(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]), epoch_id="e0")
+    sync_table(src, dst, _tf)
+    cursor = sync_cursor(dst)
+    assert cursor == src.version
+    # flood the destination with non-sync merges well past retention
+    for i in range(6):
+        dst.merge(
+            spark.createDataFrame(
+                [(100 + i, "X", 0)], "k long, txt_upper string, n2 long"
+            ).select(
+                "k", "txt_upper", "n2",
+                F.lit("U").alias("op"), F.lit(i).alias("seq"),
+            ),
+            epoch_id=f"noise-{i}",
+        )
+    fresh = LakeTable.load(spark, dst.root)
+    assert sync_cursor(fresh) == cursor, "sync cursor pruned by retention"
+    # and the next sync is incremental, not a full re-walk
+    src.merge(_batch(spark, [(3, "c", 3, 2)]), epoch_id="e1")
+    res = sync_table(src, fresh, _tf)
+    assert res["synced_from"] == cursor and not res["skipped"]
+
+
+def test_changes_since_expired_cursor_raises_lake_error(spark, tmp_path):
+    """An expired cursor (manifest GC'd by expire_snapshots) must raise
+    LakeError naming the window, not a raw FileNotFoundError."""
+    src, _ = _mk(spark, tmp_path)
+    for i in range(4):
+        src.merge(_batch(spark, [(i, "x", i, i)]), epoch_id=f"e{i}")
+    src.expire_snapshots(keep_last=2)
+    with pytest.raises(LakeError, match="retained snapshot window"):
+        src.changes_since(1).count()

@@ -301,3 +301,72 @@ def test_branch_refs_stage_publish_and_survive_expiry(spark, tmp_path):
     t.delete_branch("audit")
     with pytest.raises(LakeError):
         t.checkout_branch("audit")
+
+
+def test_publish_race_with_concurrent_published_commit(spark, tmp_path):
+    """Lost-update regression: a PUBLISHED commit landing between
+    publish()'s head load and its version claim must collide on the
+    CAS (publish claims exactly pub+1, never max-on-disk+1), forcing a
+    reload + re-validation — the concurrent commit's bucket changes
+    must survive into the published result."""
+    t = _mk(spark, str(tmp_path / "t"))
+    by_bucket = {}
+    for r in spark.range(40).select(
+        F.col("id").alias("k"), t.bucket_of(F.col("id")).alias("b")
+    ).collect():
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    ka, kb = by_bucket[0][-1], by_bucket[1][-1]
+    st = t.merge(_batch(spark, [ka], "stg"), epoch_id="s", stage_only=True)
+
+    # inject the concurrent disjoint published commit at the worst
+    # moment: after publish() loaded the head, right before its CAS
+    real_commit = t._commit
+    injected = {"done": False}
+
+    def racing_commit(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            t2 = LakeTable.load(spark, t.root)
+            t2.merge(_batch(spark, [kb], "race"), epoch_id="race")
+        return real_commit(manifest)
+
+    t._commit = racing_commit
+    try:
+        res = t.publish(st.version)
+    finally:
+        t._commit = real_commit
+    assert res["published"]
+    got = dict(_state(LakeTable.load(spark, t.root)))
+    # BOTH sides survive: the staged change AND the racing commit
+    assert got[ka] == f"stg{ka}", "staged change lost"
+    assert got[kb] == f"race{kb}", "concurrent published commit reverted"
+    # and the racing epoch is still recorded (no applied_epochs revert)
+    fresh = LakeTable.load(spark, t.root)
+    assert "race" in fresh.manifest["applied_epochs"]
+    assert "s" in fresh.manifest["applied_epochs"]
+
+
+def test_publish_race_overlapping_commit_conflicts(spark, tmp_path):
+    """Same race, but the concurrent published commit touches the SAME
+    bucket as the staged chain: re-validation after the CAS collision
+    must raise CommitConflict, never silently revert the winner."""
+    t = _mk(spark, str(tmp_path / "t"))
+    st = t.merge(_batch(spark, [0], "stg"), epoch_id="s", stage_only=True)
+    real_commit = t._commit
+    injected = {"done": False}
+
+    def racing_commit(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            t2 = LakeTable.load(spark, t.root)
+            t2.merge(_batch(spark, [0], "race"), epoch_id="race")
+        return real_commit(manifest)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict):
+            t.publish(st.version)
+    finally:
+        t._commit = real_commit
+    got = dict(_state(LakeTable.load(spark, t.root)))
+    assert got[0] == "race0", "winner's update must survive"
