@@ -1893,9 +1893,11 @@ def _stats_pruned_read(s: SparkSession, d: str) -> DataFrame:
         pass
 
     def _valid(t) -> bool:
+        # _stats_map is the sanctioned reader (stats may live in lazy
+        # scs-* sidecars on a spilled table, never inline)
         return (
             set(t.applied_epochs()) == {"e0", "e1"}
-            and bool(t.manifest.get("file_stats"))
+            and bool(t._stats_map())
         )
 
     table = None

@@ -213,7 +213,8 @@ def _discover(
         else None
     )
     if bounds and base_files:
-        fstats = table.manifest.get("file_stats", {})
+        # lazy scs sidecars: load only the candidate buckets' stats
+        fstats = table._stats_map(base_ids)
         root = os.path.abspath(table.root)
         kept = []
         for p in base_files:

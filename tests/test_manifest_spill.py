@@ -321,3 +321,54 @@ def test_maintain_method_cycle(spark, tmp_path):
     assert res["compact"]["buckets_compacted"] == 2
     assert res["expire"]["expired_versions"]
     assert t.read().count() == 32
+
+
+def test_lazy_stats_sidecars(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.analyze(["k"])
+    raw = _raw_manifest(t)
+    assert raw.get("stats_refs") and all(
+        r.startswith("scs-") for r in raw["stats_refs"].values()
+    )
+    assert "file_stats" not in raw
+    # sc-* bucket sidecars carry the file listing ONLY — zero stats
+    # bytes ride the mandatory load path
+    meta_dir = os.path.join(t.root, MANIFEST_DIR)
+    for ref in raw["bucket_refs"].values():
+        with open(os.path.join(meta_dir, ref)) as fh:
+            assert "file_stats" not in json.load(fh)
+    # a fresh load does NOT hydrate stats (lazy) and a plain read
+    # touches no scs sidecar at all
+    t2 = LakeTable.load(spark, t.root)
+    assert "file_stats" not in t2.manifest
+    assert t2.read().count() == 32
+    assert not getattr(t2, "_stats_cache", {})
+    # bounded read over a bucket subset loads ONLY those buckets'
+    # stats sidecars, and still prunes
+    some = [int(b) for b in sorted(raw["stats_refs"])[:2]]
+    t2.read_where("k", 10**6, None, buckets=some).count()
+    assert t2.last_pruned_files > 0
+    loaded = set(getattr(t2, "_stats_cache", {}))
+    assert 0 < len(loaded) <= 2
+    # full-range read_where remains correct under spill
+    t3 = LakeTable.load(spark, t.root)
+    got = sorted(r["k"] for r in t3.read_where("k", 5, 7).collect())
+    assert got == [5, 6, 7]
+    # a later merge carries stats refs forward; rewritten files simply
+    # have no live entry (read, never wrongly skipped)
+    t3.merge(_batch(spark, [5], v="w"), epoch_id="e9", op_col=None,
+             order_cols=())
+    got = {r["k"]: r["v"] for r in t3.read_where("k", 5, 7).collect()}
+    assert got == {5: "w5", 6: "v6", 7: "v7"}
+    # expire collects scs sidecars referenced only by expired manifests
+    for i in range(3):
+        t3.analyze(["k"])
+        t3.merge(_batch(spark, [i], v=f"x{i}"), epoch_id=f"x{i}",
+                 op_col=None, order_cols=())
+    t3.expire_snapshots(keep_last=1)
+    live = set(_raw_manifest(t3).get("stats_refs", {}).values())
+    on_disk = {
+        f for f in os.listdir(os.path.join(t3.root, MANIFEST_DIR))
+        if f.startswith("scs-")
+    }
+    assert live <= on_disk

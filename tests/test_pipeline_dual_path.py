@@ -68,3 +68,22 @@ def test_order_by_dual_path_null_placement(spark, sf_dir):
     assert d_direct == [r.d for r in piped.collect()]
     non_null = [x for x in d_direct if x is not None]
     assert d_direct[: len(non_null)] == non_null  # nulls at the end
+
+
+def test_run_either_captures_failure_as_value(spark):
+    # eitherRunJulius parity (Julius.hs:1194-1222): Either, not raise
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.plans.pipeline import Pipeline
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    ok, err = Pipeline(df).filter(F.col("k") > 1).run_either(
+        lambda d: d.count()
+    )
+    assert ok == 1 and err is None
+    # a failing run comes back as a value, not a raise (analysis
+    # errors surface at chain-BUILD time in Spark, so the Either
+    # captures the run/action failure — e.g. a bad action or a
+    # runtime error like a cast overflow under ANSI)
+    out, err = Pipeline(df).run_either(lambda d: d.select("nope").count())
+    assert out is None and err is not None

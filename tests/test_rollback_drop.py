@@ -103,7 +103,7 @@ def test_drop_column_metadata_only(spark, tmp_path):
     # stats for the dead column are gone
     assert all(
         "junk" not in e
-        for e in fresh.manifest.get("file_stats", {}).values()
+        for e in fresh._stats_map().values()
     )
     # merges no longer need (or accept) the column
     fresh.merge(_batch(spark, [7], "b"), epoch_id="e1", mode="mor")
