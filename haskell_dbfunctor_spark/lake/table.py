@@ -48,7 +48,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import (
     Column,
@@ -3537,6 +3537,36 @@ class LakeTable:
             base=self.manifest, touched=(), apply=apply
         )
         return {"constraint": name, "version": committed["version"]}
+
+    def set_properties(self, props: Mapping[str, str | None]) -> dict:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES (metadata-only commit):
+        merge ``props`` into the table properties; a ``None`` value
+        UNSETS the key. Takes effect from the next commit that reads
+        the property (e.g. ``epochs.retention-count`` prunes on the
+        following merge; ``metadata.spill-bytes`` re-evaluates at the
+        next dehydrate — note spill is sticky once triggered)."""
+        self._forbid_staged("set_properties")
+        props = dict(props)
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            merged = dict(parent.get("properties") or {})
+            for k, v in props.items():
+                if v is None:
+                    merged.pop(k, None)
+                else:
+                    merged[k] = str(v)
+            m["properties"] = merged
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply
+        )
+        return {
+            "properties": dict(committed.get("properties") or {}),
+            "version": committed["version"],
+        }
 
     def drop_constraint(self, name: str) -> dict:
         self._forbid_staged("drop_constraint")

@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--bits", type=int, default=8192)
     ab.add_argument("--k", type=int, default=4)
 
+    sp = sub.add_parser(
+        "set-props",
+        help="ALTER TABLE SET/UNSET TBLPROPERTIES (metadata-only "
+             "commit): k=v pairs to set; a bare key unsets it",
+    )
+    sp.add_argument("props", nargs="+",
+                    help="k=v to set, bare k to unset")
+
     tg = sub.add_parser(
         "tag",
         help="name the current (or given) snapshot — an immutable ref "
@@ -229,6 +237,18 @@ def main(argv: list[str] | None = None) -> int:
     if not args.table_root:
         ap.error(f"{args.action} requires --table-root")
     table = LakeTable.load(spark, args.table_root)
+
+    if args.action == "set-props":
+        props = {}
+        for item in args.props:
+            if "=" in item:
+                k, v = item.split("=", 1)
+                props[k] = v
+            else:
+                props[item] = None
+        res = table.set_properties(props)
+        print(json.dumps({"action": "set-props", **res}))
+        return 0
 
     if args.action == "analyze":
         res = table.analyze([c.strip() for c in args.cols.split(",")])

@@ -202,3 +202,53 @@ def test_remove_orphans_cleans_crashed_attempts(spark, tmp_path):
     assert all_files() == {p for p in all_files() if os.path.realpath(p) in live}
     before = _state(table)
     assert _state(LakeTable.load(spark, table.root)) == before
+
+
+def test_set_properties_and_cli(spark, tmp_path):
+    from jobs.lake_maintenance import main
+
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: metadata-only commit that
+    takes effect on the next consumer (here: epoch retention pruning
+    activates on an EXISTING table)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "p"), sch, key_cols=["k"],
+                         num_buckets=2)
+
+    def batch(i):
+        return spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+
+    for i in range(4):
+        t.merge(batch(i), epoch_id=f"e{i}", op_col=None, order_cols=())
+    assert len(t.applied_epochs()) == 4
+    res = t.set_properties({"epochs.retention-count": "2"})
+    assert res["properties"]["epochs.retention-count"] == "2"
+    t.merge(batch(9), epoch_id="e9", op_col=None, order_cols=())
+    assert len(t.applied_epochs()) == 2  # retention active on old table
+    # unset restores unbounded growth
+    t.set_properties({"epochs.retention-count": None})
+    assert "epochs.retention-count" not in t.properties
+    t.merge(batch(10), epoch_id="e10", op_col=None, order_cols=())
+    assert len(t.applied_epochs()) == 3
+    # CLI form
+    rc = main(["--table-root", t.root, "set-props", "foo=bar",
+               "epochs.retention-count=5"])
+    assert rc == 0
+    fresh = LakeTable.load(spark, t.root)
+    assert fresh.properties["foo"] == "bar"
+    rc = main(["--table-root", t.root, "set-props", "foo"])
+    assert rc == 0
+    assert "foo" not in LakeTable.load(spark, t.root).properties
+    # staged handles must not commit property DDL
+    import pytest
+
+    from haskell_dbfunctor_spark.lake.table import LakeError
+
+    t.merge(batch(11), epoch_id="s1", stage_only=True, op_col=None,
+            order_cols=())
+    with pytest.raises(LakeError):
+        t.set_properties({"x": "1"})

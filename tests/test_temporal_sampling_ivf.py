@@ -274,7 +274,7 @@ def test_semantic_dedup_keep_first_and_cluster_confined(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = semantic_dedup(emb, threshold=0.35).collect()
+    out = semantic_dedup(emb, n_centroids=8, threshold=0.35).collect()
     assert len(out) == emb.count()  # every vector labeled
     by_id = {r.vec_id: r for r in out}
     dups = [r for r in out if r.dup_of is not None]
