@@ -237,11 +237,23 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     calib_start = calibration_seconds()
     spark = _get_spark(cores)
     # JVM/codegen/reader warmup so the first timed query isn't charged
-    # one-time session costs (~4-5s of Janino compilation + scan init)
-    from pyspark.sql import functions as _F
-    spark.range(1_000_000).select(_F.sum("id")).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # one-time session costs (~4-7s of Janino compilation + scan +
+    # shuffle init). The timed list now leads with a HEAVY query
+    # (driver-coverage ordering), so warm the codegen shapes it uses —
+    # agg, shuffle join, window, explode — not just a scan: measured
+    # +7s on the first query when warmup was scan-only.
+    from pyspark.sql import Window as _W, functions as _F
+    base = spark.range(1_000_000).select(
+        _F.col("id"), (_F.col("id") % 97).alias("k"),
+    )
+    (
+        base.groupBy("k").agg(_F.sum("id").alias("s"))
+        .join(base.sample(0.01), "k")
+        .withColumn("rn", _F.row_number().over(
+            _W.partitionBy("k").orderBy("id")))
+        .select(_F.explode(_F.array("id", "s")).alias("x"))
+        .write.format("noop").mode("overwrite").save()
+    )
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
