@@ -2366,6 +2366,13 @@ class LakeTable:
                 .parquet(snap_abs)
             )
             timings["write"] = time.time() - t_a
+        except BaseException:
+            # the dedup/write job is the overwhelming share of the
+            # pre-commit failure surface: tear down an attempt-scoped
+            # (uuid-tagged) quarantine dir or the caller's retry
+            # double-reports the same violations
+            _drop_ephemeral_quarantine()
+            raise
         finally:
             if persisted is not None:
                 persisted.unpersist()
@@ -2387,14 +2394,19 @@ class LakeTable:
             n_ins = n_upd = n_del = n_keep = 0
 
         # map written files back to buckets
-        written = self._scan_written(snap_abs, snap_rel)
-        # rolling avg row width feeds the next merge's write-task sizing
-        new_rows = n_ins + n_upd + n_keep
-        new_bytes = sum(
-            os.path.getsize(os.path.join(self.root, f))
-            for fl in written.values()
-            for f in fl
-        )
+        try:
+            written = self._scan_written(snap_abs, snap_rel)
+            # rolling avg row width feeds the next merge's write-task
+            # sizing
+            new_rows = n_ins + n_upd + n_keep
+            new_bytes = sum(
+                os.path.getsize(os.path.join(self.root, f))
+                for fl in written.values()
+                for f in fl
+            )
+        except BaseException:
+            _drop_ephemeral_quarantine()
+            raise
         base = self.manifest
 
         def apply(parent: dict) -> dict:
@@ -2810,6 +2822,17 @@ class LakeTable:
             m = dict(staged)
             m.pop("staged", None)
             m.pop("wap_base", None)
+            # Table properties always come from the CURRENT published
+            # head, not the fork point: staged handles cannot run
+            # set_properties (_forbid_staged), so the staged chain can
+            # never legitimately differ — carrying dict(staged) forward
+            # would silently revert a concurrent set_properties (e.g.
+            # epochs.retention-count) committed after the fork. Same
+            # for the sticky metadata_spill flag.
+            if "properties" in pub or "properties" in m:
+                m["properties"] = dict(pub.get("properties") or {})
+            if pub.get("metadata_spill"):
+                m["metadata_spill"] = True
             # Claim EXACTLY pub+1: the CAS on the version number is the
             # conflict detector for the published chain (same rule as
             # _commit_rebased). Allocating max-on-disk+1 would silently
@@ -2845,7 +2868,8 @@ class LakeTable:
                 set(staged.get("partial_delta_files", []))
                 | set(pub.get("partial_delta_files", []))
             )
-            while True:
+            for _skip in range(64):  # staged-sibling skips are finite;
+                # bound defends against a pathological stage-loop writer
                 ae = dict(pub["applied_epochs"])
                 for e in new_epochs:
                     ae[e] = {"version": m["version"], "ts": time.time()}

@@ -148,13 +148,20 @@ class Pipeline:
         exception: returns ``(result, None)`` on success or
         ``(None, error)`` on failure, the Either convention for callers
         composing many chains who want to collect failures rather than
-        unwind. ``action`` forces the lazy plan (default: a noop-write
-        count-free materialization via ``collect``); pass e.g.
-        ``lambda df: df.count()`` for a cheaper probe. Python callers
-        who prefer exceptions just use the chain directly — this
-        wrapper exists for reference-surface parity."""
+        unwind. ``action`` forces the lazy plan; the default is a
+        driver-safe noop-format write (rows never leave the executors —
+        returns ``True`` on success). Pass ``lambda df: df.collect()``
+        to get rows back (small results only) or ``lambda df:
+        df.count()`` for a row count. Python callers who prefer
+        exceptions just use the chain directly — this wrapper exists
+        for reference-surface parity."""
+
+        def _noop_materialize(df: DataFrame) -> bool:
+            df.write.format("noop").mode("overwrite").save()
+            return True
+
         try:
-            out = (action or (lambda df: df.collect()))(self.df)
+            out = (action or _noop_materialize)(self.df)
             return out, None
         except Exception as e:  # noqa: BLE001 — Either captures any failure
             return None, e

@@ -81,6 +81,9 @@ def test_run_either_captures_failure_as_value(spark):
         lambda d: d.count()
     )
     assert ok == 1 and err is None
+    # default action: driver-safe noop materialization, True on success
+    ok2, err2 = Pipeline(df).run_either()
+    assert ok2 is True and err2 is None
     # a failing run comes back as a value, not a raise (analysis
     # errors surface at chain-BUILD time in Spark, so the Either
     # captures the run/action failure — e.g. a bad action or a

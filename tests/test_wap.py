@@ -370,3 +370,21 @@ def test_publish_race_overlapping_commit_conflicts(spark, tmp_path):
         t._commit = real_commit
     got = dict(_state(LakeTable.load(spark, t.root)))
     assert got[0] == "race0", "winner's update must survive"
+
+
+def test_publish_preserves_concurrent_property_ddl(spark, tmp_path):
+    """set_properties committed on the published chain after the stage
+    fork must survive publish: staged chains can never change
+    properties (forbidden on staged handles), so publish always takes
+    the current head's."""
+    t = _mk(spark, str(tmp_path / "t"))
+    st = t.merge(_batch(spark, [10], "stg"), epoch_id="s",
+                 stage_only=True)
+    t2 = LakeTable.load(spark, t.root)
+    t2.set_properties({"epochs.retention-count": "50"})
+    res = t.publish(st.version)
+    assert res["published"]
+    fresh = LakeTable.load(spark, t.root)
+    assert fresh.properties.get("epochs.retention-count") == "50", (
+        "concurrent set_properties reverted by publish"
+    )
