@@ -1089,6 +1089,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q98_curate_corpus"] = q98
 
+    # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
+    # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
+    def q101(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import bm25_scores
+
+        return bm25_scores(
+            _t(s, d, "documents"), ["spark", "merge", "window"], k=20
+        )
+
+    q["q101_bm25_retrieval"] = q101
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -3640,5 +3651,43 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         )
         SELECT split, n_rows, n_entities, max_splits_per_entity
         FROM stats CROSS JOIN straddle
+    """
+    # q101: BM25 (Lucene +1 idf variant); each term's contribution is
+    # rounded to 6dp BEFORE the sum (the q61 ln-ulp device), ties on
+    # doc_id
+    o["q101_bm25_retrieval"] = """
+        WITH words AS (
+          SELECT doc_id, w
+          FROM documents, unnest(string_split(text, ' ')) AS t(w)
+          WHERE w <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl
+        ),
+        qw AS (
+          SELECT * FROM words WHERE w IN ('spark', 'merge', 'window')
+        ),
+        tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM qw GROUP BY doc_id, w
+        ),
+        df AS (
+          SELECT w, count(DISTINCT doc_id) AS df FROM qw GROUP BY w
+        ),
+        contrib AS (
+          SELECT tf.doc_id,
+                 round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl.len / avgdl)),
+                 6) AS c
+          FROM tf
+          JOIN df USING (w)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+        )
+        SELECT doc_id, round(sum(c), 6) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     """
     return o

@@ -6,6 +6,8 @@ all push down column pruning to the parquet reader.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -860,4 +862,81 @@ def curate_corpus(
     return capped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens_total"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking against a bag of query terms — the
+    classic lexical-retrieval scorer (Robertson/Spärck Jones; the
+    Lucene "+1" idf variant so idf stays positive when df > N/2),
+    complementing the embedding-space ANN path (q27/q39/q53) with the
+    sparse half of a hybrid retrieval stack.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    idf(t)   = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+
+    Plan shape (all JVM, no UDF): ONE token explode feeding (a) per-doc
+    lengths and (b) the query-term-filtered tf aggregation — the
+    filter lands BEFORE the tf shuffle, so the per-term work is
+    O(matching tokens), not O(corpus); df is aggregated over the same
+    filtered stream; N/avgdl ride a broadcast single-row frame. Each
+    term's contribution is rounded to 6dp BEFORE the sum (ln() differs
+    across engines in the last ulp — the q61 device), ties break on
+    doc_id. Returns the top-``k`` (doc_id, bm25) rows.
+    """
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("bm25_scores: empty query_terms")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    qw = words.where(F.col("w").isin(list(terms)))
+    tf = qw.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qw.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("len") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
