@@ -1118,6 +1118,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q102_hybrid_rrf"] = q102
 
+    # hard-negative mining for contrastive training: per anchor, the
+    # most-similar same-LSH-bucket candidates below the positive
+    # threshold (pipelines/similarity.py)
+    def q103(s, d):
+        from haskell_dbfunctor_spark.pipelines.similarity import (
+            hard_negatives,
+        )
+
+        return hard_negatives(
+            _t(s, d, "embeddings"), [0, 1, 2, 3, 4], k=5, max_cos=0.5
+        )
+
+    q["q103_hard_negatives"] = q103
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -3746,5 +3760,41 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                      + coalesce(1.0 / (60 + den.r), 0), 6) AS rrf
         FROM lex FULL OUTER JOIN den ON lex.id = den.id
         ORDER BY rrf DESC, id ASC LIMIT 15
+    """
+    # q103: hard negatives — same sign-LSH bucket (q28's bucket expr),
+    # cos6 below the positive threshold, per-anchor top-k
+    _hn_cos = _ivf_cos(65)(
+        "CAST(e.embedding[i] AS DOUBLE)", "CAST(a.av[i] AS DOUBLE)"
+    )
+    o["q103_hard_negatives"] = f"""
+        WITH eb AS (
+          SELECT vec_id, embedding,
+                 concat(
+                   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[34] >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM embeddings
+        ),
+        a AS (
+          SELECT vec_id AS anchor_id, embedding AS av, bucket
+          FROM eb WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+          SELECT a.anchor_id, e.vec_id,
+                 round({_hn_cos}, 6) AS cos_sim
+          FROM eb e JOIN a USING (bucket)
+          WHERE e.vec_id <> a.anchor_id
+        ),
+        r AS (
+          SELECT anchor_id, vec_id, cos_sim,
+                 row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cos_sim DESC, vec_id ASC
+                 ) AS rk
+          FROM scored WHERE cos_sim < 0.5
+        )
+        SELECT anchor_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
     """
     return o

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 _SIGN_DIMS = [1, 8, 20, 34]  # 1-based, matches element_at / DuckDB lists
@@ -533,3 +535,56 @@ def rrf_fuse(
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(top)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchor_ids: Sequence[int],
+    *,
+    k: int = 5,
+    max_cos: float = 0.5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor vector, the ``k`` most-similar candidates that are
+    still BELOW the positive threshold (``cos6 < max_cos``) — the
+    "hard" negatives that teach a retriever the decision boundary,
+    restricted to the anchor's sign-LSH bucket so the candidate volume
+    is Σ|bucket| per anchor, never the corpus (the same trade the ANN
+    read path makes; raise the probe radius for more recall).
+
+    Plan: the anchor rows (a bounded list) broadcast onto the bucketed
+    corpus — one scan, an equi-join on the bucket key, per-anchor
+    top-k via a window PARTITIONED by anchor (never global). Cosine is
+    rounded to 6dp before the threshold and the ranking (cross-engine
+    determinism); ties break on candidate id.
+
+    Returns (anchor_id, vec_id, cos_sim, rk).
+    """
+    from pyspark.sql import Window
+
+    ids = [int(a) for a in anchor_ids]
+    if not ids:
+        raise ValueError("hard_negatives: empty anchor_ids")
+    eb = _with_bucket(embeddings)
+    anchors = eb.where(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        "bucket",
+    )
+    cand = eb.select("vec_id", "embedding", "bucket")
+    joined = cand.join(F.broadcast(anchors), "bucket").where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    scored = joined.select(
+        "anchor_id",
+        "vec_id",
+        _cos6(F.col("embedding"), F.col("av")).alias("cos_sim"),
+    ).where(F.col("cos_sim") < F.lit(max_cos))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("anchor_id", "vec_id", "cos_sim", "rk")
+    )
