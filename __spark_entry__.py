@@ -1132,6 +1132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q103_hard_negatives"] = q103
 
+    # ---- streaming: event-time SESSION windows (gap-merged) ----
+    q["q104_stream_session_window"] = _stream_session_window
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -2386,6 +2389,35 @@ def _stream_windowed_agg(s: SparkSession, d: str) -> DataFrame:
         key_cols=["event_type"], window="10 minutes",
         watermark="30 minutes", mode="complete",
         max_files_per_trigger=1, checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
+
+
+def _stream_session_window(s: SparkSession, d: str) -> DataFrame:
+    """Event-time SESSION windows over the WAL feed (complete-mode
+    availableNow drain; the final trigger's full rewrite is the
+    answer). Sessions MERGE across micro-batches — two sub-sessions
+    split by a segment boundary coalesce once the bridging event
+    arrives, which is why update mode is planner-rejected for session
+    windows and the batch gaps-and-islands SQL is the oracle
+    (session_end = last event + gap, q58's identity at a 6h gap).
+    Append-mode watermark eviction is pinned separately in
+    tests/test_streaming_sessions.py."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.streaming.windows import (
+        drain_session_windows,
+    )
+
+    tmp = _wal_feed_dir(s, d, "hdbf_stream_q104_", 2)
+    schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(_event_state_schema())
+    )
+    out = drain_session_windows(
+        s, f"{tmp}/feed", schema, f"{tmp}/out",
+        key_cols=["user_id"], gap="6 hours", watermark="30 minutes",
+        mode="complete", max_files_per_trigger=1,
+        checkpoint_dir=f"{tmp}/ckpt",
     )
     return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
 
@@ -3760,6 +3792,34 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                      + coalesce(1.0 / (60 + den.r), 0), 6) AS rrf
         FROM lex FULL OUTER JOIN den ON lex.id = den.id
         ORDER BY rrf DESC, id ASC LIMIT 15
+    """
+    # q104: streaming session windows — oracle is q58's batch
+    # gaps-and-islands identity at a 6h gap (session_end = last event
+    # ts + gap); the stream's complete-mode final rewrite must equal it
+    o["q104_stream_session_window"] = """
+        WITH e AS (
+          SELECT user_id, ts, value, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), f AS (
+          SELECT *, CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) >= 21600000000
+                     THEN 1 ELSE 0 END AS flag
+          FROM e
+        ), s AS (
+          SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS si
+          FROM f
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 6 HOUR AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, si
     """
     # q103: hard negatives — same sign-LSH bucket (q28's bucket expr),
     # cos6 below the positive threshold, per-anchor top-k

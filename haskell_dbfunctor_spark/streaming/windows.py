@@ -53,6 +53,99 @@ def windowed_stats(
     )
 
 
+def session_windowed_stats(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time SESSION windows per key: a session extends while
+    consecutive events are < ``gap`` apart; ``session_end`` is the last
+    event's time + gap (Spark ``session_window`` semantics — matches
+    the batch islands formulation ``max(ts) + gap``).
+
+    Streaming support (probed on this Spark): output modes complete
+    and append; update is rejected by the planner (sessions MERGE
+    across batches, so a keyed per-row update stream cannot represent
+    a merge that retires two previously-emitted rows). In append mode
+    only sessions CLOSED by the watermark are ever emitted — a
+    trailing still-open session is withheld, which is the bounded-state
+    contract a 10^10-event tail needs; complete mode retains all state
+    and its final rewrite equals the batch answer.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col else []),
+        )
+    )
+
+
+def drain_session_windows(
+    spark,
+    feed_dir: str,
+    schema: T.StructType,
+    out_dir: str,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    value_col: str | None = "value",
+    mode: str = "complete",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """AvailableNow drain of a file feed through
+    ``session_windowed_stats``. mode="complete": every trigger
+    overwrites ``out_dir`` with the full merged-session result; the
+    final rewrite is returned (oracle-checkable against a batch
+    gaps-and-islands GROUP BY). mode="append": emissions are
+    watermark-CLOSED sessions only; returns them as-is (each session
+    is emitted exactly once — no reconstruction needed)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+    agg = session_windowed_stats(
+        stream, ts_col=ts_col, key_cols=key_cols, gap=gap,
+        watermark=watermark, value_col=value_col,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if mode == "complete":
+            batch.write.mode("overwrite").parquet(out_dir)
+        else:
+            batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", checkpoint_dir or f"{out_dir}_checkpoint"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    from .tailer import await_or_raise
+
+    await_or_raise(q, timeout_s)
+    return spark.read.parquet(out_dir)
+
+
 def drain_windowed_stats(
     spark,
     feed_dir: str,

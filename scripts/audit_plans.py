@@ -27,6 +27,7 @@ SKIP = {
     "q34_stream_tail_state",
     "q44_stream_stateful_stats",
     "q45_stream_windowed_agg",
+    "q104_stream_session_window",
 }
 
 
