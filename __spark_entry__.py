@@ -1162,9 +1162,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_token_count_bpe", "q39_ann_topk", "q40_string_funcs",
         "q43_ann_topk_pruned", "q42_dedup_lsh_jaccard",
     }
+    # Queries added AFTER the r02 driver run have no driver OR judge row
+    # yet — they must land inside the first-50 sample, ahead of the
+    # r02-unchecked block (which the round-2 judge already re-verified
+    # at sf0.01, so a few of those slipping to round 4 costs nothing).
+    _never_checked_first = [
+        "q101_bm25_retrieval", "q102_hybrid_rrf", "q103_hard_negatives",
+        "q104_stream_session_window",
+    ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _never_checked_first:
+        if name in q:
+            ordered[name] = q[name]
     for name in q:
-        if name not in _r02_checked:
+        if name not in _r02_checked and name not in ordered:
             ordered[name] = q[name]
     for name in q:
         if name in _r02_checked:
