@@ -1135,6 +1135,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- streaming: event-time SESSION windows (gap-merged) ----
     q["q104_stream_session_window"] = _stream_session_window
 
+    # SFT rendering under a context budget: each conversation (events
+    # keyed by user_id as the stand-in transcript) becomes ONE training
+    # string from the longest SUFFIX of turns fitting the budget —
+    # pipelines/examples.py; the only window partitions by the
+    # conversation key.
+    def q105(s, d):
+        from haskell_dbfunctor_spark.pipelines.examples import (
+            sft_render_suffix_budget,
+        )
+
+        turns = _t(s, d, "events").select(
+            "user_id", "ts", "event_id",
+            F.concat_ws("=", "event_type", "props").alias("turn"),
+        )
+        return sft_render_suffix_budget(turns, 120)
+
+    q["q105_sft_render_budget"] = q105
+
+    # preference-pair construction: per source group, (chosen,
+    # rejected) docs by lexical-diversity score with deterministic
+    # tie-breaks — ONE hash aggregation (min_by over (score,id)
+    # structs), no window.
+    def q106(s, d):
+        from haskell_dbfunctor_spark.pipelines.examples import (
+            preference_pairs,
+        )
+
+        scored = _t(s, d, "documents").select(
+            "doc_id", "source",
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long").alias("score"),
+        )
+        return preference_pairs(scored)
+
+    q["q106_preference_pairs"] = q106
+
+    # curriculum shard assignment: global ascending difficulty order
+    # (n_chars), row-count-balanced shards from the DISTRIBUTED global
+    # rank (surrogate_key's zipWithIndex — NTILE semantics without
+    # NTILE's single-task window); output is per-shard stats.
+    def q107(s, d):
+        from haskell_dbfunctor_spark.pipelines.examples import (
+            curriculum_shards,
+        )
+
+        docs = _t(s, d, "documents").select("doc_id", "source", "n_chars")
+        sh = curriculum_shards(
+            docs, 8, score_col="n_chars", id_col="doc_id"
+        )
+        return sh.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+
+    q["q107_curriculum_shards"] = q107
+
+    # cross-doc EXACT passage dedup with reassembly — the enforcement
+    # counterpart of q96's audit (pipelines/dedup_text.py): duplicated
+    # 20-word passages survive only at their first global occurrence,
+    # documents are re-assembled from survivors. Two hash aggs.
+    def q108(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            passage_dedup_scrub,
+        )
+
+        return passage_dedup_scrub(_t(s, d, "documents"), 20)
+
+    q["q108_passage_dedup"] = q108
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1168,7 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
         "q101_bm25_retrieval", "q102_hybrid_rrf", "q103_hard_negatives",
-        "q104_stream_session_window",
+        "q104_stream_session_window", "q105_sft_render_budget",
+        "q106_preference_pairs", "q107_curriculum_shards",
+        "q108_passage_dedup",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -3867,5 +3940,99 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
           FROM scored WHERE cos_sim < 0.5
         )
         SELECT anchor_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+    """
+    # q105: SFT rendering under a 120-char suffix budget — cumulative
+    # cost walks each conversation backwards; kept turns re-render in
+    # forward order
+    o["q105_sft_render_budget"] = """
+        WITH t AS (
+          SELECT user_id, ts, event_id,
+                 event_type || '=' || props AS turn,
+                 length(event_type || '=' || props) AS cost
+          FROM events
+        ), c AS (
+          SELECT *, sum(cost) OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT user_id,
+               count(*) AS n_turns,
+               CAST(sum(cost) AS BIGINT) AS n_chars,
+               string_agg(turn, chr(10) ORDER BY ts, event_id) AS dialogue
+        FROM c WHERE cum <= 120
+        GROUP BY user_id
+    """
+    # q106: preference pairs — chosen = (score DESC, doc_id ASC) row 1,
+    # rejected = (score ASC, doc_id ASC) row 1; all-tied groups drop
+    o["q106_preference_pairs"] = """
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS score
+          FROM documents
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS rb,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score ASC, doc_id) AS rw
+          FROM s
+        )
+        SELECT source,
+               max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+               max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+               max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+               max(CASE WHEN rw = 1 THEN score END) AS rejected_score
+        FROM r GROUP BY source
+        HAVING max(CASE WHEN rb = 1 THEN score END)
+             > max(CASE WHEN rw = 1 THEN score END)
+    """
+    # q107: curriculum shards — NTILE-equivalent row-count balancing
+    # from the 0-based global rank; the Spark side derives the rank
+    # from the distributed zipWithIndex, the oracle from row_number
+    o["q107_curriculum_shards"] = """
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank0,
+                 count(*) OVER () AS n
+          FROM documents
+        )
+        SELECT CAST((rank0 * 8) // n AS INT) AS shard,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               count(DISTINCT source) AS n_sources
+        FROM r GROUP BY 1
+    """
+    # q108: exact passage dedup — disjoint 20-word chunks, keeper =
+    # first global (doc_id, pidx) occurrence, docs reassembled from
+    # survivors; md5 stands in for the full clean text
+    o["q108_passage_dedup"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), p AS (
+          SELECT doc_id, CAST(i AS INT) AS pidx,
+                 array_to_string(
+                   tk[CAST(i * 20 + 1 AS BIGINT)
+                      : CAST(i * 20 + 20 AS BIGINT)], ' ') AS passage
+          FROM toks,
+               unnest(range(CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS t(i)
+        ), k AS (
+          SELECT doc_id, pidx, passage,
+                 row_number() OVER (PARTITION BY passage
+                                    ORDER BY doc_id, pidx) AS rn
+          FROM p
+        ), tot AS (
+          SELECT doc_id, count(*) AS n_pass_total FROM p GROUP BY doc_id
+        ), clean AS (
+          SELECT doc_id, count(*) AS n_pass_kept,
+                 string_agg(passage, ' ' ORDER BY pidx) AS ctext
+          FROM k WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT clean.doc_id, n_pass_total, n_pass_kept,
+               CAST(length(ctext) AS BIGINT) AS n_chars_clean,
+               md5(ctext) AS clean_hash
+        FROM clean JOIN tot ON clean.doc_id = tot.doc_id
     """
     return o

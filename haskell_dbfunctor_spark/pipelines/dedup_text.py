@@ -674,3 +674,92 @@ def cross_corpus_near_dups(
         (-F.col("b.neg_id")).alias("match_doc_id"),
         F.round(F.col("b.jaccard"), 5).alias("jaccard"),
     )
+
+
+def passage_dedup_scrub(
+    docs: DataFrame,
+    passage_words: int = 20,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT passage dedup with reassembly — the
+    enforcement counterpart of :func:`duplicated_passages` (which only
+    audits). Each document is chunked into consecutive DISJOINT
+    ``passage_words``-word passages; a passage duplicated verbatim
+    anywhere in the corpus survives only at its first global
+    occurrence (lowest (doc_id, position)); every document is then
+    re-assembled from its surviving passages in original order. The
+    big-corpus pipelines scrub memorization risk exactly this way
+    (repeated boilerplate/licence blocks) before training.
+
+    Returns (doc_id, n_pass_total, n_pass_kept, n_chars_clean,
+    clean_hash) — one row per document that kept >= 1 passage; the
+    md5 of the reassembled text stands in for shipping the text
+    itself through small-result comparisons.
+
+    Scale shape: explode is linear in corpus words; the keeper pick is
+    ONE hash aggregation keyed by the passage string (min over a
+    (doc_id, pidx) struct — the groupBy output IS the kept set, no
+    join-back); reassembly is a second hash agg keyed by doc_id with
+    an array_sort, no windows. Both shuffles partition on
+    high-cardinality keys, so no task ever holds more than one
+    passage-group / one document. The reference's closest machinery
+    is its groupBy+fold (Core.hs:3428-3493), single-threaded there.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    npass = F.ceil(F.size("tk") / F.lit(passage_words)).cast("int")
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), npass - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("tk"),
+                        i * passage_words + 1,
+                        passage_words,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("pidx", "passage"),
+    )
+    kept = (
+        passages.groupBy("passage")
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id"), F.col("pidx"))
+            ).alias("k")
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.pidx").alias("pidx"),
+            "passage",
+        )
+    )
+    totals = passages.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pass_total")
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pass_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pidx"), F.col("passage")))
+                ),
+                lambda s: s["passage"],
+            ),
+        ).alias("__clean"),
+    )
+    return clean.join(totals, "doc_id").select(
+        "doc_id",
+        "n_pass_total",
+        "n_pass_kept",
+        F.length("__clean").cast("long").alias("n_chars_clean"),
+        F.md5(F.col("__clean")).alias("clean_hash"),
+    )
