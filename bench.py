@@ -499,6 +499,117 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
     }))
 
 
+def _one_cluster_submit(n_exec: int, cores_per: int, mem_mb: int,
+                        n_events: int, n_epochs: int, py_zip: str,
+                        mode: str = "cow") -> dict:
+    """One spark-submit run of jobs/cdc_ingest.py under a
+    ``local-cluster[n_exec,cores_per,mem_mb]`` master: separate
+    executor JVMs with real serialization/RPC boundaries — the closest
+    sandbox analog to a multi-executor cluster."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp")
+    root = tempfile.mkdtemp(prefix="bench_lc_", dir=base)
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    # identical shuffle width at both cluster sizes (the job's session
+    # default): the plan is the same, only executor count varies
+    try:
+        proc = subprocess.run(
+            ["spark-submit",
+             "--master", f"local-cluster[{n_exec},{cores_per},{mem_mb}]",
+             "--driver-memory", "8g",
+             "--py-files", py_zip,
+             os.path.join(repo, "jobs", "cdc_ingest.py"),
+             "--table-root", root,
+             "--events", str(n_events),
+             "--epochs", str(n_epochs)]
+            + (["--mor"] if mode == "mor" else []),
+            capture_output=True, text=True, env=env, cwd=repo,
+        )
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"spark-submit local-cluster[{n_exec},{cores_per}] failed "
+                f"rc={proc.returncode}; stderr tail: {proc.stderr[-2000:]}"
+            )
+        out = json.loads(lines[-1])
+        try:  # co-tenant context for the run (shared host, see BENCH.md)
+            out["host_load1"] = float(
+                open("/proc/loadavg").read().split()[0]
+            )
+        except Exception:
+            pass
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main_cluster_scaling(n_events: int, pairs: int = 3, n_epochs: int = 4,
+                         small_exec: int = 1, large_exec: int = 4,
+                         cores_per: int = 8, mem_mb: int = 6144,
+                         mode: str = "cow") -> None:
+    """North-rule evidence, multi-executor form: the SAME spark-submit
+    job (jobs/cdc_ingest.py, --py-files packaged) at N and 4N executor
+    JVMs via Spark's local-cluster master. Unlike local[k] threads,
+    executors here are separate processes with real serializer + RPC
+    + shuffle-fetch boundaries. Protocol is main_scaling's pairwise
+    alternation (adjacent runs share host drift; efficiency = median
+    per-pair steady-throughput ratio / (large/small))."""
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    repo = os.path.dirname(os.path.abspath(__file__))
+    py_zip = os.path.join(
+        tempfile.mkdtemp(prefix="hdbf_pyzip_"), "hdbf.zip"
+    )
+    subprocess.run(
+        ["zip", "-qr", py_zip, "haskell_dbfunctor_spark"],
+        cwd=repo, check=True,
+    )
+    runs: dict[int, list[dict]] = {small_exec: [], large_exec: []}
+    ratios: list[float] = []
+    for r in range(pairs):
+        order = ((small_exec, large_exec) if r % 2 == 0
+                 else (large_exec, small_exec))
+        pair_res = {}
+        for n_exec in order:
+            subprocess.run(["sync"], check=False)
+            time.sleep(2)
+            res = _one_cluster_submit(
+                n_exec, cores_per, mem_mb, n_events, n_epochs, py_zip,
+                mode=mode,
+            )
+            runs[n_exec].append(res)
+            pair_res[n_exec] = res
+            print(f"# pair {r} local-cluster[{n_exec},{cores_per}]: steady "
+                  f"{res['steady_events_per_sec']:.0f} events/s "
+                  f"(total {res['seconds']:.1f}s)", file=sys.stderr)
+        ratio = (pair_res[large_exec]["steady_events_per_sec"]
+                 / pair_res[small_exec]["steady_events_per_sec"])
+        ratios.append(ratio)
+        print(f"# pair {r} speedup {small_exec}->{large_exec} executors: "
+              f"{ratio:.2f}x", file=sys.stderr)
+    med = sorted(ratios)[len(ratios) // 2]
+    best = {c: max(rs, key=lambda x: x["steady_events_per_sec"])
+            for c, rs in runs.items()}
+    print(json.dumps({
+        "metric": "cdc_cluster_scaling_efficiency",
+        "value": round(med / (large_exec / small_exec), 3),
+        "unit": "ratio",
+        "mode": mode,
+        "n_events": n_events,
+        "small_executors": small_exec,
+        "large_executors": large_exec,
+        "cores_per_executor": cores_per,
+        "median_pair_speedup": round(med, 3),
+        "pair_speedups": [round(x, 3) for x in ratios],
+        "best_small": best[small_exec],
+        "best_large": best[large_exec],
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skew", action="store_true")
@@ -511,6 +622,16 @@ if __name__ == "__main__":
     ap.add_argument("--cdc", type=int, nargs="?", const=CDC_EVENTS_DEFAULT,
                     default=None, metavar="N_EVENTS")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cluster-scaling", action="store_true",
+                    help="N vs 4N executor JVMs via spark-submit "
+                         "--py-files under local-cluster masters "
+                         "(separate processes, real serialization)")
+    ap.add_argument("--exec-cores", type=int, default=8,
+                    help="cores per executor (--cluster-scaling)")
+    ap.add_argument("--exec-mem", type=int, default=6144,
+                    help="MB per executor (--cluster-scaling); size "
+                         "to the epoch: big epochs (2M rows) need "
+                         ">= 12288 to keep GC out of the signal")
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
@@ -526,6 +647,12 @@ if __name__ == "__main__":
     elif args.index_cost:
         main_index_cost(args.cores, args.events,
                         pairs=min(args.pairs, 3), n_epochs=args.epochs)
+    elif args.cluster_scaling:
+        main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
+                             n_epochs=args.epochs,
+                             cores_per=args.exec_cores,
+                             mem_mb=args.exec_mem,
+                             mode="mor" if args.mor else "cow")
     elif args.scaling:
         main_scaling(args.small, args.large, args.events,
                      pairs=args.pairs, n_epochs=args.epochs,

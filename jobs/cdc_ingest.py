@@ -255,6 +255,17 @@ def main(argv: list[str] | None = None) -> int:
         "table_version": table.version,
         "final_rows": table.read().count(),
     }
+    # steady state = excluding the first epoch (JVM/codegen warmup
+    # dominates it regardless of cluster size) — same definition as
+    # bench.py's in-process runs, so the numbers compare directly
+    if len(stats.per_epoch) >= 2:
+        warm = stats.per_epoch[1:]
+        warm_events = sum(m.n_source for m in warm if not m.skipped)
+        warm_secs = stats.seconds - stats.per_epoch[0].seconds
+        out["steady_seconds"] = round(warm_secs, 3)
+        out["steady_events_per_sec"] = round(
+            warm_events / warm_secs if warm_secs > 0 else 0.0, 1
+        )
     if rollup is not None:
         out["rollup_rows"] = rollup.read().count()
     if dedup_index is not None:
