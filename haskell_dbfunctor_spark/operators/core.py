@@ -353,6 +353,46 @@ def group_by(
     return df.groupBy(*group_cols).agg(*[_lower_agg(s) for s in specs])
 
 
+def group_by_rollup(
+    df: DataFrame, group_cols: Sequence[str], specs: Sequence[AggSpec],
+    *, cube: bool = False, grouping_id_as: str | None = None,
+) -> DataFrame:
+    """Multi-level grouping — ROLLUP (prefix hierarchies) or CUBE
+    (all subsets) in ONE pass. The reference can only express this as
+    N separate runGroupBy calls unioned by hand (one scan each,
+    Core.hs:3428-3493); Spark's grouping-sets expansion computes every
+    level inside a single hash aggregation (map-side expand + one
+    shuffle), so the cost at 100 TB is one scan, not |levels| scans.
+    ``grouping_id_as`` optionally exposes GROUPING_ID() so callers can
+    tell a subtotal row's NULL from a data NULL."""
+    grouped = df.cube(*group_cols) if cube else df.rollup(*group_cols)
+    aggs = [_lower_agg(s) for s in specs]
+    if grouping_id_as:
+        aggs.append(F.grouping_id().alias(grouping_id_as))
+    return grouped.agg(*aggs)
+
+
+def pivot_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    spec: AggSpec,
+) -> DataFrame:
+    """Pivot (long -> wide): one output column per ``pivot_values``
+    entry, each holding ``spec``'s aggregate over the matching rows —
+    the decode/CASE matrix a reference user would hand-build with
+    runColMapping + runGroupBy. ``pivot_values`` is REQUIRED (not
+    inferred): inference needs an extra distinct scan and an
+    unbounded-width schema — both wrong at corpus scale; a pivot's
+    value set must be bounded and known."""
+    return (
+        df.groupBy(*group_cols)
+        .pivot(pivot_col, list(pivot_values))
+        .agg(_lower_agg(spec))
+    )
+
+
 # --------------------------------------------------------------------
 # windowed helpers  (reference §2.9 — fold-built in the reference)
 # --------------------------------------------------------------------

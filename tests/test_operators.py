@@ -441,3 +441,46 @@ def test_salted_equi_join_fallbacks(spark):
     )
     out2 = salted_equi_join(left2, right, "k", salt=8, salt_by=["payload"])
     assert out2.count() == 100
+
+
+def test_group_by_rollup_and_cube(spark):
+    from haskell_dbfunctor_spark.operators import (
+        CountStar, group_by_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "g1 string, g2 string, v long",
+    )
+    roll = {
+        (r.g1, r.g2, r.gid): r.n
+        for r in group_by_rollup(
+            df, ["g1", "g2"], [CountStar("n")], grouping_id_as="gid"
+        ).collect()
+    }
+    # 3 leaf rows + 2 g1 subtotals + 1 grand total
+    assert roll[("a", "x", 0)] == 1
+    assert roll[("a", None, 1)] == 2
+    assert roll[(None, None, 3)] == 3
+    cube = group_by_rollup(
+        df, ["g1", "g2"], [CountStar("n")], cube=True
+    ).collect()
+    # cube adds the g2-only level: 3 + 2 + 1 + 2 = 8 rows
+    assert len(cube) == 8
+
+
+def test_pivot_table_explicit_values(spark):
+    from haskell_dbfunctor_spark.operators import Sum, pivot_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 3.0), (2, "a", 5.0)],
+        "k long, t string, v double",
+    )
+    out = {
+        r.k: r
+        for r in pivot_table(
+            df, ["k"], "t", ["a", "b", "zzz"], Sum("v", "s")
+        ).collect()
+    }
+    assert out[1].a == 2.0 and out[1].b == 3.0 and out[1].zzz is None
+    assert out[2].a == 5.0 and out[2].b is None
