@@ -1245,6 +1245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q110_pivot"] = q110
 
+    # ---- streaming: exactly-once event dedup under re-delivery ----
+    # (streaming/dedup.py — dropDuplicatesWithinWatermark; every 7th
+    # event is re-delivered verbatim one WAL segment later and must be
+    # dropped by the keyed dedup state)
+    q["q111_stream_dedup_redelivery"] = _stream_dedup_redelivery
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1281,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_stream_session_window", "q105_sft_render_budget",
         "q106_preference_pairs", "q107_curriculum_shards",
         "q108_passage_dedup", "q109_rollup_grouping", "q110_pivot",
+        "q111_stream_dedup_redelivery",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -1507,7 +1514,8 @@ def _indexed_ivf(s: SparkSession, d: str) -> DataFrame:
 
 
 def _wal_feed_dir(
-    s: SparkSession, d: str, prefix: str, n_segs: int, where=None
+    s: SparkSession, d: str, prefix: str, n_segs: int, where=None,
+    dup_where=None,
 ) -> str:
     """events as ``n_segs`` monotone WAL parquet segment files in a
     scratch dir (tmpfs when present — this host's disk has large
@@ -1515,7 +1523,9 @@ def _wal_feed_dir(
     increasing mtimes so the streaming file source replays them in WAL
     order (ts is monotone in event_id). Returns the scratch root;
     segments live in <root>/feed. ``where`` optionally subsets the
-    feed (the matching oracle must apply the same predicate)."""
+    feed (the matching oracle must apply the same predicate).
+    ``dup_where`` re-delivers the matching rows VERBATIM one segment
+    later (at-least-once source simulation for the dedup queries)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -1538,6 +1548,12 @@ def _wal_feed_dir(
             (F.col("event_id") / seg_size).cast("int"), F.lit(n_segs - 1)
         ).alias("seg"),
     )
+    if dup_where is not None:
+        dups = feed.where(dup_where).withColumn(
+            "seg",
+            F.least(F.col("seg") + 1, F.lit(n_segs - 1)).cast("int"),
+        )
+        feed = feed.unionByName(dups)
     _base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
         "/dev/shm" if _os.path.isdir("/dev/shm") else None
     )
@@ -2514,6 +2530,38 @@ def _stream_windowed_agg(s: SparkSession, d: str) -> DataFrame:
         max_files_per_trigger=1, checkpoint_dir=f"{tmp}/ckpt",
     )
     return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
+
+
+def _stream_dedup_redelivery(s: SparkSession, d: str) -> DataFrame:
+    """At-least-once WAL feed (every 7th event re-delivered verbatim
+    one segment later) drained through streaming keyed dedup
+    (streaming/dedup.py:dedup_within_watermark). The watermark horizon
+    (30 days) exceeds the synthetic feed's whole time span, so no
+    dedup state is evicted during the drain and the surviving rows are
+    EXACTLY the original events — the oracle aggregates the raw events
+    table directly. Eviction-after-horizon (re-delivery older than the
+    watermark is emitted again) is pinned separately in
+    tests/test_streaming_dedup.py."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.streaming.dedup import drain_dedup_stream
+
+    tmp = _wal_feed_dir(
+        s, d, "hdbf_stream_q111_", 2, dup_where=F.col("seq") % 7 == 0
+    )
+    schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(_event_state_schema())
+    )
+    rows = drain_dedup_stream(
+        s, f"{tmp}/feed", schema, f"{tmp}/out", ["seq"],
+        watermark="30 days", max_files_per_trigger=1,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 def _stream_session_window(s: SparkSession, d: str) -> DataFrame:
@@ -4096,5 +4144,14 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
                  AS view
         FROM events GROUP BY 1
+    """
+    # q111: streaming dedup under re-delivery — survivors == the raw
+    # events exactly (watermark horizon exceeds the feed's time span)
+    o["q111_stream_dedup_redelivery"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """
     return o

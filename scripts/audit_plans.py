@@ -28,6 +28,7 @@ SKIP = {
     "q44_stream_stateful_stats",
     "q45_stream_windowed_agg",
     "q104_stream_session_window",
+    "q111_stream_dedup_redelivery",
 }
 
 
