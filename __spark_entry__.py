@@ -1245,6 +1245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q110_pivot"] = q110
 
+    # skew measurement (operators/skew.py:skew_diagnostics): heavy-
+    # hitter keys + salt-factor recommendation — the measurement half
+    # of salted_equi_join; one hash agg + scalar broadcast + top-k
+    def q112(s, d):
+        from haskell_dbfunctor_spark.operators.skew import (
+            skew_diagnostics,
+        )
+
+        return skew_diagnostics(_t(s, d, "events"), ["user_id"], 20)
+
+    q["q112_skew_diagnostics"] = q112
+
     # ---- streaming: exactly-once event dedup under re-delivery ----
     # (streaming/dedup.py — dropDuplicatesWithinWatermark; every 7th
     # event is re-delivered verbatim one WAL segment later and must be
@@ -1287,7 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_stream_session_window", "q105_sft_render_budget",
         "q106_preference_pairs", "q107_curriculum_shards",
         "q108_passage_dedup", "q109_rollup_grouping", "q110_pivot",
-        "q111_stream_dedup_redelivery",
+        "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4153,5 +4165,19 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """
+    # q112: heavy-hitter keys + salt recommendation (ceil of the
+    # multiple of the mean key load); ties at the cutoff break on key
+    o["q112_skew_diagnostics"] = """
+        WITH c AS (
+          SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ), s AS (
+          SELECT sum(cnt) AS total, avg(cnt) AS mean FROM c
+        )
+        SELECT user_id, cnt,
+               round(cnt / total, 6) AS share,
+               CAST(ceil(cnt / mean) AS INT) AS salt_factor
+        FROM c CROSS JOIN s
+        ORDER BY cnt DESC, user_id LIMIT 20
     """
     return o

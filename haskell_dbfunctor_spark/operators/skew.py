@@ -92,3 +92,39 @@ def salted_equi_join(
         if c not in on_cols
     ]
     return out.select(*keep)
+
+
+def skew_diagnostics(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report for a prospective join/agg key: the top-k
+    keys by row count with their corpus share and a salt-factor
+    recommendation (ceil of the key's multiple of the MEAN key load —
+    the sub-split S that levels that key's partition back to average).
+
+    This is the measurement half of :func:`salted_equi_join`: at
+    10^10 rows you don't guess which conv_ids are hot, you run this
+    (one hash aggregation + a metadata-scale scalar join + a global
+    top-k TakeOrdered — no full sort, no window) and feed the result
+    into the salt choice or AQE skew thresholds. The reference has no
+    notion of physical skew at all (single-threaded tables); this
+    operator exists purely for the distributed recast.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.avg("cnt").alias("__mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.ceil(F.col("cnt") / F.col("__mean")).cast("int")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), *key_cols)
+        .limit(top_k)
+    )
