@@ -2690,6 +2690,88 @@ class LakeTable:
                     raise
                 self.manifest = self._load_latest_published_manifest()
 
+    def shallow_clone(
+        self, dest_root: str, *, deep: bool = False,
+    ) -> "LakeTable":
+        """Delta CLONE analog: a new table at ``dest_root`` whose first
+        snapshot is this table's CURRENT snapshot — zero data copied
+        (``deep=False``): the clone's manifest references the source's
+        data/delta files by ABSOLUTE path. Writes to the clone land
+        under the clone's own root (every write path emits new files),
+        so the clone copy-on-write-diverges from the source on first
+        merge; the source is never modified through the clone.
+
+        Carried: schema (incl. evolution state: dropped/renamed
+        tombstones), key/bucket layout, constraints, properties,
+        pending MoR deltas + partial-patch markers, and
+        ``applied_epochs`` — a re-delivered epoch is still detected as
+        a duplicate on the clone, so a cloned pipeline resumes
+        idempotently. NOT carried: stats/bloom skipping catalogs
+        (run ``analyze()`` on the clone) and source history (time
+        travel on the clone starts at its own v1; ``changes()`` across
+        the clone boundary raises like any missing-version read).
+
+        The shallow-clone caveat (same as Delta's): destructive
+        maintenance on the SOURCE (``expire_snapshots``,
+        ``remove_orphans``) can delete files a shallow clone still
+        references — promote with ``deep=True`` (files copied under
+        the clone root) before expiring the source. The clone's own
+        ``expire_snapshots`` is safe: it never deletes files outside
+        its root (guard in the expire loop).
+
+        ``deep=True``: same manifest, but every referenced file is
+        copied under ``dest_root`` and referenced relatively — a fully
+        independent table (Delta deep clone / Iceberg snapshot-export
+        shape; bytes ~ table size, still no recompute)."""
+        self._forbid_staged("shallow_clone")
+        src_root = os.path.abspath(self.root)
+        m = json.loads(json.dumps(self.manifest))  # deep copy
+        dest = LakeTable.create(
+            self.spark, dest_root,
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["key_cols"]),
+            num_buckets=int(m["num_buckets"]),
+            constraints=m.get("constraints") or None,
+            nullable_keys=bool(m.get("nullable_keys")),
+            properties=m.get("properties") or None,
+        )
+
+        def _carry(rel: str) -> str:
+            src = rel if os.path.isabs(rel) else os.path.join(src_root, rel)
+            if not deep:
+                return src
+            out_rel = os.path.relpath(src, src_root) if src.startswith(
+                src_root + os.sep
+            ) else os.path.join(DATA_DIR, "cloned", os.path.basename(src))
+            dst = os.path.join(dest_root, out_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            return out_rel
+        for cat in ("buckets", "delta_files"):
+            if m.get(cat):
+                m[cat] = {
+                    b: [_carry(f) for f in files]
+                    for b, files in m[cat].items()
+                }
+        # skipping catalogs are path-keyed optimizations — drop them
+        # wholesale (explicit {} is the refs-invalidation signal)
+        for cat, refs in (
+            ("file_stats", "stats_refs"), ("file_blooms", "bloom_refs"),
+        ):
+            m[cat] = {}
+            m.pop(refs, None)
+        m.pop("staged", None)
+        m.pop("wap_base", None)
+        m["version"] = 1
+        m["cloned_from"] = {
+            "root": src_root,
+            "version": int(self.manifest["version"]),
+            "deep": bool(deep),
+        }
+        dest._commit(m)
+        dest.manifest = dest._load_latest_published_manifest()
+        return dest
+
     def drop_column(self, name: str) -> dict:
         """Metadata-only DROP COLUMN: the schema loses the field, no
         file is rewritten (reads project the remaining columns; the
@@ -3493,6 +3575,13 @@ class LakeTable:
             for f in _all_files(m):
                 if f not in live:
                     p = os.path.join(self.root, f)
+                    # shallow-clone refs are ABSOLUTE paths into the
+                    # SOURCE table's root — expiring the clone must
+                    # never reach outside its own root
+                    if not os.path.abspath(p).startswith(
+                        os.path.abspath(self.root) + os.sep
+                    ):
+                        continue
                     if os.path.exists(p):
                         os.remove(p)
                         removed_files += 1

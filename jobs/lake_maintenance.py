@@ -84,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="fold pending merge-on-read delta files into "
                              "the base")
 
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy (or --deep) CLONE of the current snapshot to a "
+             "new root; shallow clones reference source files by "
+             "absolute path (do not expire the source while they live)",
+    )
+    cl.add_argument("--dest-root", required=True)
+    cl.add_argument("--deep", action="store_true")
+
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
 
@@ -303,6 +312,17 @@ def main(argv: list[str] | None = None) -> int:
             "action": "rollback",
             "rows": table.read().count(),
             **res,
+        }))
+        return 0
+
+    if args.action == "clone":
+        c = table.shallow_clone(args.dest_root, deep=args.deep)
+        print(json.dumps({
+            "action": "clone",
+            "dest_root": args.dest_root,
+            "deep": bool(args.deep),
+            "rows": c.read().count(),
+            **c.manifest["cloned_from"],
         }))
         return 0
 
