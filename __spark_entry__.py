@@ -1245,6 +1245,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q110_pivot"] = q110
 
+    # zero-copy CLONE branch (lake/table.py:shallow_clone): pin the
+    # shared lake at its epoch-1 snapshot, clone it (metadata only —
+    # the clone references the source files by absolute path), apply a
+    # divergent correction (delete every 'error' key, LWW-newer) to
+    # the CLONE, and report the clone's state. The source is never
+    # modified (test_clone.py pins that); the oracle is the half-feed
+    # LWW state minus the corrected keys.
+    def q113(s, d):
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import time as _time
+
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        table, v1 = _two_epoch_lake(s, d)
+        pinned = LakeTable.load(s, table.root, v1)
+        base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+            "/dev/shm" if _os.path.isdir("/dev/shm")
+            else _tempfile.gettempdir()
+        )
+        try:  # scratch clones age out after an hour
+            for old in _os.listdir(base):
+                if old.startswith("hdbf_clone_q113_"):
+                    p = f"{base}/{old}"
+                    if _time.time() - _os.path.getmtime(p) > 3600:
+                        _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+        tmp = _tempfile.mkdtemp(prefix="hdbf_clone_q113_", dir=base)
+        clone = pinned.shallow_clone(f"{tmp}/lake")
+        correction = pinned.read().where(
+            F.col("event_type") == "error"
+        ).select(
+            F.lit("D").alias("op"), "user_id", "event_type", "value",
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            (F.col("seq") + F.lit(10_000_000)).alias("seq"),
+        )
+        clone.merge(
+            correction, epoch_id="fix-1", op_col="op",
+            order_cols=("ts", "seq"),
+        )
+        return clone.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    q["q113_clone_correction"] = q113
+
     # skew measurement (operators/skew.py:skew_diagnostics): heavy-
     # hitter keys + salt-factor recommendation — the measurement half
     # of salted_equi_join; one hash agg + scalar broadcast + top-k
@@ -1300,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_preference_pairs", "q107_curriculum_shards",
         "q108_passage_dedup", "q109_rollup_grouping", "q110_pivot",
         "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
+        "q113_clone_correction",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4179,5 +4229,24 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                CAST(ceil(cnt / mean) AS INT) AS salt_factor
         FROM c CROSS JOIN s
         ORDER BY cnt DESC, user_id LIMIT 20
+    """
+    # q113: half-feed LWW state (q64's CTE) with the clone's
+    # correction applied — every 'error' key deleted
+    o["q113_clone_correction"] = """
+        WITH h AS (SELECT max(event_id) // 2 AS half FROM events),
+        st AS (
+          SELECT user_id, event_type, value
+          FROM (
+            SELECT e.*,
+                   CASE WHEN e.event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events e, h WHERE e.event_id <= h.half
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT event_type, count(*) AS n_keys,
+               round(sum(value), 2) AS sum_value
+        FROM st WHERE event_type <> 'error'
+        GROUP BY event_type
     """
     return o
