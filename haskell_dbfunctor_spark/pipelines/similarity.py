@@ -481,7 +481,14 @@ def _rank_bounded(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
     partition-less window: on <=N rows the N² pair count is trivial,
     and the shape stays scale-safe by construction (the audit's
     global-window red flag genuinely doesn't apply, so don't trip it).
+
+    The input is MATERIALIZED to a literal frame first (collect of
+    <=N rows — metadata-scale): the self-join references the frame on
+    both sides, and without this the leg's corpus-scale scoring
+    subtree (e.g. the whole BM25 scan) executes twice in the physical
+    plan (the q93 lazy-quantizer lesson, CLAUDE.md).
     """
+    df = df.sparkSession.createDataFrame(df.collect(), df.schema)
     x, y = df.alias("x"), df.alias("y")
     xs, ys = F.col(f"x.{score_col}"), F.col(f"y.{score_col}")
     xi, yi = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
