@@ -2736,13 +2736,22 @@ class LakeTable:
             properties=m.get("properties") or None,
         )
 
+        carried = {"n": 0}
+
         def _carry(rel: str) -> str:
             src = rel if os.path.isabs(rel) else os.path.join(src_root, rel)
             if not deep:
                 return src
-            out_rel = os.path.relpath(src, src_root) if src.startswith(
-                src_root + os.sep
-            ) else os.path.join(DATA_DIR, "cloned", os.path.basename(src))
+            if src.startswith(src_root + os.sep):
+                out_rel = os.path.relpath(src, src_root)
+            else:
+                # out-of-root ref (deep-cloning a shallow clone):
+                # basenames can collide across roots — prefix a counter
+                carried["n"] += 1
+                out_rel = os.path.join(
+                    DATA_DIR, "cloned",
+                    f"{carried['n']:06d}-{os.path.basename(src)}",
+                )
             dst = os.path.join(dest_root, out_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)

@@ -141,3 +141,18 @@ def test_shallow_clone_carries_pending_mor_deltas(spark, tmp_path):
     assert _rows(LakeTable.load(spark, str(tmp_path / "src"))) == {
         (1, "a"), (2, "b9")
     }
+
+
+def test_deep_clone_of_shallow_clone(spark, tmp_path):
+    """Deep-promoting a shallow clone copies the out-of-root source
+    refs under the new root (unique names), yielding a table that
+    survives deleting BOTH ancestors."""
+    src = _mk(spark, str(tmp_path / "src"))
+    sc = src.shallow_clone(str(tmp_path / "sc"))
+    deep = sc.shallow_clone(str(tmp_path / "deep"), deep=True)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "src"))
+    shutil.rmtree(str(tmp_path / "sc"))
+    again = LakeTable.load(spark, str(tmp_path / "deep"))
+    assert _rows(again) == {(1, "a"), (2, "b")}
