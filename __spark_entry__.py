@@ -97,6 +97,40 @@ def _cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _transcript_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reshaped into the north-rule transcript schema (conv_id,
+    turn_idx, role, tool, ts) — deterministic derivation so the DuckDB
+    oracle can mirror it exactly. turn_idx collides (mod 40) and roles
+    don't alternate, so the q114 integrity audit has real findings."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("tool_"), (F.col("event_id") % 5).cast("string")),
+        ).alias("tool"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+
+
+_TRANSCRIPT_SQL = """
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INT) AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 3 = 0
+              THEN 'tool_' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+         ts, event_id
+  FROM events
+"""
+
+
 _CDC_LWW_SQL = """
 SELECT user_id, event_type, value, ts, event_id AS last_event_id
 FROM (
@@ -1312,6 +1346,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dropped by the keyed dedup state)
     q["q111_stream_dedup_redelivery"] = _stream_dedup_redelivery
 
+    # ---- transcript analytics (the north-rule payload shape) ----
+    # pipelines/transcripts.py: conversation-keyed window + hash agg,
+    # one exchange each; the frame derives (conv_id, turn_idx, role,
+    # tool, ts) deterministically from events so the oracle can mirror
+
+    def q114(s, d):
+        from haskell_dbfunctor_spark.pipelines.transcripts import (
+            integrity_audit,
+        )
+
+        return integrity_audit(
+            _transcript_frame(s, d),
+            order_cols=("turn_idx", "ts", "event_id"),
+        )
+
+    q["q114_transcript_integrity"] = q114
+
+    def q115(s, d):
+        from haskell_dbfunctor_spark.pipelines.transcripts import (
+            tool_transition_counts,
+        )
+
+        return tool_transition_counts(
+            _transcript_frame(s, d),
+            order_cols=("turn_idx", "ts", "event_id"),
+            k=30,
+        )
+
+    q["q115_tool_transitions"] = q115
+
+    # ---- mixture plan: token-budgeted multi-source training mix ----
+    # (pipelines/sampling.py:mixture_plan — one corpus hash agg, then
+    # arithmetic on the tiny per-source frame vs one broadcast scalar)
+    def q116(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import mixture_plan
+
+        docs = _t(s, d, "documents")
+        return mixture_plan(
+            docs,
+            "source",
+            F.size(F.split(F.col("text"), " ")),
+            alpha=0.5,
+            target_total=1_000_000,
+        )
+
+    q["q116_mixture_plan"] = q116
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1349,7 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_preference_pairs", "q107_curriculum_shards",
         "q108_passage_dedup", "q109_rollup_grouping", "q110_pivot",
         "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
-        "q113_clone_correction",
+        "q113_clone_correction", "q114_transcript_integrity",
+        "q115_tool_transitions", "q116_mixture_plan",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4248,5 +4330,69 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                round(sum(value), 2) AS sum_value
         FROM st WHERE event_type <> 'error'
         GROUP BY event_type
+    """
+    # q114: per-conversation integrity audit over the derived
+    # transcript frame (duplicate turn indexes, index gaps, adjacent
+    # same-role turns); total order = (turn_idx, ts, event_id)
+    o["q114_transcript_integrity"] = f"""
+        WITH tr AS ({_TRANSCRIPT_SQL}),
+        r AS (
+          SELECT conv_id, turn_idx, role,
+                 lag(role) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx, ts, event_id) AS prev_role
+          FROM tr
+        ), a AS (
+          SELECT conv_id,
+                 count(*) AS n_turns,
+                 count(*) - count(DISTINCT turn_idx) AS n_dup_idx,
+                 CAST(max(turn_idx) - min(turn_idx) + 1
+                      - count(DISTINCT turn_idx) AS BIGINT) AS n_gaps,
+                 CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_role_repeats
+          FROM r GROUP BY conv_id
+        )
+        SELECT *,
+               CASE WHEN n_dup_idx = 0 AND n_gaps = 0
+                         AND n_role_repeats = 0
+                    THEN 1 ELSE 0 END AS is_clean
+        FROM a
+    """
+    # q115: tool-usage transition bigrams (lag over tool-bearing turns
+    # in conversation order, START for a conversation's first call)
+    o["q115_tool_transitions"] = f"""
+        WITH tr AS ({_TRANSCRIPT_SQL}),
+        tl AS (
+          SELECT conv_id, tool,
+                 lag(tool) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx, ts, event_id) AS prev
+          FROM tr WHERE tool IS NOT NULL
+        )
+        SELECT coalesce(prev, 'START') AS prev_tool, tool,
+               count(*) AS n_trans
+        FROM tl GROUP BY 1, 2
+        ORDER BY n_trans DESC, prev_tool, tool
+        LIMIT 30
+    """
+    # q116: alpha=0.5 mixture plan — weights rounded to 6dp BEFORE the
+    # planned-token multiply (q94's boundary discipline)
+    o["q116_mixture_plan"] = """
+        WITH per AS (
+          SELECT source, count(*) AS n_rows,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), z AS (
+          SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per
+        ), w AS (
+          SELECT source, n_rows, n_tokens,
+                 round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight
+          FROM per CROSS JOIN z
+        )
+        SELECT source, n_rows, n_tokens, weight,
+               CAST(round(1000000.0 * weight, 0) AS BIGINT)
+                 AS planned_tokens,
+               round(CAST(round(1000000.0 * weight, 0) AS BIGINT)
+                     / CAST(n_tokens AS DOUBLE), 4) AS epochs
+        FROM w
     """
     return o

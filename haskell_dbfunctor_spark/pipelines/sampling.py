@@ -320,3 +320,62 @@ def leakage_safe_split(
         .otherwise(F.lit(names[2]))
     )
     return df.withColumn("split", split)
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col,
+    *,
+    alpha: float = 0.5,
+    target_total: int = 1_000_000,
+) -> DataFrame:
+    """Corpus mixture plan: per-source sampling weights and epoch
+    (repetition) factors for a token-budgeted training mix.
+
+    The standard multi-source recipe (GPT-3 / Pile-style mixing):
+    source ``s`` with ``n_s`` tokens gets weight
+    ``w_s = n_s^alpha / sum_t n_t^alpha`` — ``alpha=1`` is natural
+    proportions, ``alpha=0`` is uniform, ``alpha=0.5`` (default)
+    up-weights small high-quality sources without drowning in the
+    biggest crawl. ``planned_tokens = round(target_total * w_s)`` and
+    ``epochs = planned / n_s`` says how many passes over each source
+    the budget implies (epochs > 1 = repetition, the overfitting
+    signal to watch).
+
+    ``size_col`` is a column name or Column measuring each row's size
+    (token count, chars). Weights are rounded to 6dp BEFORE the
+    planned-token multiply so every engine lands on the same integers
+    (same boundary discipline as :func:`temperature_sample`).
+
+    Scale: one hash aggregation over the corpus (map-side partial
+    sums), then arithmetic on the tiny per-source frame against one
+    broadcast scalar — no second pass over the data.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size).cast("long").alias("n_tokens"),
+    )
+    z = per.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    weight = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__z"), 6
+    )
+    return (
+        per.crossJoin(F.broadcast(z))
+        .withColumn("weight", weight)
+        .withColumn(
+            "planned_tokens",
+            F.round(F.lit(float(target_total)) * F.col("weight"), 0)
+            .cast("long"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("planned_tokens") / F.col("n_tokens").cast("double"), 4
+            ),
+        )
+        .drop("__z")
+    )
