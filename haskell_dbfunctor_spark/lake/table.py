@@ -662,6 +662,19 @@ class LakeTable:
         ``metadata_spill`` rides the manifest forward). Untouched
         buckets hash to an existing sidecar — nothing is rewritten for
         them — so commit metadata cost is O(touched buckets)."""
+        # stats-on-write patch (merge/compact apply closures): in the
+        # inline regime fold it straight into file_stats here (the
+        # closure only defers when the parent was spilled, but a
+        # concurrent un-spill can't happen — spill is sticky — so this
+        # branch is just defense in depth); the spilled regime is
+        # handled below against the per-bucket scs-* sidecars.
+        stats_patch = manifest.pop("__stats_patch", None)
+        if stats_patch and not manifest.get("metadata_spill"):
+            fs = dict(manifest.get("file_stats") or {})
+            for entries in stats_patch.values():
+                fs.update(entries)
+            manifest["file_stats"] = fs
+            stats_patch = None
         if not manifest.get("metadata_spill"):
             inline = sum(
                 len(json.dumps(manifest.get(k) or {}, separators=(",", ":")))
@@ -729,6 +742,47 @@ class LakeTable:
                         stats_refs[bid] = _write_sidecar("scs-", entries)
                 if stats_refs:
                     out["stats_refs"] = stats_refs
+        elif stats_patch:
+            # stats-on-write against a spilled table: rewrite ONLY the
+            # patched buckets' scs-* sidecars — load each one's
+            # previous entries (content-addressed cache), drop files no
+            # longer live in the bucket, add the fresh footer stats.
+            # Untouched buckets' refs carry forward verbatim, so the
+            # commit's metadata cost stays O(touched buckets).
+            cache = getattr(self, "_stats_cache", None)
+            if cache is None:
+                cache = self._stats_cache = {}
+            stats_refs = dict(out.get("stats_refs") or {})
+            for bid, entries in stats_patch.items():
+                prev: dict = {}
+                ref = stats_refs.get(bid)
+                if ref is not None:
+                    if ref not in cache:
+                        try:
+                            with open(os.path.join(meta_dir, ref)) as fh:
+                                cache[ref] = json.load(fh)
+                        except FileNotFoundError:
+                            cache[ref] = {}
+                    prev = cache[ref]
+                livef = set(buckets.get(bid) or []) | set(
+                    deltas.get(bid) or []
+                )
+                merged = {r: v for r, v in prev.items() if r in livef}
+                merged.update(
+                    {r: v for r, v in entries.items() if r in livef and v}
+                )
+                if merged:
+                    stats_refs[bid] = _write_sidecar("scs-", merged)
+                else:
+                    stats_refs.pop(bid, None)
+            if stats_refs:
+                out["stats_refs"] = stats_refs
+            else:
+                out.pop("stats_refs", None)
+            # keep the live handle's view fresh: the hydrated manifest
+            # (assigned to self.manifest by _commit) must point at the
+            # new sidecars, not the parent's
+            manifest["stats_refs"] = dict(stats_refs)
         # blooms are the BULK of the metadata (a bitset per file per
         # column) but only point lookups consume them — they spill to
         # their OWN per-bucket sidecars (scb-*) that readers load
@@ -1157,6 +1211,101 @@ class LakeTable:
             return v.timestamp()
         return v
 
+    def _footer_stats_entry(self, rel: str, cols: Sequence[str]) -> dict:
+        """One file's ``{col: [min, max]}`` from its parquet footer
+        (row-group statistics folded through ``_stat_key``); columns
+        without usable or JSON-serializable stats are omitted — an
+        omitted column simply never skips that file."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+        entry: dict = {}
+        for c in cols:
+            mins: list = []
+            maxs: list = []
+            ok = True
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                st = None
+                for j in range(row_group.num_columns):
+                    ch = row_group.column(j)
+                    if ch.path_in_schema == c:
+                        st = ch.statistics
+                        break
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(self._stat_key(st.min))
+                maxs.append(self._stat_key(st.max))
+            if ok and mins:
+                try:
+                    json.dumps([min(mins), max(maxs)])
+                except (TypeError, ValueError):
+                    continue  # unserializable stat type: skip
+                entry[c] = [min(mins), max(maxs)]
+        return entry
+
+    def _auto_stat_cols(self, schema_names: Sequence[str] | None = None):
+        """Columns named by the ``stats.auto-columns`` table property
+        (comma-separated) that exist in the (new) schema — the
+        stats-on-write contract: every CoW merge / compaction collects
+        these columns' per-file min/max from the files it just wrote,
+        in the SAME commit, so ``read_where`` pruning stays fresh
+        without a separate ``analyze`` maintenance pass (Iceberg
+        collects data-file bounds at write time; this mirrors that).
+        Unknown names are ignored until the column exists (a property
+        may be set ahead of a schema evolution)."""
+        raw = (self.properties.get("stats.auto-columns") or "").strip()
+        if not raw:
+            return []
+        names = set(
+            schema_names if schema_names is not None else self.schema.names
+        )
+        return [c.strip() for c in raw.split(",") if c.strip() in names]
+
+    def _collect_written_stats(
+        self, written: dict, cols: Sequence[str]
+    ) -> dict:
+        """Per-bucket ``{bid: {rel: {col: [min, max]}}}`` footer stats
+        for freshly-written files — driver-side O(written files), the
+        write-side half of stats-on-write. Called BEFORE the commit so
+        the stats land atomically with the files they describe."""
+        if not cols:
+            return {}
+        patch: dict = {}
+        for bid, files in written.items():
+            entries = {}
+            for rel in files:
+                e = self._footer_stats_entry(rel, cols)
+                if e:
+                    entries[rel] = e
+            if entries:
+                patch[str(bid)] = entries
+        return patch
+
+    @staticmethod
+    def _apply_stats_patch(m: dict, parent: dict, patch: dict) -> None:
+        """Fold a ``_collect_written_stats`` patch into the manifest
+        under construction (called inside a commit's apply closure, so
+        it re-applies cleanly on rebase). Inline-stats regime: merge
+        per-file entries into the parent's map (dead files are pruned
+        by ``_commit``). Spilled regime (stats live in lazy scs-*
+        sidecars): defer to ``_dehydrate_for_commit`` via the
+        ``__stats_patch`` key so ONLY the touched buckets' sidecars
+        are rewritten — commit metadata stays O(touched), never a
+        wholesale hydrate of O(table) stats."""
+        if not patch:
+            return
+        if parent.get("file_stats") is not None or not parent.get(
+            "metadata_spill"
+        ):
+            base = dict(parent.get("file_stats") or {})
+            for entries in patch.values():
+                base.update(entries)
+            m["file_stats"] = base
+        else:
+            m["__stats_patch"] = {b: dict(e) for b, e in patch.items()}
+
     def analyze(self, cols: Sequence[str]) -> dict:
         """Collect per-file min/max for ``cols`` from the parquet
         footers into the manifest (a metadata-only commit) — the stats
@@ -1165,9 +1314,10 @@ class LakeTable:
         files already analyzed for these columns are skipped, so
         re-running after a merge only reads the new files' footers.
         Files written after the last analyze simply lack stats and are
-        never skipped (safe default)."""
-        import pyarrow.parquet as pq
-
+        never skipped (safe default). For the columns that matter on
+        every read (e.g. ``ts`` retention scans), set the
+        ``stats.auto-columns`` table property instead and merges keep
+        the stats fresh at write time."""
         self._forbid_staged("analyze")
         cols = list(cols)
         for c in cols:
@@ -1185,30 +1335,7 @@ class LakeTable:
             missing = [c for c in cols if c not in entry]
             if missing:
                 n_read += 1
-                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
-                for c in missing:
-                    mins: list = []
-                    maxs: list = []
-                    ok = True
-                    for rg in range(md.num_row_groups):
-                        row_group = md.row_group(rg)
-                        st = None
-                        for j in range(row_group.num_columns):
-                            ch = row_group.column(j)
-                            if ch.path_in_schema == c:
-                                st = ch.statistics
-                                break
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        mins.append(self._stat_key(st.min))
-                        maxs.append(self._stat_key(st.max))
-                    if ok and mins:
-                        try:
-                            json.dumps([min(mins), max(maxs)])
-                        except (TypeError, ValueError):
-                            continue  # unserializable stat type: skip
-                        entry[c] = [min(mins), max(maxs)]
+                entry.update(self._footer_stats_entry(rel, missing))
             stats[rel] = entry
         def apply(parent: dict) -> dict:
             m = dict(parent)
@@ -2408,6 +2535,12 @@ class LakeTable:
             _drop_ephemeral_quarantine()
             raise
         base = self.manifest
+        # stats-on-write: footer bounds for the files this merge wrote,
+        # committed atomically with them (O(written files) driver-side;
+        # empty unless the stats.auto-columns property is set)
+        stats_patch = self._collect_written_stats(
+            written, self._auto_stat_cols(new_schema.names)
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -2417,6 +2550,7 @@ class LakeTable:
             for b in touched:
                 new_buckets[str(b)] = written.get(str(b), [])
             manifest["buckets"] = new_buckets
+            self._apply_stats_patch(manifest, parent, stats_patch)
             # the CoW target read collapsed any pending MoR deltas of
             # the touched buckets — their new base subsumes them
             new_deltas = dict(parent.get("delta_files", {}))
@@ -3041,6 +3175,12 @@ class LakeTable:
             .parquet(snap_abs)
         )
         written = self._scan_written(snap_abs, snap_rel)
+        # stats-on-write: the fold rewrites the buckets' base files —
+        # refresh their bounds in the same commit (MoR delta files are
+        # never stat-pruned, so this is where MoR tables' stats live)
+        stats_patch = self._collect_written_stats(
+            written, self._auto_stat_cols()
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -3054,6 +3194,7 @@ class LakeTable:
                 for b, fl in parent.get("delta_files", {}).items()
                 if int(b) not in set(touched)
             }
+            self._apply_stats_patch(manifest, parent, stats_patch)
             return manifest
 
         committed = self._commit_rebased(
@@ -3260,6 +3401,13 @@ class LakeTable:
             .parquet(snap_abs)
         )
         written = self._scan_written(snap_abs, snap_rel)
+        # stats-on-write: compaction rewrites files, so without this a
+        # maintenance cycle would erase the pruning stats a previous
+        # merge collected; with sort_by/zorder_by the fresh bounds are
+        # exactly what makes the clustered files skippable
+        stats_patch = self._collect_written_stats(
+            written, self._auto_stat_cols()
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -3276,6 +3424,7 @@ class LakeTable:
                 for b, fl in parent.get("delta_files", {}).items()
                 if int(b) not in set(touched)
             }
+            self._apply_stats_patch(manifest, parent, stats_patch)
             return manifest
 
         committed = self._commit_rebased(

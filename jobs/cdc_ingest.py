@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
                          "listing spills to per-bucket sidecars "
                          "(two-level manifest; default 4 MiB). "
                          "Applies at table creation.")
+    ap.add_argument("--auto-stats-cols", default=None,
+                    help="comma-separated columns whose per-file "
+                         "min/max bounds every merge/compaction "
+                         "collects at write time (stats.auto-columns "
+                         "property — read_where pruning stays fresh "
+                         "with no analyze pass; e.g. 'ts' for "
+                         "retention scans). Applies at table creation.")
     args = ap.parse_args(argv)
 
     table_props: dict[str, str] = {}
@@ -102,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         table_props["epochs.retention-count"] = str(args.epoch_retention)
     if args.meta_spill_bytes is not None:
         table_props["metadata.spill-bytes"] = str(args.meta_spill_bytes)
+    if args.auto_stats_cols:
+        table_props["stats.auto-columns"] = args.auto_stats_cols
 
     from haskell_dbfunctor_spark.session import get_spark
     from haskell_dbfunctor_spark.cdc.apply import open_or_create_transcripts, replay
