@@ -22,6 +22,12 @@ At 100 TB the whole point is to touch only the data that matches:
   delete writes key tombstones, update writes patched full rows —
   both delegate to ``LakeTable.merge(mode="mor")``, inheriting its
   exactly-once epochs, CDF lineage, and read-side collapse.
+- **``mode="dv"`` (delete only)** appends deletion vectors — position-
+  delete files of (file basename, row index) pairs, the Iceberg-v3 /
+  Delta DV shape. O(matches) x 2 tiny columns written (no row payload
+  at all); reads anti-join the vectors out of DV-bearing buckets only.
+  The cheapest delete when rows are wide (transcripts). See
+  ``_dv_delete``.
 
 Semantics pinned to SQL: rows where the predicate is NULL are NOT
 matched (DELETE keeps them, UPDATE leaves them); UPDATE assignments
@@ -43,6 +49,7 @@ from __future__ import annotations
 import datetime
 import os
 import re
+import shutil
 import time
 import uuid
 from typing import Mapping, Sequence
@@ -53,6 +60,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .table import (
     BUCKET_COL,
     DATA_DIR,
+    DV_SCHEMA,
     CommitConflict,
     LakeError,
     LakeTable,
@@ -225,11 +233,17 @@ def _discover(
                 kept.append(p)
         base_files = kept
     if base_files:
+        # deletion-vector-aware: file attribution comes from
+        # `_metadata.file_path` tagged BEFORE the DV anti-join (its
+        # shuffle-fallback form would break input_file_name(), which
+        # only resolves inside the scan's own task), and rows already
+        # position-deleted never count as matches — an UPDATE rewrite
+        # counting them would resurrect them
+        scan = table.spark.read.schema(table.schema).parquet(*base_files)
+        scan = table._apply_dvs(scan, table._dv_refs(base_ids))
         per_file = (
-            table.spark.read.schema(table.schema)
-            .parquet(*base_files)
-            .where(match)
-            .groupBy(F.input_file_name().alias("__f"))
+            scan.where(match)
+            .groupBy(F.col("_metadata.file_path").alias("__f"))
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
@@ -336,6 +350,7 @@ def _rewrite_commit(
         m = dict(parent)
         m["version"] = parent["version"] + 1
         new_buckets = dict(parent["buckets"])
+        whole_rewritten = set(matched_delta)
         for b in touched:
             if b in matched_delta:
                 # whole-bucket rewrite folded base + deltas
@@ -346,6 +361,8 @@ def _rewrite_commit(
                     if f not in removed
                 ]
                 new_buckets[str(b)] = kept + written.get(str(b), [])
+                if not kept:
+                    whole_rewritten.add(b)
         m["buckets"] = new_buckets
         # never carry delta refs across a base rewrite (CLAUDE.md)
         m["delta_files"] = {
@@ -353,6 +370,17 @@ def _rewrite_commit(
             for b, fl in parent.get("delta_files", {}).items()
             if int(b) not in set(matched_delta)
         }
+        # dv refs die only with a WHOLE-bucket rewrite (the read that
+        # fed it was DV-filtered); a file-level rewrite keeps the
+        # bucket's refs — entries for kept files are still needed and
+        # entries for dead files are harmless (joins key live
+        # basenames only)
+        if parent.get("dv_files"):
+            m["dv_files"] = {
+                b: fl
+                for b, fl in parent["dv_files"].items()
+                if int(b) not in whole_rewritten
+            }
         if epoch_id is not None:
             applied = dict(parent["applied_epochs"])
             applied[epoch_id] = {"version": m["version"], "ts": time.time()}
@@ -366,6 +394,258 @@ def _rewrite_commit(
         epoch_id=epoch_id,
         orphan_dir=snap_abs,
     )
+
+
+def _dv_delete(
+    table: LakeTable,
+    pred: Column,
+    predicate_src,
+    *,
+    epoch_id: str | None,
+    conflict_retries: int,
+    target_file_bytes: int,
+) -> MergeStats:
+    """``DELETE ... WHERE`` via deletion vectors (Iceberg v3 / Delta
+    DV analog): append tiny position-delete files — (file basename,
+    row position) pairs — instead of rewriting data files (CoW) or
+    appending full-row tombstones (MoR). Write cost is O(matches) x
+    ~2 small columns; read cost is an anti-join confined to DV-bearing
+    buckets (see ``LakeTable._apply_dvs``). The cheapest delete shape
+    for wide rows (transcript text never rewrites, never re-appends);
+    ``compact()`` folds the vectors back into the base.
+
+    Buckets with pending MoR deltas cannot take position deletes (the
+    live image of a key spans base + deltas; deleting the base
+    position would resurrect nothing or the wrong image) — those
+    buckets fold copy-on-write in the SAME commit, exactly like every
+    other CoW path. Positions reference immutable files, so replays
+    and concurrent rebases follow the standard OCC rules; a concurrent
+    commit on a DV'd bucket is detected via the manifest's
+    ``dv_files`` entry comparison (``_manifest_conflicts``)."""
+    t0 = time.time()
+    spark = table.spark
+    for attempt in range(conflict_retries + 1):
+        if (
+            epoch_id is not None
+            and epoch_id in table.manifest["applied_epochs"]
+        ):
+            return MergeStats(
+                epoch_id=epoch_id, version=table.version, skipped=True
+            )
+        dm = table.manifest.get("delta_files", {})
+        delta_all = sorted(int(b) for b in dm if dm[b])
+        base_ids = sorted(set(range(table.num_buckets)) - set(delta_all))
+
+        # ---- base buckets: collect matching (file, position) pairs
+        base_files = table._files(base_ids)
+        bounds = (
+            _conjunct_bounds(predicate_src)
+            if isinstance(predicate_src, str)
+            else None
+        )
+        n_pruned = 0
+        if bounds and base_files:
+            fstats = table._stats_map(base_ids)
+            root = os.path.abspath(table.root)
+            kept = []
+            for p in base_files:
+                entry = fstats.get(os.path.relpath(p, root), {})
+                if entry and _file_cannot_match(entry, bounds):
+                    n_pruned += 1
+                else:
+                    kept.append(p)
+            base_files = kept
+        dv_written: dict[str, list[str]] = {}
+        dv_abs = None
+        n_base = 0
+        if base_files:
+            scan = spark.read.schema(table.schema).parquet(*base_files)
+            tagged = scan.select(
+                F.col("_metadata.file_path").alias("__uri"),
+                table.bucket_of(
+                    *[F.col(c) for c in table.key_cols]
+                ).alias("__b"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__name"),
+                F.col("_metadata.row_index").alias("__pos"),
+                F.coalesce(pred, F.lit(False)).alias("__m"),
+            ).where("__m")
+            # rows already position-deleted must not re-enter the
+            # vector (idempotent re-delete, honest n_deleted)
+            prior = table._dv_refs(base_ids)
+            if prior:
+                old = (
+                    spark.read.schema(DV_SCHEMA)
+                    .parquet(*[os.path.join(table.root, r) for r in prior])
+                    .select("__dv_bucket", "__dv_name", "__dv_pos")
+                )
+                tagged = tagged.join(
+                    F.broadcast(old),
+                    (tagged["__b"] == old["__dv_bucket"])
+                    & (tagged["__name"] == old["__dv_name"])
+                    & (tagged["__pos"] == old["__dv_pos"]),
+                    "left_anti",
+                )
+            per_file = (
+                tagged.groupBy("__uri")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            n_base = sum(int(r["__n"]) for r in per_file)
+            if n_base:
+                rows = [
+                    (r["__uri"], _rel_of(r["__uri"], table.root))
+                    for r in per_file
+                ]
+                map_df = spark.createDataFrame(
+                    rows, "__uri string, __rel string"
+                )
+                new_version = table.version + 1
+                dv_rel = os.path.join(
+                    DATA_DIR, f"dv{new_version}-{uuid.uuid4().hex[:8]}"
+                )
+                dv_abs = os.path.join(table.root, dv_rel)
+                (
+                    tagged.join(F.broadcast(map_df), "__uri")
+                    .select(
+                        F.col("__rel").alias("__dv_file"),
+                        F.col("__b").alias("__dv_bucket"),
+                        F.col("__name").alias("__dv_name"),
+                        F.col("__pos").alias("__dv_pos"),
+                        F.col("__b").alias(BUCKET_COL),
+                    )
+                    # one write task per ~8M positions
+                    .repartition(
+                        max(-(-n_base // 8_000_000), 1),
+                        F.col(BUCKET_COL),
+                    )
+                    .write.partitionBy(BUCKET_COL)
+                    .mode("overwrite")
+                    .parquet(dv_abs)
+                )
+                dv_written = table._scan_written(dv_abs, dv_rel)
+
+        # ---- delta-bearing buckets: fold copy-on-write (same commit)
+        matched_delta: list[int] = []
+        n_delta = 0
+        if delta_all:
+            per_bucket = (
+                table.read(delta_all)
+                .where(pred)
+                .groupBy(
+                    table.bucket_of(
+                        *[F.col(c) for c in table.key_cols]
+                    ).alias("__b")
+                )
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            matched_delta = sorted(int(r["__b"]) for r in per_bucket)
+            n_delta = sum(int(r["__n"]) for r in per_bucket)
+        fold_written: dict[str, list[str]] = {}
+        fold_abs = None
+        if matched_delta:
+            survivors = table.read(matched_delta).where(~pred).withColumn(
+                BUCKET_COL,
+                table.bucket_of(*[F.col(c) for c in table.key_cols]),
+            )
+            fold_rel = os.path.join(
+                DATA_DIR, f"s{table.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            fold_abs = os.path.join(table.root, fold_rel)
+            (
+                survivors.repartition(
+                    len(matched_delta), F.col(BUCKET_COL)
+                )
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(fold_abs)
+            )
+            fold_written = table._scan_written(fold_abs, fold_rel)
+
+        if not n_base and not matched_delta:
+            if dv_abs:
+                shutil.rmtree(dv_abs, ignore_errors=True)
+            if epoch_id is not None:
+                return _record_epoch_only(table, epoch_id)
+            return MergeStats(epoch_id=None, version=table.version)
+
+        touched = sorted(
+            {int(b) for b in dv_written} | set(matched_delta)
+        )
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            if dv_written:
+                dvs = dict(parent.get("dv_files", {}))
+                for b, refs in dv_written.items():
+                    dvs[b] = list(dvs.get(b, [])) + refs
+                m["dv_files"] = dvs
+            if matched_delta:
+                new_buckets = dict(parent["buckets"])
+                for b in matched_delta:
+                    new_buckets[str(b)] = fold_written.get(str(b), [])
+                m["buckets"] = new_buckets
+                m["delta_files"] = {
+                    b: fl
+                    for b, fl in parent.get("delta_files", {}).items()
+                    if int(b) not in set(matched_delta)
+                }
+                # folded buckets' PRIOR dv refs die with the rewrite
+                # (disjoint from dv_written: vectors target base-only
+                # buckets)
+                if parent.get("dv_files"):
+                    m["dv_files"] = {
+                        b: fl
+                        for b, fl in m.get(
+                            "dv_files", parent["dv_files"]
+                        ).items()
+                        if int(b) not in set(matched_delta)
+                    }
+            if epoch_id is not None:
+                applied = dict(parent["applied_epochs"])
+                applied[epoch_id] = {
+                    "version": m["version"], "ts": time.time()
+                }
+                m["applied_epochs"] = applied
+            return m
+
+        try:
+            committed = table._commit_rebased(
+                base=table.manifest,
+                touched=touched,
+                apply=apply,
+                epoch_id=epoch_id,
+                orphan_dir=dv_abs,
+            )
+        except CommitConflict:
+            if fold_abs:
+                shutil.rmtree(fold_abs, ignore_errors=True)
+            if attempt == conflict_retries:
+                raise
+            table.manifest = table._load_latest_published_manifest()
+            continue
+        if committed is None:  # racer applied our epoch
+            if fold_abs:
+                shutil.rmtree(fold_abs, ignore_errors=True)
+            return MergeStats(
+                epoch_id=epoch_id, version=table.version, skipped=True
+            )
+        return MergeStats(
+            epoch_id=epoch_id,
+            version=table.version,
+            n_deleted=n_base + n_delta,
+            buckets_touched=len(touched),
+            seconds=time.time() - t0,
+            extra={
+                "dv_files_written": sum(len(v) for v in dv_written.values()),
+                "dv_positions": n_base,
+                "delta_buckets_folded": len(matched_delta),
+                "files_stat_pruned": n_pruned,
+            },
+        )
 
 
 def delete_where(
@@ -382,12 +662,21 @@ def delete_where(
     CoW (default): rewrite only the data files that contain matching
     rows. ``mode="mor"``: append key tombstones for the matching rows
     (O(matches) write; read-side collapse drops them; ``compact_deltas``
-    folds them into the base).
+    folds them into the base). ``mode="dv"``: append position-delete
+    deletion vectors (O(matches) x 2 tiny columns — the cheapest
+    delete for wide rows; see ``_dv_delete``).
     """
-    if mode not in ("cow", "mor"):
+    if mode not in ("cow", "mor", "dv"):
         raise LakeError(f"delete_where: unknown mode {mode!r}")
     table._forbid_staged("delete_where")
     pred = _match(_as_column(predicate))
+    if mode == "dv":
+        return _dv_delete(
+            table, pred, predicate,
+            epoch_id=epoch_id,
+            conflict_retries=conflict_retries,
+            target_file_bytes=target_file_bytes,
+        )
     if mode == "mor":
         # a tombstone only needs the key, but MoR full-row mode wants
         # every column — the matched rows already have them all
@@ -426,9 +715,12 @@ def delete_where(
                 return _record_epoch_only(table, epoch_id)
             return MergeStats(epoch_id=None, version=table.version)
         survivors = (
-            table.spark.read.schema(table.schema)
-            .parquet(*[os.path.join(table.root, f) for f in files])
-            .where(~pred)
+            table._apply_dvs(
+                table.spark.read.schema(table.schema).parquet(
+                    *[os.path.join(table.root, f) for f in files]
+                ),
+                table._dv_refs(sorted({_bucket_of_rel(f) for f in files})),
+            ).where(~pred)
             if files
             else None
         )
@@ -540,8 +832,15 @@ def update_where(
             return MergeStats(epoch_id=None, version=table.version)
         rewritten = (
             patched(
-                table.spark.read.schema(table.schema).parquet(
-                    *[os.path.join(table.root, f) for f in files]
+                # DV-filtered: rewriting a position-deleted row into
+                # the replacement file would resurrect it
+                table._apply_dvs(
+                    table.spark.read.schema(table.schema).parquet(
+                        *[os.path.join(table.root, f) for f in files]
+                    ),
+                    table._dv_refs(
+                        sorted({_bucket_of_rel(f) for f in files})
+                    ),
                 ),
                 False,
             )

@@ -62,6 +62,13 @@ from pyspark.sql import (
 MANIFEST_DIR = "metadata"
 DATA_DIR = "data"
 BUCKET_COL = "__bucket"
+# deletion-vector file schema (see LakeTable._dv_refs block comment).
+# The logical row id is (bucket, file basename, row position): one
+# partitionBy write job reuses the SAME part filename across bucket
+# dirs (per-task numbering), so the basename alone is only unique
+# WITHIN a bucket; the bucket id is recomputed from the row's key
+# columns at read time (hash by value — stable across clones/moves).
+DV_SCHEMA = "__dv_file string, __dv_bucket int, __dv_name string, __dv_pos long"
 # sync_table's cursor epoch prefix (lake/sync.py imports this): the
 # newest such entry is exempt from epochs.retention-count pruning
 SYNC_EPOCH_PREFIX = "sync-v"
@@ -929,9 +936,16 @@ class LakeTable:
         lb, bb = latest["buckets"], base["buckets"]
         ld = latest.get("delta_files", {})
         bd = base.get("delta_files", {})
+        lv = latest.get("dv_files", {})
+        bv = base.get("dv_files", {})
         for b in touched:
             b = str(b)
             if lb.get(b, []) != bb.get(b, []) or ld.get(b, []) != bd.get(b, []):
+                return True
+            # a deletion-vector commit changes NEITHER list — but our
+            # CoW read of that bucket predates its deletes; rebasing
+            # would resurrect them (lost update)
+            if lv.get(b, []) != bv.get(b, []):
                 return True
         return False
 
@@ -1085,6 +1099,83 @@ class LakeTable:
             out.extend(os.path.join(self.root, f) for f in dm.get(b, []))
         return out
 
+    # ------------------------------------------------- deletion vectors
+    # Iceberg-v3 / Delta deletion-vector analog: `delete_where(mode="dv")`
+    # appends tiny position-delete parquet files instead of rewriting
+    # data (CoW) or appending full-row tombstones (MoR). A DV row is
+    # (__dv_file: manifest-rel path, __dv_bucket, __dv_name: file
+    # basename, __dv_pos: row position) — positions are stable because
+    # data files are immutable. Reads anti-join matching (bucket,
+    # basename, row_index) triples out of the scan via the parquet
+    # `_metadata` hidden column; the basename (write-job UUID + task
+    # number) is unique WITHIN a bucket and survives every path
+    # representation (manifest-rel, absolute clone refs, file: URIs),
+    # and the bucket id is recomputed from the row's key values.
+    # Invariants:
+    #   * dv refs live per bucket in manifest["dv_files"] (inline —
+    #     O(delete ops x buckets), never spilled);
+    #   * any WHOLE-bucket base rewrite (merge CoW, compact,
+    #     compact_deltas, rename, rebucket, DML delta-fold) reads
+    #     through the DV filter and drops the bucket's dv refs;
+    #   * file-level CoW rewrites (dml) KEEP refs — entries pointing at
+    #     dead files are harmless (the join keys live basenames only),
+    #     same rule as carried bloom/stats refs;
+    #   * delta-bearing buckets never take NEW dv entries (delete dv
+    #     mode folds them CoW) — existing DVs on base files compose
+    #     with later MoR deltas (DV drops the base row pre-collapse; a
+    #     newer delta image of the key still wins).
+    def _dv_refs(self, buckets: Sequence[int] | None = None) -> list[str]:
+        dvm = self.manifest.get("dv_files", {})
+        ids = [str(b) for b in buckets] if buckets is not None else list(dvm)
+        out: list[str] = []
+        for b in ids:
+            out.extend(dvm.get(b, []))
+        return out
+
+    def _apply_dvs(self, scan: DataFrame, dv_refs: list[str]) -> DataFrame:
+        """Anti-join DV'd positions out of a RAW parquet scan (the
+        frame must come straight from ``spark.read...parquet`` so the
+        ``_metadata`` hidden column is still resolvable). No-op (and
+        zero plan overhead) when ``dv_refs`` is empty — the default
+        read path never pays for the feature."""
+        if not dv_refs:
+            return scan
+        paths = [os.path.join(self.root, r) for r in dv_refs]
+        dv = (
+            self.spark.read.schema(DV_SCHEMA)
+            .parquet(*paths)
+            .select("__dv_bucket", "__dv_name", "__dv_pos")
+        )
+        # DVs are O(deleted rows): broadcast the anti-join side while
+        # small; past the threshold fall back to a shuffle join (at
+        # 100 TB a delete wave can DV-mark billions of positions)
+        total = 0
+        for p in paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        if total <= 32 * 1024 * 1024:
+            dv = F.broadcast(dv)
+        tagged = scan.select(
+            "*",
+            self.bucket_of(
+                *[F.col(c) for c in self.key_cols]
+            ).alias("__r_b"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__r_name"),
+            F.col("_metadata.row_index").alias("__r_pos"),
+        )
+        out = tagged.join(
+            dv,
+            (tagged["__r_b"] == dv["__dv_bucket"])
+            & (tagged["__r_name"] == dv["__dv_name"])
+            & (tagged["__r_pos"] == dv["__dv_pos"]),
+            "left_anti",
+        )
+        return out.drop("__r_b", "__r_name", "__r_pos")
+
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current snapshot as a DataFrame.
 
@@ -1097,15 +1188,22 @@ class LakeTable:
         per key (latest commit wins; delete tombstones drop the row) —
         the read-side tax MoR trades for O(batch) ingest writes. Run
         ``compact_deltas`` to fold the tax back into the base files.
+
+        When deletion vectors are pending (``delete_where(mode="dv")``),
+        DV-bearing buckets additionally anti-join their position-delete
+        entries out of the base scan (broadcast while small); buckets
+        without DVs pay nothing. ``compact()`` folds DVs away.
         """
         delta = self._delta_files(buckets)
-        if not delta:
+        dvm = self.manifest.get("dv_files", {})
+        if not delta and not dvm:
             files = self._files(buckets)
             if not files:
                 return self.spark.createDataFrame([], self.schema)
             return self.spark.read.schema(self.schema).parquet(*files)
-        # split the read: only delta-bearing buckets pay the collapse;
-        # the rest plain-read their base files (at 4096 buckets and one
+        # split the read: only delta-bearing buckets pay the collapse
+        # and only DV-bearing buckets pay the position anti-join; the
+        # rest plain-read their base files (at 4096 buckets and one
         # pending delta, collapsing everything would shuffle the whole
         # table to reconcile one bucket)
         dm = self.manifest.get("delta_files", {})
@@ -1115,7 +1213,33 @@ class LakeTable:
             else {int(b) for b in buckets}
         )
         delta_ids = sorted(b for b in wanted if dm.get(str(b)))
-        plain_ids = sorted(wanted - set(delta_ids))
+        dv_plain_ids = sorted(
+            b for b in wanted
+            if b not in set(delta_ids) and dvm.get(str(b))
+        )
+        plain_ids = sorted(wanted - set(delta_ids) - set(dv_plain_ids))
+        if not delta_ids:
+            parts: list[DataFrame] = []
+            dv_files = self._files(dv_plain_ids)
+            if dv_files:
+                parts.append(
+                    self._apply_dvs(
+                        self.spark.read.schema(self.schema)
+                        .parquet(*dv_files),
+                        self._dv_refs(dv_plain_ids),
+                    )
+                )
+            plain_files = self._files(plain_ids)
+            if plain_files:
+                parts.append(
+                    self.spark.read.schema(self.schema).parquet(*plain_files)
+                )
+            if not parts:
+                return self.spark.createDataFrame([], self.schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -1127,6 +1251,10 @@ class LakeTable:
         df = self.spark.read.schema(read_schema).parquet(
             *(self._files(delta_ids) + self._delta_files(delta_ids))
         )
+        # DV entries key base-file basenames only, so filtering the
+        # combined base+delta scan drops exactly the DV'd base rows;
+        # a newer delta image of the same key still wins the collapse
+        df = self._apply_dvs(df, self._dv_refs(delta_ids))
         key = self.key_cols
         ords = F.coalesce(F.col("__commit_seq"), F.lit(0))  # base rows = 0
         payload = [f.name for f in self.schema.fields if f.name not in key]
@@ -1187,6 +1315,12 @@ class LakeTable:
                 F.coalesce(F.col("__op_w"), F.lit("U")) != F.lit("D")
             )
             out = live.select(*self.schema.names)
+        dv_files = self._files(dv_plain_ids)
+        if dv_files:
+            out = self._apply_dvs(
+                self.spark.read.schema(self.schema).parquet(*dv_files),
+                self._dv_refs(dv_plain_ids),
+            ).unionByName(out)
         plain_files = self._files(plain_ids)
         if plain_files:
             out = (
@@ -1435,7 +1569,10 @@ class LakeTable:
         parts: list[DataFrame] = []
         if files:
             parts.append(
-                self.spark.read.schema(self.schema).parquet(*files).where(cond)
+                self._apply_dvs(
+                    self.spark.read.schema(self.schema).parquet(*files),
+                    self._dv_refs(plain_ids),
+                ).where(cond)
             )
         if delta_ids:
             parts.append(self.read(delta_ids).where(cond))
@@ -1660,8 +1797,13 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         if files:
+            # a DV'd row may still bloom-hit its (immutable) file —
+            # the position anti-join keeps the lookup exact
             parts.append(
-                self.spark.read.schema(self.schema).parquet(*files).where(cond)
+                self._apply_dvs(
+                    self.spark.read.schema(self.schema).parquet(*files),
+                    self._dv_refs(plain_ids),
+                ).where(cond)
             )
         if delta_ids:
             parts.append(self.read(delta_ids).where(cond))
@@ -1741,10 +1883,14 @@ class LakeTable:
             ob, nb = old.manifest["buckets"], new.manifest["buckets"]
             od = old.manifest.get("delta_files", {})
             nd = new.manifest.get("delta_files", {})
+            ov = old.manifest.get("dv_files", {})
+            nv = new.manifest.get("dv_files", {})
             touched = sorted(
                 b for b in range(new.num_buckets)
                 if ob.get(str(b), []) != nb.get(str(b), [])
                 or od.get(str(b), []) != nd.get(str(b), [])
+                # a DV delete changes no file list — only its dv refs
+                or ov.get(str(b), []) != nv.get(str(b), [])
             )
         else:  # rebucketed in between — no layout correspondence
             touched = None
@@ -2551,12 +2697,18 @@ class LakeTable:
                 new_buckets[str(b)] = written.get(str(b), [])
             manifest["buckets"] = new_buckets
             self._apply_stats_patch(manifest, parent, stats_patch)
-            # the CoW target read collapsed any pending MoR deltas of
-            # the touched buckets — their new base subsumes them
+            # the CoW target read collapsed any pending MoR deltas AND
+            # deletion vectors of the touched buckets — their new base
+            # subsumes both
             new_deltas = dict(parent.get("delta_files", {}))
             for b in touched:
                 new_deltas.pop(str(b), None)
             manifest["delta_files"] = new_deltas
+            if parent.get("dv_files"):
+                new_dvs = dict(parent["dv_files"])
+                for b in touched:
+                    new_dvs.pop(str(b), None)
+                manifest["dv_files"] = new_dvs
             if new_rows > 0 and new_bytes > 0:
                 manifest["avg_row_bytes"] = max(int(new_bytes / new_rows), 16)
             applied = dict(parent["applied_epochs"])
@@ -2809,6 +2961,8 @@ class LakeTable:
             | set(self.manifest["buckets"])
             | set(old.get("delta_files", {}))
             | set(self.manifest.get("delta_files", {}))
+            | set(old.get("dv_files", {}))
+            | set(self.manifest.get("dv_files", {}))
         )
         for attempt in range(conflict_retries + 1):
             try:
@@ -2880,17 +3034,20 @@ class LakeTable:
                 out_rel = os.path.relpath(src, src_root)
             else:
                 # out-of-root ref (deep-cloning a shallow clone):
-                # basenames can collide across roots — prefix a counter
+                # basenames can collide across roots — disambiguate
+                # with a counter SUBDIR, never a filename prefix: the
+                # basename is the deletion-vector join key, so renaming
+                # a carried data file would resurrect its DV'd rows
                 carried["n"] += 1
                 out_rel = os.path.join(
                     DATA_DIR, "cloned",
-                    f"{carried['n']:06d}-{os.path.basename(src)}",
+                    f"{carried['n']:06d}", os.path.basename(src),
                 )
             dst = os.path.join(dest_root, out_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
             return out_rel
-        for cat in ("buckets", "delta_files"):
+        for cat in ("buckets", "delta_files", "dv_files"):
             if m.get(cat):
                 m[cat] = {
                     b: [_carry(f) for f in files]
@@ -3013,10 +3170,16 @@ class LakeTable:
         sb, bb = staged["buckets"], base["buckets"]
         sd = staged.get("delta_files", {})
         bd = base.get("delta_files", {})
+        sv = staged.get("dv_files", {})
+        bv = base.get("dv_files", {})
         touched = sorted(
-            int(b) for b in set(sb) | set(bb) | set(sd) | set(bd)
+            int(b)
+            for b in set(sb) | set(bb) | set(sd) | set(bd) | set(sv) | set(bv)
             if sb.get(str(b), []) != bb.get(str(b), [])
             or sd.get(str(b), []) != bd.get(str(b), [])
+            # a staged merge that rewrote a bucket also folded (and
+            # dropped) its deletion vectors — count that as touched
+            or sv.get(str(b), []) != bv.get(str(b), [])
         )
         new_epochs = {
             e: v for e, v in staged["applied_epochs"].items()
@@ -3072,6 +3235,7 @@ class LakeTable:
             m["parent"] = pub["version"]
             nb = dict(pub["buckets"])
             nd = dict(pub.get("delta_files", {}))
+            nv = dict(pub.get("dv_files", {}))
             for b in touched:
                 b = str(b)
                 if b in sb:
@@ -3082,8 +3246,17 @@ class LakeTable:
                     nd[b] = sd[b]
                 else:
                     nd.pop(b, None)
+                # dv refs follow the same override rule: the staged
+                # side's state wins for buckets it touched, DISJOINT
+                # published dv deletes (validated non-overlapping by
+                # _manifest_conflicts above) carry through from pub
+                if b in sv:
+                    nv[b] = sv[b]
+                else:
+                    nv.pop(b, None)
             m["buckets"] = nb
             m["delta_files"] = nd
+            m["dv_files"] = nv
             # partial-patch markers: union BOTH sides' — the staged
             # chain's list cannot know about partial deltas a disjoint
             # published commit added after the fork (losing a marker
@@ -3194,6 +3367,13 @@ class LakeTable:
                 for b, fl in parent.get("delta_files", {}).items()
                 if int(b) not in set(touched)
             }
+            if parent.get("dv_files"):
+                # the fold read through the DV filter — refs die here
+                manifest["dv_files"] = {
+                    b: fl
+                    for b, fl in parent["dv_files"].items()
+                    if int(b) not in set(touched)
+                }
             self._apply_stats_patch(manifest, parent, stats_patch)
             return manifest
 
@@ -3424,6 +3604,13 @@ class LakeTable:
                 for b, fl in parent.get("delta_files", {}).items()
                 if int(b) not in set(touched)
             }
+            if parent.get("dv_files"):
+                # deletion vectors folded with the rewrite too
+                manifest["dv_files"] = {
+                    b: fl
+                    for b, fl in parent["dv_files"].items()
+                    if int(b) not in set(touched)
+                }
             self._apply_stats_patch(manifest, parent, stats_patch)
             return manifest
 
@@ -3517,9 +3704,10 @@ class LakeTable:
             manifest["schema"] = new_schema.json()
             manifest["key_cols"] = new_key
             manifest["buckets"] = written
-            # rewrite folded every pending delta into the new base
+            # rewrite folded every pending delta + deletion vector
             manifest["delta_files"] = {}
             manifest["partial_delta_files"] = []
+            manifest["dv_files"] = {}
             # tombstone the old name (drop_column rule: a re-add would
             # resurrect stale values from retained old snapshots)
             manifest["dropped_columns"] = sorted(
@@ -3629,10 +3817,11 @@ class LakeTable:
             manifest["version"] = parent["version"] + 1
             manifest["num_buckets"] = int(new_num_buckets)
             manifest["buckets"] = written
-            # the collapsed read baked every pending delta into the new
-            # base; stale refs would be keyed by OLD bucket ids and
-            # could silently override newer data on later reads
+            # the collapsed read baked every pending delta + deletion
+            # vector into the new base; stale refs would be keyed by
+            # OLD bucket ids and could silently override newer data
             manifest["delta_files"] = {}
+            manifest["dv_files"] = {}
             return manifest
 
         # touched = every bucket: any concurrent DATA commit conflicts
@@ -3705,6 +3894,8 @@ class LakeTable:
             for files in m["buckets"].values():
                 yield from files
             for files in m.get("delta_files", {}).values():
+                yield from files
+            for files in m.get("dv_files", {}).values():
                 yield from files
 
         def _refs_of(path: str) -> set[str]:
@@ -3880,6 +4071,8 @@ class LakeTable:
                 referenced.update(files)
             for files in m.get("delta_files", {}).values():
                 referenced.update(files)
+            for files in m.get("dv_files", {}).values():
+                referenced.update(files)
             with open(os.path.join(meta_dir, f)) as fh:
                 raw = json.load(fh)
             live_sidecars.update((raw.get("bucket_refs") or {}).values())
@@ -3951,6 +4144,7 @@ class LakeTable:
         for kind, mapping in (
             ("base", self.manifest.get("buckets", {})),
             ("delta", self.manifest.get("delta_files", {})),
+            ("dv", self.manifest.get("dv_files", {})),
         ):
             for b, files in mapping.items():
                 for rel in files:

@@ -398,10 +398,14 @@ class Transaction:
         sb, bb = staged["buckets"], base["buckets"]
         sd = staged.get("delta_files", {})
         bd = base.get("delta_files", {})
+        sv = staged.get("dv_files", {})
+        bv = base.get("dv_files", {})
         touched = [
-            int(b) for b in set(sb) | set(bb) | set(sd) | set(bd)
+            int(b)
+            for b in set(sb) | set(bb) | set(sd) | set(bd) | set(sv) | set(bv)
             if sb.get(str(b), []) != bb.get(str(b), [])
             or sd.get(str(b), []) != bd.get(str(b), [])
+            or sv.get(str(b), []) != bv.get(str(b), [])
         ]
         return not LakeTable._manifest_conflicts(base, pub, touched) and (
             pub.get("constraints") == base.get("constraints")
