@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Core.hs:1524-1600); here only match-bearing data files rewrite
     q["q91_delete_where"] = _delete_where_state
     q["q92_update_where"] = _update_where_state
+    q["q117_delete_vectors"] = _delete_vectors_state
     q["q99_snapshot_sync"] = _snapshot_sync_state
 
     # entity-disjoint train/val/test split (leakage-safe: every row of
@@ -1432,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
         "q113_clone_correction", "q114_transcript_integrity",
         "q115_tool_transitions", "q116_mixture_plan",
+        "q117_delete_vectors",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2145,6 +2147,23 @@ def _delete_where_state(s: SparkSession, d: str) -> DataFrame:
     rebuilds the whole table (Core.hs:1524-1546)."""
     t = _dml_state_lake(s, d, "hdbf_dml_q91_")
     t.delete_where("event_type = 'view' AND value > 500")
+    return t.read().select(*_STATE_COLS)
+
+
+def _delete_vectors_state(s: SparkSession, d: str) -> DataFrame:
+    """q117: two successive DELETEs via DELETION VECTORS
+    (delete_where(mode="dv"), lake/dml.py) — the Iceberg-v3 / Delta DV
+    shape: each delete appends position-delete files of (bucket, file
+    basename, row position) instead of rewriting data files (q91's
+    CoW) or appending full-row tombstones (MoR). Zero data bytes
+    rewritten; the read anti-joins the accumulated vectors out of
+    DV-bearing buckets only. The second delete proves vectors
+    ACCUMULATE per bucket and that already-deleted positions are not
+    re-counted. Reference analog: deleteRTab rebuilds the whole
+    in-memory table (Core.hs:1524-1546)."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q117_")
+    t.delete_where("event_type = 'click' AND value < 250", mode="dv")
+    t.delete_where("value > 900", mode="dv")
     return t.read().select(*_STATE_COLS)
 
 
@@ -3702,6 +3721,12 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(event_type = 'view' AND value > 500, FALSE)
+    """
+    o["q117_delete_vectors"] = f"""
+        SELECT user_id, event_type, value, ts, last_event_id
+        FROM ({_CDC_LWW_SQL})
+        WHERE NOT coalesce(event_type = 'click' AND value < 250, FALSE)
+          AND NOT coalesce(value > 900, FALSE)
     """
     o["q92_update_where"] = f"""
         SELECT user_id, event_type,

@@ -499,6 +499,116 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
     }))
 
 
+def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
+                 every: int = 97) -> None:
+    """Delete-mode cost triangle: CoW (rewrite matched files) vs MoR
+    (full-row tombstone deltas) vs DV (position-delete vectors) for a
+    scattered DELETE of ~1/``every`` of a wide-row table — the
+    delete-heavy CDC shape (GDPR erasure, retention sweeps). Each leg
+    runs on a fresh SHALLOW CLONE of one base lake (zero-copy, its
+    writes land under the clone root), so legs are byte-identical and
+    alternating rounds cancel host drift. Reports per-leg median
+    delete seconds, MB written by the delete, and the post-delete
+    full-read seconds (MoR pays the collapse, DV the anti-join, CoW
+    nothing)."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_dvcost_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    # ~270-byte rows: the wide-transcript shape where DV's no-payload
+    # writes should win hardest
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(11)).cast("string").alias("grp"),
+        F.pmod(F.col("id") * 31, F.lit(1000)).alias("val"),
+        F.concat(*[
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(s)), 256)
+            for s in ("a", "b", "c", "d")
+        ]).alias("text"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("seq"),
+    )
+    base = LakeTable.create(
+        spark, f"{root}/base", schema, key_cols=["k"], num_buckets=32
+    )
+    base.merge(df, epoch_id="seed", order_cols=("seq",),
+               drop_cols=("seq",), prune_buckets=False)
+    pred = f"val % {every} = 0"
+
+    def _tree_mb(p: str) -> float:
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(p, "data")):
+            for fn in fns:
+                try:
+                    total += os.path.getsize(os.path.join(dp, fn))
+                except OSError:
+                    pass
+        return total / 1e6
+
+    legs = ["cow", "mor", "dv"]
+    res = {m: {"delete_s": [], "mb_written": [], "read_s": [],
+               "n_deleted": 0} for m in legs}
+    # warm the JVM through all three paths once (JIT/codegen)
+    for m in legs:
+        c = base.shallow_clone(f"{root}/warm_{m}")
+        c.delete_where(pred + " and k < 1000", mode=m)
+        c.read().count()
+        shutil.rmtree(f"{root}/warm_{m}", ignore_errors=True)
+    for r in range(pairs):
+        order = legs[r % 3:] + legs[:r % 3]
+        for m in order:
+            croot = f"{root}/c_{m}_{r}"
+            c = base.shallow_clone(croot)
+            t0 = time.time()
+            stats = c.delete_where(pred, mode=m)
+            del_s = time.time() - t0
+            mb = _tree_mb(croot)
+            t0 = time.time()
+            n_after = c.read().count()
+            read_s = time.time() - t0
+            res[m]["delete_s"].append(del_s)
+            res[m]["mb_written"].append(mb)
+            res[m]["read_s"].append(read_s)
+            res[m]["n_deleted"] = stats.n_deleted
+            print(f"# round {r} {m}: delete {del_s:.2f}s, "
+                  f"{mb:.1f} MB written, read {read_s:.2f}s "
+                  f"(rows after {n_after})", file=sys.stderr)
+            shutil.rmtree(croot, ignore_errors=True)
+    med = {
+        m: {k: round(sorted(v)[len(v) // 2], 3)
+            for k, v in vals.items() if isinstance(v, list)}
+        for m, vals in res.items()
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "dv_delete_speedup_vs_cow",
+        "value": round(med["cow"]["delete_s"] / med["dv"]["delete_s"], 3),
+        "unit": "ratio (CoW delete s / DV delete s, median)",
+        "n_rows": n_rows,
+        "deleted_rows": res["dv"]["n_deleted"],
+        "cores": cores,
+        "medians": med,
+    }))
+
+
 def _one_cluster_submit(n_exec: int, cores_per: int, mem_mb: int,
                         n_events: int, n_epochs: int, py_zip: str,
                         mode: str = "cow") -> dict:
@@ -632,6 +742,12 @@ if __name__ == "__main__":
                     help="MB per executor (--cluster-scaling); size "
                          "to the epoch: big epochs (2M rows) need "
                          ">= 12288 to keep GC out of the signal")
+    ap.add_argument("--dv-cost", action="store_true",
+                    help="delete-mode cost triangle: CoW vs MoR "
+                         "tombstones vs deletion vectors on a wide-row "
+                         "lake (scattered ~1%% delete)")
+    ap.add_argument("--rows", type=int, default=2_000_000,
+                    help="base-table rows for --dv-cost")
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
@@ -647,6 +763,8 @@ if __name__ == "__main__":
     elif args.index_cost:
         main_index_cost(args.cores, args.events,
                         pairs=min(args.pairs, 3), n_epochs=args.epochs)
+    elif args.dv_cost:
+        main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.cluster_scaling:
         main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
                              n_epochs=args.epochs,

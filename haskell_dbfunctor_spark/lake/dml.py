@@ -487,44 +487,68 @@ def _dv_delete(
                     & (tagged["__pos"] == old["__dv_pos"]),
                     "left_anti",
                 )
-            per_file = (
-                tagged.groupBy("__uri")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .collect()
+            # ONE pass: scan -> filter -> write vectors, with the match
+            # count observed in-flight (no separate discovery job —
+            # at 10^10 rows a second full scan is the dominant cost).
+            # __dv_file is a bookkeeping/debug field only (joins key
+            # (bucket, basename, position)): computed in-plan as the
+            # root-relative path, falling back to the raw URI for
+            # out-of-root files (shallow-clone source refs)
+            marker = os.path.abspath(table.root) + os.sep
+            at = F.locate(marker, F.col("__uri"))
+            relc = F.when(
+                at > 0,
+                F.col("__uri").substr(
+                    at + len(marker), F.lit(1 << 20)
+                ),
+            ).otherwise(F.col("__uri"))
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_version = table.version + 1
+            dv_rel = os.path.join(
+                DATA_DIR, f"dv{new_version}-{uuid.uuid4().hex[:8]}"
             )
-            n_base = sum(int(r["__n"]) for r in per_file)
-            if n_base:
-                rows = [
-                    (r["__uri"], _rel_of(r["__uri"], table.root))
-                    for r in per_file
-                ]
-                map_df = spark.createDataFrame(
-                    rows, "__uri string, __rel string"
+            dv_abs = os.path.join(table.root, dv_rel)
+            (
+                tagged.select(
+                    relc.alias("__dv_file"),
+                    F.col("__b").alias("__dv_bucket"),
+                    F.col("__name").alias("__dv_name"),
+                    F.col("__pos").alias("__dv_pos"),
+                    F.col("__b").alias(BUCKET_COL),
                 )
-                new_version = table.version + 1
-                dv_rel = os.path.join(
-                    DATA_DIR, f"dv{new_version}-{uuid.uuid4().hex[:8]}"
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                # consolidate: ONE vector file per touched bucket
+                # (without this, every scan task writes a sliver per
+                # bucket dir — tasks x buckets tiny files); the
+                # shuffle moves only the matches
+                .repartition(
+                    min(table.num_buckets, 64), F.col(BUCKET_COL)
                 )
-                dv_abs = os.path.join(table.root, dv_rel)
-                (
-                    tagged.join(F.broadcast(map_df), "__uri")
-                    .select(
-                        F.col("__rel").alias("__dv_file"),
-                        F.col("__b").alias("__dv_bucket"),
-                        F.col("__name").alias("__dv_name"),
-                        F.col("__pos").alias("__dv_pos"),
-                        F.col("__b").alias(BUCKET_COL),
-                    )
-                    # one write task per ~8M positions
-                    .repartition(
-                        max(-(-n_base // 8_000_000), 1),
-                        F.col(BUCKET_COL),
-                    )
-                    .write.partitionBy(BUCKET_COL)
-                    .mode("overwrite")
-                    .parquet(dv_abs)
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(dv_abs)
+            )
+            dv_written = table._scan_written(dv_abs, dv_rel)
+            try:
+                n_base = int(obs.get["n"])
+            except Exception:
+                # Observation.get can throw on constant-folded empty
+                # plans (CLAUDE.md) — count written footers instead
+                import pyarrow.parquet as pq
+
+                n_base = sum(
+                    pq.ParquetFile(
+                        os.path.join(table.root, f)
+                    ).metadata.num_rows
+                    for fl in dv_written.values()
+                    for f in fl
                 )
-                dv_written = table._scan_written(dv_abs, dv_rel)
+            if not n_base:
+                shutil.rmtree(dv_abs, ignore_errors=True)
+                dv_abs = None
+                dv_written = {}
 
         # ---- delta-bearing buckets: fold copy-on-write (same commit)
         matched_delta: list[int] = []
