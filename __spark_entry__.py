@@ -1015,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q91_delete_where"] = _delete_where_state
     q["q92_update_where"] = _update_where_state
     q["q117_delete_vectors"] = _delete_vectors_state
+    q["q118_dv_update"] = _dv_update_state
     q["q99_snapshot_sync"] = _snapshot_sync_state
 
     # entity-disjoint train/val/test split (leakage-safe: every row of
@@ -1433,7 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
         "q113_clone_correction", "q114_transcript_integrity",
         "q115_tool_transitions", "q116_mixture_plan",
-        "q117_delete_vectors",
+        "q117_delete_vectors", "q118_dv_update",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2164,6 +2165,24 @@ def _delete_vectors_state(s: SparkSession, d: str) -> DataFrame:
     t = _dml_state_lake(s, d, "hdbf_dml_q117_")
     t.delete_where("event_type = 'click' AND value < 250", mode="dv")
     t.delete_where("value > 900", mode="dv")
+    return t.read().select(*_STATE_COLS)
+
+
+def _dv_update_state(s: SparkSession, d: str) -> DataFrame:
+    """q118: deletion-vector UPDATE composed after a DV delete
+    (update_where(mode="dv"), lake/dml.py:_dv_mutate) — the Delta
+    DV-update shape: the old positions vector out and ONLY the patched
+    images append as fresh base files (O(matches) writes like MoR,
+    none of MoR's read-side collapse tax). The preceding DV delete
+    proves updates compose with pending vectors (the update's scan
+    anti-joins them before matching)."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q118_")
+    t.delete_where("value > 900", mode="dv")
+    t.update_where(
+        "event_type = 'purchase'",
+        {"value": F.col("value") + F.lit(100.0)},
+        mode="dv",
+    )
     return t.read().select(*_STATE_COLS)
 
 
@@ -3727,6 +3746,14 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(event_type = 'click' AND value < 250, FALSE)
           AND NOT coalesce(value > 900, FALSE)
+    """
+    o["q118_dv_update"] = f"""
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value + 100.0
+                    ELSE value END AS value,
+               ts, last_event_id
+        FROM ({_CDC_LWW_SQL})
+        WHERE NOT coalesce(value > 900, FALSE)
     """
     o["q92_update_where"] = f"""
         SELECT user_id, event_type,

@@ -22,12 +22,13 @@ At 100 TB the whole point is to touch only the data that matches:
   delete writes key tombstones, update writes patched full rows —
   both delegate to ``LakeTable.merge(mode="mor")``, inheriting its
   exactly-once epochs, CDF lineage, and read-side collapse.
-- **``mode="dv"`` (delete only)** appends deletion vectors — position-
-  delete files of (file basename, row index) pairs, the Iceberg-v3 /
-  Delta DV shape. O(matches) x 2 tiny columns written (no row payload
-  at all); reads anti-join the vectors out of DV-bearing buckets only.
-  The cheapest delete when rows are wide (transcripts). See
-  ``_dv_delete``.
+- **``mode="dv"``** appends deletion vectors — position-delete files
+  of (bucket, file basename, row index) triples, the Iceberg-v3 /
+  Delta DV shape. DELETE writes no row payload at all; UPDATE vectors
+  the old positions and appends only the patched images as fresh base
+  files. Reads anti-join the vectors out of DV-bearing buckets only.
+  The cheapest mutations when rows are wide (transcripts). See
+  ``_dv_mutate``.
 
 Semantics pinned to SQL: rows where the predicate is NULL are NOT
 matched (DELETE keeps them, UPDATE leaves them); UPDATE assignments
@@ -396,32 +397,40 @@ def _rewrite_commit(
     )
 
 
-def _dv_delete(
+def _dv_mutate(
     table: LakeTable,
     pred: Column,
     predicate_src,
     *,
+    patch=None,
+    fold=None,
     epoch_id: str | None,
     conflict_retries: int,
     target_file_bytes: int,
 ) -> MergeStats:
-    """``DELETE ... WHERE`` via deletion vectors (Iceberg v3 / Delta
-    DV analog): append tiny position-delete files — (file basename,
-    row position) pairs — instead of rewriting data files (CoW) or
-    appending full-row tombstones (MoR). Write cost is O(matches) x
-    ~2 small columns; read cost is an anti-join confined to DV-bearing
-    buckets (see ``LakeTable._apply_dvs``). The cheapest delete shape
-    for wide rows (transcript text never rewrites, never re-appends);
-    ``compact()`` folds the vectors back into the base.
+    """DELETE (``patch=None``) or UPDATE via deletion vectors
+    (Iceberg v3 / Delta DV analog): append tiny position-delete files
+    — (bucket, file basename, row position) — instead of rewriting
+    data files (CoW) or appending full-row tombstones (MoR). For
+    UPDATE, ``patch(matched_rows)`` produces the new images, appended
+    as fresh base files in the same commit — the old positions vector
+    out, the new rows ride a normal file-level append, and the bucket
+    stays key-unique in the live view. Write cost is O(matches); read
+    cost is an anti-join confined to DV-bearing buckets (see
+    ``LakeTable._apply_dvs``). The cheapest mutation shape for wide
+    rows; ``compact()`` folds the vectors back into the base.
 
     Buckets with pending MoR deltas cannot take position deletes (the
     live image of a key spans base + deltas; deleting the base
     position would resurrect nothing or the wrong image) — those
-    buckets fold copy-on-write in the SAME commit, exactly like every
-    other CoW path. Positions reference immutable files, so replays
-    and concurrent rebases follow the standard OCC rules; a concurrent
-    commit on a DV'd bucket is detected via the manifest's
-    ``dv_files`` entry comparison (``_manifest_conflicts``)."""
+    buckets fold copy-on-write in the SAME commit via
+    ``fold(bucket_rows)``, exactly like every other CoW path.
+    Positions reference immutable files, so replays and concurrent
+    rebases follow the standard OCC rules; a concurrent commit on a
+    DV'd bucket is detected via the manifest's ``dv_files`` entry
+    comparison (``_manifest_conflicts``)."""
+    if fold is None:
+        fold = lambda df: df.where(~pred)  # noqa: E731
     t0 = time.time()
     spark = table.spark
     for attempt in range(conflict_retries + 1):
@@ -456,11 +465,16 @@ def _dv_delete(
                     kept.append(p)
             base_files = kept
         dv_written: dict[str, list[str]] = {}
-        dv_abs = None
+        upd_written: dict[str, list[str]] = {}
+        dv_abs = upd_abs = None
         n_base = 0
         if base_files:
             scan = spark.read.schema(table.schema).parquet(*base_files)
+            # DELETE scans prune to key+predicate columns; UPDATE needs
+            # the full row (the patched image appends as new files)
+            row_cols = ["*"] if patch is not None else []
             tagged = scan.select(
+                *row_cols,
                 F.col("_metadata.file_path").alias("__uri"),
                 table.bucket_of(
                     *[F.col(c) for c in table.key_cols]
@@ -510,6 +524,10 @@ def _dv_delete(
                 DATA_DIR, f"dv{new_version}-{uuid.uuid4().hex[:8]}"
             )
             dv_abs = os.path.join(table.root, dv_rel)
+            if patch is not None:
+                # two outputs (vectors + patched rows) off ONE scan:
+                # cache the O(matches) matched set
+                tagged = tagged.persist()
             (
                 tagged.select(
                     relc.alias("__dv_file"),
@@ -549,6 +567,30 @@ def _dv_delete(
                 shutil.rmtree(dv_abs, ignore_errors=True)
                 dv_abs = None
                 dv_written = {}
+            if patch is not None:
+                if n_base:
+                    upd_rel = os.path.join(
+                        DATA_DIR,
+                        f"s{new_version}-{uuid.uuid4().hex[:8]}",
+                    )
+                    upd_abs = os.path.join(table.root, upd_rel)
+                    (
+                        patch(tagged)
+                        .withColumn(
+                            BUCKET_COL,
+                            table.bucket_of(
+                                *[F.col(c) for c in table.key_cols]
+                            ),
+                        )
+                        .repartition(
+                            min(table.num_buckets, 64), F.col(BUCKET_COL)
+                        )
+                        .write.partitionBy(BUCKET_COL)
+                        .mode("overwrite")
+                        .parquet(upd_abs)
+                    )
+                    upd_written = table._scan_written(upd_abs, upd_rel)
+                tagged.unpersist()
 
         # ---- delta-bearing buckets: fold copy-on-write (same commit)
         matched_delta: list[int] = []
@@ -570,7 +612,7 @@ def _dv_delete(
         fold_written: dict[str, list[str]] = {}
         fold_abs = None
         if matched_delta:
-            survivors = table.read(matched_delta).where(~pred).withColumn(
+            survivors = fold(table.read(matched_delta)).withColumn(
                 BUCKET_COL,
                 table.bucket_of(*[F.col(c) for c in table.key_cols]),
             )
@@ -596,7 +638,19 @@ def _dv_delete(
             return MergeStats(epoch_id=None, version=table.version)
 
         touched = sorted(
-            {int(b) for b in dv_written} | set(matched_delta)
+            {int(b) for b in dv_written}
+            | {int(b) for b in upd_written}
+            | set(matched_delta)
+        )
+        # stats-on-write for appended patched files (empty unless the
+        # stats.auto-columns property is set) — keeps read_where
+        # pruning fresh, same contract as merge
+        stats_patch = (
+            table._collect_written_stats(
+                upd_written, table._auto_stat_cols()
+            )
+            if upd_written
+            else {}
         )
 
         def apply(parent: dict) -> dict:
@@ -607,11 +661,16 @@ def _dv_delete(
                 for b, refs in dv_written.items():
                     dvs[b] = list(dvs.get(b, [])) + refs
                 m["dv_files"] = dvs
-            if matched_delta:
+            if matched_delta or upd_written:
                 new_buckets = dict(parent["buckets"])
                 for b in matched_delta:
                     new_buckets[str(b)] = fold_written.get(str(b), [])
+                # UPDATE: patched images append as fresh files in their
+                # buckets (file-level append; old images are vectored)
+                for b, refs in upd_written.items():
+                    new_buckets[b] = list(new_buckets.get(b, [])) + refs
                 m["buckets"] = new_buckets
+            if matched_delta:
                 m["delta_files"] = {
                     b: fl
                     for b, fl in parent.get("delta_files", {}).items()
@@ -628,6 +687,8 @@ def _dv_delete(
                         ).items()
                         if int(b) not in set(matched_delta)
                     }
+            if stats_patch:
+                table._apply_stats_patch(m, parent, stats_patch)
             if epoch_id is not None:
                 applied = dict(parent["applied_epochs"])
                 applied[epoch_id] = {
@@ -645,22 +706,24 @@ def _dv_delete(
                 orphan_dir=dv_abs,
             )
         except CommitConflict:
-            if fold_abs:
-                shutil.rmtree(fold_abs, ignore_errors=True)
+            for p in (fold_abs, upd_abs):
+                if p:
+                    shutil.rmtree(p, ignore_errors=True)
             if attempt == conflict_retries:
                 raise
             table.manifest = table._load_latest_published_manifest()
             continue
         if committed is None:  # racer applied our epoch
-            if fold_abs:
-                shutil.rmtree(fold_abs, ignore_errors=True)
+            for p in (fold_abs, upd_abs):
+                if p:
+                    shutil.rmtree(p, ignore_errors=True)
             return MergeStats(
                 epoch_id=epoch_id, version=table.version, skipped=True
             )
-        return MergeStats(
+        n_mutated = n_base + n_delta
+        stats = MergeStats(
             epoch_id=epoch_id,
             version=table.version,
-            n_deleted=n_base + n_delta,
             buckets_touched=len(touched),
             seconds=time.time() - t0,
             extra={
@@ -668,8 +731,20 @@ def _dv_delete(
                 "dv_positions": n_base,
                 "delta_buckets_folded": len(matched_delta),
                 "files_stat_pruned": n_pruned,
+                **(
+                    {"files_appended": sum(
+                        len(v) for v in upd_written.values()
+                    )}
+                    if patch is not None
+                    else {}
+                ),
             },
         )
+        if patch is not None:
+            stats.n_updated = n_mutated
+        else:
+            stats.n_deleted = n_mutated
+        return stats
 
 
 def delete_where(
@@ -687,15 +762,15 @@ def delete_where(
     rows. ``mode="mor"``: append key tombstones for the matching rows
     (O(matches) write; read-side collapse drops them; ``compact_deltas``
     folds them into the base). ``mode="dv"``: append position-delete
-    deletion vectors (O(matches) x 2 tiny columns — the cheapest
-    delete for wide rows; see ``_dv_delete``).
+    deletion vectors (O(matches) x 3 tiny columns — the cheapest
+    delete for wide rows; see ``_dv_mutate``).
     """
     if mode not in ("cow", "mor", "dv"):
         raise LakeError(f"delete_where: unknown mode {mode!r}")
     table._forbid_staged("delete_where")
     pred = _match(_as_column(predicate))
     if mode == "dv":
-        return _dv_delete(
+        return _dv_mutate(
             table, pred, predicate,
             epoch_id=epoch_id,
             conflict_retries=conflict_retries,
@@ -800,9 +875,13 @@ def update_where(
     a swap) and cast to the column's declared type. CoW rewrites only
     match-bearing files (non-matching rows in those files pass through
     bit-unchanged); ``mode="mor"`` appends the patched matching rows as
-    O(matches) full-row deltas via MERGE.
+    O(matches) full-row deltas via MERGE; ``mode="dv"`` vectors the old
+    positions out and appends ONLY the patched images as fresh base
+    files (the Delta deletion-vector UPDATE shape — O(matches) writes
+    like MoR but with none of MoR's read-side collapse tax; see
+    ``_dv_mutate``).
     """
-    if mode not in ("cow", "mor"):
+    if mode not in ("cow", "mor", "dv"):
         raise LakeError(f"update_where: unknown mode {mode!r}")
     table._forbid_staged("update_where")
     pred = _match(_as_column(predicate))
@@ -820,6 +899,16 @@ def update_where(
             else:
                 cols.append(F.col(c))
         return df.select(*cols)
+
+    if mode == "dv":
+        return _dv_mutate(
+            table, pred, predicate,
+            patch=lambda df: patched(df, True),
+            fold=lambda df: patched(df, False),
+            epoch_id=epoch_id,
+            conflict_retries=conflict_retries,
+            target_file_bytes=target_file_bytes,
+        )
 
     if mode == "mor":
         batch = patched(table.read().where(pred), True).withColumn(

@@ -265,12 +265,80 @@ def test_concurrent_merge_vs_dv_delete_conflicts(spark, tmp_path):
     assert got == [(12, "x", 1)]
 
 
-def test_dv_mode_rejects_update(spark, tmp_path):
-    from haskell_dbfunctor_spark.lake.table import LakeError
-
+def test_dv_update_basic(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
-    with pytest.raises(LakeError):
-        t.update_where("k = 1", {"val": F.lit(0)}, mode="dv")
+    n_files0 = len(_base_files(t))
+    stats = t.update_where(
+        "grp = 'a'", {"val": F.col("val") + 1}, mode="dv"
+    )
+    # old positions vectored out, patched images appended as fresh
+    # files; NULL-grp rows untouched (SQL semantics)
+    assert stats.n_updated == 20
+    assert stats.extra["dv_positions"] == 20
+    assert stats.extra["files_appended"] >= 1
+    assert len(_base_files(t)) > n_files0
+    expect = sorted(
+        (i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else None),
+         i * 10 + (1 if i % 3 == 0 else 0))
+        for i in range(60)
+    )
+    assert _rows(t) == expect
+
+
+def test_dv_update_sees_old_row_and_repeats(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # two successive DV updates compose: the second one's scan must
+    # see the FIRST one's patched images (appended files) and not the
+    # vectored old positions
+    t.update_where("k = 6", {"val": F.col("val") * 2}, mode="dv")
+    t.update_where("k = 6", {"val": F.col("val") + 5}, mode="dv")
+    got = [(r.k, r.val) for r in t.read().where("k = 6").collect()]
+    assert got == [(6, 125)]
+    assert t.read().count() == 60
+
+
+def test_dv_update_point_lookup_and_range(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.analyze(["val"])
+    t.analyze_bloom(["val"])
+    t.update_where("k = 29", {"val": F.lit(9999).cast("long")}, mode="dv")
+    # old image dead, new image found (appended file has no bloom ->
+    # always read)
+    assert t.read_where_eq("val", 290).count() == 0
+    assert [r.k for r in t.read_where_eq("val", 9999).collect()] == [29]
+    assert [r.k for r in t.read_where("val", lo=9000).collect()] == [29]
+
+
+def test_dv_update_on_delta_bearing_bucket_folds(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    batch = spark.createDataFrame([(5, "mor", 555)], SCHEMA).withColumn(
+        "op", F.lit("U")
+    ).withColumn("ts", F.lit(1).cast("long")).withColumn("seq", F.lit(1))
+    t.merge(batch, epoch_id="m1", order_cols=("ts", "seq"),
+            drop_cols=("ts", "seq"), mode="mor")
+    v0 = t.version
+    stats = t.update_where(
+        "val = 555 or k = 40", {"grp": F.lit("hit")}, mode="dv"
+    )
+    assert t.version == v0 + 1  # one commit for both leg kinds
+    assert stats.n_updated == 2
+    got = {r.k: r.grp for r in
+           t.read().where("k in (5, 40)").collect()}
+    assert got == {5: "hit", 40: "hit"}
+    assert t.read().count() == 60
+
+
+def test_dv_update_epoch_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.update_where("k < 5", {"val": F.col("val") + 1},
+                   mode="dv", epoch_id="u1")
+    v = t.version
+    s2 = t.update_where("k < 5", {"val": F.col("val") + 1},
+                        mode="dv", epoch_id="u1")
+    assert s2.skipped and t.version == v
+    assert sorted(r.val for r in t.read().where("k < 5").collect()) == [
+        1, 11, 21, 31, 41
+    ]
 
 
 def test_files_df_lists_dv_kind(spark, tmp_path):
