@@ -209,7 +209,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="col=sql-expr, repeatable: --set "
                          "\"tool=upper(tool)\" --set \"text=trim(text)\"")
     for p in (dw, uw):
-        p.add_argument("--mode", choices=("cow", "mor"), default="cow")
+        p.add_argument("--mode", choices=("cow", "mor", "dv"),
+                       default="cow",
+                       help="cow: rewrite match-bearing files; mor: "
+                            "append O(matches) tombstone/patch deltas; "
+                            "dv: deletion vectors — position-delete "
+                            "files, zero data rewrite (updates append "
+                            "only the patched images)")
         p.add_argument("--epoch-id", default=None,
                        help="exactly-once id: a replayed epoch is a "
                             "no-op (zero-match epochs also record)")

@@ -341,6 +341,29 @@ def test_dv_update_epoch_idempotent(spark, tmp_path):
     ]
 
 
+def test_maintenance_cli_dv_modes(spark, tmp_path):
+    """jobs/lake_maintenance.py delete-where/update-where --mode dv —
+    the production retention-sweep surface."""
+    from jobs.lake_maintenance import main
+
+    t = _mk(spark, tmp_path / "t")
+    rc = main(["--table-root", t.root, "delete-where",
+               "--predicate", "val >= 500", "--mode", "dv",
+               "--epoch-id", "sweep-1"])
+    assert rc == 0
+    rc = main(["--table-root", t.root, "update-where",
+               "--predicate", "grp = 'a'",
+               "--set", "val=val+1", "--mode", "dv"])
+    assert rc == 0
+    fresh = LakeTable.load(spark, t.root)
+    got = sorted((r.k, r.val) for r in fresh.read().collect())
+    expect = sorted(
+        (i, i * 10 + (1 if i % 3 == 0 else 0))
+        for i in range(60) if i * 10 < 500
+    )
+    assert got == expect
+
+
 def test_files_df_lists_dv_kind(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     t.delete_where("k = 9", mode="dv")
