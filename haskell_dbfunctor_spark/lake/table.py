@@ -3449,6 +3449,7 @@ class LakeTable:
         max_buckets: int | None = None,
         sort_by: str | None = None,
         zorder_by: Sequence[str] | None = None,
+        dv_ratio: float = 0.10,
     ) -> dict:
         """Iceberg rewrite_data_files: coalesce small files bucket-wise.
 
@@ -3489,6 +3490,7 @@ class LakeTable:
                     )
         bm = self.manifest["buckets"]
         dm = self.manifest.get("delta_files", {})
+        dvm = self.manifest.get("dv_files", {})
         candidates = []
         # a bucket may exist only as deltas (pure-MoR history, no base
         # file yet) — enumerate the union, not just the base map
@@ -3504,13 +3506,44 @@ class LakeTable:
                 for f in files + dm.get(b, [])
                 if os.path.exists(os.path.join(self.root, f))
             ]
+            # deletion-vector pressure (Iceberg delete-file-compaction
+            # heuristic): once a bucket's DV'd positions exceed
+            # ``dv_ratio`` of its estimated base rows, every read is
+            # paying an anti-join over dead weight — fold it. Position
+            # count comes from the DV files' parquet footers (tiny,
+            # driver-side, DV-bearing buckets only); base rows are
+            # estimated from bytes / avg_row_bytes (no base footers).
+            dv_hot = False
+            if dvm.get(b) and files:
+                import pyarrow.parquet as pq
+
+                dv_pos = 0
+                for f in dvm[b]:
+                    p = os.path.join(self.root, f)
+                    if os.path.exists(p):
+                        dv_pos += pq.ParquetFile(p).metadata.num_rows
+                base_bytes = sum(
+                    os.path.getsize(os.path.join(self.root, f))
+                    for f in files
+                    if os.path.exists(os.path.join(self.root, f))
+                )
+                est_rows = max(
+                    base_bytes
+                    // max(int(self.manifest.get("avg_row_bytes", 64)), 16),
+                    1,
+                )
+                dv_hot = dv_pos / est_rows >= dv_ratio
             # convergent candidate rule: a bucket already reduced to
             # one file is never re-compacted (a single small file can't
             # be made fewer — without this, every tiny bucket would be
             # rewritten on every maintenance run, forever); buckets
             # with pending MoR deltas always qualify (folding them in
-            # is strictly useful)
-            if sort_by or zorder_by or has_deltas or len(files) >= min_files or (
+            # is strictly useful), DV-hot buckets qualify by the ratio
+            # rule above (compacting drops their vectors, so they
+            # never re-qualify until deletes accumulate again)
+            if sort_by or zorder_by or has_deltas or dv_hot or (
+                len(files) >= min_files
+            ) or (
                 len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
             ):
                 candidates.append((int(b), sum(sizes), len(files) + len(dm.get(b, []))))
@@ -3743,11 +3776,13 @@ class LakeTable:
         grace_seconds: int = 3600,
     ) -> dict:
         """One-shot maintenance cycle (the nightly cron body): budgeted
-        compaction of the worst-fragmented buckets, snapshot expiry,
-        then the grace-gated orphan sweep. Each step is independently
-        safe and idempotent; repeated cycles converge the layout
-        (``compact(max_buckets=K)`` picks the worst fragments each
-        run). CLI twin: ``jobs/lake_maintenance.py maintain``."""
+        compaction of the worst-fragmented buckets (including buckets
+        past the deletion-vector pressure ratio — see ``_compact_impl``
+        ``dv_ratio``), snapshot expiry, then the grace-gated orphan
+        sweep. Each step is independently safe and idempotent; repeated
+        cycles converge the layout (``compact(max_buckets=K)`` picks
+        the worst fragments each run). CLI twin:
+        ``jobs/lake_maintenance.py maintain``."""
         return {
             "compact": self.compact(
                 target_file_bytes=target_file_bytes,

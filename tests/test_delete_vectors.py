@@ -341,6 +341,34 @@ def test_dv_update_epoch_idempotent(spark, tmp_path):
     ]
 
 
+def test_compact_dv_ratio_trigger(spark, tmp_path):
+    """DV-pressure compaction policy: a bucket whose vectored
+    positions exceed dv_ratio of its estimated rows qualifies for
+    compaction even when not fragmented; below the ratio it is left
+    alone (and single-file buckets stay convergent)."""
+    t = _mk(spark, tmp_path / "t")
+    t.compact(target_file_bytes=1, min_files=1)  # 1 file/bucket
+    t.delete_where("k % 3 = 0", mode="dv")  # ~33% of every bucket
+    dv_buckets = set(t.manifest["dv_files"])
+    assert dv_buckets
+    # far above the default 10% ratio -> all DV buckets fold
+    res = t.compact(min_files=999)
+    assert res["buckets_compacted"] >= len(dv_buckets)
+    assert t.manifest.get("dv_files", {}) == {}
+    expect = _rows(t)
+    # and they do NOT re-qualify next run (convergence)
+    res2 = t.compact(min_files=999)
+    assert res2["buckets_compacted"] == 0
+    # a tiny delete below the ratio does not trigger a fold
+    t.delete_where("k = 1", mode="dv")
+    res3 = t.compact(min_files=999, dv_ratio=0.5)
+    assert res3["buckets_compacted"] == 0
+    assert t.manifest.get("dv_files")
+    assert sorted(_rows(t)) == sorted(
+        r for r in expect if r[0] != 1
+    )
+
+
 def test_maintenance_cli_dv_modes(spark, tmp_path):
     """jobs/lake_maintenance.py delete-where/update-where --mode dv —
     the production retention-sweep surface."""
