@@ -1016,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q92_update_where"] = _update_where_state
     q["q117_delete_vectors"] = _delete_vectors_state
     q["q118_dv_update"] = _dv_update_state
+    q["q119_dv_retention_sweep"] = _dv_retention_sweep
     q["q99_snapshot_sync"] = _snapshot_sync_state
 
     # entity-disjoint train/val/test split (leakage-safe: every row of
@@ -1435,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_clone_correction", "q114_transcript_integrity",
         "q115_tool_transitions", "q116_mixture_plan",
         "q117_delete_vectors", "q118_dv_update",
+        "q119_dv_retention_sweep",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2184,6 +2186,32 @@ def _dv_update_state(s: SparkSession, d: str) -> DataFrame:
         mode="dv",
     )
     return t.read().select(*_STATE_COLS)
+
+
+def _dv_retention_sweep(s: SparkSession, d: str) -> DataFrame:
+    """q119: the production retention sweep, end to end — OPTIMIZE the
+    state lake clustered by ts (compact(sort_by="ts"): per-bucket
+    sibling files hold DISJOINT ts ranges), analyze(["ts"]) to record
+    per-file bounds, then a ts-bounded DELETE via deletion vectors.
+    The sweep's discovery scan skips every file whose [min, max] ts
+    proves no expired row WITHOUT opening it (manifest stats; pinned
+    by tests/test_delete_vectors.py::test_dv_retention_sweep_prunes),
+    and the delete itself writes only position vectors — at 10^10
+    rows a retention pass costs O(expired positions), not a table
+    rewrite. Output: per-event-type survivor stats."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q119_")
+    t.compact(sort_by="ts", min_files=1)
+    t.analyze(["ts"])
+    t.delete_where("ts < timestamp'2024-01-20 00:00:00'", mode="dv")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("oldest_ts"),
+        )
+    )
 
 
 def _update_where_state(s: SparkSession, d: str) -> DataFrame:
@@ -3754,6 +3782,13 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(value > 900, FALSE)
+    """
+    o["q119_dv_retention_sweep"] = f"""
+        SELECT event_type, count(*) AS n_live,
+               round(sum(value), 2) AS sum_value, min(ts) AS oldest_ts
+        FROM ({_CDC_LWW_SQL})
+        WHERE NOT coalesce(ts < TIMESTAMP '2024-01-20 00:00:00', FALSE)
+        GROUP BY event_type
     """
     o["q92_update_where"] = f"""
         SELECT user_id, event_type,

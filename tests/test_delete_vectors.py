@@ -369,6 +369,25 @@ def test_compact_dv_ratio_trigger(spark, tmp_path):
     )
 
 
+def test_dv_retention_sweep_prunes(spark, tmp_path):
+    """The q119 pipeline: OPTIMIZE clustered by a time column +
+    analyze + ts-bounded DV delete -> the discovery scan skips files
+    whose manifest [min, max] prove no expired row, without opening
+    them."""
+    rows = [(i, "s", i) for i in range(400)]  # val doubles as "ts"
+    t = _mk(spark, tmp_path / "t", rows=rows, num_buckets=2)
+    # range-cluster on val -> sibling files hold disjoint val ranges
+    t.compact(sort_by="val", min_files=1, target_file_bytes=1024)
+    t.analyze(["val"])
+    n_files = sum(len(fl) for fl in t.manifest["buckets"].values())
+    assert n_files >= 4  # enough siblings for pruning to matter
+    stats = t.delete_where("val < 100", mode="dv")
+    assert stats.n_deleted == 100
+    assert stats.extra["files_stat_pruned"] > 0
+    assert t.read().count() == 300
+    assert t.read().where("val < 100").count() == 0
+
+
 def test_maintenance_cli_dv_modes(spark, tmp_path):
     """jobs/lake_maintenance.py delete-where/update-where --mode dv —
     the production retention-sweep surface."""
