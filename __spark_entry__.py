@@ -481,6 +481,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), query_vec_id=0, k=10
     )
 
+    # q120: int8 scalar-quantized cosine top-k (FAISS SQ8 shape) —
+    # 4x memory reduction; codes pinned cross-engine via floor(x+0.5)
+    def q120(s, d):
+        from haskell_dbfunctor_spark.pipelines.similarity import sq8_top_k
+
+        return sq8_top_k(_t(s, d, "embeddings"), query_vec_id=0, k=10)
+
+    q["q120_sq8_ann"] = q120
+
     # scalar string functions — instr (0-based, Core.hs:1423), strip,
     # null-propagating append, dropAround (Core.hs:1107-1125)
     q["q40_string_funcs"] = lambda s, d: _t(s, d, "documents").select(
@@ -1436,7 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_clone_correction", "q114_transcript_integrity",
         "q115_tool_transitions", "q116_mixture_plan",
         "q117_delete_vectors", "q118_dv_update",
-        "q119_dv_retention_sweep",
+        "q119_dv_retention_sweep", "q120_sq8_ann",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -3015,6 +3024,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    o["q120_sq8_ann"] = """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE)
+                        / (CASE WHEN maxabs > 0 THEN maxabs / 127.0
+                                ELSE 1.0 END) + 0.5)) AS qvec
+          FROM s
+        ),
+        qq AS (SELECT qvec AS v FROM qz WHERE vec_id = 0),
+        sims AS (
+          SELECT z.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> z.qvec[i] * qq.v[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> z.qvec[i] * z.qvec[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> qq.v[i] * qq.v[i])))) AS c
+          FROM qz z, qq WHERE z.vec_id <> 0
+        )
+        SELECT vec_id, round(c, 4) AS cos_sq8 FROM sims
+        ORDER BY cos_sq8 DESC, vec_id LIMIT 10
     """
     o["q28_lsh_buckets"] = """
         SELECT concat(

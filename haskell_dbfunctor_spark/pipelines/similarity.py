@@ -595,3 +595,61 @@ def hard_negatives(
         .where(F.col("rk") <= k)
         .select("anchor_id", "vec_id", "cos_sim", "rk")
     )
+
+
+def sq8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization (the FAISS SQ8 shape):
+    per-vector ``scale = max|e_i| / 127`` and codes
+    ``q_i = floor(e_i / scale + 0.5)`` in [-127, 127]. 4x memory
+    reduction vs float32 — at 100 TB the quantized corpus is what
+    stays cache-resident for candidate scoring, with exact float
+    re-ranking only on the short list. ``floor(x + 0.5)`` (not
+    round()) pins half-way ties identically across engines, so the
+    codes are oracle-reproducible bit for bit. Zero vectors keep
+    scale 0 with all-zero codes (guarded divisor).
+
+    Returns (vec_id, scale double, qvec array<int>)."""
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    safe = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    return embeddings.select(
+        "vec_id",
+        F.when(maxabs > 0, maxabs / F.lit(127.0))
+        .otherwise(F.lit(0.0)).alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / safe + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )
+
+
+def sq8_top_k(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k in the QUANTIZED domain: per-vector
+    scales cancel in cosine, so the score is a pure int8-code dot over
+    int norms — the memory-bandwidth-bound inner loop an SQ8 index
+    runs at scale (the JVM evaluates the zip_with/aggregate chain in
+    codegen; no Python). Ranking differs from exact float cosine only
+    by quantization error; ``cosine_top_k`` is the verifier.
+
+    Returns (vec_id, cos_sq8) — 4dp, ties broken by vec_id."""
+    q = sq8_quantize(embeddings)
+    qv = q.where(F.col("vec_id") == query_vec_id).select(
+        F.col("qvec").alias("qq")
+    )
+    sims = (
+        q.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                _dot(F.col("qvec"), F.col("qq"))
+                / (_norm(F.col("qvec")) * _norm(F.col("qq")))
+            ).alias("raw"),
+        )
+    )
+    return (
+        sims.select("vec_id", F.round("raw", 4).alias("cos_sq8"))
+        .orderBy(F.col("cos_sq8").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

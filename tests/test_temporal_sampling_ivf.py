@@ -329,3 +329,26 @@ def test_temperature_sample_tau_extremes(spark, sf_dir):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in flat.collect()
     )
+
+
+def test_sq8_codes_bounded_and_recall(spark, sf_dir):
+    """SQ8 quantization: codes live in [-127, 127], the max-|e|
+    element hits exactly +/-127, and quantized top-10 recalls >= 8 of
+    the exact float top-10 at 64 dims (quantization error is small at
+    int8 resolution)."""
+    from haskell_dbfunctor_spark.pipelines.similarity import (
+        cosine_top_k, sq8_quantize, sq8_top_k,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = sq8_quantize(emb)
+    bounds = q.select(
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.min(F.array_min("qvec")).alias("lo"),
+    ).collect()[0]
+    assert bounds.hi <= 127 and bounds.lo >= -127
+    assert bounds.hi == 127 or bounds.lo == -127
+    exact = {r.vec_id for r in cosine_top_k(emb, 0, k=10).collect()}
+    sq8 = {r.vec_id for r in sq8_top_k(emb, 0, k=10).collect()}
+    assert len(exact & sq8) >= 8
