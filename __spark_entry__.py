@@ -1217,6 +1217,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q106_preference_pairs"] = q106
 
+    # q121: SFT loss-mask spans — per-conversation char offsets of the
+    # assistant turns in the rendered dialogue (the train-on mask).
+    # One hash agg + one JVM aggregate() fold; no window, no Python.
+    def q121(s, d):
+        from haskell_dbfunctor_spark.pipelines.examples import (
+            sft_loss_mask_spans,
+        )
+
+        turns = _t(s, d, "events").select(
+            F.concat(F.lit("conv-"), F.col("user_id").cast("string"))
+            .alias("conv_id"),
+            "event_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")).alias("role"),
+            F.concat_ws("=", "event_type", "props").alias("text"),
+        )
+        return sft_loss_mask_spans(turns)
+
+    q["q121_sft_loss_mask"] = q121
+
     # curriculum shard assignment: global ascending difficulty order
     # (n_chars), row-count-balanced shards from the DISTRIBUTED global
     # rank (surrogate_key's zipWithIndex — NTILE semantics without
@@ -1446,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_tool_transitions", "q116_mixture_plan",
         "q117_delete_vectors", "q118_dv_update",
         "q119_dv_retention_sweep", "q120_sq8_ann",
+        "q121_sft_loss_mask",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -3820,6 +3841,32 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(value > 900, FALSE)
+    """
+    o["q121_sft_loss_mask"] = """
+        WITH t AS (
+          SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+                 CASE WHEN event_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 length((CASE WHEN event_id % 2 = 0 THEN 'user'
+                              ELSE 'assistant' END)
+                        || ': '
+                        || coalesce(concat_ws('=', event_type, props), '')
+                        || chr(10)) AS ln
+          FROM events
+        ),
+        c AS (
+          SELECT conv_id, event_id, role, ln,
+                 CAST(coalesce(sum(ln) OVER (
+                   PARTITION BY conv_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS s,
+                 CAST(sum(ln) OVER (PARTITION BY conv_id) AS BIGINT)
+                   AS conv_chars
+          FROM t
+        )
+        SELECT conv_id, event_id, s AS span_start, s + ln AS span_end,
+               conv_chars
+        FROM c WHERE role = 'assistant'
     """
     o["q119_dv_retention_sweep"] = f"""
         SELECT event_type, count(*) AS n_live,

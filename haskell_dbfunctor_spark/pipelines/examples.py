@@ -32,6 +32,7 @@ __all__ = [
     "sft_render_suffix_budget",
     "preference_pairs",
     "curriculum_shards",
+    "sft_loss_mask_spans",
 ]
 
 
@@ -137,4 +138,92 @@ def curriculum_shards(
     return ranked.withColumn(
         "shard",
         F.expr(f"CAST((rank0 * {int(n_shards)}) DIV {int(n)} AS INT)"),
+    )
+
+
+def sft_loss_mask_spans(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "event_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    train_role: str = "assistant",
+) -> DataFrame:
+    """Loss-mask spans for SFT: render each conversation as the
+    concatenation of ``"<role>: <text>\\n"`` in turn order and emit,
+    for every ``train_role`` turn, its character span [start, end) in
+    the rendered string — exactly the mask an SFT trainer applies so
+    the loss covers assistant tokens only.
+
+    Plan shape: ONE hash aggregation (collect the conversation's
+    (order, role, len) triples, sort in-array) followed by ONE
+    ``aggregate()`` fold that threads a running offset through the
+    turns and appends spans for train-role turns — all JVM-side
+    codegen, no window, no Python. Per the repo's HOF rule, the fold
+    touches ONLY its accumulator fields and lambda args (an outer
+    column referenced inside would re-evaluate per element).
+    Conversations are the aggregation key, so the plan is a single
+    shuffle at any corpus size; a conversation's turn list is bounded
+    (thousands, not millions).
+
+    Returns one row per train-role turn: (conv_col, order_col,
+    span_start, span_end, conv_chars)."""
+    ln = F.length(
+        F.concat(
+            F.col(role_col), F.lit(": "),
+            F.coalesce(F.col(text_col), F.lit("")), F.lit("\n"),
+        )
+    )
+    g = turns.groupBy(conv_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).cast("long").alias("o"),
+                    (F.col(role_col) == train_role).alias("train"),
+                    ln.cast("long").alias("ln"),
+                )
+            )
+        ).alias("ts")
+    )
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<o:bigint,s:bigint,e:bigint>>)"
+    )
+    folded = g.select(
+        conv_col,
+        F.aggregate(
+            "ts",
+            F.struct(
+                F.lit(0).cast("long").alias("off"),
+                empty_spans.alias("spans"),
+            ),
+            lambda acc, t: F.struct(
+                (acc["off"] + t["ln"]).alias("off"),
+                F.when(
+                    t["train"],
+                    F.concat(
+                        acc["spans"],
+                        F.array(
+                            F.struct(
+                                t["o"].alias("o"),
+                                acc["off"].alias("s"),
+                                (acc["off"] + t["ln"]).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(acc["spans"]).alias("spans"),
+            ),
+        ).alias("acc"),
+    )
+    ex = folded.select(
+        conv_col,
+        F.col("acc.off").alias("conv_chars"),
+        F.explode("acc.spans").alias("sp"),
+    )
+    return ex.select(
+        conv_col,
+        F.col("sp.o").alias(order_col),
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+        "conv_chars",
     )
