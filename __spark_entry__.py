@@ -1026,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q117_delete_vectors"] = _delete_vectors_state
     q["q118_dv_update"] = _dv_update_state
     q["q119_dv_retention_sweep"] = _dv_retention_sweep
+    q["q122_schema_evolution"] = _schema_evolution_state
     q["q99_snapshot_sync"] = _snapshot_sync_state
 
     # entity-disjoint train/val/test split (leakage-safe: every row of
@@ -1466,7 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_tool_transitions", "q116_mixture_plan",
         "q117_delete_vectors", "q118_dv_update",
         "q119_dv_retention_sweep", "q120_sq8_ann",
-        "q121_sft_loss_mask",
+        "q121_sft_loss_mask", "q122_schema_evolution",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2452,6 +2453,71 @@ def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
     return table.read().select(
         "user_id", "event_type", "value", "ts",
         F.col("seq").alias("last_event_id"),
+    )
+
+
+def _schema_evolution_state(s: SparkSession, d: str) -> DataFrame:
+    """q122: the north rule's schema-evolution contract through the
+    oracle gate — epoch e0 merges WITHOUT the ``props`` column, e1
+    merges WITH it (the manifest schema evolves additively; e0's data
+    files are NEVER rewritten — reads project the missing column as
+    NULL, lake/table.py:_evolve_schema). Final state: keys whose
+    latest image predates the evolution carry props=NULL; keys last
+    written by e1 carry their value. Proof of no-rewrite is pinned by
+    tests (test_cdc_end_to_end schema-evolution cases); this query
+    pins the VALUES cross-engine."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+        "props",
+    )
+    half = ev.count() // 2
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_evo_q122_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_evo_q122_", dir=base)
+    schema_v0 = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("last_event_id", T.LongType()),
+    ])
+    t = LakeTable.create(
+        s, f"{tmp}/lake", schema_v0,
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    e0 = ev.where(F.col("seq") < half).drop("props").withColumn(
+        "last_event_id", F.col("seq")
+    )
+    t.merge(e0, epoch_id="e0", prune_buckets=False)
+    # e1 carries the NEW column -> additive evolution, no rewrite
+    e1 = ev.where(F.col("seq") >= half).withColumn(
+        "last_event_id", F.col("seq")
+    )
+    t.merge(e1, epoch_id="e1", prune_buckets=False)
+    return t.read().select(
+        "user_id", "event_type", "value", "ts", "last_event_id", "props"
     )
 
 
@@ -3841,6 +3907,20 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(value > 900, FALSE)
+    """
+    o["q122_schema_evolution"] = """
+        SELECT user_id, event_type, value, ts, last_event_id,
+               CASE WHEN last_event_id >=
+                      (SELECT count(*) // 2 FROM events)
+                    THEN props END AS props
+        FROM (
+          SELECT user_id, event_type, value, ts,
+                 event_id AS last_event_id, props,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND op <> 'D'
     """
     o["q121_sft_loss_mask"] = """
         WITH t AS (
