@@ -486,16 +486,29 @@ def _dv_mutate(
                 F.coalesce(pred, F.lit(False)).alias("__m"),
             ).where("__m")
             # rows already position-deleted must not re-enter the
-            # vector (idempotent re-delete, honest n_deleted)
+            # vector (idempotent re-delete, honest n_deleted); same
+            # size-gated broadcast as _apply_dvs — a massive prior
+            # delete wave must not be forced through the driver
             prior = table._dv_refs(base_ids)
             if prior:
+                prior_paths = [
+                    os.path.join(table.root, r) for r in prior
+                ]
                 old = (
                     spark.read.schema(DV_SCHEMA)
-                    .parquet(*[os.path.join(table.root, r) for r in prior])
+                    .parquet(*prior_paths)
                     .select("__dv_bucket", "__dv_name", "__dv_pos")
                 )
+                psize = 0
+                for p in prior_paths:
+                    try:
+                        psize += os.path.getsize(p)
+                    except OSError:
+                        pass
+                if psize <= 32 * 1024 * 1024:
+                    old = F.broadcast(old)
                 tagged = tagged.join(
-                    F.broadcast(old),
+                    old,
                     (tagged["__b"] == old["__dv_bucket"])
                     & (tagged["__name"] == old["__dv_name"])
                     & (tagged["__pos"] == old["__dv_pos"]),
@@ -528,47 +541,47 @@ def _dv_mutate(
                 # two outputs (vectors + patched rows) off ONE scan:
                 # cache the O(matches) matched set
                 tagged = tagged.persist()
-            (
-                tagged.select(
-                    relc.alias("__dv_file"),
-                    F.col("__b").alias("__dv_bucket"),
-                    F.col("__name").alias("__dv_name"),
-                    F.col("__pos").alias("__dv_pos"),
-                    F.col("__b").alias(BUCKET_COL),
-                )
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                # consolidate: ONE vector file per touched bucket
-                # (without this, every scan task writes a sliver per
-                # bucket dir — tasks x buckets tiny files); the
-                # shuffle moves only the matches
-                .repartition(
-                    min(table.num_buckets, 64), F.col(BUCKET_COL)
-                )
-                .write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(dv_abs)
-            )
-            dv_written = table._scan_written(dv_abs, dv_rel)
             try:
-                n_base = int(obs.get["n"])
-            except Exception:
-                # Observation.get can throw on constant-folded empty
-                # plans (CLAUDE.md) — count written footers instead
-                import pyarrow.parquet as pq
-
-                n_base = sum(
-                    pq.ParquetFile(
-                        os.path.join(table.root, f)
-                    ).metadata.num_rows
-                    for fl in dv_written.values()
-                    for f in fl
+                (
+                    tagged.select(
+                        relc.alias("__dv_file"),
+                        F.col("__b").alias("__dv_bucket"),
+                        F.col("__name").alias("__dv_name"),
+                        F.col("__pos").alias("__dv_pos"),
+                        F.col("__b").alias(BUCKET_COL),
+                    )
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    # consolidate: ONE vector file per touched bucket
+                    # (without this, every scan task writes a sliver
+                    # per bucket dir — tasks x buckets tiny files);
+                    # the shuffle moves only the matches
+                    .repartition(
+                        min(table.num_buckets, 64), F.col(BUCKET_COL)
+                    )
+                    .write.partitionBy(BUCKET_COL)
+                    .mode("overwrite")
+                    .parquet(dv_abs)
                 )
-            if not n_base:
-                shutil.rmtree(dv_abs, ignore_errors=True)
-                dv_abs = None
-                dv_written = {}
-            if patch is not None:
-                if n_base:
+                dv_written = table._scan_written(dv_abs, dv_rel)
+                try:
+                    n_base = int(obs.get["n"])
+                except Exception:
+                    # Observation.get can throw on constant-folded
+                    # empty plans (CLAUDE.md) — count written footers
+                    import pyarrow.parquet as pq
+
+                    n_base = sum(
+                        pq.ParquetFile(
+                            os.path.join(table.root, f)
+                        ).metadata.num_rows
+                        for fl in dv_written.values()
+                        for f in fl
+                    )
+                if not n_base:
+                    shutil.rmtree(dv_abs, ignore_errors=True)
+                    dv_abs = None
+                    dv_written = {}
+                if patch is not None and n_base:
                     upd_rel = os.path.join(
                         DATA_DIR,
                         f"s{new_version}-{uuid.uuid4().hex[:8]}",
@@ -590,7 +603,9 @@ def _dv_mutate(
                         .parquet(upd_abs)
                     )
                     upd_written = table._scan_written(upd_abs, upd_rel)
-                tagged.unpersist()
+            finally:
+                if patch is not None:
+                    tagged.unpersist()
 
         # ---- delta-bearing buckets: fold copy-on-write (same commit)
         matched_delta: list[int] = []
