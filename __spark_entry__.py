@@ -1426,6 +1426,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q116_mixture_plan"] = q116
 
+    # interpolated bigram LM quality proxy (pipelines/text.py)
+    def q123(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            bigram_logprob_scores,
+        )
+
+        return bigram_logprob_scores(_t(s, d, "documents"))
+
+    q["q123_bigram_logprob"] = q123
+
+    # embedding-space decontamination vs a held-out eval slice
+    # (pipelines/similarity.py) — the semantic analog of q71
+    def q124(s, d):
+        from haskell_dbfunctor_spark.pipelines.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = _t(s, d, "embeddings")
+        holdout = emb.where(F.col("vec_id") % 20 == 0)
+        corpus = emb.where(F.col("vec_id") % 20 != 0)
+        return semantic_decontaminate(corpus, holdout, threshold=0.35)
+
+    q["q124_semantic_decontam"] = q124
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1468,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_delete_vectors", "q118_dv_update",
         "q119_dv_retention_sweep", "q120_sq8_ann",
         "q121_sft_loss_mask", "q122_schema_evolution",
+        "q123_bigram_logprob", "q124_semantic_decontam",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -3907,6 +3932,63 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(value > 900, FALSE)
+    """
+    # q123: trim+split+filter mirrors text._words; the interpolation
+    # expression is written with the SAME association order as the
+    # Spark side ((lam*c2)/c_prev + (0.25*c1)/t) so both engines round
+    # identical doubles at 6dp.
+    o["q123_bigram_logprob"] = """
+        WITH dt AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '),
+                             w -> w <> '') AS l
+          FROM documents
+        ), words AS (
+          SELECT unnest(l) AS w FROM dt
+        ), uni AS (
+          SELECT w, count(*) AS c1 FROM words GROUP BY w
+        ), tot AS (
+          SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni
+        ), pos AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+          FROM dt WHERE len(l) >= 2
+        ), big AS (
+          SELECT a.doc_id, a.w AS prev, b.w AS w
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), bc AS (
+          SELECT prev, w, count(*) AS c2 FROM big GROUP BY prev, w
+        ), scored AS (
+          SELECT g.doc_id,
+                 ln(0.75 * CAST(bc.c2 AS DOUBLE) / up.c1
+                    + 0.25 * CAST(uw.c1 AS DOUBLE) / t) AS lp
+          FROM big g
+          JOIN bc ON bc.prev = g.prev AND bc.w = g.w
+          JOIN uni up ON up.w = g.prev
+          JOIN uni uw ON uw.w = g.w, tot
+        )
+        SELECT doc_id, round(avg(lp), 6) AS mean_bigram_logprob,
+               count(*) AS n_bigrams
+        FROM scored GROUP BY doc_id
+    """
+    o["q124_semantic_decontam"] = """
+        WITH h AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS hv
+          FROM embeddings WHERE vec_id % 20 = 0
+        ), c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings WHERE vec_id % 20 <> 0
+        ), p AS (
+          SELECT c.vec_id,
+                 round(list_cosine_similarity(cv, hv), 6) AS cos
+          FROM c, h
+        )
+        SELECT vec_id, max(cos) AS max_cos,
+               CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               max(cos) >= 0.35 AS contaminated
+        FROM p GROUP BY vec_id
     """
     o["q122_schema_evolution"] = """
         SELECT user_id, event_type, value, ts, last_event_id,

@@ -62,6 +62,8 @@ from .table import (
     BUCKET_COL,
     DATA_DIR,
     DV_SCHEMA,
+    LAST_UPDATED_COL,
+    ROW_ID_COL,
     CommitConflict,
     LakeError,
     LakeTable,
@@ -469,7 +471,11 @@ def _dv_mutate(
         dv_abs = upd_abs = None
         n_base = 0
         if base_files:
-            scan = spark.read.schema(table.schema).parquet(*base_files)
+            # row-lineage tables scan the stored schema so an UPDATE's
+            # patched images carry their row ids into the new files
+            scan = spark.read.schema(table._scan_schema()).parquet(
+                *base_files
+            )
             # DELETE scans prune to key+predicate columns; UPDATE needs
             # the full row (the patched image appends as new files)
             row_cols = ["*"] if patch is not None else []
@@ -830,7 +836,10 @@ def delete_where(
             return MergeStats(epoch_id=None, version=table.version)
         survivors = (
             table._apply_dvs(
-                table.spark.read.schema(table.schema).parquet(
+                # stored schema: survivors keep their row-lineage
+                # columns through the rewrite (unchanged — a delete
+                # never bumps __last_updated_version of survivors)
+                table.spark.read.schema(table._scan_schema()).parquet(
                     *[os.path.join(table.root, f) for f in files]
                 ),
                 table._dv_refs(sorted({_bucket_of_rel(f) for f in files})),
@@ -913,6 +922,20 @@ def update_where(
                 cols.append(v.alias(c))
             else:
                 cols.append(F.col(c))
+        if table.row_lineage and ROW_ID_COL in df.columns:
+            # patched rows keep their ids; matched rows bump
+            # __last_updated_version to the committing version
+            # (evaluated per attempt — the OCC loop re-calls patched()
+            # against the reloaded snapshot)
+            bump = F.lit(table.version + 1).cast("long")
+            cols.append(F.col(ROW_ID_COL))
+            cols.append(
+                (
+                    bump
+                    if only_matches
+                    else F.when(pred, bump).otherwise(F.col(LAST_UPDATED_COL))
+                ).alias(LAST_UPDATED_COL)
+            )
         return df.select(*cols)
 
     if mode == "dv":
@@ -963,7 +986,7 @@ def update_where(
                 # DV-filtered: rewriting a position-deleted row into
                 # the replacement file would resurrect it
                 table._apply_dvs(
-                    table.spark.read.schema(table.schema).parquet(
+                    table.spark.read.schema(table._scan_schema()).parquet(
                         *[os.path.join(table.root, f) for f in files]
                     ),
                     table._dv_refs(

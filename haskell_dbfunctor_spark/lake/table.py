@@ -69,6 +69,20 @@ BUCKET_COL = "__bucket"
 # WITHIN a bucket; the bucket id is recomputed from the row's key
 # columns at read time (hash by value — stable across clones/moves).
 DV_SCHEMA = "__dv_file string, __dv_bucket int, __dv_name string, __dv_pos long"
+
+# Row-lineage hidden columns (Iceberg v3 row-lineage / Delta row-
+# tracking analog, opt-in via create(row_lineage=True)): every stored
+# row carries a table-unique, immutable __row_id (assigned at insert,
+# preserved by updates and every rewrite) and the commit version that
+# last inserted/updated it. Stored IN the data files, hidden from the
+# user schema; read(with_lineage=True) exposes them.
+ROW_ID_COL = "__row_id"
+LAST_UPDATED_COL = "__last_updated_version"
+LINEAGE_COLS = (ROW_ID_COL, LAST_UPDATED_COL)
+_LINEAGE_FIELDS = [
+    T.StructField(ROW_ID_COL, T.LongType(), True),
+    T.StructField(LAST_UPDATED_COL, T.LongType(), True),
+]
 # sync_table's cursor epoch prefix (lake/sync.py imports this): the
 # newest such entry is exempt from epochs.retention-count pruning
 SYNC_EPOCH_PREFIX = "sync-v"
@@ -260,8 +274,26 @@ class LakeTable:
         constraints: dict[str, str] | None = None,
         nullable_keys: bool = False,
         properties: dict[str, str] | None = None,
+        row_lineage: bool = False,
     ) -> "LakeTable":
-        """``nullable_keys=True`` declares that NULL is a legal key
+        """``row_lineage=True`` enables Iceberg-v3-style row lineage:
+        every stored row carries a hidden table-unique ``__row_id``
+        (assigned once at insert from the manifest's ``next_row_id``
+        high-water mark, preserved by updates/compaction/every
+        rewrite) and ``__last_updated_version`` (the commit that last
+        inserted or updated it) — read them via
+        ``read(with_lineage=True)``. The columns are materialized
+        eagerly in the data files, so layout operations carry them for
+        free; the costs are (a) MoR merges/DML are rejected (a delta
+        append never reads the target, so a matched row's id could not
+        be preserved — use CoW or DV modes), (b) write-audit-publish
+        staging is rejected (fork sides would double-allocate ids),
+        and (c) concurrent commits always re-execute rather than
+        rebase (two racing merges would allocate overlapping ids and
+        embed stale commit versions; ``_manifest_conflicts`` enforces
+        serial history for lineage tables).
+
+        ``nullable_keys=True`` declares that NULL is a legal key
         VALUE (e.g. a rollup keyed on a nullable dimension): merges
         then use a null-safe apply join. Costs one extra shuffle of
         the deduped batch per merge — Catalyst rewrites ``<=>`` keys
@@ -283,6 +315,10 @@ class LakeTable:
         for c in key_cols:
             if c not in schema.names:
                 raise LakeError(f"key column {c!r} not in schema")
+        reserved = set(LINEAGE_COLS) | {BUCKET_COL}
+        clash = [c for c in schema.names if c in reserved]
+        if clash:
+            raise LakeError(f"schema uses reserved column names {clash}")
         os.makedirs(meta_dir, exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         manifest = {
@@ -308,6 +344,11 @@ class LakeTable:
             # parent manifest).
             "properties": dict(properties or {}),
         }
+        if row_lineage:
+            manifest["row_lineage"] = True
+            # next id to allocate; advanced by every inserting commit
+            # from the written files' footer max (exact, driver-side)
+            manifest["next_row_id"] = 0
         tbl = cls(spark, root, manifest)
         tbl._commit(manifest)
         return tbl
@@ -929,6 +970,17 @@ class LakeTable:
         """
         if latest["version"] == base["version"]:
             return False
+        if base.get("row_lineage") and len(list(touched)) > 0:
+            # lineage tables serialize their DATA commits on version
+            # numbers: a racing commit may have allocated row ids from
+            # the same next_row_id high-water mark (duplicate ids), and
+            # even a metadata-only racer shifts the version number the
+            # written files already embed in __last_updated_version —
+            # rebasing would commit stale lineage. Re-execution against
+            # the winner's snapshot is always correct. Metadata-only
+            # commits (touched=(): analyze, epoch records) write no
+            # data files and rebase as usual.
+            return True
         if latest["schema"] != base["schema"]:
             return True
         if latest["num_buckets"] != base["num_buckets"]:
@@ -1066,6 +1118,19 @@ class LakeTable:
         return dict(self.manifest.get("properties", {}))
 
     @property
+    def row_lineage(self) -> bool:
+        return bool(self.manifest.get("row_lineage"))
+
+    def _scan_schema(self) -> T.StructType:
+        """Schema for scans that must SEE the stored hidden columns:
+        the user schema plus the row-lineage fields when enabled.
+        Every path that REWRITES data files must scan with this, or
+        the rewrite silently drops the lineage columns."""
+        if not self.row_lineage:
+            return self.schema
+        return T.StructType(list(self.schema.fields) + _LINEAGE_FIELDS)
+
+    @property
     def num_buckets(self) -> int:
         return int(self.manifest["num_buckets"])
 
@@ -1176,8 +1241,17 @@ class LakeTable:
         )
         return out.drop("__r_b", "__r_name", "__r_pos")
 
-    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: Sequence[int] | None = None,
+        *,
+        with_lineage: bool = False,
+    ) -> DataFrame:
         """Current snapshot as a DataFrame.
+
+        ``with_lineage=True`` (row-lineage tables only) additionally
+        exposes the hidden ``__row_id`` / ``__last_updated_version``
+        columns; on other tables it raises (the columns don't exist).
 
         Passing an explicit schema makes Spark project columns that are
         missing from older data files as NULL — the schema-evolution
@@ -1194,13 +1268,30 @@ class LakeTable:
         entries out of the base scan (broadcast while small); buckets
         without DVs pay nothing. ``compact()`` folds DVs away.
         """
+        if with_lineage and not self.row_lineage:
+            raise LakeError(
+                "read(with_lineage=True) requires a row-lineage table "
+                "(create(row_lineage=True))"
+            )
+        scan_schema = self._scan_schema()
+
+        def _present(df: DataFrame) -> DataFrame:
+            # hide the lineage columns unless explicitly requested
+            if self.row_lineage and not with_lineage:
+                return df.drop(*LINEAGE_COLS)
+            return df
+
         delta = self._delta_files(buckets)
         dvm = self.manifest.get("dv_files", {})
         if not delta and not dvm:
             files = self._files(buckets)
             if not files:
-                return self.spark.createDataFrame([], self.schema)
-            return self.spark.read.schema(self.schema).parquet(*files)
+                return self.spark.createDataFrame(
+                    [], scan_schema if with_lineage else self.schema
+                )
+            return _present(
+                self.spark.read.schema(scan_schema).parquet(*files)
+            )
         # split the read: only delta-bearing buckets pay the collapse
         # and only DV-bearing buckets pay the position anti-join; the
         # rest plain-read their base files (at 4096 buckets and one
@@ -1224,7 +1315,7 @@ class LakeTable:
             if dv_files:
                 parts.append(
                     self._apply_dvs(
-                        self.spark.read.schema(self.schema)
+                        self.spark.read.schema(scan_schema)
                         .parquet(*dv_files),
                         self._dv_refs(dv_plain_ids),
                     )
@@ -1232,14 +1323,25 @@ class LakeTable:
             plain_files = self._files(plain_ids)
             if plain_files:
                 parts.append(
-                    self.spark.read.schema(self.schema).parquet(*plain_files)
+                    self.spark.read.schema(scan_schema).parquet(*plain_files)
                 )
             if not parts:
-                return self.spark.createDataFrame([], self.schema)
+                return self.spark.createDataFrame(
+                    [], scan_schema if with_lineage else self.schema
+                )
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            return out
+            return _present(out)
+        if self.row_lineage:
+            # unreachable by construction: lineage tables reject every
+            # delta-producing path (MoR merges/DML); a delta here means
+            # manifest corruption — refuse rather than lose row ids in
+            # the collapse
+            raise LakeError(
+                "row-lineage table has pending MoR deltas (corrupt "
+                "manifest?) — the collapse cannot preserve row ids"
+            )
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -1416,6 +1518,21 @@ class LakeTable:
             if entries:
                 patch[str(bid)] = entries
         return patch
+
+    def _written_row_id_hwm(self, written: dict) -> int:
+        """next_row_id after a commit that wrote ``written`` files:
+        max ``__row_id`` across their parquet footers + 1 (exact for a
+        plain long column; driver-side O(written files), same posture
+        as stats-on-write). Never regresses below the current mark."""
+        hwm = int(self.manifest.get("next_row_id", 0))
+        top = hwm - 1
+        for files in written.values():
+            for rel in files:
+                e = self._footer_stats_entry(rel, [ROW_ID_COL])
+                mx = (e or {}).get(ROW_ID_COL, [None, None])[1]
+                if mx is not None:
+                    top = max(top, int(mx))
+        return top + 1
 
     @staticmethod
     def _apply_stats_patch(m: dict, parent: dict, patch: dict) -> None:
@@ -2213,6 +2330,26 @@ class LakeTable:
         t0 = time.time()
         if mode not in ("cow", "mor"):
             raise LakeError(f"unknown merge mode {mode!r}")
+        if self.row_lineage:
+            if mode == "mor":
+                raise LakeError(
+                    "row-lineage tables require mode='cow' merges: a "
+                    "MoR delta append never reads the target, so a "
+                    "matched row's __row_id cannot be preserved "
+                    "(deletes may use delete_where(mode='dv') instead)"
+                )
+            if stage_only:
+                raise LakeError(
+                    "row-lineage tables do not support write-audit-"
+                    "publish staging: fork sides would allocate row "
+                    "ids from the same high-water mark"
+                )
+            clash = [c for c in changes.columns if c in LINEAGE_COLS]
+            if clash:
+                raise LakeError(
+                    f"batch carries reserved lineage columns {clash} — "
+                    "row ids are assigned by the table, never supplied"
+                )
         if self.manifest.get("staged") and not stage_only:
             # a published commit on top of a staged parent would expose
             # the whole staged chain — the exact leak WAP exists to
@@ -2476,7 +2613,9 @@ class LakeTable:
                 n_deduped = -1
                 n_source = -1
 
-            target = self.read(buckets=touched).withColumn(
+            target = self.read(
+                buckets=touched, with_lineage=self.row_lineage
+            ).withColumn(
                 BUCKET_COL, self.bucket_of(*[F.col(c) for c in key])
             )
 
@@ -2576,9 +2715,33 @@ class LakeTable:
                 F.sum(F.when(F.col("__action") == "delete", 1).otherwise(0)).alias("del"),
                 F.sum(F.when(F.col("__action") == "keep", 1).otherwise(0)).alias("keep"),
             )
+            lineage_out: list[Column] = []
+            if self.row_lineage:
+                # survivors that matched a target row keep its id; true
+                # inserts allocate above the manifest high-water mark.
+                # monotonically_increasing_id() = (partition << 33) +
+                # local counter, evaluated pre-repartition, so the ids
+                # are sparse but unique within this merge; the commit
+                # advances next_row_id to the written files' footer max
+                # + 1 (exact). Concurrent allocators can't interleave:
+                # _manifest_conflicts serializes lineage data commits.
+                hwm = int(self.manifest.get("next_row_id", 0))
+                lineage_out = [
+                    F.coalesce(
+                        F.col(f"t.{ROW_ID_COL}"),
+                        F.lit(hwm) + F.monotonically_increasing_id(),
+                    ).alias(ROW_ID_COL),
+                    F.when(
+                        F.col("__action").isin("insert", "update"),
+                        F.lit(self.version + 1).cast("long"),
+                    )
+                    .otherwise(F.col(f"t.{LAST_UPDATED_COL}"))
+                    .alias(LAST_UPDATED_COL),
+                ]
             merged = tagged.where(keep).select(
                 *key_out,
                 *[out_col(c) for c in data_cols],
+                *lineage_out,
                 F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(
                     BUCKET_COL
                 ),
@@ -2687,11 +2850,18 @@ class LakeTable:
         stats_patch = self._collect_written_stats(
             written, self._auto_stat_cols(new_schema.names)
         )
+        next_rid = (
+            self._written_row_id_hwm(written) if self.row_lineage else None
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
             manifest["version"] = parent["version"] + 1
             manifest["schema"] = new_schema.json()
+            if next_rid is not None:
+                manifest["next_row_id"] = max(
+                    next_rid, int(parent.get("next_row_id", 0))
+                )
             new_buckets = dict(parent["buckets"])
             for b in touched:
                 new_buckets[str(b)] = written.get(str(b), [])
@@ -2951,6 +3121,17 @@ class LakeTable:
             m.pop("staged", None)
             m.pop("wap_base", None)
             m["version"] = parent["version"] + 1
+            if parent.get("row_lineage"):
+                # the row-id high-water mark is monotonic ACROSS
+                # rollback: ids allocated by the rolled-back commits
+                # still live in retained historical snapshots, and
+                # re-issuing them would alias two different rows in
+                # time travel (Iceberg keeps next-row-id monotonic for
+                # the same reason)
+                m["next_row_id"] = max(
+                    int(old.get("next_row_id", 0)),
+                    int(parent.get("next_row_id", 0)),
+                )
             return m
 
         # content replaces the table wholesale -> any concurrent data
@@ -3562,7 +3743,9 @@ class LakeTable:
         files_before = sum(
             len(bm.get(str(b), [])) + len(dm.get(str(b), [])) for b in touched
         )
-        df = self.read(buckets=touched).withColumn(
+        df = self.read(
+            buckets=touched, with_lineage=self.row_lineage
+        ).withColumn(
             BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
         )
         n_parts = max(int(-(-total_bytes // target_file_bytes)), 1)
@@ -3688,6 +3871,8 @@ class LakeTable:
             raise LakeError(f"rename_column: unknown column {old!r}")
         if new in self.schema.names:
             raise LakeError(f"rename_column: {new!r} already exists")
+        if new in LINEAGE_COLS or new == BUCKET_COL:
+            raise LakeError(f"rename_column: {new!r} is a reserved name")
         if new in set(self.manifest.get("dropped_columns", [])):
             raise LakeError(
                 f"rename_column: {new!r} was dropped earlier; reusing the "
@@ -3703,7 +3888,9 @@ class LakeTable:
                 self.manifest = self._load_latest_published_manifest()
 
     def _rename_column_impl(self, old: str, new: str) -> dict:
-        df = self.read().withColumnRenamed(old, new).withColumn(
+        df = self.read(
+            with_lineage=self.row_lineage
+        ).withColumnRenamed(old, new).withColumn(
             BUCKET_COL, self.bucket_of(*[
                 F.col(new if c == old else c) for c in self.key_cols
             ])
@@ -3822,7 +4009,7 @@ class LakeTable:
         self._forbid_staged("rebucket")
         if new_num_buckets < 1:
             raise LakeError("new_num_buckets must be >= 1")
-        df = self.read().withColumn(
+        df = self.read(with_lineage=self.row_lineage).withColumn(
             BUCKET_COL,
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in self.key_cols]),

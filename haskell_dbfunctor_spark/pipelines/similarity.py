@@ -474,6 +474,43 @@ def centroid_cosine_scores(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame, holdout: DataFrame, *, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose
+    cosine to ANY held-out eval vector reaches ``threshold`` — the
+    semantic analog of ``text.decontaminate``'s n-gram check, catching
+    paraphrased eval leakage that exact n-gram overlap misses.
+
+    Scale contract: the holdout is an EVAL SUITE (thousands of rows,
+    not corpus-scale), so it broadcasts and the corpus streams past it
+    in ONE pass — JVM zip_with/aggregate math, no shuffle on the
+    corpus side, no window (same holdout-broadcast posture as
+    ``text.decontaminate``). Never call this corpus x corpus — that is
+    ``semantic_dedup``'s job (clustered, never all-pairs).
+
+    Cosines round to 6dp BEFORE the threshold compare and the max, so
+    Spark and the SQL oracle land on the same side of every boundary.
+
+    Output: (vec_id, max_cos, n_hits, contaminated) for EVERY corpus
+    row (clean rows report their max too — the margin is the useful
+    audit signal when tuning the threshold).
+    """
+    h = F.broadcast(
+        holdout.select(F.col("embedding").alias("h_emb"))
+    )
+    pairs = corpus.crossJoin(h).select(
+        "vec_id", _cos6(F.col("embedding"), F.col("h_emb")).alias("cos")
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.max("cos").alias("max_cos"),
+        F.sum(
+            F.when(F.col("cos") >= threshold, 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+        (F.max("cos") >= threshold).alias("contaminated"),
+    )
+
+
 def _rank_bounded(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
     """Dense 1-based rank by (score desc, id asc) over a BOUNDED frame
     (callers pass an already-``limit()``-ed top-N list). Computed as

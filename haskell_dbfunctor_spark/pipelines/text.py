@@ -458,6 +458,77 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    lam: float = 0.75,
+    broadcast_vocab: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-bigram LM quality proxy — one step up from
+    ``unigram_logprob_scores``: each document's mean log-probability of
+    its bigrams under the corpus's own counts,
+    ``p(w|prev) = lam * c(prev,w)/c(prev) + (1-lam) * c(w)/T``.
+    Fluent text repeats common word PAIRS, so shuffled/garbage text
+    that sneaks past the unigram gate scores low here; the plumbing is
+    unchanged if the count tables come from an external LM instead.
+
+    Plan: bigrams come from zipping each token array with itself
+    shifted by one (slice/arrays_zip — no window, no self-join), then
+    one explode feeds BOTH count aggregations; joins back onto the
+    bigram stream are hash joins on the count tables. Scale contract:
+    the unigram table is distinct-word-sized (~10^7 at web scale), the
+    bigram table distinct-PAIR-sized (~10^8-9) — ``broadcast_vocab``
+    hints both; pass ``False`` at corpus scale for shuffle hash joins
+    (same knob as ``unigram_logprob_scores``/``bpe_apply_counts``;
+    the bigram side is the first to outgrow a broadcast).
+
+    Output: (doc_id, mean_bigram_logprob[6dp], n_bigrams) for every
+    document with >= 2 tokens.
+    """
+    toks = docs.select("doc_id", _words(text_col).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("prev"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("w"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    uni = (
+        docs.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    total = uni.agg(F.sum("c1").cast("double").alias("t"))
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_vocab else df
+
+    ctx = uni.select(F.col("w").alias("prev"), F.col("c1").alias("c_prev"))
+    scored = (
+        pairs.join(_side(big), ["prev", "w"])
+        .join(_side(ctx), "prev")
+        .join(_side(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.log(
+                F.lit(lam) * F.col("c2") / F.col("c_prev")
+                + F.lit(1.0 - lam) * F.col("c1") / F.col("t")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 def char_entropy_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-distribution Shannon entropy per document — a cheap,
     language-agnostic quality gate (boilerplate/template spam and
