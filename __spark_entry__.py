@@ -1450,6 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q124_semantic_decontam"] = q124
 
+    # row lineage through a CDC epoch (lake/table.py row_lineage)
+    q["q125_row_lineage"] = _row_lineage_state
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1493,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_dv_retention_sweep", "q120_sq8_ann",
         "q121_sft_loss_mask", "q122_schema_evolution",
         "q123_bigram_logprob", "q124_semantic_decontam",
+        "q125_row_lineage",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2143,7 +2147,9 @@ def _two_epoch_lake(s: SparkSession, d: str):
     return LakeTable.load(s, f"{final}/lake"), v1
 
 
-def _dml_state_lake(s: SparkSession, d: str, prefix: str):
+def _dml_state_lake(
+    s: SparkSession, d: str, prefix: str, row_lineage: bool = False
+):
     """A FRESH event-state lake for a predicate-DML query (q91/q92):
     one CoW merge epoch of the full feed into a table storing exactly
     the q21 LWW-state columns. Never cached — DML mutates the table, so
@@ -2188,6 +2194,7 @@ def _dml_state_lake(s: SparkSession, d: str, prefix: str):
     t = LakeTable.create(
         s, f"{tmp}/lake", schema,
         key_cols=["user_id", "event_type"], num_buckets=8,
+        row_lineage=row_lineage,
     )
     # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
     t.merge(ev, epoch_id="e0", prune_buckets=False)
@@ -2267,6 +2274,66 @@ def _dv_retention_sweep(s: SparkSession, d: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.min("ts").alias("oldest_ts"),
         )
+    )
+
+
+def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
+    """q125: ROW LINEAGE through a CDC epoch (lake/table.py,
+    create(row_lineage=True) — Iceberg-v3 row-lineage / Delta
+    row-tracking analog). Epoch e0 replays the full feed into a
+    lineage lake (every row gets a table-unique hidden __row_id and
+    __last_updated_version=1); epoch e2 then updates every 'purchase'
+    key (+100), deletes hot 'view' keys, and inserts three synthetic
+    keys. The query verifies the lineage CONTRACT row by row against
+    the v1 snapshot (time travel): updated/untouched keys must keep
+    their row id (id_ok = rid2 == rid1), inserted keys must allocate
+    at-or-above the v1 next_row_id high-water mark, and
+    __last_updated_version must be 2 exactly for the keys e2 touched.
+    The oracle pins all of it — a lineage regression (id churn on
+    update, stale version stamps) breaks the hash."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q125_", row_lineage=True)
+    v1 = t.version
+    hwm1 = int(t.manifest["next_row_id"])
+    state = t.read()
+    patch = (
+        state.where(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = state.where(
+        (F.col("event_type") == "view") & (F.col("value") > 900)
+    ).withColumn("op", F.lit("D"))
+    inserts = s.createDataFrame(
+        [
+            (9000000 + i, "synthetic", 1.0, None, -1, "U")
+            for i in (1, 2, 3)
+        ],
+        "user_id long, event_type string, value double, ts timestamp, "
+        "last_event_id long, op string",
+    )
+    t.merge(
+        patch.unionByName(dels).unionByName(inserts),
+        epoch_id="e2",
+        order_cols=("ts",),
+        drop_cols=(),
+        prune_buckets=False,
+    )
+    from haskell_dbfunctor_spark.lake.table import LakeTable as _LT
+
+    lin1 = (
+        _LT.load(s, t.root, version=v1)
+        .read(with_lineage=True)
+        .select("user_id", "event_type", F.col("__row_id").alias("rid1"))
+    )
+    lin2 = t.read(with_lineage=True)
+    return lin2.join(lin1, ["user_id", "event_type"], "left").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("__last_updated_version").alias("last_updated_version"),
+        F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
+        .otherwise(F.col("__row_id") >= F.lit(hwm1))
+        .alias("id_ok"),
     )
 
 
@@ -3932,6 +3999,35 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(value > 900, FALSE)
+    """
+    # q125: the lineage invariants are part of the oracle — id_ok is
+    # pinned TRUE for every surviving row (updates/carries keep their
+    # row id, inserts allocate above the v1 mark) and
+    # last_updated_version is 2 exactly for the epoch-2-touched keys
+    o["q125_row_lineage"] = f"""
+        WITH s1 AS ({_CDC_LWW_SQL}),
+        survivors AS (
+          SELECT user_id, event_type,
+                 CASE WHEN event_type = 'purchase'
+                      THEN value + 100.0 ELSE value END AS value,
+                 CAST(CASE WHEN event_type = 'purchase'
+                      THEN 2 ELSE 1 END AS BIGINT)
+                   AS last_updated_version
+          FROM s1
+          WHERE NOT (event_type = 'view' AND value > 900)
+        ),
+        final AS (
+          SELECT * FROM survivors
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9000001, 'synthetic', 1.0, CAST(2 AS BIGINT)),
+            (9000002, 'synthetic', 1.0, CAST(2 AS BIGINT)),
+            (9000003, 'synthetic', 1.0, CAST(2 AS BIGINT))
+          ) v(user_id, event_type, value, last_updated_version)
+        )
+        SELECT user_id, event_type, value, last_updated_version,
+               TRUE AS id_ok
+        FROM final
     """
     # q123: trim+split+filter mirrors text._words; the interpolation
     # expression is written with the SAME association order as the
