@@ -1453,6 +1453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row lineage through a CDC epoch (lake/table.py row_lineage)
     q["q125_row_lineage"] = _row_lineage_state
 
+    # ADD COLUMN WITH DEFAULT, metadata-only (lake/table.py add_column)
+    q["q126_column_defaults"] = _column_defaults_state
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1496,7 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_dv_retention_sweep", "q120_sq8_ann",
         "q121_sft_loss_mask", "q122_schema_evolution",
         "q123_bigram_logprob", "q124_semantic_decontam",
-        "q125_row_lineage",
+        "q125_row_lineage", "q126_column_defaults",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2335,6 +2338,37 @@ def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
         .otherwise(F.col("__row_id") >= F.lit(hwm1))
         .alias("id_ok"),
     )
+
+
+def _column_defaults_state(s: SparkSession, d: str) -> DataFrame:
+    """q126: ADD COLUMN WITH DEFAULT mid-stream (lake/table.py
+    add_column — Iceberg-v3 default-values analog, metadata-only, no
+    rewrite). Epoch e0 replays the feed; then `quality double DEFAULT
+    1.0` is added (every pre-add file READS 1.0 — initial-default,
+    resolved per row from the writing snapshot's version in the file
+    path); epoch e2 updates the purchase keys with an explicit 2.0;
+    epoch e3 inserts synthetic keys WITHOUT the column (write-default
+    fills 1.0 in the merge). Contrast q122: additive evolution via a
+    widening batch NULL-fills history; defaults give it a value."""
+    t = _dml_state_lake(s, d, "hdbf_dml_q126_")
+    t.add_column("quality", "double", default=1.0)
+    patch = (
+        t.read()
+        .where(F.col("event_type") == "purchase")
+        .withColumn("quality", F.lit(2.0))
+        .withColumn("op", F.lit("U"))
+    )
+    t.merge(
+        patch, epoch_id="e2", order_cols=("ts",), drop_cols=(),
+        prune_buckets=False,
+    )
+    inserts = s.createDataFrame(
+        [(9000000 + i, "synthetic", 1.0, None, -1, "U") for i in (1, 2, 3)],
+        "user_id long, event_type string, value double, ts timestamp, "
+        "last_event_id long, op string",
+    )
+    t.merge(inserts, epoch_id="e3", order_cols=("ts",), drop_cols=())
+    return t.read().select("user_id", "event_type", "value", "quality")
 
 
 def _update_where_state(s: SparkSession, d: str) -> DataFrame:
@@ -4028,6 +4062,22 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
         FROM final
+    """
+    # q126: pre-add rows read the initial-default 1.0; the purchase
+    # patch writes an explicit 2.0; the synthetic inserts omit the
+    # column and get the write-default 1.0
+    o["q126_column_defaults"] = f"""
+        WITH s1 AS ({_CDC_LWW_SQL})
+        SELECT user_id, event_type, value,
+               CASE WHEN event_type = 'purchase'
+                    THEN 2.0 ELSE 1.0 END AS quality
+        FROM s1
+        UNION ALL
+        SELECT * FROM (VALUES
+          (9000001, 'synthetic', 1.0, 1.0),
+          (9000002, 'synthetic', 1.0, 1.0),
+          (9000003, 'synthetic', 1.0, 1.0)
+        ) v(user_id, event_type, value, quality)
     """
     # q123: trim+split+filter mirrors text._words; the interpolation
     # expression is written with the SAME association order as the

@@ -242,7 +242,9 @@ def _discover(
         # only resolves inside the scan's own task), and rows already
         # position-deleted never count as matches — an UPDATE rewrite
         # counting them would resurrect them
-        scan = table.spark.read.schema(table.schema).parquet(*base_files)
+        scan = table._with_default_fill(
+            table.spark.read.schema(table.schema).parquet(*base_files)
+        )
         scan = table._apply_dvs(scan, table._dv_refs(base_ids))
         per_file = (
             scan.where(match)
@@ -472,9 +474,13 @@ def _dv_mutate(
         n_base = 0
         if base_files:
             # row-lineage tables scan the stored schema so an UPDATE's
-            # patched images carry their row ids into the new files
-            scan = spark.read.schema(table._scan_schema()).parquet(
-                *base_files
+            # patched images carry their row ids into the new files;
+            # default fill so the predicate (and an UPDATE's patched
+            # image) sees logical values, never a pre-add NULL
+            scan = table._with_default_fill(
+                spark.read.schema(table._scan_schema()).parquet(
+                    *base_files
+                )
             )
             # DELETE scans prune to key+predicate columns; UPDATE needs
             # the full row (the patched image appends as new files)
@@ -835,14 +841,21 @@ def delete_where(
                 return _record_epoch_only(table, epoch_id)
             return MergeStats(epoch_id=None, version=table.version)
         survivors = (
-            table._apply_dvs(
-                # stored schema: survivors keep their row-lineage
-                # columns through the rewrite (unchanged — a delete
-                # never bumps __last_updated_version of survivors)
-                table.spark.read.schema(table._scan_schema()).parquet(
-                    *[os.path.join(table.root, f) for f in files]
-                ),
-                table._dv_refs(sorted({_bucket_of_rel(f) for f in files})),
+            table._with_default_fill(
+                table._apply_dvs(
+                    # stored schema: survivors keep their row-lineage
+                    # columns through the rewrite (unchanged — a delete
+                    # never bumps __last_updated_version of survivors);
+                    # default fill MATERIALIZES defaults into the
+                    # rewritten files (they land in a post-add snapshot
+                    # dir, so the read-side fill no longer applies)
+                    table.spark.read.schema(table._scan_schema()).parquet(
+                        *[os.path.join(table.root, f) for f in files]
+                    ),
+                    table._dv_refs(
+                        sorted({_bucket_of_rel(f) for f in files})
+                    ),
+                )
             ).where(~pred)
             if files
             else None
@@ -984,14 +997,19 @@ def update_where(
         rewritten = (
             patched(
                 # DV-filtered: rewriting a position-deleted row into
-                # the replacement file would resurrect it
-                table._apply_dvs(
-                    table.spark.read.schema(table._scan_schema()).parquet(
-                        *[os.path.join(table.root, f) for f in files]
-                    ),
-                    table._dv_refs(
-                        sorted({_bucket_of_rel(f) for f in files})
-                    ),
+                # the replacement file would resurrect it; default fill
+                # materializes defaults into the rewritten files
+                table._with_default_fill(
+                    table._apply_dvs(
+                        table.spark.read.schema(
+                            table._scan_schema()
+                        ).parquet(
+                            *[os.path.join(table.root, f) for f in files]
+                        ),
+                        table._dv_refs(
+                            sorted({_bucket_of_rel(f) for f in files})
+                        ),
+                    )
                 ),
                 False,
             )

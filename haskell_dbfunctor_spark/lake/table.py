@@ -1241,6 +1241,173 @@ class LakeTable:
         )
         return out.drop("__r_b", "__r_name", "__r_pos")
 
+    # ------------------------------------------------- column defaults
+    # Iceberg-v3 default-values analog: add_column(..., default=v)
+    # records {name: {value, version}} in the manifest. Files written
+    # BEFORE that version lack the column entirely, so every row of
+    # theirs reads the default (initial-default); files written after
+    # carry real values (an explicit NULL stays NULL). Resolution is
+    # per ROW on the scan: the writing snapshot's version is parsed
+    # from the file path (data/s{v}-{uuid8}/...), compared against the
+    # column's add-version — pure codegen, zero cost when the table
+    # has no defaults. Deep-cloned files under data/cloned/ carry no
+    # version in their path; those fall back to a driver-side footer
+    # membership check, cached per snapshot (rare: requires deep-clone
+    # + later add_column-with-default).
+    _SNAP_VER_PATTERN = r"[/\\]s(\d+)-[0-9a-f]{8}[/\\]"
+
+    def _live_defaults(self) -> dict:
+        dd = self.manifest.get("column_defaults") or {}
+        names = set(self.schema.names)
+        return {c: d for c, d in dd.items() if c in names}
+
+    def _unversioned_missing(self, col: str) -> list[str]:
+        """``file:`` URIs of live files whose path carries no snapshot
+        version AND whose footer lacks ``col`` — the deep-clone escape
+        hatch for default resolution. Cached per snapshot version."""
+        cache = getattr(self, "_defaults_probe_cache", None)
+        if cache and cache[0] == self.version and col in cache[1]:
+            return cache[1][col]
+        import pyarrow.parquet as pq
+
+        rx = re.compile(self._SNAP_VER_PATTERN)
+        out: list[str] = []
+        m = self.manifest
+        for cat in ("buckets", "delta_files"):
+            for files in (m.get(cat) or {}).values():
+                for rel in files:
+                    if rx.search(rel):
+                        continue
+                    p = rel if os.path.isabs(rel) else os.path.join(
+                        self.root, rel
+                    )
+                    try:
+                        names = {
+                            c.split(".", 1)[0]
+                            for c in pq.ParquetFile(p).schema_arrow.names
+                        }
+                    except OSError:
+                        continue
+                    if col not in names:
+                        out.append("file:" + os.path.abspath(p))
+        if not cache or cache[0] != self.version:
+            cache = (self.version, {})
+            self._defaults_probe_cache = cache
+        cache[1][col] = out
+        return out
+
+    def _with_default_fill(self, df: DataFrame) -> DataFrame:
+        """Resolve column defaults on a RAW parquet scan lineage (the
+        ``_metadata`` hidden column must still be resolvable). No-op
+        (and zero plan overhead) when the table has no live defaults —
+        the default read path never pays for the feature."""
+        live = self._live_defaults()
+        if not live:
+            return df
+        # try_cast: an unversioned path extracts "" and ANSI mode would
+        # throw on a plain cast (And does not guarantee short-circuit
+        # evaluation order after optimizer reordering)
+        ver = F.regexp_extract(
+            F.col("_metadata.file_path"), self._SNAP_VER_PATTERN, 1
+        ).try_cast("long")
+        for c, d in live.items():
+            pre = ver.isNotNull() & (ver < F.lit(int(d["version"])))
+            probe = self._unversioned_missing(c)
+            if probe:
+                pre = pre | F.col("_metadata.file_path").isin(probe)
+            df = df.withColumn(
+                c,
+                F.when(
+                    pre, F.lit(d["value"]).cast(self.schema[c].dataType)
+                ).otherwise(F.col(c)),
+            )
+        return df
+
+    def add_column(
+        self, name: str, dtype, default=None, *, conflict_retries: int = 5
+    ) -> dict:
+        """Additive ADD COLUMN as a METADATA-ONLY commit (no file is
+        touched), with an optional Iceberg-v3-style default: existing
+        rows read ``default`` (initial-default — their files predate
+        the column), and future inserts that don't carry the column
+        write it too (write-default, applied in the merge). Without a
+        default the new column reads NULL from old files — the same
+        additive evolution a widening merge batch performs, minus the
+        batch. ``dtype`` is a Spark type or DDL string ('decimal(9,2)').
+
+        Defaults must be plain literals (bool/int/float/str — a
+        timestamp default is a string cast to a timestamp column);
+        they are validated eagerly against the column type. Re-adding
+        a dropped name is refused (same tombstone rule as the merge
+        evolution path)."""
+        self._forbid_staged("add_column")
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        if name in self.schema.names:
+            raise LakeError(f"add_column: {name!r} already exists")
+        if name in LINEAGE_COLS or name == BUCKET_COL:
+            raise LakeError(f"add_column: {name!r} is a reserved name")
+        if name in set(self.manifest.get("dropped_columns", [])):
+            raise LakeError(
+                f"add_column: {name!r} was dropped earlier; reusing the "
+                "name would resurrect its old values from un-rewritten "
+                "files of retained snapshots"
+            )
+        if default is not None:
+            if not isinstance(default, (bool, int, float, str)):
+                raise LakeError(
+                    "add_column: default must be a plain literal "
+                    f"(got {type(default).__name__})"
+                )
+            probe = (
+                self.spark.range(1)
+                # try_cast: ANSI mode would THROW on a malformed
+                # literal mid-job; NULL-on-failure keeps the error ours
+                .select(F.lit(default).try_cast(dtype).alias("v"))
+                .first()["v"]
+            )
+            if probe is None:
+                raise LakeError(
+                    f"add_column: default {default!r} does not cast to "
+                    f"{dtype.simpleString()}"
+                )
+        def apply(parent: dict) -> dict:
+            # evolve the PARENT's schema (not a pre-captured one): a
+            # metadata-only commit may rebase onto a concurrent schema
+            # change, and overwriting it would silently drop the other
+            # writer's column
+            pschema = T.StructType.fromJson(json.loads(parent["schema"]))
+            if name in pschema.names:
+                raise LakeError(f"add_column: {name!r} already exists")
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["schema"] = T.StructType(
+                list(pschema.fields) + [T.StructField(name, dtype, True)]
+            ).json()
+            if default is not None:
+                dd = dict(parent.get("column_defaults") or {})
+                # files written before THIS commit's version read the
+                # default (recomputed on rebase, so the boundary is
+                # exact under concurrency)
+                dd[name] = {"value": default, "version": m["version"]}
+                m["column_defaults"] = dd
+            return m
+
+        for attempt in range(conflict_retries + 1):
+            try:
+                committed = self._commit_rebased(
+                    base=self.manifest, touched=(), apply=apply
+                )
+                return {
+                    "version": committed["version"],
+                    "column": name,
+                    "default": default,
+                }
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_published_manifest()
+
     def read(
         self,
         buckets: Sequence[int] | None = None,
@@ -1290,7 +1457,9 @@ class LakeTable:
                     [], scan_schema if with_lineage else self.schema
                 )
             return _present(
-                self.spark.read.schema(scan_schema).parquet(*files)
+                self._with_default_fill(
+                    self.spark.read.schema(scan_schema).parquet(*files)
+                )
             )
         # split the read: only delta-bearing buckets pay the collapse
         # and only DV-bearing buckets pay the position anti-join; the
@@ -1314,16 +1483,21 @@ class LakeTable:
             dv_files = self._files(dv_plain_ids)
             if dv_files:
                 parts.append(
-                    self._apply_dvs(
-                        self.spark.read.schema(scan_schema)
-                        .parquet(*dv_files),
-                        self._dv_refs(dv_plain_ids),
+                    self._with_default_fill(
+                        self._apply_dvs(
+                            self.spark.read.schema(scan_schema)
+                            .parquet(*dv_files),
+                            self._dv_refs(dv_plain_ids),
+                        )
                     )
                 )
             plain_files = self._files(plain_ids)
             if plain_files:
                 parts.append(
-                    self.spark.read.schema(scan_schema).parquet(*plain_files)
+                    self._with_default_fill(
+                        self.spark.read.schema(scan_schema)
+                        .parquet(*plain_files)
+                    )
                 )
             if not parts:
                 return self.spark.createDataFrame(
@@ -1353,6 +1527,11 @@ class LakeTable:
         df = self.spark.read.schema(read_schema).parquet(
             *(self._files(delta_ids) + self._delta_files(delta_ids))
         )
+        # column defaults resolve BEFORE the collapse: a pre-default
+        # base row must present the default so a newer delta image (or
+        # the partial-patch column chooser) composes against the right
+        # base value
+        df = self._with_default_fill(df)
         # DV entries key base-file basenames only, so filtering the
         # combined base+delta scan drops exactly the DV'd base rows;
         # a newer delta image of the same key still wins the collapse
@@ -1419,15 +1598,19 @@ class LakeTable:
             out = live.select(*self.schema.names)
         dv_files = self._files(dv_plain_ids)
         if dv_files:
-            out = self._apply_dvs(
-                self.spark.read.schema(self.schema).parquet(*dv_files),
-                self._dv_refs(dv_plain_ids),
+            out = self._with_default_fill(
+                self._apply_dvs(
+                    self.spark.read.schema(self.schema).parquet(*dv_files),
+                    self._dv_refs(dv_plain_ids),
+                )
             ).unionByName(out)
         plain_files = self._files(plain_ids)
         if plain_files:
             out = (
-                self.spark.read.schema(self.schema)
-                .parquet(*plain_files)
+                self._with_default_fill(
+                    self.spark.read.schema(self.schema)
+                    .parquet(*plain_files)
+                )
                 .unionByName(out)
             )
         return out
@@ -1685,10 +1868,16 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         if files:
+            # default fill precedes the residual filter: a predicate
+            # on a defaulted column must see the default, not the
+            # pre-add NULL (manifest stats never skip such files —
+            # they have no entry for the column)
             parts.append(
-                self._apply_dvs(
-                    self.spark.read.schema(self.schema).parquet(*files),
-                    self._dv_refs(plain_ids),
+                self._with_default_fill(
+                    self._apply_dvs(
+                        self.spark.read.schema(self.schema).parquet(*files),
+                        self._dv_refs(plain_ids),
+                    )
                 ).where(cond)
             )
         if delta_ids:
@@ -1756,7 +1945,12 @@ class LakeTable:
         n_read = len(todo)
         if todo:
             paths = [os.path.join(self.root, rel) for rel in todo]
-            df = self.spark.read.schema(self.schema).parquet(*paths)
+            # blooms must hash LOGICAL values: a pre-default file's
+            # bloom built on raw NULLs would wrongly skip point
+            # lookups for the default value
+            df = self._with_default_fill(
+                self.spark.read.schema(self.schema).parquet(*paths)
+            )
             melted = df.select(
                 F.input_file_name().alias("__f"),
                 F.explode(
@@ -1917,9 +2111,11 @@ class LakeTable:
             # a DV'd row may still bloom-hit its (immutable) file —
             # the position anti-join keeps the lookup exact
             parts.append(
-                self._apply_dvs(
-                    self.spark.read.schema(self.schema).parquet(*files),
-                    self._dv_refs(plain_ids),
+                self._with_default_fill(
+                    self._apply_dvs(
+                        self.spark.read.schema(self.schema).parquet(*files),
+                        self._dv_refs(plain_ids),
+                    )
                 ).where(cond)
             )
         if delta_ids:
@@ -2017,9 +2213,20 @@ class LakeTable:
 
         def onto_new_schema(t: "LakeTable") -> DataFrame:
             df = t.read(touched)
+            dd = new.manifest.get("column_defaults") or {}
             for f in new.schema.fields:
                 if f.name not in df.columns:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    # a column added WITH a default between the two
+                    # versions logically always existed with that value
+                    # (initial-default): project it onto the old side
+                    # too, so the metadata-only add emits NO change
+                    # rows (Delta CDF parity) — a NULL fill would
+                    # report every pre-existing key as updated
+                    d = dd.get(f.name)
+                    fill = (
+                        F.lit(d["value"]) if d is not None else F.lit(None)
+                    )
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
             return df.select(*new.schema.names)
 
         tag = lambda df, side: df.select(  # noqa: E731
@@ -2651,12 +2858,22 @@ class LakeTable:
                 may_update = t_present
             upd_set = set(update_cols) if update_cols is not None else set(batch_payload)
 
+            live_defaults = self._live_defaults()
+
             def out_col(c: str) -> Column:
-                s_val = (
-                    F.col(f"s.{c}") if c in batch_payload else F.lit(None).cast(
+                if c in batch_payload:
+                    s_val = F.col(f"s.{c}")
+                elif c in live_defaults:
+                    # write-default (Iceberg v3): an INSERT that does
+                    # not carry a defaulted column writes the default
+                    # (an explicit NULL in the batch stays NULL — that
+                    # takes the branch above). Matched rows keep their
+                    # target value via the upd_set veto below.
+                    s_val = F.lit(live_defaults[c]["value"]).cast(
                         new_schema[c].dataType
                     )
-                )
+                else:
+                    s_val = F.lit(None).cast(new_schema[c].dataType)
                 t_val = (
                     F.col(f"t.{c}")
                     if c in target.columns
@@ -3277,6 +3494,10 @@ class LakeTable:
             m["dropped_columns"] = sorted(
                 set(parent.get("dropped_columns", [])) | {name}
             )
+            if name in (parent.get("column_defaults") or {}):
+                dd = dict(parent["column_defaults"])
+                dd.pop(name)
+                m["column_defaults"] = dd
             # stats/blooms for the dead column are meaningless — strip
             # (stats/blooms may live in lazy scs/scb sidecars:
             # materialize the parent's maps inline so the strip lands;
@@ -3943,6 +4164,14 @@ class LakeTable:
             # the rewrite invalidates them wholesale — re-analyze
             manifest["file_stats"] = {}
             manifest["file_blooms"] = {}
+            if old in (parent.get("column_defaults") or {}):
+                # the rewrite materialized every default (read() fills
+                # them), so the entry is inert afterwards — but carry
+                # it under the new name so future write-defaults and
+                # metadata introspection stay coherent
+                dd = dict(parent["column_defaults"])
+                dd[new] = dd.pop(old)
+                manifest["column_defaults"] = dd
             return manifest
 
         committed = self._commit_rebased(
