@@ -609,6 +609,114 @@ def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
+                      pairs: int = 2) -> None:
+    """Row-lineage merge overhead: identical CDC replays (half
+    updates / half inserts per epoch) into a plain table vs a
+    create(row_lineage=True) table. Lineage pays for (a) two extra
+    long columns written per row, (b) the id-coalesce/allocation
+    expressions in the merge projection, and (c) the footer pass that
+    advances next_row_id — all O(written rows/files), no extra
+    shuffle, so the ratio should stay near 1. Legs alternate per round
+    to cancel host drift; reports median total merge seconds per leg
+    and the lineage/plain ratio."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_lincost_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.LongType(), True),
+    ])
+    half = max(n_rows // 2, 1)
+
+    def epoch_df(e: int):
+        # first half: updates of uniformly-spread existing keys;
+        # second half: brand-new keys [e*half, (e+1)*half)
+        upd_span = max(e * half, 1)
+        return spark.range(n_rows).select(
+            F.when(
+                F.col("id") < half,
+                F.pmod(F.col("id") * 2654435761, F.lit(upd_span)),
+            ).otherwise(e * half + (F.col("id") - half)).alias("k"),
+            (F.col("id") * 31 + e).alias("val"),
+            F.concat(*[
+                F.sha1(F.concat(F.col("id").cast("string"), F.lit(i)))
+                for i in range(4)
+            ]).alias("text"),
+            F.lit(e).cast("long").alias("ts"),
+            F.lit("U").alias("op"),
+            (F.col("id") + e * n_rows).alias("seq"),
+        )
+
+    def one_leg(lineage: bool, tag: str) -> float:
+        t = LakeTable.create(
+            spark, f"{root}/{tag}", schema, key_cols=["k"],
+            num_buckets=32, row_lineage=lineage,
+        )
+        t0 = time.time()
+        for e in range(1, n_epochs + 1):
+            t.merge(epoch_df(e), epoch_id=f"e{e}", order_cols=("ts", "seq"),
+                    drop_cols=("seq",), prune_buckets=False)
+        total = time.time() - t0
+        n = t.read().count()
+        shutil.rmtree(f"{root}/{tag}", ignore_errors=True)
+        print(f"# {tag}: {total:.2f}s over {n_epochs} epochs "
+              f"({n} final rows)", file=sys.stderr)
+        return total
+
+    # JVM/codegen warm through both paths
+    for lin in (False, True):
+        w = LakeTable.create(
+            spark, f"{root}/w{int(lin)}", schema, key_cols=["k"],
+            num_buckets=8, row_lineage=lin,
+        )
+        w.merge(epoch_df(1).limit(5000), epoch_id="w",
+                order_cols=("ts", "seq"), drop_cols=("seq",),
+                prune_buckets=False)
+        w.read().count()
+        shutil.rmtree(f"{root}/w{int(lin)}", ignore_errors=True)
+
+    plain, lin = [], []
+    for r in range(pairs):
+        order = [(False, plain), (True, lin)]
+        if r % 2:
+            order.reverse()
+        for flag, acc in order:
+            acc.append(one_leg(flag, f"leg_{int(flag)}_{r}"))
+    p_med = sorted(plain)[len(plain) // 2]
+    l_med = sorted(lin)[len(lin) // 2]
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "row_lineage_merge_overhead",
+        "value": round(l_med / p_med, 3),
+        "unit": "ratio (lineage merge s / plain merge s, median)",
+        "rows_per_epoch": n_rows,
+        "n_epochs": n_epochs,
+        "cores": cores,
+        "plain_s": round(p_med, 3),
+        "lineage_s": round(l_med, 3),
+        # all rounds, for host-drift auditing (shared-VM box)
+        "plain_rounds": [round(x, 2) for x in plain],
+        "lineage_rounds": [round(x, 2) for x in lin],
+        "host_load1": float(open("/proc/loadavg").read().split()[0]),
+    }))
+
+
 def _one_cluster_submit(n_exec: int, cores_per: int, mem_mb: int,
                         n_events: int, n_epochs: int, py_zip: str,
                         mode: str = "cow") -> dict:
@@ -747,7 +855,12 @@ if __name__ == "__main__":
                          "tombstones vs deletion vectors on a wide-row "
                          "lake (scattered ~1%% delete)")
     ap.add_argument("--rows", type=int, default=2_000_000,
-                    help="base-table rows for --dv-cost")
+                    help="base-table rows for --dv-cost / rows per "
+                         "epoch for --lineage-cost")
+    ap.add_argument("--lineage-cost", action="store_true",
+                    help="row-lineage merge overhead: identical CDC "
+                         "replays into a plain vs row_lineage=True "
+                         "table (median ratio)")
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
@@ -765,6 +878,8 @@ if __name__ == "__main__":
                         pairs=min(args.pairs, 3), n_epochs=args.epochs)
     elif args.dv_cost:
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.lineage_cost:
+        main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.cluster_scaling:
         main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
                              n_epochs=args.epochs,
