@@ -2133,6 +2133,7 @@ class LakeTable:
         to_version: int | None = None,
         *,
         preimages: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Change data feed: the per-key diff between two snapshots —
         key columns, ``_change_type`` ('I'/'U'/'D'), and the row image
@@ -2154,6 +2155,14 @@ class LakeTable:
         and no sort; partial aggregation combines map-side). Schema
         evolution between the versions is additive-only here: the old
         snapshot is projected onto the new schema with NULLs.
+
+        ``with_lineage=True`` (row-lineage tables only) decorates each
+        change row with the stable ``__row_id`` (from the post-image
+        side; the pre-image for deletes — ids survive updates, so both
+        sides agree for U) — downstream consumers can then track
+        PHYSICAL rows across key-preserving updates. The diff itself
+        still compares payload values only, so lineage decoration
+        never changes WHICH rows the feed emits.
 
         ``preimages=True`` switches to the Delta-CDF row contract:
         updates emit TWO rows ('U_pre' with the old image, 'U_post'
@@ -2210,9 +2219,14 @@ class LakeTable:
 
         key = new.key_cols
         payload = [c for c in new.schema.names if c not in key]
+        if with_lineage and not self.row_lineage:
+            raise LakeError(
+                "changes(with_lineage=True) requires a row-lineage "
+                "table (create(row_lineage=True))"
+            )
 
         def onto_new_schema(t: "LakeTable") -> DataFrame:
-            df = t.read(touched)
+            df = t.read(touched, with_lineage=with_lineage)
             dd = new.manifest.get("column_defaults") or {}
             for f in new.schema.fields:
                 if f.name not in df.columns:
@@ -2227,14 +2241,33 @@ class LakeTable:
                         F.lit(d["value"]) if d is not None else F.lit(None)
                     )
                     df = df.withColumn(f.name, fill.cast(f.dataType))
-            return df.select(*new.schema.names)
+            keep = list(new.schema.names) + (
+                [ROW_ID_COL] if with_lineage else []
+            )
+            return df.select(*keep)
 
+        # lineage rides OUTSIDE the payload struct: the diff compares
+        # payload VALUES only, so decorating with ids can never change
+        # which rows the feed emits
+        rid_cols = (
+            [F.col(ROW_ID_COL).alias("__rid")] if with_lineage else []
+        )
         tag = lambda df, side: df.select(  # noqa: E731
             *key, F.lit(side).alias("__side"),
             F.struct(*payload).alias("__pay"),
+            *rid_cols,
         )
         u = tag(onto_new_schema(old), 0).unionByName(
             tag(onto_new_schema(new), 1)
+        )
+        rid_aggs = (
+            [
+                F.first(
+                    F.col("__rid"), ignorenulls=True
+                ).alias(ROW_ID_COL)
+            ]
+            if with_lineage
+            else []
         )
         g = u.groupBy(*key).agg(
             F.first(
@@ -2243,6 +2276,7 @@ class LakeTable:
             F.first(
                 F.when(F.col("__side") == 1, F.col("__pay")), ignorenulls=True
             ).alias("__new"),
+            *rid_aggs,
         )
         changed = g.where(
             F.col("__old").isNull()
@@ -2259,6 +2293,7 @@ class LakeTable:
             return changed.select(
                 *key, ct.alias("_change_type"),
                 *[img[c].alias(c) for c in payload],
+                *([F.col(ROW_ID_COL)] if with_lineage else []),
             )
         row = lambda ct, img: F.struct(  # noqa: E731
             F.lit(ct).alias("_ct"), F.col(img).alias("_img")
@@ -2268,10 +2303,15 @@ class LakeTable:
             .when(F.col("__new").isNull(), F.array(row("D", "__old")))
             .otherwise(F.array(row("U_pre", "__old"), row("U_post", "__new")))
         )
-        ex = changed.select(*key, F.explode(rows).alias("__r"))
+        ex = changed.select(
+            *key,
+            *([F.col(ROW_ID_COL)] if with_lineage else []),
+            F.explode(rows).alias("__r"),
+        )
         return ex.select(
             *key, F.col("__r._ct").alias("_change_type"),
             *[F.col(f"__r._img.{c}").alias(c) for c in payload],
+            *([F.col(ROW_ID_COL)] if with_lineage else []),
         )
 
     def changes_since(

@@ -59,9 +59,9 @@ def test_changes_prunes_untouched_buckets(spark, table, monkeypatch):
     seen = []
     orig = LakeTable.read
 
-    def spy(self, buckets=None):
+    def spy(self, buckets=None, **kw):
         seen.append(buckets)
-        return orig(self, buckets)
+        return orig(self, buckets, **kw)
 
     monkeypatch.setattr(LakeTable, "read", spy)
     out = table.changes(v1).collect()

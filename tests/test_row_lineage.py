@@ -284,6 +284,41 @@ def test_clone_carries_lineage(spark, root):
     assert _lineage(t) == before
 
 
+def test_cdf_with_lineage(spark, root):
+    """changes(with_lineage=True) decorates the feed with the stable
+    __row_id (post-image side; pre-image for deletes) WITHOUT changing
+    which rows the feed emits."""
+    t = _make(spark, root, n=4)  # v1
+    ids = {r["k"]: r["__row_id"] for r in t.read(with_lineage=True).collect()}
+    t.merge(
+        _batch(
+            spark,
+            [(0, "b", 2, "U"), (10, "n", 2, "U"), (3, "x", 2, "D")],
+        ),
+        epoch_id="e2", order_cols=("ts",), drop_cols=(),
+    )
+    plain = {(r["k"], r["_change_type"]) for r in t.changes(1).collect()}
+    lin = {
+        (r["k"], r["_change_type"]): r["__row_id"]
+        for r in t.changes(1, with_lineage=True).collect()
+    }
+    assert plain == set(lin)  # decoration never changes the feed
+    assert lin[(0, "U")] == ids[0]  # update keeps the id
+    assert lin[(3, "D")] == ids[3]  # delete reports the dead row's id
+    assert lin[(10, "I")] not in set(ids.values())  # insert = fresh id
+    # preimages variant carries the id on both U rows
+    pre = {
+        (r["k"], r["_change_type"]): r["__row_id"]
+        for r in t.changes(1, preimages=True, with_lineage=True).collect()
+    }
+    assert pre[(0, "U_pre")] == pre[(0, "U_post")] == ids[0]
+    plain_tbl = LakeTable.create(
+        spark, root + "_p", SCHEMA, ["k"], num_buckets=2
+    )
+    with pytest.raises(LakeError, match="row-lineage"):
+        plain_tbl.changes(0, with_lineage=True)
+
+
 def test_time_travel_lineage(spark, root):
     t = _make(spark, root, n=4)
     v1 = t.version
