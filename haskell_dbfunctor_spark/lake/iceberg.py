@@ -122,3 +122,21 @@ def create_table_ddl(
         f"PARTITIONED BY (bucket({num_buckets}, {bucket_col}))\n"
         f"TBLPROPERTIES ('write.distribution-mode' = 'hash')"
     )
+
+
+def add_column_ddl(
+    table: str, name: str, dtype: str, default=None
+) -> list[str]:
+    """Iceberg-catalog statements for ``LakeTable.add_column``: an
+    additive ADD COLUMN, plus (Iceberg v3 / Spark 3.4+ default-values)
+    a SET DEFAULT when one is given — the catalog-deployment twin of
+    the engine's metadata-only evolution. Returned as separate
+    statements because Spark's ALTER TABLE grammar takes them that
+    way."""
+    stmts = [f"ALTER TABLE {table} ADD COLUMN {name} {dtype}"]
+    if default is not None:
+        lit = f"'{default}'" if isinstance(default, str) else repr(default)
+        stmts.append(
+            f"ALTER TABLE {table} ALTER COLUMN {name} SET DEFAULT {lit}"
+        )
+    return stmts

@@ -4717,6 +4717,47 @@ class LakeTable:
             )
         )
 
+    def describe(self) -> dict:
+        """DESCRIBE DETAIL analog (Delta) — one JSON-able dict of the
+        table's identity and feature state, so tooling never parses
+        manifests directly: schema, layout, declared constraints and
+        properties, evolution state (dropped/renamed/defaults), row
+        lineage, and the live file census per kind."""
+        m = self.manifest
+        return {
+            "root": os.path.abspath(self.root),
+            "format_version": m.get("format_version", 1),
+            "version": self.version,
+            "schema": [
+                (f.name, f.dataType.simpleString())
+                for f in self.schema.fields
+            ],
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "nullable_keys": bool(m.get("nullable_keys")),
+            "row_lineage": self.row_lineage,
+            "next_row_id": m.get("next_row_id"),
+            "column_defaults": dict(m.get("column_defaults") or {}),
+            "constraints": dict(m.get("constraints") or {}),
+            "properties": self.properties,
+            "dropped_columns": list(m.get("dropped_columns", [])),
+            "renamed_columns": list(m.get("renamed_columns", [])),
+            "num_data_files": sum(
+                len(v) for v in m.get("buckets", {}).values()
+            ),
+            "num_delta_files": sum(
+                len(v) for v in (m.get("delta_files") or {}).values()
+            ),
+            "num_dv_files": sum(
+                len(v) for v in (m.get("dv_files") or {}).values()
+            ),
+            "num_applied_epochs": len(m.get("applied_epochs", {})),
+            "staged": bool(m.get("staged")),
+            "metadata_spill": bool(m.get("metadata_spill")),
+            "cloned_from": m.get("cloned_from"),
+            "created_at": m.get("created_at"),
+        }
+
     # ------------------------------------------------ lineage / metrics
     def _write_lineage(self, stats: MergeStats, written: dict) -> None:
         """Per-commit lineage + metrics, appended as JSONL sidecars.

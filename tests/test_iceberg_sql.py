@@ -90,3 +90,21 @@ def test_create_table_ddl():
     )
     assert "USING iceberg" in ddl
     assert "PARTITIONED BY (bucket(4096, conv_id))" in ddl
+
+
+def test_add_column_ddl():
+    from haskell_dbfunctor_spark.lake.iceberg import add_column_ddl
+
+    stmts = add_column_ddl("lake.transcripts", "quality", "double", 1.0)
+    assert stmts[0] == (
+        "ALTER TABLE lake.transcripts ADD COLUMN quality double"
+    )
+    assert stmts[1] == (
+        "ALTER TABLE lake.transcripts ALTER COLUMN quality "
+        "SET DEFAULT 1.0"
+    )
+    s = add_column_ddl("t", "lang", "string", "en")
+    assert s[1].endswith("SET DEFAULT 'en'")
+    assert add_column_ddl("t", "x", "long") == [
+        "ALTER TABLE t ADD COLUMN x long"
+    ]

@@ -94,3 +94,27 @@ def test_partitions_df_flags_partial_patch_buckets(spark, tmp_path):
     assert any(r.has_partial_patches for r in parts)
     flagged = [r for r in parts if r.has_partial_patches]
     assert all(r.n_delta_files > 0 for r in flagged)
+
+
+def test_describe_detail(spark, tmp_path):
+    root = str(tmp_path / "desc")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["k"], num_buckets=4, row_lineage=True,
+        constraints={"k_nonneg": "k >= 0"}, properties={"owner": "ci"},
+    )
+    t.merge(_batch(spark, 0, 50), epoch_id="e1",
+            order_cols=("ts", "seq"), drop_cols=("seq",))
+    t.add_column("quality", "double", default=1.0)
+    d = t.describe()
+    assert d["version"] == t.version and d["key_cols"] == ["k"]
+    assert d["row_lineage"] is True and d["next_row_id"] > 0
+    assert d["column_defaults"]["quality"]["value"] == 1.0
+    assert d["constraints"] == {"k_nonneg": "k >= 0"}
+    assert d["properties"]["owner"] == "ci"
+    assert d["num_data_files"] == sum(
+        len(v) for v in t.manifest["buckets"].values()
+    )
+    assert ("quality", "double") in d["schema"]
+    import json as _json
+
+    _json.dumps(d)  # JSON-able contract
