@@ -1456,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ADD COLUMN WITH DEFAULT, metadata-only (lake/table.py add_column)
     q["q126_column_defaults"] = _column_defaults_state
 
+    # incremental re-render work list off the lineage-decorated CDF
+    q["q127_incremental_sft"] = _incremental_sft_state
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1500,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_sft_loss_mask", "q122_schema_evolution",
         "q123_bigram_logprob", "q124_semantic_decontam",
         "q125_row_lineage", "q126_column_defaults",
+        "q127_incremental_sft",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2334,6 +2338,63 @@ def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
         "event_type",
         "value",
         F.col("__last_updated_version").alias("last_updated_version"),
+        F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
+        .otherwise(F.col("__row_id") >= F.lit(hwm1))
+        .alias("id_ok"),
+    )
+
+
+def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
+    """q127: INCREMENTAL training-data refresh off the lineage-
+    decorated change feed (lake/table.py changes(with_lineage=True)).
+    The production loop at 10^10 rows: after an epoch lands, re-render
+    ONLY the conversations the epoch touched — the CDF emits exactly
+    the changed keys (bucket-pruned diff), each decorated with its
+    stable __row_id so downstream shards can patch in place instead of
+    rebuilding. Epoch e2 = the q125 deterministic mutation (purchase
+    values +100, hot views deleted, synthetic inserts); the output is
+    the re-render WORK LIST: change type + the rendered example (post-
+    image; pre-image for deletes so the shard knows what to retire),
+    plus id_ok pinning that the CDF's row ids match the v1 snapshot
+    for carried keys and sit above the v1 high-water mark for inserts.
+    """
+    t = _dml_state_lake(s, d, "hdbf_dml_q127_", row_lineage=True)
+    v1 = t.version
+    hwm1 = int(t.manifest["next_row_id"])
+    state = t.read()
+    patch = (
+        state.where(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = state.where(
+        (F.col("event_type") == "view") & (F.col("value") > 900)
+    ).withColumn("op", F.lit("D"))
+    inserts = s.createDataFrame(
+        [(9000000 + i, "synthetic", 1.0, None, -1, "U") for i in (1, 2, 3)],
+        "user_id long, event_type string, value double, ts timestamp, "
+        "last_event_id long, op string",
+    )
+    t.merge(
+        patch.unionByName(dels).unionByName(inserts),
+        epoch_id="e2", order_cols=("ts",), drop_cols=(),
+        prune_buckets=False,
+    )
+    feed = t.changes(v1, with_lineage=True)
+    from haskell_dbfunctor_spark.lake.table import LakeTable as _LT
+
+    lin1 = (
+        _LT.load(s, t.root, version=v1)
+        .read(with_lineage=True)
+        .select("user_id", "event_type", F.col("__row_id").alias("rid1"))
+    )
+    rendered = F.concat(
+        F.col("event_type"), F.lit("#"),
+        F.round(F.col("value"), 0).cast("long").cast("string"),
+    )
+    return feed.join(lin1, ["user_id", "event_type"], "left").select(
+        "user_id", "event_type", "_change_type",
+        rendered.alias("rendered"),
         F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
         .otherwise(F.col("__row_id") >= F.lit(hwm1))
         .alias("id_ok"),
@@ -4062,6 +4123,33 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
         FROM final
+    """
+    # q127: the CDF work list for the q125-style epoch — U post-images
+    # for patched purchases, D pre-images for retired hot views, I for
+    # the synthetic inserts; id_ok is pinned TRUE (CDF ids match the
+    # v1 snapshot for carried keys, sit above the v1 mark for inserts)
+    o["q127_incremental_sft"] = f"""
+        WITH s1 AS ({_CDC_LWW_SQL}),
+        changed AS (
+          SELECT user_id, event_type, 'U' AS _change_type,
+                 value + 100.0 AS value
+          FROM s1 WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, event_type, 'D', value
+          FROM s1 WHERE event_type = 'view' AND value > 900
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9000001, 'synthetic', 'I', 1.0),
+            (9000002, 'synthetic', 'I', 1.0),
+            (9000003, 'synthetic', 'I', 1.0)
+          ) v(user_id, event_type, _change_type, value)
+        )
+        SELECT user_id, event_type, _change_type,
+               event_type || '#' ||
+                 CAST(CAST(round(value, 0) AS BIGINT) AS VARCHAR)
+                 AS rendered,
+               TRUE AS id_ok
+        FROM changed
     """
     # q126: pre-add rows read the initial-default 1.0; the purchase
     # patch writes an explicit 2.0; the synthetic inserts omit the
