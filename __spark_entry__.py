@@ -1459,6 +1459,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental re-render work list off the lineage-decorated CDF
     q["q127_incremental_sft"] = _incremental_sft_state
 
+    # tokenizer fertility per language (pipelines/text.py)
+    def q128(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import fertility_stats
+
+        return fertility_stats(_t(s, d, "documents"))
+
+    q["q128_fertility_by_lang"] = q128
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -1503,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_sft_loss_mask", "q122_schema_evolution",
         "q123_bigram_logprob", "q124_semantic_decontam",
         "q125_row_lineage", "q126_column_defaults",
-        "q127_incremental_sft",
+        "q127_incremental_sft", "q128_fertility_by_lang",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4123,6 +4131,21 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
         FROM final
+    """
+    o["q128_fertility_by_lang"] = """
+        WITH d AS (
+          SELECT lang,
+                 len(list_filter(string_split(trim(text), ' '),
+                                 w -> w <> '')) AS nt,
+                 length(text) AS nc
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(CAST(nt AS DOUBLE)), 4) AS avg_tokens,
+               round(avg(CASE WHEN nt > 0
+                              THEN CAST(nc AS DOUBLE) / nt END), 4)
+                 AS chars_per_token
+        FROM d GROUP BY lang
     """
     # q127: the CDF work list for the q125-style epoch — U post-images
     # for patched purchases, D pre-images for retired hot views, I for

@@ -388,6 +388,43 @@ def remove_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fertility_stats(
+    docs: DataFrame, *, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-fertility profile per language (or any group):
+    docs/group, mean tokens per doc, and mean characters per token
+    ("fertility" — the chars-per-token budget a tokenizer must beat;
+    languages with high chars/token are where byte-level or poorly-fit
+    vocabularies bloat sequence length and training cost). One
+    scan-speed aggregation, pure codegen, no UDF; at 100 TB this rides
+    the same pass as the other corpus-profiling metrics.
+
+    Output: (group, n_docs, avg_tokens, chars_per_token[4dp]);
+    zero-token docs are excluded from the chars/token mean (NULL in
+    the avg), not from n_docs.
+    """
+    nt = F.size(_words(text_col))
+    nc = F.length(F.col(text_col))
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        nt.alias("nt"),
+        nc.alias("nc"),
+    )
+    return per.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("nt").cast("double")), 4).alias("avg_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("nt") > 0,
+                    F.col("nc").cast("double") / F.col("nt"),
+                )
+            ),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
 def corpus_source_stats(docs: DataFrame) -> DataFrame:
     """Per-source corpus health report — the composition table every
     training-data pipeline publishes before a mix is approved: doc
