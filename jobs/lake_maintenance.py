@@ -114,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--bits", type=int, default=8192)
     ab.add_argument("--k", type=int, default=4)
 
+    sub.add_parser(
+        "describe",
+        help="DESCRIBE DETAIL: one JSON dict of schema, layout, "
+             "constraints/properties, evolution state (defaults, "
+             "dropped/renamed), row lineage, and the live file census",
+    )
+
     sp = sub.add_parser(
         "set-props",
         help="ALTER TABLE SET/UNSET TBLPROPERTIES (metadata-only "
@@ -252,6 +259,10 @@ def main(argv: list[str] | None = None) -> int:
     if not args.table_root:
         ap.error(f"{args.action} requires --table-root")
     table = LakeTable.load(spark, args.table_root)
+
+    if args.action == "describe":
+        print(json.dumps({"action": "describe", **table.describe()}))
+        return 0
 
     if args.action == "set-props":
         props = {}

@@ -252,3 +252,25 @@ def test_set_properties_and_cli(spark, tmp_path):
             order_cols=())
     with pytest.raises(LakeError):
         t.set_properties({"x": "1"})
+
+
+def test_describe_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    import pyspark.sql.types as T
+
+    from jobs.lake_maintenance import main
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "d"), sch, key_cols=["k"],
+                         num_buckets=2)
+    t.merge(spark.createDataFrame([(1, "a")], "k long, v string"),
+            epoch_id="e1", op_col=None, order_cols=())
+    rc = main(["--table-root", t.root, "describe"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["action"] == "describe"
+    assert out["version"] == t.version and out["key_cols"] == ["k"]
+    assert out["num_data_files"] >= 1
