@@ -25,6 +25,7 @@ from .generator import KEY_COLS, TRANSCRIPT_SCHEMA, epoch_batch
 def open_or_create_transcripts(
     spark: SparkSession, root: str, num_buckets: int = 32,
     properties: dict[str, str] | None = None,
+    row_lineage: bool = False,
 ) -> LakeTable:
     try:
         return LakeTable.load(spark, root)
@@ -36,7 +37,7 @@ def open_or_create_transcripts(
         base = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
         return LakeTable.create(
             spark, root, base, key_cols=KEY_COLS, num_buckets=num_buckets,
-            properties=properties,
+            properties=properties, row_lineage=row_lineage,
         )
 
 

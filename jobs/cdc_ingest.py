@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
                          "listing spills to per-bucket sidecars "
                          "(two-level manifest; default 4 MiB). "
                          "Applies at table creation.")
+    ap.add_argument("--row-lineage", action="store_true",
+                    help="create the table with row lineage (hidden "
+                         "__row_id / __last_updated_version columns; "
+                         "Iceberg-v3 row-lineage analog). Forces CoW "
+                         "merges — incompatible with --mor.")
     ap.add_argument("--auto-stats-cols", default=None,
                     help="comma-separated columns whose per-file "
                          "min/max bounds every merge/compaction "
@@ -117,9 +122,13 @@ def main(argv: list[str] | None = None) -> int:
     from haskell_dbfunctor_spark.cdc.generator import change_feed
 
     spark = get_spark(app_name="cdc-ingest")
+    if args.row_lineage and args.mor:
+        ap.error("--row-lineage requires CoW merges (drop --mor): a "
+                 "MoR delta append cannot preserve a matched row's id")
     table = open_or_create_transcripts(
         spark, args.table_root, num_buckets=args.buckets,
         properties=table_props or None,
+        row_lineage=args.row_lineage,
     )
 
     expectations = None

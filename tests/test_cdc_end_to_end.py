@@ -177,3 +177,35 @@ def test_replay_correct_under_100x_hotter_skew(spark, tmp_path):
     replay(table, hot, N_EPOCHS, evolution_epoch=EVOLUTION_EPOCH)
     want = oracle.final_state(pdf, evolution_epoch=EVOLUTION_EPOCH)
     _assert_state_equal(_engine_state(table), want)
+
+
+def test_full_replay_with_row_lineage(spark, feed, feed_pdf, tmp_path):
+    """The north-star replay on a row-lineage table: identical final
+    state (lineage is invisible to value semantics), unique row ids,
+    version stamps bounded by history, idempotent re-apply, and ids
+    STABLE for keys whose last touch predates the final epoch."""
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "transcripts_rl"), row_lineage=True
+    )
+    replay(table, feed, N_EPOCHS, evolution_epoch=EVOLUTION_EPOCH)
+    want = oracle.final_state(feed_pdf, evolution_epoch=EVOLUTION_EPOCH)
+    got = _engine_state(table)
+    _assert_state_equal(got, want)
+
+    lin = table.read(with_lineage=True).toPandas()
+    assert lin["__row_id"].is_unique
+    assert lin["__last_updated_version"].between(1, table.version).all()
+    hwm = int(table.manifest["next_row_id"])
+    assert hwm > int(lin["__row_id"].max())
+
+    # ids per key before/after an idempotent re-apply: unchanged
+    before = dict(
+        zip(zip(lin["conv_id"], lin["turn_idx"]), lin["__row_id"])
+    )
+    stats2 = replay(table, feed, N_EPOCHS, evolution_epoch=EVOLUTION_EPOCH)
+    assert stats2.epochs_applied == 0 and stats2.epochs_skipped == N_EPOCHS
+    lin2 = table.read(with_lineage=True).toPandas()
+    after = dict(
+        zip(zip(lin2["conv_id"], lin2["turn_idx"]), lin2["__row_id"])
+    )
+    assert after == before
