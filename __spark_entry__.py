@@ -1459,6 +1459,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental re-render work list off the lineage-decorated CDF
     q["q127_incremental_sft"] = _incremental_sft_state
 
+    # conversation-pattern census: dedup transcripts by their ORDERED
+    # interaction shape (the full event-type sequence per conv) — the
+    # mixture-analysis view of agentic logs q115's pairwise transition
+    # matrix can't give (it loses order beyond bigrams). One hash agg
+    # per conv + one per pattern; the sequence builds JVM-side via
+    # sort_array(collect_list(struct)) — no window, no UDF.
+    def q130(s, d):
+        ev = _t(s, d, "events").select(
+            F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "event_id", "event_type",
+        )
+        seqs = ev.groupBy("conv_id").agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("pattern"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        return seqs.groupBy("pattern").agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("conv_id").alias("example_conv"),
+            F.round(F.avg(F.col("n_turns").cast("double")), 4).alias(
+                "avg_turns"
+            ),
+        )
+
+    q["q130_conv_pattern_census"] = q130
+
+    # contamination EVIDENCE spans — the audit trail behind q71's flags
+    def q129(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            decontaminate_evidence,
+        )
+
+        return decontaminate_evidence(
+            _t(s, d, "documents"), n=4, holdout_fraction=0.10
+        )
+
+    q["q129_decontam_evidence"] = q129
+
     # tokenizer fertility per language (pipelines/text.py)
     def q128(s, d):
         from haskell_dbfunctor_spark.pipelines.text import fertility_stats
@@ -1512,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_bigram_logprob", "q124_semantic_decontam",
         "q125_row_lineage", "q126_column_defaults",
         "q127_incremental_sft", "q128_fertility_by_lang",
+        "q129_decontam_evidence", "q130_conv_pattern_census",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4131,6 +4179,43 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
         FROM final
+    """
+    o["q130_conv_pattern_census"] = """
+        WITH e AS (
+          SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 event_id, event_type
+          FROM events
+        ), s AS (
+          SELECT conv_id,
+                 string_agg(event_type, '>' ORDER BY event_id)
+                   AS pattern,
+                 count(*) AS n_turns
+          FROM e GROUP BY conv_id
+        )
+        SELECT pattern, count(*) AS n_convs,
+               min(conv_id) AS example_conv,
+               round(avg(CAST(n_turns AS DOUBLE)), 4) AS avg_turns
+        FROM s GROUP BY pattern
+    """
+    # q129: q71's holdout split + gram construction, positions kept
+    # (NO distinct in g — occurrence counts need every instance)
+    o["q129_decontam_evidence"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                 substr(md5('holdout' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{threshold_hex(0.10)}' AS hold
+          FROM documents
+        ), g AS (
+          SELECT doc_id, hold, i AS pos,
+                 array_to_string(ws[i:i+3], ' ') AS gram
+          FROM w, unnest(range(1, greatest(len(ws) - 4 + 2, 1))) AS t(i)
+          WHERE len(ws) >= 4
+        ), hg AS (SELECT DISTINCT gram FROM g WHERE hold)
+        SELECT doc_id, gram, CAST(min(pos) AS BIGINT) AS first_pos,
+               count(*) AS n_occurrences
+        FROM g JOIN hg USING (gram) WHERE NOT hold
+        GROUP BY doc_id, gram
     """
     o["q128_fertility_by_lang"] = """
         WITH d AS (

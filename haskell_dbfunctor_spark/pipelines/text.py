@@ -284,6 +284,64 @@ def decontaminate(
     )
 
 
+def decontaminate_evidence(
+    docs: DataFrame,
+    n: int = 4,
+    holdout_fraction: float = 0.10,
+    salt: str = "holdout",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The AUDIT companion to :func:`decontaminate`: instead of a
+    per-doc contamination count, emit the evidence — one row per
+    (train doc, matched n-gram) with the gram text, its first word
+    position, and its occurrence count. This is what a human (or an
+    appeals pipeline) needs to judge whether a flagged doc is true
+    eval leakage or a benign common phrase; counts alone aren't
+    reviewable. Same deterministic hash-draw split and broadcast
+    holdout-gram join as decontaminate (one linear pass, positions
+    ride the existing explode for free).
+
+    Output: (doc_id, gram, first_pos[1-based word index],
+    n_occurrences) for train docs only; clean docs emit nothing.
+    """
+    from .sampling import threshold_hex
+
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    is_holdout = draw < F.lit(threshold_hex(holdout_fraction))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    pos_grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(words, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    g = docs.select(
+        id_col,
+        is_holdout.alias("__hold"),
+        F.explode(pos_grams).alias("pg"),
+    ).select(
+        id_col, "__hold", F.col("pg.pos").alias("pos"),
+        F.col("pg.gram").alias("gram"),
+    )
+    hold_grams = g.where(F.col("__hold")).select("gram").distinct()
+    return (
+        g.where(~F.col("__hold"))
+        .join(F.broadcast(hold_grams), "gram")
+        .groupBy(id_col, "gram")
+        .agg(
+            F.min("pos").cast("long").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+
+
 # identical pattern set for the engine and the DuckDB oracle: RE2-safe
 # (no lookaround, no backreferences) AND backtracking-safe (no
 # alternation whose leftmost-first vs leftmost-longest semantics could
