@@ -1,0 +1,151 @@
+"""Property-based soak (hypothesis) for ROW LINEAGE: under ANY
+interleaving of CoW merges, predicate DML (CoW and deletion-vector
+modes), and layout maintenance (compact / rebucket), a
+create(row_lineage=True) table must keep
+
+  1. value semantics IDENTICAL to the sequential batch oracle
+     (lineage is invisible to state);
+  2. row ids UNIQUE across the live table after every operation;
+  3. row ids STABLE: a key alive before and after an operation keeps
+     its id (within one merge a key has ONE LWW winner, so there is
+     no delete+reinsert inside an op — absence in between is the only
+     legal way an id changes);
+  4. __last_updated_version within [1, version], and the manifest's
+     next_row_id strictly above every live id.
+"""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F, types as T
+
+from haskell_dbfunctor_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.IntegerType(), False),
+    T.StructField("v", T.StringType(), True),
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("seq", T.LongType(), True),
+])
+
+event = st.tuples(
+    st.integers(0, 7),                   # key — few keys force collisions
+    st.sampled_from(["U", "U", "U", "D"]),
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.integers(0, 50),                  # ts (ties likely)
+)
+
+OPS = ["none", "compact", "rebucket", "update_cow", "update_dv",
+       "delete_cow", "delete_dv"]
+
+
+def _run_op(table, action):
+    if action == "compact":
+        table.compact(min_files=1)
+    elif action == "rebucket":
+        table.rebucket(8 if table.num_buckets == 4 else 4)
+    elif action == "update_cow":
+        table.update_where("k % 3 = 1", {"v": F.lit("upd")})
+    elif action == "update_dv":
+        table.update_where("k % 3 = 2", {"v": F.lit("dvu")}, mode="dv")
+    elif action == "delete_cow":
+        table.delete_where("k = 5")
+    elif action == "delete_dv":
+        table.delete_where("k = 6", mode="dv")
+
+
+def _oracle_op(state, action):
+    if action in ("update_cow", "update_dv"):
+        rem = 1 if action == "update_cow" else 2
+        val = "upd" if action == "update_cow" else "dvu"
+        for k in state:
+            if k % 3 == rem:
+                state[k] = val
+    elif action == "delete_cow":
+        state.pop(5, None)
+    elif action == "delete_dv":
+        state.pop(6, None)
+
+
+def _merge_oracle(state, batch):
+    best = {}
+    for seq, (k, op, v, ts) in batch:
+        cur = best.get(k)
+        if cur is None or (ts, seq) >= cur[0]:
+            best[k] = ((ts, seq), op, v)
+    for k, (_, op, v) in best.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+
+def _lineage(table):
+    return {
+        r["k"]: (r["v"], r["__row_id"], r["__last_updated_version"])
+        for r in table.read(with_lineage=True).collect()
+    }
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(event, min_size=4, max_size=24),
+    st.lists(st.sampled_from(OPS), min_size=3, max_size=3),
+)
+def test_lineage_invariants_under_interleaving(
+    spark, tmp_path_factory, events, schedule
+):
+    root = str(tmp_path_factory.mktemp("rl_prop"))
+    table = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["k"], num_buckets=4,
+        row_lineage=True,
+    )
+    pdf = pd.DataFrame(
+        [{"k": k, "op": op, "v": v, "ts": ts, "seq": i}
+         for i, (k, op, v, ts) in enumerate(events)]
+    )
+    df = spark.createDataFrame(
+        pdf[["k", "op", "v", "ts", "seq"]],
+        "k int, op string, v string, ts long, seq long",
+    )
+    third = max(len(events) // 3, 1)
+    cuts = [(0, third), (third, 2 * third), (2 * third, len(events))]
+    indexed = list(enumerate(events))
+
+    state: dict = {}
+    prev = _lineage(table)
+    for i, (lo, hi) in enumerate(cuts):
+        if hi > lo:
+            table.merge(
+                df.where((df.seq >= lo) & (df.seq < hi)),
+                epoch_id=f"b{i}", order_cols=("ts", "seq"),
+            )
+            _merge_oracle(state, indexed[lo:hi])
+            cur = _lineage(table)
+            _check(table, cur, prev, state, schedule, i, "merge")
+            prev = cur
+        _run_op(table, schedule[i])
+        _oracle_op(state, schedule[i])
+        cur = _lineage(table)
+        _check(table, cur, prev, state, schedule, i, schedule[i])
+        prev = cur
+
+
+def _check(table, cur, prev, state, schedule, i, what):
+    ctx = (schedule, i, what)
+    # 1. value semantics == oracle
+    assert {k: v for k, (v, _, _) in cur.items()} == state, ctx
+    ids = [rid for (_, rid, _) in cur.values()]
+    # 2. unique ids
+    assert len(set(ids)) == len(ids), ctx
+    # 3. stable ids for keys alive across the op
+    for k in set(cur) & set(prev):
+        assert cur[k][1] == prev[k][1], (ctx, k)
+    # 4. version stamps + high-water mark
+    v = table.version
+    assert all(1 <= luv <= v for (_, _, luv) in cur.values()), ctx
+    if ids:
+        assert int(table.manifest["next_row_id"]) > max(ids), ctx
