@@ -1459,6 +1459,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental re-render work list off the lineage-decorated CDF
     q["q127_incremental_sft"] = _incremental_sft_state
 
+    # dead-letter replay: gate -> quarantine -> fix -> re-merge (LWW)
+    q["q132_quarantine_replay"] = _quarantine_replay_state
+
+    # SCD TYPE 2 history: instead of LWW overwriting (q21's state
+    # shape), keep EVERY version of a key with its validity interval —
+    # the audit/backtest view ("what did this conversation look like
+    # when the model trained on it"). One window per key ordered by
+    # (ts, event_id): valid_to = next change's ts, is_current = last.
+    # Deletes CLOSE the interval without opening a new one. The window
+    # partitions by the key (never global) — skew-safe at 10^10 rows.
+    def q131(s, d):
+        from pyspark.sql.window import Window as W
+
+        ev = _t(s, d, "events").select(
+            "user_id", "event_type", "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        hist = ev.select(
+            "user_id", "event_type", "value", "event_id", "op",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            (F.lead("ts").over(w).isNull() & (F.col("op") != "D")).alias(
+                "is_current"
+            ),
+        )
+        # delete events close the predecessor's interval but are not
+        # themselves versions
+        return hist.where(F.col("op") != "D").select(
+            "user_id", "event_type", "value", "event_id",
+            "valid_from", "valid_to", "is_current",
+        )
+
+    q["q131_scd2_history"] = q131
+
     # conversation-pattern census: dedup transcripts by their ORDERED
     # interaction shape (the full event-type sequence per conv) — the
     # mixture-analysis view of agentic logs q115's pairwise transition
@@ -1560,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_row_lineage", "q126_column_defaults",
         "q127_incremental_sft", "q128_fertility_by_lang",
         "q129_decontam_evidence", "q130_conv_pattern_census",
+        "q131_scd2_history", "q132_quarantine_replay",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2211,7 +2252,8 @@ def _two_epoch_lake(s: SparkSession, d: str):
 
 
 def _dml_state_lake(
-    s: SparkSession, d: str, prefix: str, row_lineage: bool = False
+    s: SparkSession, d: str, prefix: str, row_lineage: bool = False,
+    expectations: dict | None = None,
 ):
     """A FRESH event-state lake for a predicate-DML query (q91/q92):
     one CoW merge epoch of the full feed into a table storing exactly
@@ -2260,7 +2302,8 @@ def _dml_state_lake(
         row_lineage=row_lineage,
     )
     # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
-    t.merge(ev, epoch_id="e0", prune_buckets=False)
+    t.merge(ev, epoch_id="e0", prune_buckets=False,
+            expectations=expectations)
     return t
 
 
@@ -2455,6 +2498,34 @@ def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
         .otherwise(F.col("__row_id") >= F.lit(hwm1))
         .alias("id_ok"),
     )
+
+
+def _quarantine_replay_state(s: SparkSession, d: str) -> DataFrame:
+    """q132: the DEAD-LETTER REPLAY loop end to end (lake/table.py
+    expectations + quarantine(), streaming/tailer.py
+    lww_matched_filter). The ingest gate `value <= 200` quarantines
+    hot rows instead of merging them; the fix caps their value and
+    re-merges the quarantine UNDER CROSS-BATCH LWW (matched rows only
+    update when the corrected row is not older than the live one), so
+    a late correction can never stomp a newer good write — the
+    operational loop every production gate needs: reject, fix, replay,
+    exactly-once. Output: the final state after the replay."""
+    from haskell_dbfunctor_spark.streaming.tailer import lww_matched_filter
+
+    t = _dml_state_lake(
+        s, d, "hdbf_dml_q132_",
+        expectations={"value_cap": F.col("value") <= 200},
+    )
+    fixed = (
+        t.quarantine()
+        .drop("__violations", "__epoch_id")
+        .withColumn("value", F.least(F.col("value"), F.lit(200.0)))
+    )
+    t.merge(
+        fixed, epoch_id="e1-replay", prune_buckets=False,
+        matched_filter=lww_matched_filter(("ts",)),
+    )
+    return t.read().select(*_STATE_COLS)
 
 
 def _column_defaults_state(s: SparkSession, d: str) -> DataFrame:
@@ -4179,6 +4250,72 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
         FROM final
+    """
+    # q132: A = LWW state over rows that PASSED the gate (gate applies
+    # before dedup); bw = per-key LWW winner among the quarantined
+    # rows, value capped at 900. Replay semantics mirror the engine's
+    # merge legs exactly: a matched corrected D deletes (deletes are
+    # not gated by matched_filter), a matched U updates only when
+    # A.ts <= bw.ts (cross-batch LWW), unmatched U inserts, unmatched
+    # D no-ops.
+    o["q132_quarantine_replay"] = """
+        WITH e AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ), A AS (
+          SELECT user_id, event_type, value, ts,
+                 event_id AS last_event_id
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e WHERE value <= 200
+          ) WHERE rn = 1 AND op <> 'D'
+        ), bw AS (
+          SELECT user_id, event_type, 200.0 AS value, ts,
+                 event_id AS last_event_id, op
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e WHERE value > 200
+          ) WHERE rn = 1
+        )
+        SELECT coalesce(A.user_id, bw.user_id) AS user_id,
+               coalesce(A.event_type, bw.event_type) AS event_type,
+               CASE WHEN bw.op = 'U'
+                         AND (A.ts IS NULL OR A.ts <= bw.ts)
+                    THEN bw.value ELSE A.value END AS value,
+               CASE WHEN bw.op = 'U'
+                         AND (A.ts IS NULL OR A.ts <= bw.ts)
+                    THEN bw.ts ELSE A.ts END AS ts,
+               CASE WHEN bw.op = 'U'
+                         AND (A.ts IS NULL OR A.ts <= bw.ts)
+                    THEN bw.last_event_id
+                    ELSE A.last_event_id END AS last_event_id
+        FROM A FULL OUTER JOIN bw
+          ON A.user_id = bw.user_id AND A.event_type = bw.event_type
+        WHERE NOT coalesce(bw.op = 'D', FALSE)
+    """
+    o["q131_scd2_history"] = """
+        WITH e AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ), h AS (
+          SELECT user_id, event_type, value, event_id, op,
+                 ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS valid_to,
+                 (lead(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) IS NULL
+                  AND op <> 'D') AS is_current
+          FROM e
+        )
+        SELECT user_id, event_type, value, event_id,
+               valid_from, valid_to, is_current
+        FROM h WHERE op <> 'D'
     """
     o["q130_conv_pattern_census"] = """
         WITH e AS (
