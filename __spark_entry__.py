@@ -2335,7 +2335,7 @@ def _delete_vectors_state(s: SparkSession, d: str) -> DataFrame:
     in-memory table (Core.hs:1524-1546)."""
     t = _dml_state_lake(s, d, "hdbf_dml_q117_")
     t.delete_where("event_type = 'click' AND value < 250", mode="dv")
-    t.delete_where("value > 900", mode="dv")
+    t.delete_where("value > 120", mode="dv")
     return t.read().select(*_STATE_COLS)
 
 
@@ -2348,7 +2348,7 @@ def _dv_update_state(s: SparkSession, d: str) -> DataFrame:
     proves updates compose with pending vectors (the update's scan
     anti-joins them before matching)."""
     t = _dml_state_lake(s, d, "hdbf_dml_q118_")
-    t.delete_where("value > 900", mode="dv")
+    t.delete_where("value > 120", mode="dv")
     t.update_where(
         "event_type = 'purchase'",
         {"value": F.col("value") + F.lit(100.0)},
@@ -2407,7 +2407,7 @@ def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
         .withColumn("op", F.lit("U"))
     )
     dels = state.where(
-        (F.col("event_type") == "view") & (F.col("value") > 900)
+        (F.col("event_type") == "view") & (F.col("value") > 100)
     ).withColumn("op", F.lit("D"))
     inserts = s.createDataFrame(
         [
@@ -2467,7 +2467,7 @@ def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
         .withColumn("op", F.lit("U"))
     )
     dels = state.where(
-        (F.col("event_type") == "view") & (F.col("value") > 900)
+        (F.col("event_type") == "view") & (F.col("value") > 100)
     ).withColumn("op", F.lit("D"))
     inserts = s.createDataFrame(
         [(9000000 + i, "synthetic", 1.0, None, -1, "U") for i in (1, 2, 3)],
@@ -4212,7 +4212,7 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT user_id, event_type, value, ts, last_event_id
         FROM ({_CDC_LWW_SQL})
         WHERE NOT coalesce(event_type = 'click' AND value < 250, FALSE)
-          AND NOT coalesce(value > 900, FALSE)
+          AND NOT coalesce(value > 120, FALSE)
     """
     o["q118_dv_update"] = f"""
         SELECT user_id, event_type,
@@ -4220,7 +4220,7 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                     ELSE value END AS value,
                ts, last_event_id
         FROM ({_CDC_LWW_SQL})
-        WHERE NOT coalesce(value > 900, FALSE)
+        WHERE NOT coalesce(value > 120, FALSE)
     """
     # q125: the lineage invariants are part of the oracle — id_ok is
     # pinned TRUE for every surviving row (updates/carries keep their
@@ -4236,7 +4236,7 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                       THEN 2 ELSE 1 END AS BIGINT)
                    AS last_updated_version
           FROM s1
-          WHERE NOT (event_type = 'view' AND value > 900)
+          WHERE NOT (event_type = 'view' AND value > 100)
         ),
         final AS (
           SELECT * FROM survivors
@@ -4381,7 +4381,7 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
           FROM s1 WHERE event_type = 'purchase'
           UNION ALL
           SELECT user_id, event_type, 'D', value
-          FROM s1 WHERE event_type = 'view' AND value > 900
+          FROM s1 WHERE event_type = 'view' AND value > 100
           UNION ALL
           SELECT * FROM (VALUES
             (9000001, 'synthetic', 'I', 1.0),
