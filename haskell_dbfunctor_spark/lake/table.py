@@ -2315,7 +2315,8 @@ class LakeTable:
         )
 
     def changes_since(
-        self, version: int, *, preimages: bool = False
+        self, version: int, *, preimages: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Per-commit change feed from ``version`` (exclusive) to the
         current snapshot: the union of ``changes(v-1, v)`` for each
@@ -2340,7 +2341,10 @@ class LakeTable:
                 f"current snapshot {current}"
             )
         if version == current:
-            empty = self.changes(current, current, preimages=preimages)
+            empty = self.changes(
+                current, current, preimages=preimages,
+                with_lineage=with_lineage,
+            )
             return empty.withColumn("_commit_version", F.lit(0).cast("int"))
         # walk the PARENT chain from the current snapshot back to the
         # cursor: with write-audit-publish, version numbers are claimed
@@ -2370,7 +2374,10 @@ class LakeTable:
             )
         chain.reverse()  # ascending: cursor .. current
         parts = [
-            self.changes(chain[i], chain[i + 1], preimages=preimages)
+            self.changes(
+                chain[i], chain[i + 1], preimages=preimages,
+                with_lineage=with_lineage,
+            )
             .withColumn(
                 "_commit_version", F.lit(chain[i + 1]).cast("int")
             )

@@ -312,6 +312,12 @@ def test_cdf_with_lineage(spark, root):
         for r in t.changes(1, preimages=True, with_lineage=True).collect()
     }
     assert pre[(0, "U_pre")] == pre[(0, "U_post")] == ids[0]
+    # changes_since threads the flag per commit
+    since = {
+        (r["k"], r["_change_type"], r["_commit_version"]): r["__row_id"]
+        for r in t.changes_since(1, with_lineage=True).collect()
+    }
+    assert since[(0, "U", 2)] == ids[0]
     plain_tbl = LakeTable.create(
         spark, root + "_p", SCHEMA, ["k"], num_buckets=2
     )
