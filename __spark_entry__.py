@@ -1462,6 +1462,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dead-letter replay: gate -> quarantine -> fix -> re-merge (LWW)
     q["q132_quarantine_replay"] = _quarantine_replay_state
 
+    # corpus datasheet: per (source, lang) volume + exact-dup share
+    def q133(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import dataset_card
+
+        return dataset_card(_t(s, d, "documents"))
+
+    q["q133_dataset_card"] = q133
+
+    # feed drift: event-type mixture shift between stream halves
+    def q134(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import (
+            distribution_drift,
+        )
+
+        ev = _t(s, d, "events")
+        n = ev.count()
+        return distribution_drift(
+            ev, "event_type", F.col("event_id") < n // 2
+        )
+
+    q["q134_distribution_drift"] = q134
+
     # SCD TYPE 2 history: instead of LWW overwriting (q21's state
     # shape), keep EVERY version of a key with its validity interval —
     # the audit/backtest view ("what did this conversation look like
@@ -1601,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_incremental_sft", "q128_fertility_by_lang",
         "q129_decontam_evidence", "q130_conv_pattern_census",
         "q131_scd2_history", "q132_quarantine_replay",
+        "q133_dataset_card", "q134_distribution_drift",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4297,6 +4320,48 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         FROM A FULL OUTER JOIN bw
           ON A.user_id = bw.user_id AND A.event_type = bw.event_type
         WHERE NOT coalesce(bw.op = 'D', FALSE)
+    """
+    o["q133_dataset_card"] = """
+        WITH t AS (
+          SELECT source, lang,
+                 len(list_filter(string_split(trim(text), ' '),
+                                 w -> w <> '')) AS nt,
+                 length(text) AS nc, md5(text) AS h
+          FROM documents
+        ), c AS (
+          SELECT h, count(*) AS cnt FROM t GROUP BY h
+        )
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               round(avg(CAST(nc AS DOUBLE)), 2) AS avg_chars,
+               round(avg(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS dup_share
+        FROM t JOIN c USING (h)
+        GROUP BY source, lang
+    """
+    # q134: smoothing expressions written with the SAME association
+    # order as the Spark side so both engines round identical doubles
+    o["q134_distribution_drift"] = """
+        WITH tot AS (SELECT count(*) // 2 AS half FROM events),
+        per AS (
+          SELECT event_type AS cat,
+                 sum(CASE WHEN event_id < half THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN event_id >= half THEN 1 ELSE 0 END) AS nb
+          FROM events, tot GROUP BY event_type
+        ), t2 AS (
+          SELECT CAST(sum(na) AS DOUBLE) AS ta,
+                 CAST(sum(nb) AS DOUBLE) AS tb,
+                 CAST(count(*) AS DOUBLE) AS k
+          FROM per
+        )
+        SELECT cat AS event_type,
+               round((na + 0.5) / (ta + 0.5 * k), 6) AS share_a,
+               round((nb + 0.5) / (tb + 0.5 * k), 6) AS share_b,
+               round(((na + 0.5) / (ta + 0.5 * k))
+                     * ln(((na + 0.5) / (ta + 0.5 * k))
+                          / ((nb + 0.5) / (tb + 0.5 * k))), 6)
+                 AS kl_term
+        FROM per, t2
     """
     o["q131_scd2_history"] = """
         WITH e AS (

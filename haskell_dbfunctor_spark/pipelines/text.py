@@ -446,6 +446,84 @@ def remove_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dataset_card(
+    docs: DataFrame,
+    *,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus DATASHEET in one pass: per (source, lang) — doc and
+    token volume, mean doc length, and the exact-duplicate share
+    (docs whose full text appears more than once ANYWHERE in the
+    corpus — the headline number every dataset card reports). Two hash
+    aggregations: one corpus-wide text-hash count (dup detection joins
+    back on the hash, so the wide text column never shuffles twice)
+    and one per-group rollup. At 100 TB this is the cheap artifact you
+    publish with every corpus snapshot.
+
+    Output: (group..., n_docs, total_tokens, avg_chars[2dp],
+    dup_share[6dp]).
+    """
+    h = F.md5(F.col(text_col))
+    tagged = docs.select(
+        *group_cols,
+        F.size(_words(text_col)).alias("nt"),
+        F.length(F.col(text_col)).alias("nc"),
+        h.alias("__h"),
+    )
+    counts = tagged.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    joined = tagged.join(counts, "__h")
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg(F.col("nc").cast("double")), 2).alias("avg_chars"),
+        F.round(
+            F.avg(F.when(F.col("__c") > 1, 1.0).otherwise(0.0)), 6
+        ).alias("dup_share"),
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    category_col: str,
+    split: Column,
+    *,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Categorical drift between two halves of a stream: per category,
+    the share in split A vs split B and its signed contribution to
+    KL(A||B) — the monitoring primitive that catches a feed whose
+    mixture silently shifted (a source went dark, a spam burst).
+    Laplace-smoothed (``smooth`` pseudo-counts) so a category present
+    in only one split contributes a finite term instead of infinity.
+    Two scan-speed aggregations over (category, split); nothing
+    corpus-sized shuffles.
+
+    Output: (category, share_a[6dp], share_b[6dp], kl_term[6dp]).
+    """
+    per = df.select(
+        F.col(category_col).alias("cat"),
+        F.when(split, F.lit("a")).otherwise(F.lit("b")).alias("s"),
+    ).groupBy("cat").agg(
+        F.sum(F.when(F.col("s") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("s") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    tot = per.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pa = (F.col("na") + F.lit(smooth)) / (F.col("ta") + F.lit(smooth) * F.col("k"))
+    pb = (F.col("nb") + F.lit(smooth)) / (F.col("tb") + F.lit(smooth) * F.col("k"))
+    return j.select(
+        F.col("cat").alias(category_col),
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round(pa * F.log(pa / pb), 6).alias("kl_term"),
+    )
+
+
 def fertility_stats(
     docs: DataFrame, *, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
