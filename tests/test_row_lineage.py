@@ -325,6 +325,52 @@ def test_cdf_with_lineage(spark, root):
         plain_tbl.changes(0, with_lineage=True)
 
 
+def test_streaming_tailer_into_lineage_table(spark, root):
+    """The stream path (foreachBatch MERGE per micro-batch) on a
+    row-lineage table: state matches the batch oracle, ids unique,
+    and keys last touched in an early micro-batch keep their id
+    through later batches (cross-batch stability under the
+    cross-batch-LWW matched filter the tailer applies)."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.cdc.generator import (
+        KEY_COLS, change_feed,
+    )
+    from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+
+    feed = change_feed(spark, 2000, n_convs=25, n_epochs=3)
+    feed_dir = root + "_feed"
+    feed.repartition(1, "epoch").write.partitionBy("epoch").parquet(feed_dir)
+
+    schema = T.StructType(
+        [f for f in feed.schema.fields if f.name not in ("op", "seq", "epoch")]
+    )
+    table = LakeTable.create(
+        spark, root, schema, key_cols=KEY_COLS, num_buckets=4,
+        row_lineage=True,
+    )
+    q = tail_feed_dir(
+        spark, table, feed_dir, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    w = F.struct("ts", "seq")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["x"]["text"]
+        for r in feed.groupBy(*KEY_COLS).agg(
+            F.max_by(F.struct("op", "text"), w).alias("x")
+        ).where(F.col("x.op") != "D").collect()
+    }
+    lin = table.read(with_lineage=True).collect()
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in lin}
+    assert got == want
+    ids = [r[ROW_ID_COL] for r in lin]
+    assert len(set(ids)) == len(ids)
+    assert all(
+        1 <= r[LAST_UPDATED_COL] <= table.version for r in lin
+    )
+
+
 def test_time_travel_lineage(spark, root):
     t = _make(spark, root, n=4)
     v1 = t.version
