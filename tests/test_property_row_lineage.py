@@ -94,14 +94,16 @@ def _lineage(table):
 @given(
     st.lists(event, min_size=4, max_size=24),
     st.lists(st.sampled_from(OPS), min_size=3, max_size=3),
+    st.booleans(),  # two-level (spilled) manifest layout
 )
 def test_lineage_invariants_under_interleaving(
-    spark, tmp_path_factory, events, schedule
+    spark, tmp_path_factory, events, schedule, spill
 ):
     root = str(tmp_path_factory.mktemp("rl_prop"))
     table = LakeTable.create(
         spark, root, SCHEMA, key_cols=["k"], num_buckets=4,
         row_lineage=True,
+        properties={"metadata.spill-bytes": "0"} if spill else None,
     )
     pdf = pd.DataFrame(
         [{"k": k, "op": op, "v": v, "ts": ts, "seq": i}
