@@ -4547,7 +4547,9 @@ class LakeTable:
         )
         return {"dropped_constraint": name, "version": committed["version"]}
 
-    def remove_orphans(self, *, grace_seconds: int = 3600) -> dict:
+    def remove_orphans(
+        self, *, grace_seconds: int = 3600, dry_run: bool = False
+    ) -> dict:
         """Iceberg remove_orphan_files: delete data files referenced by
         NO manifest on disk — the residue of a writer that crashed
         between its snapshot write and its commit (a conflict-handled
@@ -4557,6 +4559,11 @@ class LakeTable:
         deleting under it would fail its commit's liveness. Run this
         with a grace comfortably above the longest expected write
         (Iceberg's default is 3 days for the same reason).
+
+        ``dry_run=True`` (VACUUM DRY RUN): report what WOULD be
+        removed — counts plus the candidate file list — deleting
+        nothing (sidecar sweep included). The operational safety valve
+        before the first GC on a production table.
         """
         meta_dir = os.path.join(self.root, MANIFEST_DIR)
         referenced: set[str] = set()
@@ -4577,6 +4584,7 @@ class LakeTable:
             live_sidecars.update((raw.get("bloom_refs") or {}).values())
             live_sidecars.update((raw.get("stats_refs") or {}).values())
         cutoff_meta = time.time() - grace_seconds
+        dry_candidates: list[str] = []
         for f in os.listdir(meta_dir):
             # sidecars written by a commit that lost its CAS (or
             # crashed pre-CAS) are unreferenced; grace-gate like data
@@ -4588,7 +4596,12 @@ class LakeTable:
                 p = os.path.join(meta_dir, f)
                 try:
                     if os.path.getmtime(p) < cutoff_meta:
-                        os.remove(p)
+                        if dry_run:
+                            dry_candidates.append(
+                                os.path.relpath(p, self.root)
+                            )
+                        else:
+                            os.remove(p)
                 except OSError:
                     pass
         data_dir = os.path.join(self.root, DATA_DIR)
@@ -4607,21 +4620,29 @@ class LakeTable:
                         if os.path.getmtime(p) >= cutoff:
                             kept_young += 1
                             continue
-                        os.remove(p)
+                        if dry_run:
+                            dry_candidates.append(rel)
+                        else:
+                            os.remove(p)
                         removed += 1
                     except OSError:
                         continue
             # prune emptied dirs bottom-up (same convergence loop as
             # expire_snapshots)
-            while True:
-                removed_dir = False
-                for sub in os.walk(data_dir, topdown=False):
-                    if sub[0] != data_dir and not os.listdir(sub[0]):
-                        os.rmdir(sub[0])
-                        removed_dir = True
-                if not removed_dir:
-                    break
-        return {"removed_files": removed, "kept_in_grace": kept_young}
+            if not dry_run:
+                while True:
+                    removed_dir = False
+                    for sub in os.walk(data_dir, topdown=False):
+                        if sub[0] != data_dir and not os.listdir(sub[0]):
+                            os.rmdir(sub[0])
+                            removed_dir = True
+                    if not removed_dir:
+                        break
+        out = {"removed_files": removed, "kept_in_grace": kept_young}
+        if dry_run:
+            out["dry_run"] = True
+            out["candidates"] = sorted(dry_candidates)
+        return out
 
     # ------------------------------------------------- metadata tables
     def files_df(self, *, footers: bool = True) -> DataFrame:

@@ -182,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
              "write attempts), older than the grace window",
     )
     ro.add_argument("--grace-seconds", type=int, default=3600)
+    ro.add_argument("--dry-run", action="store_true",
+                    help="report what would be removed (counts + "
+                         "candidate list) without deleting anything")
 
     ch = sub.add_parser(
         "changes",
@@ -344,7 +347,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.action == "remove-orphans":
-        res = table.remove_orphans(grace_seconds=args.grace_seconds)
+        res = table.remove_orphans(
+            grace_seconds=args.grace_seconds, dry_run=args.dry_run
+        )
         print(json.dumps({"action": "remove-orphans", **res}))
         return 0
 

@@ -197,6 +197,14 @@ def test_remove_orphans_cleans_crashed_attempts(spark, tmp_path):
     # age the orphans past the grace and sweep
     for p in orphans:
         os.utime(p, (1, 1))
+    # VACUUM DRY RUN first: reports the exact candidates, deletes nothing
+    dry = table.remove_orphans(grace_seconds=60, dry_run=True)
+    assert dry["dry_run"] and dry["removed_files"] == len(orphans)
+    assert {
+        os.path.realpath(os.path.join(table.root, c))
+        for c in dry["candidates"]
+    } == {os.path.realpath(p) for p in orphans}
+    assert orphans <= all_files()  # nothing deleted
     res = table.remove_orphans(grace_seconds=60)
     assert res["removed_files"] == len(orphans)
     assert all_files() == {p for p in all_files() if os.path.realpath(p) in live}
