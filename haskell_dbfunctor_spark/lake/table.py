@@ -4352,10 +4352,19 @@ class LakeTable:
         return written
 
     def expire_snapshots(
-        self, keep_last: int = 2, *, prune_lineage: bool = False
+        self, keep_last: int = 2, *, older_than: float | None = None,
+        prune_lineage: bool = False, dry_run: bool = False,
     ) -> dict:
         """Iceberg expire_snapshots: delete manifests older than the
         newest ``keep_last`` and any data file referenced only by them.
+
+        ``older_than`` (unix ts) additionally RETAINS every snapshot
+        committed after that instant regardless of count — the
+        time-based retention contract ("keep 7 days") Iceberg's
+        ``expire_snapshots(older_than=...)`` expresses; combine with
+        ``keep_last`` for "7 days but always the last 2".
+        ``dry_run=True`` reports the versions and files that WOULD
+        expire, deleting nothing.
         Copy-on-write means untouched buckets share files across
         snapshots, so liveness is computed over the retained set.
         Readers of retained snapshots are unaffected (files are
@@ -4372,6 +4381,17 @@ class LakeTable:
         )
         keep = set(versions[-keep_last:])
         keep.add(self.version)
+        if older_than is not None:
+            for v in versions:
+                if v in keep:
+                    continue
+                try:
+                    with open(os.path.join(meta_dir, f"v{v}.json")) as fh:
+                        created = json.load(fh).get("created_at") or 0.0
+                except OSError:
+                    continue
+                if created > older_than:
+                    keep.add(v)
         # tag refs PIN their snapshots (Iceberg retention semantics):
         # an expired-but-tagged version must stay readable by name
         keep.update(self.tags().values())
@@ -4412,6 +4432,7 @@ class LakeTable:
             )
             live.update(_all_files(m))
         removed_files = 0
+        dry_candidates: list[str] = []
         expired_sidecars: set[str] = set()
         for v in versions:
             if v in keep:
@@ -4430,14 +4451,18 @@ class LakeTable:
                     ):
                         continue
                     if os.path.exists(p):
-                        os.remove(p)
+                        if dry_run:
+                            dry_candidates.append(f)
+                        else:
+                            os.remove(p)
                         removed_files += 1
-            os.remove(mpath)
+            if not dry_run:
+                os.remove(mpath)
         # sidecars referenced ONLY by expired manifests die with them;
         # a sidecar referenced by no manifest at all belongs to an
         # in-flight commit (written before its manifest CAS) and is
         # left for gc_orphans' grace-gated sweep
-        if expired_sidecars:
+        if expired_sidecars and not dry_run:
             retained_sidecars: set[str] = set()
             for f in os.listdir(meta_dir):
                 if f.startswith("v") and f.endswith(".json"):
@@ -4452,7 +4477,7 @@ class LakeTable:
         # loop until a full pass removes nothing (a dir emptied by this
         # pass is caught by the next)
         data_dir = os.path.join(self.root, DATA_DIR)
-        if os.path.isdir(data_dir):
+        if os.path.isdir(data_dir) and not dry_run:
             while True:
                 removed_dir = False
                 for sub in os.walk(data_dir, topdown=False):
@@ -4462,7 +4487,7 @@ class LakeTable:
                 if not removed_dir:
                     break
         expired = [v for v in versions if v not in keep]
-        if prune_lineage:
+        if prune_lineage and not dry_run:
             lin_dir = os.path.join(self.root, "lineage")
             if os.path.isdir(lin_dir):
                 for v in expired:
@@ -4470,10 +4495,14 @@ class LakeTable:
                         os.remove(os.path.join(lin_dir, f"commit-{v}.json"))
                     except FileNotFoundError:
                         pass
-        return {
+        out = {
             "expired_versions": expired,
             "removed_files": removed_files,
         }
+        if dry_run:
+            out["dry_run"] = True
+            out["candidate_files"] = sorted(dry_candidates)
+        return out
 
     def add_constraint(self, name: str, sql: str) -> dict:
         """Declare a CHECK constraint (metadata-only commit): from now

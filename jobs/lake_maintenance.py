@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--prune-lineage", action="store_true",
                    help="also drop expired versions' lineage/metrics "
                         "records (bounds the audit log)")
+    e.add_argument("--older-than", type=float, default=None,
+                   help="unix ts: RETAIN every snapshot committed "
+                        "after this instant regardless of count "
+                        "(time-based retention; combines with "
+                        "--keep-last)")
+    e.add_argument("--dry-run", action="store_true",
+                   help="report what would expire without deleting")
 
     mt = sub.add_parser(
         "maintain",
@@ -421,7 +428,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.action == "expire":
         res = table.expire_snapshots(
-            keep_last=args.keep_last, prune_lineage=args.prune_lineage
+            keep_last=args.keep_last, prune_lineage=args.prune_lineage,
+            older_than=args.older_than, dry_run=args.dry_run,
         )
     elif args.action == "maintain":
         res = table.maintain(

@@ -66,3 +66,49 @@ def test_expire_prunes_emptied_snapshot_dirs(spark, tmp_path):
         p = os.path.join(data_dir, entry)
         has_files = any(files for _, _, files in os.walk(p))
         assert has_files, f"empty snapshot dir left behind: {entry}"
+
+
+def test_expire_older_than_and_dry_run(spark, tmp_path):
+    """Time-based retention: snapshots committed after ``older_than``
+    are retained regardless of count; dry_run reports the exact
+    expiry set and deletes nothing."""
+    import os
+    import time
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+    ])
+    root = str(tmp_path / "older")
+    t = LakeTable.create(spark, root, sch, ["k"], num_buckets=2)
+    for i in range(4):
+        b = spark.range(i * 10, i * 10 + 5).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        t.merge(b, epoch_id=f"e{i}", op_col=None, order_cols=())
+    meta = os.path.join(root, "metadata")
+    n_manifests = lambda: len(  # noqa: E731
+        [f for f in os.listdir(meta)
+         if f.startswith("v") and f.endswith(".json")]
+    )
+    before = n_manifests()
+    # everything is younger than (now - 1h): nothing expires even with
+    # keep_last=1
+    res = t.expire_snapshots(keep_last=1, older_than=time.time() - 3600)
+    assert res["expired_versions"] == [] and n_manifests() == before
+    # dry run with a future cutoff: reports expiry, deletes nothing
+    dry = t.expire_snapshots(
+        keep_last=1, older_than=time.time() + 3600, dry_run=True
+    )
+    assert dry["dry_run"] and len(dry["expired_versions"]) == before - 1
+    assert n_manifests() == before
+    assert LakeTable.load(spark, root).read().count() == t.read().count()
+    # real expiry with the same cutoff matches the dry run's report
+    res = t.expire_snapshots(keep_last=1, older_than=time.time() + 3600)
+    assert res["expired_versions"] == dry["expired_versions"]
+    assert res["removed_files"] == dry["removed_files"]
+    assert n_manifests() == 1  # only the current head survives
+    assert LakeTable.load(spark, root).read().count() == 20
