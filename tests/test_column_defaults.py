@@ -202,3 +202,25 @@ def test_clone_carries_defaults(spark, root):
     # deep-cloned files lose the snapshot version in their path —
     # resolution falls back to the footer probe
     assert {r["score"] for r in deep.read().collect()} == {0.5}
+
+
+def test_add_column_races_merge(spark, root):
+    """A merge holding a STALE snapshot races a concurrent
+    add_column-with-default: the merge's commit must detect the schema
+    change (never rebase over it) and re-execute, landing both the new
+    column (with defaults visible on every pre-existing row) and the
+    merged rows."""
+    t1 = _make(spark, root, n=4)
+    t2 = LakeTable.load(spark, root)  # second handle, same snapshot
+    t1.add_column("score", "double", default=0.5)
+    # t2 still believes the old schema; its merge conflicts + re-executes
+    t2.merge(
+        spark.createDataFrame([(100, "n", 2)], "k long, v string, ts long"),
+        epoch_id="e2", op_col=None, order_cols=("ts",), drop_cols=(),
+    )
+    final = LakeTable.load(spark, root)
+    assert "score" in final.schema.names
+    s = {r["k"]: r["score"] for r in final.read().collect()}
+    assert s[100] == 0.5  # write-default applied by the re-executed merge
+    assert s[1] == 0.5    # initial-default intact
+    assert len(s) == 5
