@@ -1556,6 +1556,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q130_conv_pattern_census"] = q130
 
+    # conversation DEGENERATION census: repeated identical turn
+    # payloads within one conversation — the model-looping / retry-
+    # storm detector for agent transcripts (q77's repetition removal
+    # is INTRA-text; this is turn-level across a conversation). Two
+    # hash aggregations, no window, no UDF.
+    def q135(s, d):
+        ev = _t(s, d, "events").select(
+            F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            F.concat_ws(
+                "=", F.col("event_type"), F.coalesce(F.col("props"), F.lit(""))
+            ).alias("payload"),
+        )
+        g = ev.groupBy("conv_id", "payload").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return g.groupBy("conv_id").agg(
+            F.sum("c").alias("n_turns"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_repeat"),
+            F.round(
+                F.lit(1.0)
+                - F.count(F.lit(1)) / F.sum("c").cast("double"),
+                6,
+            ).alias("rep_ratio"),
+            (F.max("c") >= 3).alias("degenerate"),
+        )
+
+    q["q135_conv_degeneration"] = q135
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1624,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_decontam_evidence", "q130_conv_pattern_census",
         "q131_scd2_history", "q132_quarantine_replay",
         "q133_dataset_card", "q134_distribution_drift",
+        "q135_conv_degeneration",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4320,6 +4352,24 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         FROM A FULL OUTER JOIN bw
           ON A.user_id = bw.user_id AND A.event_type = bw.event_type
         WHERE NOT coalesce(bw.op = 'D', FALSE)
+    """
+    o["q135_conv_degeneration"] = """
+        WITH e AS (
+          SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 concat_ws('=', event_type, coalesce(props, ''))
+                   AS payload
+          FROM events
+        ), g AS (
+          SELECT conv_id, payload, count(*) AS c
+          FROM e GROUP BY conv_id, payload
+        )
+        SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_turns,
+               count(*) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_repeat,
+               round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6)
+                 AS rep_ratio,
+               max(c) >= 3 AS degenerate
+        FROM g GROUP BY conv_id
     """
     o["q133_dataset_card"] = """
         WITH t AS (
