@@ -4235,6 +4235,7 @@ class LakeTable:
         max_buckets: int = 32,
         target_file_bytes: int = 128 * 1024 * 1024,
         keep_last: int = 2,
+        older_than: float | None = None,
         prune_lineage: bool = False,
         grace_seconds: int = 3600,
     ) -> dict:
@@ -4252,7 +4253,8 @@ class LakeTable:
                 max_buckets=max_buckets,
             ),
             "expire": self.expire_snapshots(
-                keep_last=keep_last, prune_lineage=prune_lineage
+                keep_last=keep_last, older_than=older_than,
+                prune_lineage=prune_lineage,
             ),
             "orphans": self.remove_orphans(grace_seconds=grace_seconds),
         }

@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -84,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--max-buckets", type=int, default=32)
     mt.add_argument("--target-file-mb", type=int, default=128)
     mt.add_argument("--keep-last", type=int, default=2)
+    mt.add_argument("--retain-seconds", type=float, default=None,
+                    help="time-based retention: keep every snapshot "
+                         "younger than now - N seconds regardless of "
+                         "count (expire's older_than)")
     mt.add_argument("--prune-lineage", action="store_true")
     mt.add_argument("--grace-seconds", type=int, default=3600)
 
@@ -436,6 +441,11 @@ def main(argv: list[str] | None = None) -> int:
             max_buckets=args.max_buckets,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             keep_last=args.keep_last,
+            older_than=(
+                time.time() - args.retain_seconds
+                if args.retain_seconds is not None
+                else None
+            ),
             prune_lineage=args.prune_lineage,
             grace_seconds=args.grace_seconds,
         )
