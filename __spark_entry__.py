@@ -1587,6 +1587,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q135_conv_degeneration"] = q135
 
+    # embedding-space drift: per label, cosine between the centroids
+    # of two corpus halves — the representation-shift companion to
+    # q134's categorical drift (a label whose halves' centroids
+    # diverge has drifting content even when its row COUNT is stable).
+    # ONE posexplode pass with conditional avgs per (label, dim) —
+    # never two scans, never a window; labels x dims stays tiny.
+    def q136(s, d):
+        emb = _t(s, d, "embeddings")
+        is_a = F.col("vec_id") % 2 == 0
+        dims = emb.select(
+            "label", is_a.alias("ia"),
+            F.posexplode(F.col("embedding")).alias("dim", "v"),
+        )
+        per = dims.groupBy("label", "dim").agg(
+            F.avg(F.when(F.col("ia"), F.col("v").cast("double"))).alias("aa"),
+            F.avg(F.when(~F.col("ia"), F.col("v").cast("double"))).alias("ab"),
+        )
+        arr = lambda c: F.transform(  # noqa: E731
+            F.array_sort(F.collect_list(F.struct("dim", F.col(c).alias("x")))),
+            lambda s_: s_["x"],
+        )
+        cent = per.groupBy("label").agg(
+            arr("aa").alias("ca"), arr("ab").alias("cb")
+        )
+        from haskell_dbfunctor_spark.pipelines.similarity import _dot, _norm
+
+        counts = emb.groupBy("label").agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+        return cent.join(F.broadcast(counts), "label").select(
+            "label", "n_a", "n_b",
+            F.round(
+                _dot(F.col("ca"), F.col("cb"))
+                / (_norm(F.col("ca")) * _norm(F.col("cb"))),
+                5,
+            ).alias("centroid_cos"),
+        )
+
+    q["q136_centroid_drift"] = q136
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1655,7 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_decontam_evidence", "q130_conv_pattern_census",
         "q131_scd2_history", "q132_quarantine_replay",
         "q133_dataset_card", "q134_distribution_drift",
-        "q135_conv_degeneration",
+        "q135_conv_degeneration", "q136_centroid_drift",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4352,6 +4393,36 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         FROM A FULL OUTER JOIN bw
           ON A.user_id = bw.user_id AND A.event_type = bw.event_type
         WHERE NOT coalesce(bw.op = 'D', FALSE)
+    """
+    o["q136_centroid_drift"] = """
+        WITH ex AS (
+          SELECT label, (vec_id % 2 = 0) AS ia, i,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM (
+            SELECT vec_id, label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+          )
+        ), per AS (
+          SELECT label, i,
+                 avg(CASE WHEN ia THEN v END) AS aa,
+                 avg(CASE WHEN NOT ia THEN v END) AS ab
+          FROM ex GROUP BY label, i
+        ), cent AS (
+          SELECT label, list(aa ORDER BY i) AS ca,
+                 list(ab ORDER BY i) AS cb
+          FROM per GROUP BY label
+        ), cnt AS (
+          SELECT label,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM embeddings GROUP BY label
+        )
+        SELECT c.label, n_a, n_b,
+               round(list_cosine_similarity(ca, cb), 5) AS centroid_cos
+        FROM cent c JOIN cnt USING (label)
     """
     o["q135_conv_degeneration"] = """
         WITH e AS (
