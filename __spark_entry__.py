@@ -1628,6 +1628,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q136_centroid_drift"] = q136
 
+    # training-sequence packing: concat-and-chunk the id-ordered token
+    # stream into fixed-length sequences; per doc, which sequence it
+    # starts in, at what offset, and how many boundaries it straddles.
+    # Same distributed-cumsum shape as q73 (no global window).
+    def q137(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            pack_sequences,
+        )
+
+        return pack_sequences(_t(s, d, "documents"), 512)
+
+    q["q137_pack_sequences"] = q137
+
+    # mixture materialization census: emit each doc epochs-many times
+    # (floor guaranteed + deterministic md5 draw for the fractional
+    # copy) and report realized vs planned token mass per source —
+    # the audit that a training-mix export hit its q116 plan.
+    def q138(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            materialize_mixture, mixture_plan,
+        )
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).cast("long").alias("n_toks"),
+        )
+        plan = mixture_plan(docs, "source", "n_toks", target_total=100000)
+        mm = materialize_mixture(docs, plan, "source")
+        return (
+            mm.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_copies"),
+                F.sum("n_toks").cast("long").alias("realized_tokens"),
+            )
+            .join(
+                F.broadcast(plan.select("source", "planned_tokens", "epochs")),
+                "source",
+            )
+        )
+
+    q["q138_materialize_mixture"] = q138
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1697,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_scd2_history", "q132_quarantine_replay",
         "q133_dataset_card", "q134_distribution_drift",
         "q135_conv_degeneration", "q136_centroid_drift",
+        "q137_pack_sequences", "q138_materialize_mixture",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4423,6 +4468,69 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT c.label, n_a, n_b,
                round(list_cosine_similarity(ca, cb), 5) AS centroid_cos
         FROM cent c JOIN cnt USING (label)
+    """
+    o["q137_pack_sequences"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS bef
+          FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor(bef / 512.0) AS BIGINT) AS seq_id,
+               CAST(bef % 512 AS BIGINT) AS offset_in_seq,
+               CAST(floor((bef + greatest(n_tokens - 1, 0)) / 512.0)
+                    - floor(bef / 512.0) + 1 AS BIGINT) AS n_seqs
+        FROM c
+    """
+    o["q138_materialize_mixture"] = """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_toks
+          FROM documents
+        ), per AS (
+          SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY source
+        ), z AS (
+          SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per
+        ), w AS (
+          SELECT source, n_tokens,
+                 round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight
+          FROM per CROSS JOIN z
+        ), pl AS (
+          SELECT source, n_tokens,
+                 CAST(round(100000.0 * weight, 0) AS BIGINT)
+                   AS planned_tokens,
+                 round(CAST(round(100000.0 * weight, 0) AS BIGINT)
+                       / CAST(n_tokens AS DOUBLE), 4) AS epochs
+          FROM w
+        ), ex AS (
+          SELECT t.doc_id, t.source, t.n_toks, u.i AS cp,
+                 CAST(floor(epochs) AS BIGINT) AS fullc,
+                 epochs - floor(epochs) AS frac
+          FROM toks t JOIN pl USING (source),
+               unnest(range(0, CAST(floor(epochs) AS BIGINT) + 1)) AS u(i)
+        ), kept AS (
+          SELECT * FROM ex
+          WHERE cp < fullc
+             OR substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(cp AS VARCHAR)), 1, 8)
+                < printf('%08x',
+                         CAST(least(round(frac * 4294967296.0),
+                                    4294967295) AS BIGINT))
+        )
+        SELECT k.source, CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(sum(n_toks) AS BIGINT) AS realized_tokens,
+               planned_tokens, epochs
+        FROM kept k JOIN pl USING (source)
+        GROUP BY k.source, planned_tokens, epochs
     """
     o["q135_conv_degeneration"] = """
         WITH e AS (

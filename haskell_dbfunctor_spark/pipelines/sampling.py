@@ -121,8 +121,25 @@ def pack_shards(
     single-task window. Deterministic in the id order, so re-runs
     shard identically (resumable output writes).
     """
+    cum = _token_stream_offsets(docs, id_col, text_col)
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("__before") / tokens_per_shard)
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def _token_stream_offsets(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_tokens, __before): each doc's whitespace token count and
+    its exclusive cumulative offset in the deterministic id-ordered
+    token stream — the distributed zipWithIndex shape (range-partition
+    by id, per-partition window cumsum, O(partitions) driver pass for
+    partition offsets; NEVER a global single-task window)."""
     from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
 
     toks = docs.select(
         id_col,
@@ -157,13 +174,49 @@ def pack_shards(
             F.sum("n_tokens").over(w) - F.col("n_tokens")
             + F.coalesce(F.col("__off"), F.lit(0)),
         )
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor(F.col("__before") / tokens_per_shard)
-            .cast("long")
-            .alias("shard_id"),
-        )
+        .drop("__pid", "__pid_o", "__off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: documents are laid
+    end-to-end in deterministic id order and the token stream is cut
+    into fixed ``seq_len`` sequences (the standard GPT-style pretrain
+    packing — documents MAY straddle sequence boundaries; the model
+    sees an EOD marker, not padding). Per document this emits where it
+    lands:
+
+      seq_id        sequence containing the doc's first token
+      offset_in_seq position of that first token within the sequence
+      n_seqs        how many sequences the doc straddles (>1 = split
+                    across a boundary; the attention-masking /
+                    boundary-loss bookkeeping a trainer needs)
+
+    A zero-token document occupies no stream space and reports
+    ``n_seqs=1`` at its boundary position. Built on the same
+    distributed cumulative-offset pattern as :func:`pack_shards`
+    (range-partition + per-partition window; no global window), so it
+    scales to a 100 TB corpus: cost is one pass + an O(partitions)
+    driver exchange. Deterministic in the id order — re-runs pack
+    identically, which is what makes sharded training-data export
+    resumable. Reference analog: none (training-export extension,
+    north rule)."""
+    cum = _token_stream_offsets(docs, id_col, text_col)
+    seq_id = F.floor(F.col("__before") / seq_len).cast("long")
+    last = F.col("__before") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    return cum.select(
+        id_col,
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (F.col("__before") % seq_len).cast("long").alias("offset_in_seq"),
+        (F.floor(last / seq_len).cast("long") - seq_id + 1).alias("n_seqs"),
     )
 
 
@@ -378,4 +431,74 @@ def mixture_plan(
             ),
         )
         .drop("__z")
+    )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: emit each document
+    ``epochs``-many times — ``floor(epochs)`` guaranteed copies plus
+    one more with probability ``frac(epochs)``, decided by a
+    deterministic per-(doc, copy) hash draw. The realized per-source
+    token mass converges to ``planned_tokens`` while every individual
+    decision is a pure function of (seed, doc id, copy index): re-runs
+    and re-partitions emit the IDENTICAL multiset, so a training-mix
+    export is resumable and auditable.
+
+    Output: the input row + ``copy`` (0-based epoch index). Plan shape
+    at scale: the plan is a tiny per-source frame (broadcast join), the
+    copy fan-out is a per-row ``posexplode(sequence(...))`` — one scan,
+    no shuffle beyond the explode, and the fractional draw is the same
+    md5-prefix threshold the rest of the sampling suite uses (both
+    engines reproduce it bit-for-bit). The per-row threshold is built
+    with ``conv``/``lpad`` (8 hex digits, capped at 16^8 - 1 so a
+    frac that rounds to 1.0 still compares lexicographically).
+    Reference analog: none (training-mix extension, north rule)."""
+    full = F.floor(F.col("epochs")).cast("int")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    thr = F.lpad(
+        F.lower(
+            F.conv(
+                F.least(
+                    F.round(frac * _SCALE, 0).cast("long"),
+                    F.lit(_SCALE - 1),
+                ).cast("string"),
+                10,
+                16,
+            )
+        ),
+        8,
+        "0",
+    )
+    p = F.broadcast(
+        plan.select(group_col, full.alias("__full"), thr.alias("__thr"))
+    )
+    joined = docs.join(p, group_col)
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(seed),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        joined.select(
+            *docs.columns,
+            "__full",
+            "__thr",
+            F.explode(F.sequence(F.lit(0), F.col("__full"))).alias("copy"),
+        )
+        .where((F.col("copy") < F.col("__full")) | (draw < F.col("__thr")))
+        .drop("__full", "__thr")
     )
