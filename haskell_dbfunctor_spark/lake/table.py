@@ -87,6 +87,56 @@ _LINEAGE_FIELDS = [
 # newest such entry is exempt from epochs.retention-count pruning
 SYNC_EPOCH_PREFIX = "sync-v"
 
+# Declared clustering policy (Delta liquid-clustering / Iceberg
+# sort-order analog): table properties that make maintenance
+# compactions cluster their rewrites automatically. Property-driven
+# clustering keeps compact()'s normal fragmentation candidate rule
+# (so nightly maintain() converges instead of rewriting the whole
+# table every cycle); an EXPLICIT compact(sort_by=/zorder_by=) still
+# rewrites every selected bucket (a one-shot re-cluster is the point
+# of calling it).
+CLUSTER_SORT_PROP = "clustering.sort-by"
+CLUSTER_ZORDER_PROP = "clustering.zorder-by"
+
+
+def _scrub_clustering_props(
+    props: dict, *, dropped: str | None = None,
+    renamed: tuple[str, str] | None = None,
+) -> dict | None:
+    """Clustering properties track schema changes: a dropped column
+    leaves the policy (unset entirely when nothing remains), a renamed
+    one follows the rename. Returns the adjusted dict, or None if
+    nothing referenced the column (callers skip the manifest write)."""
+    out = dict(props)
+    hit = False
+    sb = out.get(CLUSTER_SORT_PROP)
+    if sb is not None:
+        if dropped is not None and sb == dropped:
+            out.pop(CLUSTER_SORT_PROP)
+            hit = True
+        elif renamed is not None and sb == renamed[0]:
+            out[CLUSTER_SORT_PROP] = renamed[1]
+            hit = True
+    zb = out.get(CLUSTER_ZORDER_PROP)
+    if zb is not None:
+        cols = [c.strip() for c in zb.split(",") if c.strip()]
+        new_cols = []
+        for c in cols:
+            if dropped is not None and c == dropped:
+                hit = True
+                continue
+            if renamed is not None and c == renamed[0]:
+                hit = True
+                new_cols.append(renamed[1])
+            else:
+                new_cols.append(c)
+        if hit:
+            if new_cols:
+                out[CLUSTER_ZORDER_PROP] = ",".join(new_cols)
+            else:
+                out.pop(CLUSTER_ZORDER_PROP)
+    return out if hit else None
+
 
 class LakeError(Exception):
     pass
@@ -3545,6 +3595,11 @@ class LakeTable:
                 dd = dict(parent["column_defaults"])
                 dd.pop(name)
                 m["column_defaults"] = dd
+            scrubbed = _scrub_clustering_props(
+                parent.get("properties") or {}, dropped=name
+            )
+            if scrubbed is not None:
+                m["properties"] = scrubbed
             # stats/blooms for the dead column are meaningless — strip
             # (stats/blooms may live in lazy scs/scb sidecars:
             # materialize the parent's maps inline so the strip lands;
@@ -3931,6 +3986,26 @@ class LakeTable:
         self._forbid_staged("compact")
         if sort_by and zorder_by:
             raise LakeError("compact: pass sort_by OR zorder_by, not both")
+        # declared clustering policy: when the caller didn't ask for a
+        # specific layout, the table's clustering.* properties supply
+        # it — but only for buckets the fragmentation rule would
+        # rewrite ANYWAY (incremental clustering that converges; see
+        # CLUSTER_SORT_PROP). Columns that left the schema out-of-band
+        # are ignored rather than failing nightly maintenance.
+        explicit_cluster = bool(sort_by or zorder_by)
+        if not explicit_cluster:
+            props = self.properties
+            sb = props.get(CLUSTER_SORT_PROP)
+            zb = props.get(CLUSTER_ZORDER_PROP)
+            if sb and sb in self.schema.names:
+                sort_by = sb
+            elif zb:
+                cols = [
+                    c.strip() for c in zb.split(",")
+                    if c.strip() and c.strip() in self.schema.names
+                ]
+                if cols:
+                    zorder_by = cols
         if zorder_by:
             for c in zorder_by:
                 if c not in self.schema.names:
@@ -3982,18 +4057,23 @@ class LakeTable:
                     1,
                 )
                 dv_hot = dv_pos / est_rows >= dv_ratio
-            # convergent candidate rule: a bucket already reduced to
-            # one file is never re-compacted (a single small file can't
-            # be made fewer — without this, every tiny bucket would be
-            # rewritten on every maintenance run, forever); buckets
-            # with pending MoR deltas always qualify (folding them in
-            # is strictly useful), DV-hot buckets qualify by the ratio
-            # rule above (compacting drops their vectors, so they
-            # never re-qualify until deletes accumulate again)
-            if sort_by or zorder_by or has_deltas or dv_hot or (
-                len(files) >= min_files
-            ) or (
-                len(files) > 1 and any(s < target_file_bytes // 2 for s in sizes)
+            # convergent candidate rule: a bucket qualifies only when
+            # rewriting would actually REDUCE its file count below
+            # what it has — len(files) > estimated post-compaction
+            # count (ceil(bytes/target)), with +1 slack for multi-file
+            # buckets because parquet compression shifts sizes run to
+            # run (without the slack, a bucket whose rewrite lands one
+            # file over the estimate re-qualifies every nightly cycle
+            # — at 100 TB that is a perpetual full-table rewrite).
+            # Single-file buckets never re-qualify; buckets with
+            # pending MoR deltas always do (folding them is strictly
+            # useful); DV-hot buckets qualify by the ratio rule above
+            # (compacting drops their vectors, so they never
+            # re-qualify until deletes accumulate again).
+            n_est = max(-(-sum(sizes) // target_file_bytes), 1)
+            allowed = n_est if n_est == 1 else n_est + 1
+            if explicit_cluster or has_deltas or dv_hot or (
+                len(files) >= min_files and len(files) > allowed
             ):
                 candidates.append((int(b), sum(sizes), len(files) + len(dm.get(b, []))))
         if not candidates:
@@ -4219,6 +4299,11 @@ class LakeTable:
                 dd = dict(parent["column_defaults"])
                 dd[new] = dd.pop(old)
                 manifest["column_defaults"] = dd
+            scrubbed = _scrub_clustering_props(
+                parent.get("properties") or {}, renamed=(old, new)
+            )
+            if scrubbed is not None:
+                manifest["properties"] = scrubbed
             return manifest
 
         committed = self._commit_rebased(
@@ -4538,6 +4623,35 @@ class LakeTable:
         next dehydrate — note spill is sticky once triggered)."""
         self._forbid_staged("set_properties")
         props = dict(props)
+        # clustering policy validation happens at SET time (the
+        # compact-side consumer is lenient so schema drift can't brick
+        # nightly maintenance — this is where typos get caught)
+        if CLUSTER_SORT_PROP in props or CLUSTER_ZORDER_PROP in props:
+            prospective = {
+                k: v for k, v in {**self.properties, **props}.items()
+                if v is not None
+            }
+            sb = prospective.get(CLUSTER_SORT_PROP)
+            zb = prospective.get(CLUSTER_ZORDER_PROP)
+            if sb is not None and zb is not None:
+                raise LakeError(
+                    "set_properties: clustering.sort-by and "
+                    "clustering.zorder-by are mutually exclusive"
+                )
+            declared = [sb] if sb is not None else (
+                [c.strip() for c in zb.split(",") if c.strip()]
+                if zb is not None else []
+            )
+            if zb is not None and not declared:
+                raise LakeError(
+                    "set_properties: clustering.zorder-by is empty"
+                )
+            for c in declared:
+                if c not in self.schema.names:
+                    raise LakeError(
+                        f"set_properties: clustering column {c!r} is "
+                        "not in the table schema"
+                    )
 
         def apply(parent: dict) -> dict:
             m = dict(parent)
