@@ -1672,6 +1672,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q138_materialize_mixture"] = q138
 
+    # ordered funnel: per user, first 'view', first 'click' AFTER it,
+    # first 'purchase' after that. Three aggregations all shuffling on
+    # user_id — Catalyst reuses the exchange, so the funnel costs one
+    # partitioning; no window over the whole stream.
+    def q139(s, d):
+        ev = _t(s, d, "events").select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("first_view")
+        )
+        c = (
+            ev.join(v, "user_id")
+            .where(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_click"))
+        )
+        p = (
+            ev.join(c, "user_id")
+            .where(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_purchase"))
+        )
+        return (
+            v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select(
+                "user_id", "first_view", "first_click", "first_purchase",
+                (
+                    F.lit(1)
+                    + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+                    + F.when(F.col("first_purchase").isNotNull(), 1)
+                    .otherwise(0)
+                ).alias("stage"),
+            )
+        )
+
+    q["q139_funnel"] = q139
+
+    # weekly cohort retention: users bucketed by first-seen ISO week,
+    # activity matrix (cohort_week, week_offset) -> distinct actives.
+    # One groupBy(user) pass + a co-partitioned join back (exchange
+    # reuse again), then a small matrix agg.
+    def q140(s, d):
+        ev = _t(s, d, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        first = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+        )
+        acts = ev.join(first, "user_id").select(
+            "user_id", "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort"),
+                ) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        return (
+            acts.groupBy("cohort", "week_offset")
+            .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+            .select(
+                F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_active",
+            )
+        )
+
+    q["q140_cohort_retention"] = q140
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1742,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_dataset_card", "q134_distribution_drift",
         "q135_conv_degeneration", "q136_centroid_drift",
         "q137_pack_sequences", "q138_materialize_mixture",
+        "q139_funnel", "q140_cohort_retention",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4468,6 +4545,44 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT c.label, n_a, n_b,
                round(list_cosine_similarity(ca, cb), 5) AS centroid_cos
         FROM cent c JOIN cnt USING (label)
+    """
+    o["q139_funnel"] = """
+        WITH v AS (
+          SELECT user_id, min(ts) AS first_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS first_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.first_view
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS first_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, first_view, first_click, first_purchase,
+               1 + CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+                 AS stage
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """
+    o["q140_cohort_retention"] = """
+        WITH first AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+          FROM events GROUP BY user_id
+        ), acts AS (
+          SELECT e.user_id, f.cohort,
+                 CAST(datediff('day',
+                               f.cohort,
+                               CAST(date_trunc('week', e.ts) AS DATE))
+                      / 7 AS BIGINT) AS week_offset
+          FROM events e JOIN first f USING (user_id)
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM acts GROUP BY cohort, week_offset
     """
     o["q137_pack_sequences"] = """
         WITH toks AS (
