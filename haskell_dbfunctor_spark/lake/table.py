@@ -2099,6 +2099,218 @@ class LakeTable:
         ).first()
         return [row[f"p{seed}"] for seed in range(k)]
 
+    # -------------------------------------------------- NDV sketches
+    # Iceberg Puffin 'apache-datasketches-hll-sketch' analog: one HLL
+    # sketch per (live base file, column), stored in a content-unique
+    # parquet blob under metadata/ and referenced from the manifest
+    # (`ndv_ref`). Sketches are MERGEABLE, which is the whole point at
+    # 100 TB: the table-level NDV is a union over live files' sketches
+    # — a tiny driver-side frame + one Spark union job, never a data
+    # scan — and each maintenance cycle sketches only the files the
+    # epoch added (dead entries are simply ignored, like blooms/stats).
+
+    def analyze_ndv(self, cols: Sequence[str], *, lg_k: int = 12) -> dict:
+        """Build/refresh per-file HLL NDV sketches for ``cols``.
+
+        Incremental like ``analyze``/``analyze_bloom``: live files
+        already sketched for every requested column carry forward;
+        only unsketched files scan (ONE distributed pass, map-side HLL
+        merge, sketch bytes — never row data — to the driver). Values
+        sketch their STRING form of LOGICAL values (default fill
+        applied; casting preserves distinctness and sidesteps
+        ``hll_sketch_agg``'s input-type limits). Pending MoR deltas /
+        DVs are not collapsed — this is a statistical profile, not an
+        exact count; ``compact()`` first for tight numbers. A column
+        that is entirely NULL in a file stores an empty marker (still
+        "covered"; contributes zero cardinality).
+
+        Commits metadata-only; on a rebase against a concurrent
+        analyze_ndv the parent's blob entries are merged in (ours win
+        per (file, col)) so neither run's columns are lost."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        self._forbid_staged("analyze_ndv")
+        cols = list(cols)
+        for c in cols:
+            if c not in self.schema.names:
+                raise LakeError(f"analyze_ndv: unknown column {c!r}")
+
+        def _read_blob(ref: str | None) -> dict:
+            if not ref:
+                return {}
+            p = os.path.join(self.root, MANIFEST_DIR, ref)
+            if not os.path.exists(p):
+                return {}
+            t = papq.read_table(p)
+            return {
+                (r["path"], r["col"]): r["sketch"]
+                for r in t.to_pylist()
+            }
+
+        prev = _read_blob(self.manifest.get("ndv_ref"))
+        live = [
+            rel for files in self.manifest["buckets"].values()
+            for rel in files
+        ]
+        todo = [
+            rel for rel in live
+            if any((rel, c) not in prev for c in cols)
+        ]
+        new_entries: dict[tuple[str, str], bytes | None] = {}
+        if todo:
+            paths = [os.path.join(self.root, rel) for rel in todo]
+            df = self._with_default_fill(
+                self.spark.read.schema(self.schema).parquet(*paths)
+            )
+            melted = df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("e"),
+            ).select("__f", F.col("e.c").alias("c"), F.col("e.v").alias("v"))
+            per_file = (
+                melted.where(F.col("v").isNotNull())
+                .groupBy("__f", "c")
+                .agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("sk"))
+            )
+            acc: dict[str, dict[str, bytes]] = {}
+            for row in per_file.collect():
+                rel = next(
+                    (r for r in todo if row["__f"].endswith(r)), None
+                )
+                if rel is not None:
+                    acc.setdefault(rel, {})[row["c"]] = bytes(row["sk"])
+            for rel in todo:
+                for c in cols:
+                    if (rel, c) not in prev:
+                        # None marker = all-NULL column in this file
+                        new_entries[(rel, c)] = acc.get(rel, {}).get(c)
+
+        if not new_entries:
+            return {
+                "files_sketched": 0,
+                "entries": len(prev),
+                "version": self.version,
+            }
+
+        def _write_blob(entries: dict) -> str:
+            keys = sorted(entries)
+            tbl = pa.table({
+                "path": pa.array([k[0] for k in keys], pa.string()),
+                "col": pa.array([k[1] for k in keys], pa.string()),
+                "sketch": pa.array(
+                    [entries[k] for k in keys], pa.binary()
+                ),
+            })
+            name = f"ndv-{uuid.uuid4().hex[:8]}.parquet"
+            papq.write_table(
+                tbl, os.path.join(self.root, MANIFEST_DIR, name)
+            )
+            return name
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            # prune to the PARENT's live files (rebase may land on a
+            # snapshot whose rewrites killed some of ours — dead
+            # entries would be harmless but grow the blob forever)
+            live_p = {
+                rel for files in parent["buckets"].values()
+                for rel in files
+            }
+            base_entries = _read_blob(parent.get("ndv_ref"))
+            merged = {
+                k: v for k, v in base_entries.items() if k[0] in live_p
+            }
+            merged.update(
+                {k: v for k, v in new_entries.items() if k[0] in live_p}
+            )
+            m["ndv_ref"] = _write_blob(merged)
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply
+        )
+        return {
+            "files_sketched": len(todo),
+            "entries": len(new_entries) + len(prev),
+            "version": committed["version"],
+        }
+
+    def ndv(self, cols: Sequence[str] | None = None) -> dict:
+        """Approximate distinct-value counts from the stored sketches:
+        ``{col: {"estimate": int, "files_covered": n, "files_live":
+        m}}``. Union of the LIVE files' sketches only — files written
+        since the last ``analyze_ndv`` are uncovered (the coverage
+        pair says how stale the profile is; re-run analyze_ndv to
+        close the gap). No data scan: one tiny Spark job over the
+        sketch bytes."""
+        import pyarrow.parquet as papq
+
+        ref = self.manifest.get("ndv_ref")
+        live = [
+            rel for files in self.manifest["buckets"].values()
+            for rel in files
+        ]
+        if not ref:
+            return {}
+        p = os.path.join(self.root, MANIFEST_DIR, ref)
+        if not os.path.exists(p):
+            return {}
+        rows = papq.read_table(p).to_pylist()
+        live_set = set(live)
+        by_col: dict[str, list] = {}
+        # every requested (or ever-sketched) column reports, even at
+        # zero live coverage — "profile fully stale" must be visible
+        requested = (
+            list(cols) if cols is not None
+            else sorted({r["col"] for r in rows})
+        )
+        covered: dict[str, set] = {c: set() for c in requested}
+        for r in rows:
+            if r["path"] not in live_set:
+                continue
+            if cols is not None and r["col"] not in cols:
+                continue
+            covered.setdefault(r["col"], set()).add(r["path"])
+            if r["sketch"] is not None:
+                by_col.setdefault(r["col"], []).append(r["sketch"])
+        out: dict[str, dict] = {}
+        union_rows = [
+            (c, sk) for c, sks in by_col.items() for sk in sks
+        ]
+        est: dict[str, int] = {}
+        if union_rows:
+            sdf = self.spark.createDataFrame(
+                union_rows, "c string, sk binary"
+            )
+            got = (
+                sdf.groupBy("c")
+                .agg(
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg("sk", F.lit(True))
+                    ).alias("est")
+                )
+                .collect()
+            )
+            est = {r["c"]: int(r["est"]) for r in got}
+        for c, files in covered.items():
+            out[c] = {
+                "estimate": est.get(c, 0),
+                "files_covered": len(files),
+                "files_live": len(live),
+            }
+        return out
+
     def read_where_eq(
         self, col: str, value, buckets: Sequence[int] | None = None
     ) -> DataFrame:
@@ -4728,16 +4940,20 @@ class LakeTable:
             live_sidecars.update((raw.get("bucket_refs") or {}).values())
             live_sidecars.update((raw.get("bloom_refs") or {}).values())
             live_sidecars.update((raw.get("stats_refs") or {}).values())
+            if raw.get("ndv_ref"):
+                live_sidecars.add(raw["ndv_ref"])
         cutoff_meta = time.time() - grace_seconds
         dry_candidates: list[str] = []
         for f in os.listdir(meta_dir):
             # sidecars written by a commit that lost its CAS (or
             # crashed pre-CAS) are unreferenced; grace-gate like data
             if (
-                f.startswith(("sc-", "scb-", "scs-"))
-                and f.endswith(".json")
-                and f not in live_sidecars
-            ):
+                (
+                    f.startswith(("sc-", "scb-", "scs-"))
+                    and f.endswith(".json")
+                )
+                or (f.startswith("ndv-") and f.endswith(".parquet"))
+            ) and f not in live_sidecars:
                 p = os.path.join(meta_dir, f)
                 try:
                     if os.path.getmtime(p) < cutoff_meta:

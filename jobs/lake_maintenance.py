@@ -126,6 +126,25 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--bits", type=int, default=8192)
     ab.add_argument("--k", type=int, default=4)
 
+    anv = sub.add_parser(
+        "analyze-ndv",
+        help="build per-file HLL NDV sketches (Puffin analog; "
+             "mergeable approximate distinct counts, O(new files) "
+             "incremental); 'ndv' reports the live-union estimates",
+    )
+    anv.add_argument("--cols", required=True,
+                     help="comma-separated column names")
+    anv.add_argument("--lg-k", type=int, default=12)
+
+    nv = sub.add_parser(
+        "ndv",
+        help="approximate distinct counts from stored sketches "
+             "(live-file union, no data scan) + coverage",
+    )
+    nv.add_argument("--cols", default=None,
+                    help="comma-separated column names (default: all "
+                         "sketched)")
+
     sub.add_parser(
         "describe",
         help="DESCRIBE DETAIL: one JSON dict of schema, layout, "
@@ -309,6 +328,29 @@ def main(argv: list[str] | None = None) -> int:
             "action": "analyze-bloom",
             "table_version": table.version,
             **res,
+        }))
+        return 0
+
+    if args.action == "analyze-ndv":
+        res = table.analyze_ndv(
+            [c.strip() for c in args.cols.split(",")], lg_k=args.lg_k
+        )
+        print(json.dumps({
+            "action": "analyze-ndv",
+            "table_version": table.version,
+            **res,
+        }))
+        return 0
+
+    if args.action == "ndv":
+        cols = (
+            [c.strip() for c in args.cols.split(",")]
+            if args.cols else None
+        )
+        print(json.dumps({
+            "action": "ndv",
+            "table_version": table.version,
+            "ndv": table.ndv(cols),
         }))
         return 0
 
