@@ -3321,9 +3321,20 @@ class LakeTable:
                         F.lit(files_per),
                     )
                 )
+            out = merged.repartition(n_parts, *part_cols)
+            # cluster-on-write (Delta liquid-clustering analog): with
+            # a declared clustering.sort-by, each write task sorts its
+            # rows locally — files land with tight parquet row-group
+            # stats on the clustering column from the FIRST write, not
+            # only after the nightly compaction. A local sort inside
+            # the already-shuffled write task costs ~nothing; zorder
+            # policies are compaction-only (quantile sketches are too
+            # expensive for the ingest hot path).
+            cow_sb = self.properties.get(CLUSTER_SORT_PROP)
+            if cow_sb and cow_sb in out.columns:
+                out = out.sortWithinPartitions(BUCKET_COL, cow_sb)
             (
-                merged.repartition(n_parts, *part_cols)
-                .write.partitionBy(BUCKET_COL)
+                out.write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(snap_abs)
             )
@@ -3501,8 +3512,14 @@ class LakeTable:
             1,
         )
         t_a = time.time()
+        delta_out = delta.repartition(n_parts, F.col(BUCKET_COL))
+        # cluster-on-write applies to MoR delta files too (same cheap
+        # local sort; the read-side collapse is unaffected by order)
+        mor_sb = self.properties.get(CLUSTER_SORT_PROP)
+        if mor_sb and mor_sb in delta_out.columns:
+            delta_out = delta_out.sortWithinPartitions(BUCKET_COL, mor_sb)
         (
-            delta.repartition(n_parts, F.col(BUCKET_COL))
+            delta_out
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(snap_abs)

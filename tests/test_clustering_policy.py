@@ -78,6 +78,30 @@ def test_property_zorder_path(spark, tmp_path):
     assert t.read().count() == 1800
 
 
+def test_cluster_on_write_sorts_merge_files(spark, tmp_path):
+    import pyarrow.parquet as papq
+
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, str(tmp_path / mode), SCHEMA, key_cols=["k"],
+            num_buckets=2,
+        )
+        t.set_properties({CLUSTER_SORT_PROP: "v"})
+        batch = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+            (F.col("id") % 7).alias("w"),
+            F.lit("U").alias("op"),
+            F.col("id").alias("seq"),
+        )
+        t.merge(batch, epoch_id="e0", mode=mode)
+        files = t._files() + t._delta_files()
+        assert files
+        for p in files:
+            vs = papq.read_table(p, columns=["v"])["v"].to_pylist()
+            assert vs == sorted(vs), f"{mode}: {p} not sorted"
+
+
 def test_set_properties_validates_clustering(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"), epochs=1)
     with pytest.raises(LakeError, match="not in the table schema"):
