@@ -1748,6 +1748,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q140_cohort_retention"] = q140
 
+    # lexical OR-search: postings (term, doc, tf) filtered to the
+    # query terms, ranked by terms-matched then summed tf — the
+    # query-side semantics of pipelines/term_index.py (whose persisted
+    # LakeTable + CDF-sync + bloom-probe path is pinned by
+    # tests/test_term_index.py; here the postings are computed inline
+    # so the oracle can replay them exactly).
+    def q141(s, d):
+        from haskell_dbfunctor_spark.pipelines.term_index import (
+            doc_postings,
+        )
+
+        terms = ["scan", "vector", "hash"]
+        p = doc_postings(_t(s, d, "documents")).where(
+            F.col("term").isin(terms)
+        )
+        return p.groupBy("doc_id").agg(
+            F.count_distinct("term").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+
+    q["q141_term_search"] = q141
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1818,7 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_dataset_card", "q134_distribution_drift",
         "q135_conv_degeneration", "q136_centroid_drift",
         "q137_pack_sequences", "q138_materialize_mixture",
-        "q139_funnel", "q140_cohort_retention",
+        "q139_funnel", "q140_cohort_retention", "q141_term_search",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4545,6 +4567,22 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT c.label, n_a, n_b,
                round(list_cosine_similarity(ca, cb), 5) AS centroid_cos
         FROM cent c JOIN cnt USING (label)
+    """
+    o["q141_term_search"] = """
+        WITH p AS (
+          SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+          )
+          WHERE w IN ('scan', 'vector', 'hash')
+          GROUP BY w, doc_id
+        )
+        SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+               CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM p GROUP BY doc_id
     """
     o["q139_funnel"] = """
         WITH v AS (
