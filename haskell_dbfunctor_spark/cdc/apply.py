@@ -108,6 +108,25 @@ def open_or_create_dedup_index(
         )
 
 
+def open_or_create_term_index(
+    spark: SparkSession, root: str, num_buckets: int = 16
+) -> LakeTable:
+    """The transcript inverted term index (pipelines/term_index.py)
+    maintained transactionally with the state table — postings keyed
+    (term, conv_id, turn_idx)."""
+    try:
+        return LakeTable.load(spark, root)
+    except FileNotFoundError:
+        from ..pipelines.term_index import create_term_index
+
+        key_fields = [
+            f for f in TRANSCRIPT_SCHEMA.fields if f.name in KEY_COLS
+        ]
+        return create_term_index(
+            spark, root, key_fields=key_fields, num_buckets=num_buckets,
+        )
+
+
 def replay(
     table: LakeTable,
     feed: DataFrame,
@@ -126,6 +145,8 @@ def replay(
     rollup_group_cols: tuple = ("role",),
     dedup_index: LakeTable | None = None,
     dedup_index_mode: str = "cow",
+    term_index: LakeTable | None = None,
+    term_index_mode: str = "cow",
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -164,11 +185,20 @@ def replay(
     reach the index), deletes and text-degenerate rows drop index
     entries, and a reader joining state to index never sees them one
     epoch apart.
+
+    ``term_index`` (requires ``catalog``) maintains the inverted
+    postings index (pipelines/term_index.py, keyed (term, conv_id,
+    turn_idx)) in the same transaction: new postings upsert, and the
+    CDF pre-images supply the OLD term set so stale (term, doc) rows
+    delete without ever reading the index back — O(changed turns x
+    terms/turn) per epoch.
     """
     if rollup is not None and catalog is None:
         raise ValueError("rollup requires a catalog")
     if dedup_index is not None and catalog is None:
         raise ValueError("dedup_index requires a catalog")
+    if term_index is not None and catalog is None:
+        raise ValueError("term_index requires a catalog")
     t0 = time.time()
     if prune_buckets is None:
         # one count() over the feed: on the materialized parquet WAL
@@ -189,11 +219,13 @@ def replay(
     for e in range(n_epochs):
         eid = f"{epoch_prefix}-{e:05d}"
         batch = epoch_batch(feed, e, evolution_epoch=evolution_epoch)
-        if rollup is not None or dedup_index is not None:
+        if rollup is not None or dedup_index is not None \
+                or term_index is not None:
             m = _txn_epoch(
                 table, rollup, catalog, batch, eid, merge_opts,
                 rollup_group_cols, e, dedup_index=dedup_index,
                 dedup_index_mode=dedup_index_mode,
+                term_index=term_index, term_index_mode=term_index_mode,
             )
         else:
             m = table.merge(batch, epoch_id=eid, **merge_opts)
@@ -206,6 +238,8 @@ def replay(
                 table.compact_deltas()
                 if dedup_index is not None and dedup_index_mode == "mor":
                     dedup_index.compact_deltas()
+                if term_index is not None and term_index_mode == "mor":
+                    term_index.compact_deltas()
         stats.per_epoch.append(m)
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break
@@ -225,6 +259,8 @@ def _txn_epoch(
     *,
     dedup_index: LakeTable | None = None,
     dedup_index_mode: str = "cow",
+    term_index: LakeTable | None = None,
+    term_index_mode: str = "cow",
 ) -> MergeStats:
     """One epoch as a multi-table transaction: stage the state merge,
     derive each enabled derived-table refresh (rollup, dedup index)
@@ -245,7 +281,9 @@ def _txn_epoch(
     # ONE CDF diff serves every derived leg: the rollup consumes the
     # Delta-CDF preimage contract, the index only post-images (derived
     # below by dropping U_pre and renaming U_post)
-    want_pre = rollup is not None
+    # pre-images serve the rollup's decrement contract AND the term
+    # index's old-term delete derivation
+    want_pre = rollup is not None or term_index is not None
     ch = ah.changes(fork, preimages=want_pre)
     if rollup is not None:
         rh = catalog.read(rollup.root)
@@ -363,6 +401,21 @@ def _txn_epoch(
             txn.merge(ih, ib, epoch_id=f"{eid}-dedupix",
                       op_col=op_c, order_cols=oc, mode=dedup_index_mode,
                       **ix_opts)
+    if term_index is not None:
+        from ..pipelines.term_index import postings_refresh
+
+        # the postings refresh DERIVES old-term deletes from the CDF
+        # pre-images, so it always consumes the committed diff (never
+        # the raw batch): quarantined rows and cross-batch-LWW-rejected
+        # late events simply aren't in the diff — no extra filters
+        xh = catalog.read(term_index.root)
+        ids = [c for c in xh.key_cols if c != "term"]
+        tb = postings_refresh(ch, ids, text_col="text")
+        txn.merge(
+            xh, tb, epoch_id=f"{eid}-termix", op_col="op",
+            order_cols=("seq",), drop_cols=("seq",),
+            mode=term_index_mode,
+        )
     txn.commit()
     # move the caller's handles to the new published head so post-loop
     # version/read() reflect the commit
@@ -372,5 +425,9 @@ def _txn_epoch(
     if dedup_index is not None:
         dedup_index.manifest = (
             dedup_index._load_latest_published_manifest()
+        )
+    if term_index is not None:
+        term_index.manifest = (
+            term_index._load_latest_published_manifest()
         )
     return m

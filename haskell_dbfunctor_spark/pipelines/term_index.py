@@ -28,6 +28,8 @@ extension (north rule: per-partition derived tables off the CDC loop).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -36,19 +38,91 @@ from ..lake.table import LakeError, LakeTable
 
 
 def doc_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """(term, doc_id, tf): lowercased whitespace tokens per document.
+    """(term, *ids, tf): lowercased whitespace tokens per document.
     One explode + one hash aggregation — map-side combinable,
-    scan-speed."""
+    scan-speed. ``id_cols`` supports composite document keys (e.g. a
+    transcript turn keyed (conv_id, turn_idx)); the single-id form
+    aliases its column to ``doc_id``."""
+    ids = list(id_cols) if id_cols is not None else [id_col]
+    sel = (
+        [F.col(ids[0]).alias("doc_id")] if id_cols is None
+        else [F.col(c) for c in ids]
+    )
+    out_ids = ["doc_id"] if id_cols is None else ids
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-        .groupBy("term", "doc_id")
+        docs.select(*sel, F.explode(toks).alias("term"))
+        .groupBy("term", *out_ids)
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def postings_refresh(
+    feed: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn a PREIMAGE change feed (``changes(...)``/``changes_since``
+    with ``preimages=True``) into a postings merge batch: the NEW
+    postings of each changed doc as upserts plus a delete for every
+    (old term, doc) the new text dropped — computed entirely from the
+    feed's pre-images, so the index is never read back.
+
+    Catch-up semantics per doc: OLD = pre-image of the FIRST touching
+    commit (exactly what the index reflects), NEW = post-image of the
+    LAST (or nothing on a final delete). A missing
+    ``_commit_version`` column (single-commit ``changes()`` diff) is
+    treated as one commit."""
+    ids = list(id_cols)
+    if "_commit_version" not in feed.columns:
+        feed = feed.withColumn("_commit_version", F.lit(0).cast("int"))
+    feed = feed.select(
+        *ids, F.col(text_col).alias("__text"),
+        "_change_type", "_commit_version",
+    )
+    pre = F.col("_change_type").isin("U_pre", "D")
+    post = F.col("_change_type").isin("U_post", "I")  # noqa: F841
+    per_doc = feed.groupBy(*ids).agg(
+        F.min_by(
+            F.when(pre, F.struct("__text")),
+            F.when(pre, F.col("_commit_version")),
+        ).alias("old"),
+        F.max_by(
+            F.struct("_change_type", "__text"), F.col("_commit_version")
+        ).alias("last"),
+    )
+    imgs = per_doc.select(
+        *ids,
+        F.col("old.__text").alias("old_text"),
+        F.when(
+            F.col("last._change_type") != "D", F.col("last.__text")
+        ).alias("new_text"),
+    ).localCheckpoint(eager=False)
+    new_p = doc_postings(
+        imgs.where(F.col("new_text").isNotNull()),
+        text_col="new_text", id_cols=ids,
+    )
+    old_p = doc_postings(
+        imgs.where(F.col("old_text").isNotNull()),
+        text_col="old_text", id_cols=ids,
+    ).select("term", *ids)
+    deletes = old_p.join(
+        new_p.select("term", *ids), ["term", *ids], "left_anti"
+    )
+    return new_p.withColumn("op", F.lit("U")).unionByName(
+        deletes.select(
+            "term", *ids, F.lit(None).cast("long").alias("tf"),
+            F.lit("D").alias("op"),
+        )
+    ).withColumn("seq", F.lit(0).cast("long"))
 
 
 def create_term_index(
@@ -56,28 +130,36 @@ def create_term_index(
     root: str,
     doc_id_type: T.DataType | str = "string",
     *,
+    key_fields: Sequence[T.StructField] | None = None,
     num_buckets: int = 32,
     overwrite: bool = False,
 ) -> LakeTable:
-    """Create the (term, doc_id, tf) index table. ``doc_id_type``
-    must match the source table's id column (the sync casts nothing)."""
-    if isinstance(doc_id_type, str):
-        named = {
-            "string": T.StringType(), "long": T.LongType(),
-            "bigint": T.LongType(), "int": T.IntegerType(),
-        }
-        if doc_id_type not in named:
-            raise LakeError(
-                f"create_term_index: unknown doc_id_type {doc_id_type!r}"
-            )
-        doc_id_type = named[doc_id_type]
+    """Create the (term, *doc keys, tf) index table. Single-id form:
+    ``doc_id_type`` names the id column's type (column is ``doc_id``).
+    Composite form: ``key_fields`` carries the source table's key
+    StructFields verbatim (e.g. conv_id/turn_idx for transcripts) —
+    types must match the source exactly (the sync casts nothing)."""
+    if key_fields is None:
+        if isinstance(doc_id_type, str):
+            named = {
+                "string": T.StringType(), "long": T.LongType(),
+                "bigint": T.LongType(), "int": T.IntegerType(),
+            }
+            if doc_id_type not in named:
+                raise LakeError(
+                    f"create_term_index: unknown doc_id_type "
+                    f"{doc_id_type!r}"
+                )
+            doc_id_type = named[doc_id_type]
+        key_fields = [T.StructField("doc_id", doc_id_type)]
     schema = T.StructType([
         T.StructField("term", T.StringType()),
-        T.StructField("doc_id", doc_id_type),
+        *key_fields,
         T.StructField("tf", T.LongType()),
     ])
     return LakeTable.create(
-        spark, root, schema, key_cols=["term", "doc_id"],
+        spark, root, schema,
+        key_cols=["term", *[f.name for f in key_fields]],
         num_buckets=num_buckets, overwrite=overwrite,
     )
 
@@ -117,46 +199,11 @@ def sync_term_index(
     if cursor == target:
         return {"synced_from": cursor, "synced_to": target, "skipped": True}
 
-    feed = src.changes_since(cursor, preimages=True).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        "_change_type", "_commit_version",
-    )
-    pre = F.col("_change_type").isin("U_pre", "D")
-    post = F.col("_change_type").isin("U_post", "I")
-    per_doc = feed.groupBy("doc_id").agg(
-        # doc existed at cursor  <=>  some commit saw a pre-image
-        F.min_by(
-            F.when(pre, F.struct("text")), F.when(pre, F.col("_commit_version"))
-        ).alias("old"),
-        F.max_by(
-            F.struct("_change_type", "text"), F.col("_commit_version")
-        ).alias("last"),
-    )
-    imgs = per_doc.select(
-        "doc_id",
-        F.col("old.text").alias("old_text"),
-        F.when(
-            F.col("last._change_type") != "D", F.col("last.text")
-        ).alias("new_text"),
-    ).localCheckpoint(eager=False)
-
-    new_p = doc_postings(
-        imgs.where(F.col("new_text").isNotNull()),
-        id_col="doc_id", text_col="new_text",
-    )
-    old_p = doc_postings(
-        imgs.where(F.col("old_text").isNotNull()),
-        id_col="doc_id", text_col="old_text",
-    ).select("term", "doc_id")
-    deletes = old_p.join(new_p.select("term", "doc_id"), ["term", "doc_id"], "left_anti")
-
-    batch = new_p.withColumn("op", F.lit("U")).unionByName(
-        deletes.select(
-            "term", "doc_id", F.lit(None).cast("long").alias("tf"),
-            F.lit("D").alias("op"),
-        )
-    ).withColumn("seq", F.lit(0).cast("long"))
+    ids = [c for c in index.key_cols if c != "term"]
+    feed = src.changes_since(cursor, preimages=True)
+    if ids == ["doc_id"] and id_col != "doc_id":
+        feed = feed.withColumnRenamed(id_col, "doc_id")
+    batch = postings_refresh(feed, ids, text_col=text_col)
     stats = index.merge(
         batch,
         epoch_id=f"{SYNC_PREFIX}{target}",

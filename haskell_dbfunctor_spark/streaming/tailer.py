@@ -104,6 +104,8 @@ def tail_feed_dir(
     rollup_group_cols: tuple = ("role",),
     dedup_index: LakeTable | None = None,
     dedup_index_mode: str = "cow",
+    term_index: LakeTable | None = None,
+    term_index_mode: str = "cow",
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -149,6 +151,8 @@ def tail_feed_dir(
         raise ValueError("rollup requires a catalog")
     if dedup_index is not None and catalog is None:
         raise ValueError("dedup_index requires a catalog")
+    if term_index is not None and catalog is None:
+        raise ValueError("term_index requires a catalog")
     if dedup_index is not None and dedup_index_mode == "mor" and cross_batch_lww:
         # same reasoning as the state-table check below: MoR index
         # refreshes never read the index, so the cross-batch LWW
@@ -195,7 +199,8 @@ def tail_feed_dir(
             mode=mode,
         )
         eid = f"stream-{batch_id:08d}"
-        if rollup is not None or dedup_index is not None:
+        if rollup is not None or dedup_index is not None \
+                or term_index is not None:
             from ..cdc.apply import _txn_epoch
 
             _txn_epoch(
@@ -203,6 +208,7 @@ def tail_feed_dir(
                 rollup_group_cols, int(batch_id),
                 dedup_index=dedup_index,
                 dedup_index_mode=dedup_index_mode,
+                term_index=term_index, term_index_mode=term_index_mode,
             )
         else:
             table.merge(batch, epoch_id=eid, **merge_opts)

@@ -77,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="apply dedup-index refreshes as merge-on-read "
                          "deltas (O(batch) index writes; pair with "
                          "--compact-every to bound the read tax)")
+    ap.add_argument("--term-index-root", default=None,
+                    help="maintain an inverted term (postings) index "
+                         "over transcript text at this root, committed "
+                         "atomically with each state epoch or "
+                         "micro-batch (pipelines/term_index.py); old "
+                         "terms delete via CDF pre-images")
+    ap.add_argument("--term-index-mor", action="store_true",
+                    help="apply term-index refreshes as merge-on-read "
+                         "deltas")
     ap.add_argument("--expect", action="append", default=[],
                     metavar="NAME=SQL",
                     help="data-quality expectation (repeatable): rows "
@@ -147,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.feed_dir:
             ap.error("--stream requires --feed-dir")
-        rollup = catalog = dedup_index = None
+        rollup = catalog = dedup_index = term_index = None
         if args.rollup_root:
             from haskell_dbfunctor_spark.cdc.apply import (
                 open_or_create_rollup,
@@ -183,6 +192,23 @@ def main(argv: list[str] | None = None) -> int:
                         "_catalog",
                     ),
                 )
+        if args.term_index_root:
+            from haskell_dbfunctor_spark.cdc.apply import (
+                open_or_create_term_index,
+            )
+            from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+            term_index = open_or_create_term_index(
+                spark, args.term_index_root
+            )
+            if catalog is None:
+                catalog = Catalog(
+                    spark,
+                    os.path.join(
+                        os.path.dirname(args.term_index_root) or ".",
+                        "_catalog",
+                    ),
+                )
         # cross_batch_lww defaults True: a late WAL file applied in a
         # later micro-batch must not overwrite newer committed state
         q = tail_feed_dir(spark, table, args.feed_dir,
@@ -197,6 +223,9 @@ def main(argv: list[str] | None = None) -> int:
                           if rollup is not None else ("role",),
                           dedup_index=dedup_index,
                           dedup_index_mode="mor" if args.dedup_index_mor
+                          else "cow",
+                          term_index=term_index,
+                          term_index_mode="mor" if args.term_index_mor
                           else "cow")
         q.awaitTermination()
         out = {"mode": "stream", "status": "drained"}
@@ -204,6 +233,8 @@ def main(argv: list[str] | None = None) -> int:
             out["rollup_rows"] = rollup.read().count()
         if dedup_index is not None:
             out["dedup_index_rows"] = dedup_index.read().count()
+        if term_index is not None:
+            out["term_index_rows"] = term_index.read().count()
         print(json.dumps(out))
         return 0
 
@@ -222,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.exists(feed_path):
         feed.write.partitionBy("epoch").parquet(feed_path)
     feed = spark.read.parquet(feed_path)
-    rollup = catalog = dedup_index = None
+    rollup = catalog = dedup_index = term_index = None
     if args.rollup_root:
         from haskell_dbfunctor_spark.cdc.apply import open_or_create_rollup
         from haskell_dbfunctor_spark.lake.transaction import Catalog
@@ -250,6 +281,21 @@ def main(argv: list[str] | None = None) -> int:
                     "_catalog",
                 ),
             )
+    if args.term_index_root:
+        from haskell_dbfunctor_spark.cdc.apply import (
+            open_or_create_term_index,
+        )
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        term_index = open_or_create_term_index(spark, args.term_index_root)
+        if catalog is None:
+            catalog = Catalog(
+                spark,
+                os.path.join(
+                    os.path.dirname(args.term_index_root) or ".",
+                    "_catalog",
+                ),
+            )
     stats = replay(
         table, feed, args.epochs,
         evolution_epoch=args.evolution_epoch,
@@ -262,6 +308,8 @@ def main(argv: list[str] | None = None) -> int:
         rollup_group_cols=tuple(group_cols) if rollup is not None else ("role",),
         dedup_index=dedup_index,
         dedup_index_mode="mor" if args.dedup_index_mor else "cow",
+        term_index=term_index,
+        term_index_mode="mor" if args.term_index_mor else "cow",
     )
     out = {
         "mode": "replay-mor" if args.mor else "replay",
@@ -288,6 +336,8 @@ def main(argv: list[str] | None = None) -> int:
         out["rollup_rows"] = rollup.read().count()
     if dedup_index is not None:
         out["dedup_index_rows"] = dedup_index.read().count()
+    if term_index is not None:
+        out["term_index_rows"] = term_index.read().count()
     print(json.dumps(out))
     return 0
 

@@ -120,3 +120,119 @@ def test_bloom_skipped_lookup(spark, tmp_path):
     assert [(r["doc_id"], r["tf"]) for r in got] == [("d7", 1)]
     # the probe must have skipped most files
     assert idx.last_pruned_files > 0
+
+
+def test_replay_maintains_transcript_term_index(spark, tmp_path):
+    """CDC replay with --term-index-root semantics: postings are
+    refreshed from each epoch's CDF diff (pre-images supply old-term
+    deletes) inside the same multi-table transaction. Final index ==
+    a from-scratch postings build over the final state; resume is a
+    no-op for BOTH tables."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_term_index, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    feed = change_feed(spark, 4000, seed=7, n_convs=40, n_epochs=4)
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "t"), num_buckets=4
+    )
+    ix = open_or_create_term_index(spark, str(tmp_path / "ix"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    st = replay(table, feed, 4, catalog=cat, term_index=ix)
+    assert st.epochs_applied == 4
+
+    got = sorted(
+        map(tuple, ix.read().select("term", "conv_id", "turn_idx", "tf")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, doc_postings(
+            table.read(), id_cols=["conv_id", "turn_idx"]
+        ).select("term", "conv_id", "turn_idx", "tf").collect())
+    )
+    assert got == want and len(want) > 0
+
+    v_t, v_ix = table.version, ix.version
+    st2 = replay(table, feed, 4, catalog=cat, term_index=ix)
+    assert st2.epochs_skipped == 4 and st2.epochs_applied == 0
+    assert table.version == v_t and ix.version == v_ix
+
+
+def test_stream_tail_term_index_cross_batch_lww(spark, tmp_path):
+    """--stream + --term-index-root: each micro-batch commits state +
+    postings atomically; a LATE stale WAL file can neither overwrite
+    the state text nor inject its postings (the refresh derives from
+    the committed diff, which the LWW filter already excluded the
+    stale row from), and a delete drops the turn's postings."""
+    import time as _time
+    from datetime import datetime
+
+    from haskell_dbfunctor_spark.cdc.apply import open_or_create_term_index
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+    from haskell_dbfunctor_spark.streaming.tailer import (
+        await_or_raise, tail_feed_dir,
+    )
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    ix = open_or_create_term_index(spark, str(tmp_path / "ix"), num_buckets=4)
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+
+    def seg(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "op string, conv_id string, turn_idx int, text string, "
+            "ts timestamp, seq long"
+        )
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{feed_dir}/{name}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time()
+    seg(
+        [
+            ("U", "c1", 0, "winner text here", datetime(2025, 1, 2), 2),
+            ("U", "c2", 5, "doomed turn", datetime(2025, 1, 1), 1),
+        ],
+        "wal-000", t0,
+    )
+    seg(
+        [
+            ("U", "c1", 0, "stale loser junk", datetime(2025, 1, 1), 1),
+            ("D", "c2", 5, None, datetime(2025, 1, 3), 3),
+        ],
+        "wal-001", t0 + 1,
+    )
+    q = tail_feed_dir(
+        spark, table, feed_dir, cross_batch_lww=True,
+        catalog=cat, term_index=ix,
+    )
+    await_or_raise(q, timeout_s=240)
+
+    got = sorted(
+        map(tuple, ix.read().select("term", "conv_id", "turn_idx", "tf")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, doc_postings(
+            table.read(), id_cols=["conv_id", "turn_idx"]
+        ).select("term", "conv_id", "turn_idx", "tf").collect())
+    )
+    assert got == want
+    terms = {r[0] for r in got}
+    assert "winner" in terms and "stale" not in terms
+    assert "doomed" not in terms
