@@ -70,7 +70,7 @@ def _cpu_sample() -> tuple[float, float]:
 def run_cdc(
     spark, n_events: int, n_epochs: int = CDC_EPOCHS,
     feed_kwargs: dict | None = None, mode: str = "cow",
-    index: str | None = None,
+    index: str | None = None, term_index: str | None = None,
 ) -> dict:
     """One full CDC replay: deterministic feed (materialized once, read
     back per epoch with partition pruning — a WAL is storage, not a
@@ -115,6 +115,18 @@ def run_cdc(
                 spark, os.path.join(root, "_dedup_ix"), num_buckets=64
             )
             catalog = Catalog(spark, os.path.join(root, "_catalog"))
+        term_ix = None
+        if term_index:  # "cow" | "mor": postings index in the same txn
+            from haskell_dbfunctor_spark.cdc.apply import (
+                open_or_create_term_index,
+            )
+            from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+            term_ix = open_or_create_term_index(
+                spark, os.path.join(root, "_term_ix"), num_buckets=64
+            )
+            if catalog is None:
+                catalog = Catalog(spark, os.path.join(root, "_catalog"))
         st0, tt0 = _cpu_sample()
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
@@ -124,11 +136,14 @@ def run_cdc(
             # periodically; write-only throughput would overstate MoR)
             compact_every=(
                 max(n_epochs // 2, 1)
-                if (mode == "mor" or index == "mor") else None
+                if (mode == "mor" or index == "mor"
+                    or term_index == "mor") else None
             ),
             dedup_index=dedup_index,
             catalog=catalog,
             dedup_index_mode=index or "cow",
+            term_index=term_ix,
+            term_index_mode=term_index or "cow",
         )
         # odd epoch counts leave the final epochs' deltas pending —
         # fold them INSIDE the timed window so the headline charges
@@ -144,6 +159,13 @@ def run_cdc(
         ):
             t_c = time.time()
             dedup_index.compact_deltas()
+            extra_compact += time.time() - t_c
+        if (
+            term_index == "mor"
+            and term_ix.manifest.get("delta_files")
+        ):
+            t_c = time.time()
+            term_ix.compact_deltas()
             extra_compact += time.time() - t_c
         st1, tt1 = _cpu_sample()
         final_rows = table.read().count()
@@ -183,6 +205,14 @@ def run_cdc(
                     "index_rows": dedup_index.read().count(),
                 }
                 if index
+                else {}
+            ),
+            **(
+                {
+                    "term_index": term_index,
+                    "term_index_rows": term_ix.read().count(),
+                }
+                if term_index
                 else {}
             ),
         }
@@ -459,12 +489,15 @@ def main_skew(cores: int, n_events: int, pairs: int = 2,
 
 
 def main_index_cost(cores: int, n_events: int, pairs: int = 2,
-                    n_epochs: int = 4) -> None:
-    """Marginal cost of maintaining the near-dup signature index
-    inside the per-epoch transaction (cdc_ingest --dedup-index-root):
-    alternating same-session rounds of state-only vs index-CoW vs
-    index-MoR on the same deterministic feed (drift-immune ratios;
-    MoR legs charge their compactions inside the window)."""
+                    n_epochs: int = 4, kind: str = "dedup") -> None:
+    """Marginal cost of maintaining a derived index inside the
+    per-epoch transaction: ``kind="dedup"`` = the near-dup signature
+    index (cdc_ingest --dedup-index-root), ``kind="term"`` = the
+    inverted postings index (--term-index-root; fan-out is ~terms/turn
+    rows per event, so expect a larger tax). Alternating same-session
+    rounds of state-only vs index-CoW vs index-MoR on the same
+    deterministic feed (drift-immune ratios; MoR legs charge their
+    compactions inside the window)."""
     if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
         d = "/dev/shm/hdbf_bench"
         os.makedirs(d, exist_ok=True)
@@ -473,13 +506,14 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
     # warm up THROUGH the index leg: the txn/index code paths carry
     # their own first-use JIT, which would otherwise land entirely on
     # round 0's first index run
-    run_cdc(spark, min(n_events, 200_000), n_epochs=2, index="cow")
+    kw = "index" if kind == "dedup" else "term_index"
+    run_cdc(spark, min(n_events, 200_000), n_epochs=2, **{kw: "cow"})
     legs = [None, "cow", "mor"]
     res: dict[str, list[float]] = {"state": [], "cow": [], "mor": []}
     for r in range(pairs):
         order = legs[r % 3:] + legs[:r % 3]  # rotate per round
         for leg in order:
-            out = run_cdc(spark, n_events, n_epochs=n_epochs, index=leg)
+            out = run_cdc(spark, n_events, n_epochs=n_epochs, **{kw: leg})
             name = leg or "state"
             res[name].append(out["steady_events_per_sec"])
             print(f"# round {r} {name}: "
@@ -487,7 +521,7 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
                   f"(load1 {out['host_load1']})", file=sys.stderr)
     med = {k: sorted(v)[len(v) // 2] for k, v in res.items()}
     print(json.dumps({
-        "metric": "dedup_index_marginal_cost",
+        "metric": f"{kind}_index_marginal_cost",
         "value": round(med["cow"] / med["state"], 3),
         "unit": "ratio (index-cow vs state-only steady ev/s)",
         "mor_ratio": round(med["mor"] / med["state"], 3),
@@ -831,6 +865,9 @@ def main_cluster_scaling(n_events: int, pairs: int = 3, n_epochs: int = 4,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--term-index-cost", action="store_true",
+                    help="alternating CDC rounds comparing state-only "
+                         "vs inverted-postings-index legs (cow/mor)")
     ap.add_argument("--index-cost", action="store_true",
                     help="marginal throughput cost of the transactional "
                          "dedup-index legs (state vs cow vs mor)")
@@ -876,6 +913,10 @@ if __name__ == "__main__":
     elif args.index_cost:
         main_index_cost(args.cores, args.events,
                         pairs=min(args.pairs, 3), n_epochs=args.epochs)
+    elif args.term_index_cost:
+        main_index_cost(args.cores, args.events,
+                        pairs=min(args.pairs, 3), n_epochs=args.epochs,
+                        kind="term")
     elif args.dv_cost:
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.lineage_cost:

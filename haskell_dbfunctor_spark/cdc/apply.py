@@ -398,6 +398,13 @@ def _txn_epoch(
                     ix_opts["matched_filter"] = lww_matched_filter(
                         tuple(stored)
                     )
+            # inherit the state merge's prune decision: an index batch
+            # fans out >= the state batch, so whenever the state skips
+            # the touched-set job the index must too (saves one Spark
+            # job per epoch; tiny batches keep pruning)
+            ix_opts.setdefault(
+                "prune_buckets", merge_opts.get("prune_buckets", True)
+            )
             txn.merge(ih, ib, epoch_id=f"{eid}-dedupix",
                       op_col=op_c, order_cols=oc, mode=dedup_index_mode,
                       **ix_opts)
@@ -415,6 +422,7 @@ def _txn_epoch(
             xh, tb, epoch_id=f"{eid}-termix", op_col="op",
             order_cols=("seq",), drop_cols=("seq",),
             mode=term_index_mode,
+            prune_buckets=merge_opts.get("prune_buckets", True),
         )
     txn.commit()
     # move the caller's handles to the new published head so post-loop
