@@ -1770,6 +1770,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q141_term_search"] = q141
 
+    # source-pair vocabulary overlap (Jaccard of distinct-word sets):
+    # the corpus-diagnostics view of "are these two crawls the same
+    # register?". One distinct (source, word) pass, self-join on word
+    # for intersections, broadcast per-source sizes for the union.
+    def q142(s, d):
+        w = (
+            _t(s, d, "documents")
+            .select(
+                "source",
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), " "), lambda x: x != ""
+                    )
+                ).alias("w"),
+            )
+            .distinct()
+        )
+        sizes = w.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("v")
+        )
+        a, b = w.alias("a"), w.alias("b")
+        inter = (
+            a.join(b, "w")
+            .where(F.col("a.source") < F.col("b.source"))
+            .groupBy(
+                F.col("a.source").alias("src_a"),
+                F.col("b.source").alias("src_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        return (
+            inter.join(
+                F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                            .withColumnRenamed("v", "va")), "src_a"
+            )
+            .join(
+                F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                            .withColumnRenamed("v", "vb")), "src_b"
+            )
+            .select(
+                "src_a", "src_b", "n_common",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("va") + F.col("vb") - F.col("n_common")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
+    q["q142_vocab_overlap"] = q142
+
+    # per-type value outliers: z-score each event against its type's
+    # mean/stddev (agg + broadcast join back — no window), keep |z|>2
+    def q143(s, d):
+        ev = _t(s, d, "events").select(
+            "event_id", "event_type", F.col("value").cast("double").alias("v")
+        )
+        stats = ev.groupBy("event_type").agg(
+            F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+        )
+        return (
+            ev.join(F.broadcast(stats), "event_type")
+            .where(F.col("sd") > 0)
+            .select(
+                "event_id", "event_type",
+                F.round(F.col("v"), 4).alias("value"),
+                F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4).alias(
+                    "z"
+                ),
+            )
+            .where(F.abs(F.col("z")) > 2)
+        )
+
+    q["q143_value_outliers"] = q143
+
+    # vocabulary growth curve (Heaps'-law diagnostic): cumulative
+    # distinct terms after each tenth of the corpus, via each word's
+    # FIRST batch — one distinct pass + a 10-row cumulative window
+    def q144(s, d):
+        docs = _t(s, d, "documents")
+        mx = docs.agg(F.max("doc_id").alias("mx"))
+        w = (
+            docs.crossJoin(F.broadcast(mx))
+            .select(
+                F.floor(
+                    F.col("doc_id") * 10 / (F.col("mx") + 1)
+                ).cast("int").alias("batch"),
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), " "), lambda x: x != ""
+                    )
+                ).alias("w"),
+            )
+        )
+        first = w.groupBy("w").agg(F.min("batch").alias("b"))
+        per = first.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("new_terms")
+        )
+        # cumulative over a <=10-row frame: triangular self-join, not
+        # a partition-less window (keeps the plan audit green and the
+        # shape safe if batches were ever made fine-grained)
+        x, y = per.alias("x"), per.alias("y")
+        return (
+            x.join(y, F.col("y.b") <= F.col("x.b"))
+            .groupBy(F.col("x.b").alias("b"))
+            .agg(
+                F.max(F.col("x.new_terms")).cast("long").alias("new_terms"),
+                F.sum(F.col("y.new_terms")).cast("long").alias("vocab_size"),
+            )
+        )
+
+    q["q144_vocab_growth"] = q144
+
     # contamination EVIDENCE spans — the audit trail behind q71's flags
     def q129(s, d):
         from haskell_dbfunctor_spark.pipelines.text import (
@@ -1841,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_conv_degeneration", "q136_centroid_drift",
         "q137_pack_sequences", "q138_materialize_mixture",
         "q139_funnel", "q140_cohort_retention", "q141_term_search",
+        "q142_vocab_overlap", "q143_value_outliers", "q144_vocab_growth",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -4567,6 +4681,62 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT c.label, n_a, n_b,
                round(list_cosine_similarity(ca, cb), 5) AS centroid_cos
         FROM cent c JOIN cnt USING (label)
+    """
+    o["q142_vocab_overlap"] = """
+        WITH w AS (
+          SELECT DISTINCT source, w FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+          )
+        ), sizes AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS v
+          FROM w GROUP BY source
+        ), inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM w a JOIN w b USING (w)
+          WHERE a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT src_a, src_b, n_common,
+               round(n_common / (sa.v + sb.v - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """
+    o["q143_value_outliers"] = """
+        WITH ev AS (
+          SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+          FROM events
+        ), st AS (
+          SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+          FROM ev GROUP BY event_type
+        )
+        SELECT event_id, ev.event_type, round(v, 4) AS value,
+               round((v - mu) / sd, 4) AS z
+        FROM ev JOIN st USING (event_type)
+        WHERE sd > 0 AND abs(round((v - mu) / sd, 4)) > 2
+    """
+    o["q144_vocab_growth"] = """
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        w AS (
+          SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS INT) AS batch,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents CROSS JOIN mx
+        ), first AS (
+          SELECT w, min(batch) AS b FROM w GROUP BY w
+        ), per AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS new_terms
+          FROM first GROUP BY b
+        )
+        SELECT x.b AS b,
+               CAST(max(x.new_terms) AS BIGINT) AS new_terms,
+               CAST(sum(y.new_terms) AS BIGINT) AS vocab_size
+        FROM per x JOIN per y ON y.b <= x.b
+        GROUP BY x.b
     """
     o["q141_term_search"] = """
         WITH p AS (
