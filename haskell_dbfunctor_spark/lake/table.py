@@ -3784,6 +3784,10 @@ class LakeTable:
         ):
             m[cat] = {}
             m.pop(refs, None)
+        # the NDV blob lives in the SOURCE's metadata dir — a carried
+        # ndv_ref would dangle (ndv() degrades gracefully on a missing
+        # blob, but an explicit drop keeps the clone's metadata honest)
+        m.pop("ndv_ref", None)
         m.pop("staged", None)
         m.pop("wap_base", None)
         m["version"] = 1
