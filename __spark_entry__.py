@@ -1770,6 +1770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q141_term_search"] = q141
 
+    # q145: the same search answered through the PERSISTED index path
+    # (LakeTable postings synced off the docs CDF, bloom-probed)
+    q["q145_indexed_term_search"] = _indexed_term_search
+
     # source-pair vocabulary overlap (Jaccard of distinct-word sets):
     # the corpus-diagnostics view of "are these two crawls the same
     # register?". One distinct (source, word) pass, self-join on word
@@ -1955,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_pack_sequences", "q138_materialize_mixture",
         "q139_funnel", "q140_cohort_retention", "q141_term_search",
         "q142_vocab_overlap", "q143_value_outliers", "q144_vocab_growth",
+        "q145_indexed_term_search",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2008,6 +2013,85 @@ def _ann_topk_pruned(s: SparkSession, d: str) -> DataFrame:
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
     return ann_top_k_pruned(
         s, bucketed, qrow["embedding"], query_vec_id=0, k=10, probe=1
+    )
+
+
+def _indexed_term_search(s: SparkSession, d: str) -> DataFrame:
+    """q145: the PERSISTED term-index path — the corpus lives in a
+    LakeTable whose inverted postings index (pipelines/term_index.py)
+    is a second LakeTable synced off its change feed and
+    bloom-analyzed on "term"; the query is `lookup_terms_ranked`
+    (per-term bloom-skipped point probes + one small aggregation).
+    Same question as q141's inline postings — the driver verifies the
+    persisted path returns the identical answer. Docs+index build is
+    deterministic per sf dir and cached (tmpfs, atomic-rename publish,
+    sync-cursor validity probe, like q89)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.pipelines.term_index import (
+        create_term_index, lookup_terms_ranked, sync_term_index,
+    )
+
+    terms = ["scan", "vector", "hash"]
+    docs = _t(s, d, "documents")
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    src = f"{d}/documents.parquet"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    final = f"{base}/hdbf_termix_{tag}"
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_termix_{stem}_")
+                    and old != f"hdbf_termix_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
+
+    def _load_valid(root: str):
+        try:
+            dl = LakeTable.load(s, f"{root}/docs")
+            ix = LakeTable.load(s, f"{root}/ix")
+            if sync_term_index(dl, ix)["skipped"]:
+                return ix
+        except (OSError, ValueError, KeyError):
+            pass
+        return None
+
+    if _os.path.exists(final):
+        ix = _load_valid(final)
+        if ix is not None:
+            return lookup_terms_ranked(ix, terms)
+        _shutil.rmtree(final, ignore_errors=True)
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    tmp = _tempfile.mkdtemp(prefix="hdbf_termix_build_", dir=base)
+    dl = LakeTable.create(
+        s, f"{tmp}/docs", doc_schema, key_cols=["doc_id"], num_buckets=8
+    )
+    dl.merge(docs.select("doc_id", "text"), op_col=None, order_cols=())
+    ix = create_term_index(s, f"{tmp}/ix", "long", num_buckets=8)
+    sync_term_index(dl, ix)
+    ix.analyze_bloom(["term"])
+    try:
+        _os.rename(tmp, final)  # atomic publish
+    except OSError:
+        racer = _load_valid(final)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        if racer is not None:
+            return lookup_terms_ranked(racer, terms)
+        raise
+    return lookup_terms_ranked(
+        LakeTable.load(s, f"{final}/ix"), terms
     )
 
 
@@ -4754,6 +4838,9 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                CAST(sum(tf) AS BIGINT) AS total_tf
         FROM p GROUP BY doc_id
     """
+    # q145 answers the SAME question as q141 through the persisted
+    # bloom-probed index; identical oracle
+    o["q145_indexed_term_search"] = o["q141_term_search"]
     o["q139_funnel"] = """
         WITH v AS (
           SELECT user_id, min(ts) AS first_view
