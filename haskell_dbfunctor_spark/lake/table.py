@@ -98,6 +98,13 @@ SYNC_EPOCH_PREFIX = "sync-v"
 CLUSTER_SORT_PROP = "clustering.sort-by"
 CLUSTER_ZORDER_PROP = "clustering.zorder-by"
 
+# write.target-file-bytes table property (Iceberg
+# write.target-file-size-bytes analog): supplies the default target
+# for merge writes and compaction when the caller passes None;
+# explicit arguments always win.
+TARGET_FILE_BYTES_PROP = "write.target-file-bytes"
+TARGET_FILE_BYTES_DEFAULT = 128 * 1024 * 1024
+
 
 def _scrub_clustering_props(
     props: dict, *, dropped: str | None = None,
@@ -2650,6 +2657,15 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _resolve_target_file_bytes(self, v: int | None) -> int:
+        if v is not None:
+            return int(v)
+        p = self.properties.get(TARGET_FILE_BYTES_PROP)
+        try:
+            return int(p) if p else TARGET_FILE_BYTES_DEFAULT
+        except (TypeError, ValueError):
+            return TARGET_FILE_BYTES_DEFAULT
+
     def bucket_of(self, *cols: Column) -> Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
@@ -2784,7 +2800,7 @@ class LakeTable:
         on_duplicate: str = "last_writer_wins",
         delete_op: str = "D",
         files_per_bucket: int = 1,
-        target_file_bytes: int = 128 * 1024 * 1024,
+        target_file_bytes: int | None = None,
         prune_buckets: bool = True,
         mode: str = "cow",
         partial: bool = False,
@@ -2846,6 +2862,9 @@ class LakeTable:
         t0 = time.time()
         if mode not in ("cow", "mor"):
             raise LakeError(f"unknown merge mode {mode!r}")
+        target_file_bytes = self._resolve_target_file_bytes(
+            target_file_bytes
+        )
         if self.row_lineage:
             if mode == "mor":
                 raise LakeError(
@@ -4180,7 +4199,7 @@ class LakeTable:
     def _compact_impl(
         self,
         *,
-        target_file_bytes: int = 128 * 1024 * 1024,
+        target_file_bytes: int | None = None,
         min_files: int = 2,
         buckets: Sequence[int] | None = None,
         max_buckets: int | None = None,
@@ -4217,6 +4236,9 @@ class LakeTable:
         own column (sibling files span the full range of every other).
         """
         self._forbid_staged("compact")
+        target_file_bytes = self._resolve_target_file_bytes(
+            target_file_bytes
+        )
         if sort_by and zorder_by:
             raise LakeError("compact: pass sort_by OR zorder_by, not both")
         # declared clustering policy: when the caller didn't ask for a
@@ -4551,7 +4573,7 @@ class LakeTable:
         self,
         *,
         max_buckets: int = 32,
-        target_file_bytes: int = 128 * 1024 * 1024,
+        target_file_bytes: int | None = None,
         keep_last: int = 2,
         older_than: float | None = None,
         prune_lineage: bool = False,

@@ -134,3 +134,28 @@ def test_drop_and_rename_track_policy(spark, tmp_path):
     t2.manifest["properties"][CLUSTER_SORT_PROP] = "ghost"
     t2.compact()  # plain fragmentation compact, no error
     assert t2.read().count() == 600
+
+
+def test_target_file_bytes_property(spark, tmp_path):
+    """write.target-file-bytes supplies merge/compact file sizing when
+    the caller passes nothing; explicit args win."""
+    from haskell_dbfunctor_spark.lake.table import TARGET_FILE_BYTES_PROP
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["k"], num_buckets=1,
+        properties={TARGET_FILE_BYTES_PROP: "4000"},
+    )
+    for e in range(2):
+        batch = spark.range(e * 10000, (e + 1) * 10000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("v"),
+            (F.col("id") % 7).alias("w"),
+            F.lit("U").alias("op"), F.col("id").alias("seq"),
+        )
+        t.merge(batch, epoch_id=f"e{e}", mode="mor")
+    t.compact()  # no args: the 4 KB property target drives sizing
+    n_small = sum(len(f) for f in t.manifest["buckets"].values())
+    assert n_small > 1
+    # explicit argument overrides the property
+    t.compact(target_file_bytes=512 * 1024 * 1024)
+    n_big = sum(len(f) for f in t.manifest["buckets"].values())
+    assert n_big == 1
