@@ -1774,6 +1774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (LakeTable postings synced off the docs CDF, bloom-probed)
     q["q145_indexed_term_search"] = _indexed_term_search
 
+    # q146: stream-stream event-time interval join (views x clicks)
+    q["q146_stream_interval_join"] = _stream_interval_join
+
     # source-pair vocabulary overlap (Jaccard of distinct-word sets):
     # the corpus-diagnostics view of "are these two crawls the same
     # register?". One distinct (source, word) pass, self-join on word
@@ -1959,7 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_pack_sequences", "q138_materialize_mixture",
         "q139_funnel", "q140_cohort_retention", "q141_term_search",
         "q142_vocab_overlap", "q143_value_outliers", "q144_vocab_growth",
-        "q145_indexed_term_search",
+        "q145_indexed_term_search", "q146_stream_interval_join",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -3651,6 +3654,87 @@ def _stream_session_window(s: SparkSession, d: str) -> DataFrame:
     return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
 
 
+def _stream_interval_join(s: SparkSession, d: str) -> DataFrame:
+    """q146: stream-stream event-time interval join — the events feed
+    split into a views stream and a clicks stream, paired per user
+    when the click lands within 10 minutes after the view
+    (streaming/joins.py). Staged as ONE segment per side so the
+    availableNow drain is a single micro-batch and the emitted pairs
+    equal the batch join exactly (the oracle); watermark eviction
+    across micro-batches is pinned separately in
+    tests/test_streaming_joins.py. Feed dirs are cached per sf dir
+    (tmpfs); out/checkpoint are per-call temp dirs (append sinks must
+    never accumulate across runs)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.streaming.joins import (
+        drain_interval_join,
+    )
+
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    src = f"{d}/events.parquet"
+    stem = _os.path.basename(d.rstrip("/"))
+    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    feeds = f"{base}/hdbf_sjoin_{tag}"
+    try:
+        for old in _os.listdir(base):
+            if (old.startswith(f"hdbf_sjoin_{stem}_")
+                    and old != f"hdbf_sjoin_{tag}"):
+                _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+    except OSError:
+        pass
+    if not _os.path.exists(f"{feeds}/_DONE"):
+        ev = _t(s, d, "events").select(
+            "user_id", "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        tmp = _tempfile.mkdtemp(prefix="hdbf_sjoin_build_", dir=base)
+        (
+            ev.where(F.col("event_type") == "view")
+            .select("user_id", F.col("event_id").alias("view_id"), "ts")
+            .coalesce(1).write.parquet(f"{tmp}/views")
+        )
+        (
+            ev.where(F.col("event_type") == "click")
+            .select(
+                "user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .coalesce(1).write.parquet(f"{tmp}/clicks")
+        )
+        open(f"{tmp}/_DONE", "w").close()
+        try:
+            _os.rename(tmp, feeds)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    l_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    r_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("c_ts", T.TimestampType()),
+    ])
+    run = _tempfile.mkdtemp(prefix="hdbf_sjoin_run_", dir=base)
+    out = drain_interval_join(
+        s, f"{feeds}/views", l_schema, f"{feeds}/clicks", r_schema,
+        f"{run}/out",
+        keys=["user_id"], left_ts="ts", right_ts="c_ts",
+        upper="10 minutes", watermark="0 seconds",
+        checkpoint_dir=f"{run}/ckpt",
+    )
+    return out.select("user_id", "view_id", "click_id")
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -4837,6 +4921,14 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
                CAST(sum(tf) AS BIGINT) AS total_tf
         FROM p GROUP BY doc_id
+    """
+    o["q146_stream_interval_join"] = """
+        SELECT v.user_id,
+               CAST(v.event_id AS BIGINT) AS view_id,
+               CAST(c.event_id AS BIGINT) AS click_id
+        FROM events v JOIN events c ON v.user_id = c.user_id
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
     """
     # q145 answers the SAME question as q141 through the persisted
     # bloom-probed index; identical oracle

@@ -29,6 +29,7 @@ SKIP = {
     "q45_stream_windowed_agg",
     "q104_stream_session_window",
     "q111_stream_dedup_redelivery",
+    "q146_stream_interval_join",
 }
 
 
