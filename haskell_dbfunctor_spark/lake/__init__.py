@@ -1,4 +1,5 @@
 from .dml import delete_where, update_where
+from .forget import forget_keys
 from .reconcile import reconcile, snapshot_diff
 from .table import LakeTable, MergeStats
 from .transaction import Catalog, Transaction, TransactionAborted
@@ -13,4 +14,5 @@ __all__ = [
     "snapshot_diff",
     "delete_where",
     "update_where",
+    "forget_keys",
 ]

@@ -1,0 +1,193 @@
+"""Right-to-be-forgotten erasure (lake/forget.py): atomic logical
+delete across state + rollup + dedup index + term index, idempotent
+re-run, row-lineage rejection, and PHYSICAL purge — after
+``purge=True`` no byte of the forgotten text survives in any file
+under any touched table root (the GDPR proof, checked by grepping
+every file on disk for a unique marker)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.cdc.apply import (
+    open_or_create_dedup_index,
+    open_or_create_rollup,
+    open_or_create_term_index,
+    open_or_create_transcripts,
+    replay,
+)
+from haskell_dbfunctor_spark.cdc.generator import change_feed
+from haskell_dbfunctor_spark.lake.forget import forget_keys
+from haskell_dbfunctor_spark.lake.table import LakeError
+from haskell_dbfunctor_spark.lake.transaction import Catalog
+from haskell_dbfunctor_spark.pipelines.term_index import doc_postings
+
+
+def _build(spark, tmp_path, *, legs=True):
+    feed = change_feed(spark, 3000, seed=11, n_convs=30, n_epochs=3)
+    state = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=4
+    )
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    kw = {}
+    if legs:
+        kw = dict(
+            rollup=open_or_create_rollup(
+                spark, str(tmp_path / "rollup"), ["role"]
+            ),
+            dedup_index=open_or_create_dedup_index(
+                spark, str(tmp_path / "dix"), num_buckets=4
+            ),
+            term_index=open_or_create_term_index(
+                spark, str(tmp_path / "tix"), num_buckets=4
+            ),
+        )
+    replay(state, feed, 3, catalog=cat, **kw)
+    return state, cat, kw
+
+
+def _probe(spark, conv_ids):
+    return spark.createDataFrame(
+        [(c,) for c in conv_ids], "conv_id string"
+    )
+
+
+def test_forget_atomic_all_legs(spark, tmp_path):
+    state, cat, kw = _build(spark, tmp_path)
+    convs = [
+        r[0]
+        for r in state.read().select("conv_id").distinct().limit(2).collect()
+    ]
+    assert convs
+    before = {n: h.version for n, h in kw.items()}
+
+    out = forget_keys(
+        cat, state, _probe(spark, convs),
+        rollup=kw["rollup"], dedup_index=kw["dedup_index"],
+        term_index=kw["term_index"],
+    )
+    assert out["matched"] > 0 and not out["skipped"]
+    # state: the convs are gone, everything else intact
+    left = state.read()
+    assert left.where(F.col("conv_id").isin(convs)).count() == 0
+    assert left.count() > 0
+    # every derived table advanced (stage + publish under the txn)
+    for n, h in kw.items():
+        assert h.version > before[n], n
+    # term index == postings of the remaining corpus (no orphans)
+    got = sorted(map(tuple, kw["term_index"].read().collect()))
+    want = sorted(
+        map(
+            tuple,
+            doc_postings(left, id_cols=["conv_id", "turn_idx"]).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+    # dedup index: no signatures for the forgotten convs
+    assert (
+        kw["dedup_index"].read()
+        .where(F.col("conv_id").isin(convs)).count() == 0
+    )
+    # rollup matches a recount of the remaining state
+    roll = {
+        (r["role"],): r["live_rows"]
+        for r in kw["rollup"].read().collect()
+        if r["live_rows"]
+    }
+    want_roll = {
+        (r["role"],): r["n"]
+        for r in left.groupBy("role").agg(F.count("*").alias("n")).collect()
+    }
+    assert roll == want_roll
+
+
+def test_forget_idempotent_and_unknown(spark, tmp_path):
+    state, cat, kw = _build(spark, tmp_path, legs=False)
+    conv = state.read().select("conv_id").first()[0]
+    out1 = forget_keys(cat, state, _probe(spark, [conv]))
+    assert out1["matched"] > 0
+    # re-run: nothing matches anymore
+    out2 = forget_keys(cat, state, _probe(spark, [conv]))
+    assert out2["matched"] == 0 and out2["skipped"]
+    # unknown key never existed
+    out3 = forget_keys(cat, state, _probe(spark, ["no-such-conv"]))
+    assert out3["matched"] == 0 and out3["skipped"]
+    # empty probe frame
+    out4 = forget_keys(cat, state, _probe(spark, []))
+    assert out4["skipped"]
+
+
+MARKER = "XyZzYFORGETSECRET42"
+
+
+def _grep_tree(root: str, needle: bytes) -> list[str]:
+    hits = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            try:
+                with open(p, "rb") as fh:
+                    if needle in fh.read():
+                        hits.append(p)
+            except OSError:
+                pass
+    return hits
+
+
+def test_forget_purge_is_physical(spark, tmp_path):
+    state, cat, kw = _build(spark, tmp_path)
+    # inject a uniquely marked conversation through the normal path
+    batch = spark.createDataFrame(
+        [
+            ("conv-secret", 0, "user", f"please remember {MARKER}",
+             None, 1_800_000_000.0, 0, "U"),
+            ("conv-secret", 1, "assistant", f"echo {MARKER} twice",
+             None, 1_800_000_001.0, 1, "U"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts double, seq long, op string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from haskell_dbfunctor_spark.cdc.apply import _txn_epoch
+
+    _txn_epoch(
+        state, kw["rollup"], cat, batch, "secret-epoch",
+        {"op_col": "op", "order_cols": ("ts", "seq")}, ("role",), 99,
+        dedup_index=kw["dedup_index"], term_index=kw["term_index"],
+    )
+    roots = [state.root] + [h.root for h in kw.values()]
+    assert any(_grep_tree(r, MARKER.encode()) for r in roots)
+
+    out = forget_keys(
+        cat, state, _probe(spark, ["conv-secret"]),
+        rollup=kw["rollup"], dedup_index=kw["dedup_index"],
+        term_index=kw["term_index"], purge=True, purge_grace_seconds=0,
+    )
+    assert out["matched"] == 2 and out["purged"]
+    for r in roots:
+        assert _grep_tree(r, MARKER.encode()) == [], r
+    # the tables remain fully usable after the purge
+    assert state.read().count() > 0
+    assert (
+        kw["term_index"].read().where(F.col("conv_id") == "conv-secret")
+        .count() == 0
+    )
+
+
+def test_forget_rejects_row_lineage(spark, tmp_path):
+    state = open_or_create_transcripts(
+        spark, str(tmp_path / "lin"), num_buckets=2, row_lineage=True
+    )
+    cat = Catalog(spark, str(tmp_path / "_catalog"))
+    with pytest.raises(LakeError, match="row-lineage"):
+        forget_keys(cat, state, _probe(spark, ["x"]))
+
+
+def test_forget_rejects_unknown_probe_column(spark, tmp_path):
+    state, cat, _ = _build(spark, tmp_path, legs=False)
+    bad = spark.createDataFrame([(1,)], "nope int")
+    with pytest.raises(LakeError, match="probe columns"):
+        forget_keys(cat, state, bad)
