@@ -1777,6 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q146: stream-stream event-time interval join (views x clicks)
     q["q146_stream_interval_join"] = _stream_interval_join
 
+    # q147: right-to-be-forgotten — atomic state delete + rollup
+    # refresh in one multi-table transaction (lake/forget.py)
+    q["q147_forget"] = _forget_state
+
     # source-pair vocabulary overlap (Jaccard of distinct-word sets):
     # the corpus-diagnostics view of "are these two crawls the same
     # register?". One distinct (source, word) pass, self-join on word
@@ -1963,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_funnel", "q140_cohort_retention", "q141_term_search",
         "q142_vocab_overlap", "q143_value_outliers", "q144_vocab_growth",
         "q145_indexed_term_search", "q146_stream_interval_join",
+        "q147_forget",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:
@@ -2796,6 +2801,80 @@ def _dv_update_state(s: SparkSession, d: str) -> DataFrame:
         mode="dv",
     )
     return t.read().select(*_STATE_COLS)
+
+
+def _forget_state(s: SparkSession, d: str) -> DataFrame:
+    """q147: right-to-be-forgotten erasure (lake/forget.py) — every
+    row of the data subjects (user_id % 5 == 0) is deleted from the
+    LWW state AND the per-event_type rollup is refreshed off the
+    forget epoch's CDF diff, both in ONE multi-table transaction (the
+    GDPR Art. 17 shape: a reader joining state to rollup never sees
+    the forget half-applied). The returned frame carries the surviving
+    state plus `rollup_ok`, TRUE iff the incrementally-maintained
+    rollup equals a full recount of the survivors — so the oracle's
+    pinned TRUE verifies the derived-table refresh, not just the
+    delete. Physical purge (snapshot expiry + orphan sweep) is pinned
+    by tests/test_forget.py's byte-level grep, not here. Reference
+    analog: deleteRTab (Core.hs:1524-1546) rebuilds one in-memory
+    table; the lake recast must also erase the derived tables."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.forget import forget_keys
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    t = _dml_state_lake(s, d, "hdbf_forget_q147_")
+    root = _os.path.dirname(t.root)
+    roll_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rollup = LakeTable.create(
+        s, f"{root}/rollup", roll_schema, key_cols=["event_type"],
+        num_buckets=4, nullable_keys=True,
+    )
+    # seed the rollup to the pre-forget state counts (in production
+    # the rollup is maintained from epoch 0 by the same _txn_epoch
+    # path; the seed stands in for that history)
+    seed = (
+        t.read().groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("live_rows"))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(0).cast("long"))
+    )
+    rollup.merge(seed, op_col="op", order_cols=("ts", "seq"),
+                 epoch_id="seed")
+    cat = Catalog(s, f"{root}/_catalog")
+    probe = (
+        t.read().where(F.col("user_id") % 5 == 0)
+        .select("user_id").distinct()
+    )
+    forget_keys(cat, t, probe, rollup=rollup,
+                rollup_group_cols=("event_type",))
+    t.manifest = t._load_latest_published_manifest()
+    rollup.manifest = rollup._load_latest_published_manifest()
+    state = t.read().select(*_STATE_COLS)
+    recount = state.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    mism = (
+        rollup.read().select("event_type", "live_rows")
+        .join(recount, "event_type", "full")
+        .where(
+            F.coalesce("live_rows", F.lit(0))
+            != F.coalesce("__n", F.lit(0))
+        )
+        .agg(F.count("*").alias("__bad"))
+    )
+    return (
+        state.crossJoin(F.broadcast(mism))
+        .withColumn("rollup_ok", F.col("__bad") == 0)
+        .drop("__bad")
+    )
 
 
 def _dv_retention_sweep(s: SparkSession, d: str) -> DataFrame:
@@ -4933,6 +5012,15 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
     # q145 answers the SAME question as q141 through the persisted
     # bloom-probed index; identical oracle
     o["q145_indexed_term_search"] = o["q141_term_search"]
+    # q147: the forget removes EVERY state row of user_id % 5 == 0
+    # subjects; rollup_ok is pinned TRUE — the engine side computes it
+    # by comparing the transactionally-refreshed rollup to a recount
+    o["q147_forget"] = f"""
+        SELECT user_id, event_type, value, ts, last_event_id,
+               TRUE AS rollup_ok
+        FROM ({_CDC_LWW_SQL})
+        WHERE user_id % 5 <> 0
+    """
     o["q139_funnel"] = """
         WITH v AS (
           SELECT user_id, min(ts) AS first_view
