@@ -147,6 +147,7 @@ def replay(
     dedup_index_mode: str = "cow",
     term_index: LakeTable | None = None,
     term_index_mode: str = "cow",
+    forget_dir: str | None = None,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -192,6 +193,14 @@ def replay(
     CDF pre-images supply the OLD term set so stale (term, doc) rows
     delete without ever reading the index back — O(changed turns x
     terms/turn) per epoch.
+
+    ``forget_dir`` (requires ``catalog``) drains a right-to-be-
+    forgotten request queue after every epoch (lake/forget.py):
+    each request file deletes its data subjects from the state AND
+    every derived table above in one transaction, so a forget is
+    honored within one epoch of arriving. NOTE the ordering contract:
+    a change event for a forgotten key arriving in a LATER epoch
+    re-inserts it — blocklist the keys upstream.
     """
     if rollup is not None and catalog is None:
         raise ValueError("rollup requires a catalog")
@@ -199,6 +208,25 @@ def replay(
         raise ValueError("dedup_index requires a catalog")
     if term_index is not None and catalog is None:
         raise ValueError("term_index requires a catalog")
+    if forget_dir is not None and catalog is None:
+        raise ValueError("forget_dir requires a catalog")
+
+    def _drain_forgets():
+        # right-to-be-forgotten queue (lake/forget.py): requests
+        # dropped into forget_dir are honored within one epoch, each
+        # as its own multi-table transaction over the SAME derived
+        # tables this replay maintains
+        if forget_dir is None:
+            return
+        from ..lake.forget import drain_forget_dir
+
+        drain_forget_dir(
+            catalog, table, forget_dir,
+            rollup=rollup, rollup_group_cols=rollup_group_cols,
+            dedup_index=dedup_index, dedup_index_mode=dedup_index_mode,
+            term_index=term_index, term_index_mode=term_index_mode,
+            mode=mode,
+        )
     t0 = time.time()
     if prune_buckets is None:
         # one count() over the feed: on the materialized parquet WAL
@@ -241,6 +269,7 @@ def replay(
                 if term_index is not None and term_index_mode == "mor":
                     term_index.compact_deltas()
         stats.per_epoch.append(m)
+        _drain_forgets()
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break
     stats.seconds = time.time() - t0

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from .table import LakeError, LakeTable
 from .transaction import Catalog
 
-__all__ = ["forget_keys"]
+__all__ = ["forget_keys", "drain_forget_dir"]
 
 
 def forget_keys(
@@ -162,6 +162,105 @@ def forget_keys(
     if purge and not stats.skipped:
         for name, h in handles.items():
             out["purged"][name] = _purge_table(h, purge_grace_seconds)
+    return out
+
+
+def drain_forget_dir(
+    catalog: Catalog,
+    state: LakeTable,
+    forget_dir: str,
+    *,
+    rollup: LakeTable | None = None,
+    rollup_group_cols: Sequence[str] = ("role",),
+    dedup_index: LakeTable | None = None,
+    dedup_index_mode: str = "cow",
+    term_index: LakeTable | None = None,
+    term_index_mode: str = "cow",
+    order_cols: Sequence[str] = ("ts", "seq"),
+    mode: str = "cow",
+    purge: bool = False,
+) -> list[dict]:
+    """Drain a queue of right-to-be-forgotten requests (the production
+    GDPR shape: compliance tooling drops request files, the ingest job
+    honors them within one epoch).
+
+    Each pending request is ``<name>.json`` in ``forget_dir``::
+
+        {"rows": [{"conv_id": "c-17"}, {"conv_id": "c-40"}],
+         "purge": false}
+
+    Row dicts name any subset of the state schema (equality match,
+    same contract as :func:`forget_keys`); ``purge`` optionally
+    overrides the call-level default per request. Requests apply in
+    filename order; each is renamed to ``<name>.json.applied`` (with
+    the outcome embedded) only AFTER its transaction commits, so a
+    crash between commit and rename re-runs the forget — harmless,
+    because a re-run matches zero rows and skips. Malformed requests
+    rename to ``.rejected`` instead of wedging the queue.
+
+    Returns one outcome dict per request processed this call.
+    """
+    import os
+
+    import pyspark.sql.types as T
+
+    spark = state.spark
+    out: list[dict] = []
+    try:
+        names = sorted(
+            n for n in os.listdir(forget_dir) if n.endswith(".json")
+        )
+    except FileNotFoundError:
+        return out
+    for name in names:
+        path = os.path.join(forget_dir, name)
+        res: dict = {"request": name}
+        try:
+            with open(path) as fh:
+                req = json.load(fh)
+            rows = req.get("rows")
+            if not isinstance(rows, list) or not rows or not all(
+                isinstance(r, dict) and r for r in rows
+            ):
+                raise LakeError(
+                    "forget request needs a non-empty 'rows' list of "
+                    "non-empty {column: value} dicts"
+                )
+            cols = sorted({c for r in rows for c in r})
+            schema = T.StructType([
+                state.schema[c] for c in cols if c in state.schema.names
+            ])
+            if len(schema) != len(cols):
+                bad = [c for c in cols if c not in state.schema.names]
+                raise LakeError(
+                    f"forget request columns {bad} not in the state "
+                    f"schema {state.schema.names}"
+                )
+            probe = spark.createDataFrame(
+                [tuple(r.get(c) for c in cols) for r in rows], schema
+            )
+            res.update(forget_keys(
+                catalog, state, probe,
+                rollup=rollup, rollup_group_cols=rollup_group_cols,
+                dedup_index=dedup_index,
+                dedup_index_mode=dedup_index_mode,
+                term_index=term_index, term_index_mode=term_index_mode,
+                order_cols=order_cols, mode=mode,
+                purge=bool(req.get("purge", purge)),
+            ))
+            res.pop("stats", None)  # MergeStats is not JSON-serializable
+            res["status"] = "applied"
+            done = path + ".applied"
+        except (LakeError, ValueError, KeyError, TypeError) as exc:
+            res.update({"status": "rejected", "error": str(exc)})
+            done = path + ".rejected"
+        try:
+            with open(done, "w") as fh:
+                json.dump(res, fh, default=str)
+            os.remove(path)
+        except OSError:
+            pass  # another drainer raced us; its outcome stands
+        out.append(res)
     return out
 
 

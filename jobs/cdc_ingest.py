@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
                          "__row_id / __last_updated_version columns; "
                          "Iceberg-v3 row-lineage analog). Forces CoW "
                          "merges — incompatible with --mor.")
+    ap.add_argument("--forget-dir", default=None,
+                    help="right-to-be-forgotten request queue "
+                         "(lake/forget.py): JSON files of key rows "
+                         "dropped here are honored within one epoch — "
+                         "each deletes its data subjects from the "
+                         "state AND every maintained derived table "
+                         "(rollup / dedup index / term index) in one "
+                         "multi-table transaction (replay mode only)")
     ap.add_argument("--auto-stats-cols", default=None,
                     help="comma-separated columns whose per-file "
                          "min/max bounds every merge/compaction "
@@ -156,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.feed_dir:
             ap.error("--stream requires --feed-dir")
+        if args.forget_dir:
+            ap.error("--forget-dir is replay-mode only; for a running "
+                     "stream, drain the queue from a sidecar process "
+                     "(lake.forget.drain_forget_dir — forgets are "
+                     "their own transactions, safe beside the tailer)")
         rollup = catalog = dedup_index = term_index = None
         if args.rollup_root:
             from haskell_dbfunctor_spark.cdc.apply import (
@@ -296,8 +309,18 @@ def main(argv: list[str] | None = None) -> int:
                     "_catalog",
                 ),
             )
+    if args.forget_dir and catalog is None:
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        catalog = Catalog(
+            spark,
+            os.path.join(
+                os.path.dirname(args.table_root) or ".", "_catalog"
+            ),
+        )
     stats = replay(
         table, feed, args.epochs,
+        forget_dir=args.forget_dir,
         evolution_epoch=args.evolution_epoch,
         stop_after=args.stop_after,
         mode="mor" if args.mor else "cow",
