@@ -229,6 +229,31 @@ def main(argv: list[str] | None = None) -> int:
                          "U_pre/U_post image pairs")
     ch.add_argument("--out", required=True, help="output parquet dir")
 
+    fd = sub.add_parser(
+        "forget-drain",
+        help="drain a right-to-be-forgotten request queue "
+             "(lake/forget.py): each JSON request file deletes its "
+             "data subjects from the state table and the given "
+             "derived tables in one multi-table transaction — the "
+             "sidecar-process form of cdc_ingest --forget-dir, safe "
+             "to run beside a live stream tailer",
+    )
+    fd.add_argument("--forget-dir", required=True,
+                    help="queue directory of <name>.json request files")
+    fd.add_argument("--catalog-root", dest="fd_catalog_root",
+                    required=True)
+    fd.add_argument("--rollup-root", default=None)
+    fd.add_argument("--rollup-by", default="role",
+                    help="comma-separated rollup group columns")
+    fd.add_argument("--dedup-index-root", default=None)
+    fd.add_argument("--term-index-root", default=None)
+    fd.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                    help="merge mode for the forget deletes")
+    fd.add_argument("--purge", action="store_true",
+                    help="default physical purge (snapshot expiry + "
+                         "orphan sweep) for requests that don't set "
+                         "their own 'purge' field")
+
     dw = sub.add_parser(
         "delete-where",
         help="DELETE FROM table WHERE <sql predicate> (retention/GDPR "
@@ -293,6 +318,38 @@ def main(argv: list[str] | None = None) -> int:
     if not args.table_root:
         ap.error(f"{args.action} requires --table-root")
     table = LakeTable.load(spark, args.table_root)
+
+    if args.action == "forget-drain":
+        from haskell_dbfunctor_spark.lake.forget import drain_forget_dir
+        from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+        cat = Catalog(spark, args.fd_catalog_root)
+        legs = {}
+        if args.rollup_root:
+            legs["rollup"] = LakeTable.load(spark, args.rollup_root)
+            legs["rollup_group_cols"] = tuple(
+                c.strip() for c in args.rollup_by.split(",") if c.strip()
+            )
+        if args.dedup_index_root:
+            legs["dedup_index"] = LakeTable.load(
+                spark, args.dedup_index_root
+            )
+        if args.term_index_root:
+            legs["term_index"] = LakeTable.load(spark, args.term_index_root)
+        results = drain_forget_dir(
+            cat, table, args.forget_dir,
+            mode=args.mode, purge=args.purge, **legs,
+        )
+        print(json.dumps({
+            "action": "forget-drain",
+            "requests": len(results),
+            "applied": sum(1 for r in results if r["status"] == "applied"),
+            "rejected": sum(
+                1 for r in results if r["status"] == "rejected"
+            ),
+            "results": results,
+        }, default=str))
+        return 0
 
     if args.action == "describe":
         print(json.dumps({"action": "describe", **table.describe()}))
