@@ -643,6 +643,84 @@ def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_forget_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
+    """Right-to-be-forgotten latency on a full production lake: state
+    + per-role rollup + inverted term index replayed transactionally,
+    then (a) a LOGICAL forget of ~1% of conversations — one
+    multi-table transaction deleting the subjects from all three
+    tables — and (b) a second forget with purge=True (MoR fold +
+    history expiry + orphan sweep = physical erasure). The logical
+    number is the per-request queue cost (`--forget-dir` pays it per
+    file); the purge number is the compliance-deadline batch cost.
+    Both are O(matched + touched buckets), independent of epochs
+    replayed, which is the scale claim worth measuring."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_rollup, open_or_create_term_index,
+        open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.forget import forget_keys
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_forgetcost_{_uuid.uuid4().hex[:6]}",
+    )
+    n_convs = max(n_events // 200, 100)
+    state = open_or_create_transcripts(spark, f"{root}/state")
+    rollup = open_or_create_rollup(spark, f"{root}/rollup", ["role"])
+    tix = open_or_create_term_index(spark, f"{root}/tix")
+    cat = Catalog(spark, f"{root}/_catalog")
+    feed = change_feed(spark, n_events, seed=7, n_convs=n_convs,
+                       n_epochs=n_epochs)
+    t0 = time.time()
+    replay(state, feed, n_epochs, catalog=cat, rollup=rollup,
+           term_index=tix)
+    build_s = time.time() - t0
+    state_rows = state.read().count()
+    k = max(n_convs // 100, 5)
+
+    def _probe(mod_rem: int):
+        return (
+            state.read().select("conv_id").distinct()
+            .where(F.abs(F.hash("conv_id")) % 100 == mod_rem)
+            .limit(k)
+        )
+
+    legs = {}
+    t0 = time.time()
+    out1 = forget_keys(cat, state, _probe(0), rollup=rollup,
+                       term_index=tix)
+    legs["logical_s"] = round(time.time() - t0, 3)
+    legs["logical_matched"] = out1["matched"]
+    t0 = time.time()
+    out2 = forget_keys(cat, state, _probe(1), rollup=rollup,
+                       term_index=tix, purge=True)
+    legs["purge_s"] = round(time.time() - t0, 3)
+    legs["purge_matched"] = out2["matched"]
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "forget_logical_s",
+        "value": legs["logical_s"],
+        "unit": "sec (one multi-table forget txn, state+rollup+term index)",
+        "n_events": n_events,
+        "state_rows": state_rows,
+        "forgotten_convs": k,
+        "build_s": round(build_s, 3),
+        "cores": cores,
+        **legs,
+    }))
+
+
 def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
                       pairs: int = 2) -> None:
     """Row-lineage merge overhead: identical CDC replays (half
@@ -894,6 +972,10 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--forget-cost", action="store_true",
+                    help="right-to-be-forgotten latency: logical "
+                         "multi-table forget txn + physical purge on "
+                         "a state+rollup+term-index lake")
     ap.add_argument("--lineage-cost", action="store_true",
                     help="row-lineage merge overhead: identical CDC "
                          "replays into a plain vs row_lineage=True "
@@ -921,6 +1003,8 @@ if __name__ == "__main__":
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
         main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.forget_cost:
+        main_forget_cost(args.cores, args.events, n_epochs=args.epochs)
     elif args.cluster_scaling:
         main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
                              n_epochs=args.epochs,
