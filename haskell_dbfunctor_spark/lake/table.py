@@ -105,6 +105,12 @@ CLUSTER_ZORDER_PROP = "clustering.zorder-by"
 TARGET_FILE_BYTES_PROP = "write.target-file-bytes"
 TARGET_FILE_BYTES_DEFAULT = 128 * 1024 * 1024
 
+# schema.auto-evolve table property: "true" (default) lets merge
+# batches add/widen columns implicitly (the north rule's mid-stream
+# evolution); "false" is Delta-style schema ENFORCEMENT — implicit
+# evolution raises, explicit add_column still works.
+SCHEMA_AUTO_EVOLVE_PROP = "schema.auto-evolve"
+
 
 def _scrub_clustering_props(
     props: dict, *, dropped: str | None = None,
@@ -2750,6 +2756,25 @@ class LakeTable:
                 added.append(T.StructField(f_in.name, f_in.dataType, True))
         if not added and not widened:
             return cur
+        # schema ENFORCEMENT (Delta's default posture; this engine
+        # defaults to auto-evolve per the north rule's mid-stream
+        # `tool` column): with the `schema.auto-evolve=false` table
+        # property, a batch may not implicitly add or widen columns —
+        # a typo'd producer field fails loudly instead of silently
+        # growing the table. `add_column` / explicit DDL remain the
+        # sanctioned evolution paths (they don't pass through here).
+        if (self.properties.get(SCHEMA_AUTO_EVOLVE_PROP, "true")
+                .lower() == "false"):
+            raise LakeError(
+                "schema.auto-evolve=false: batch would "
+                + (f"add columns {[f.name for f in added]!r} "
+                   if added else "")
+                + ("and " if added and widened else "")
+                + (f"widen columns {sorted(widened)!r} "
+                   if widened else "")
+                + "— evolve explicitly (add_column / set_properties) "
+                  "or fix the producer"
+            )
         base_fields = [
             T.StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
             for f in cur.fields
