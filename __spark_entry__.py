@@ -1136,6 +1136,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q98_curate_corpus"] = q98
 
+    # CoW/MoR replay equivalence — the north rule's "matching final
+    # table state" contract demonstrated PHYSICALLY: the same two-epoch
+    # feed applied through copy-on-write rewrites (cached q54-family
+    # lake) and through merge-on-read delta appends (fresh q48-family
+    # build) must collapse to byte-identical live state. The full-outer
+    # key join audits every key in-frame (n_mismatch must be 0); the
+    # oracle only knows the logical LWW state — if either physical path
+    # diverged, counts or sums would break the hash.
+    def q148(s, d):
+        cow, _ = _two_epoch_lake(s, d)
+        cow_state = cow.read().select(
+            "user_id", "event_type", "value", "ts",
+            F.col("seq").alias("last_event_id"),
+        )
+        mor_state = _mor_lake_state(s, d)
+        c, m = cow_state.alias("c"), mor_state.alias("m")
+        j = c.join(m, ["user_id", "event_type"], "full_outer")
+        mism = (
+            F.col("c.last_event_id").isNull()
+            | F.col("m.last_event_id").isNull()
+            | (F.col("c.last_event_id") != F.col("m.last_event_id"))
+            | (F.col("c.value") != F.col("m.value"))
+            | (F.col("c.ts") != F.col("m.ts"))
+        )
+        return j.agg(
+            F.count("c.last_event_id").alias("n_keys_cow"),
+            F.count("m.last_event_id").alias("n_keys_mor"),
+            F.sum(F.when(mism, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+            F.round(F.sum("c.value"), 2).alias("sum_value_cow"),
+            F.round(F.sum("m.value"), 2).alias("sum_value_mor"),
+        )
+
+    q["q148_cow_mor_equivalence"] = q148
+
+    # trajectory prefix-fork census: agent transcripts forked from a
+    # shared prefix (resampled continuations, branched tool runs)
+    # duplicate every shared turn — per depth, the redundant-turn count
+    # is convs alive minus DISTINCT cumulative prefix hashes. The
+    # prefix hash is an ordered-frame window aggregate (one exchange +
+    # one sort per conv, no self-join); at 100 TB this is the prefix-
+    # dedup pass a trajectory-training pipeline runs before tokenizing.
+    def q149(s, d):
+        from pyspark.sql import Window as W
+
+        tr = _t(s, d, "events").select(
+            (F.col("user_id") % 200).alias("conv"),
+            F.col("event_type").alias("text"),
+            "ts", "event_id",
+        )
+        w = W.partitionBy("conv").orderBy("ts", "event_id")
+        wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        tr = tr.withColumn("turn_no", F.row_number().over(w)).withColumn(
+            "prefix_hash",
+            F.md5(F.concat_ws("\x01", F.collect_list("text").over(wf))),
+        )
+        return (
+            tr.groupBy("turn_no")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.countDistinct("prefix_hash").alias("n_distinct_prefixes"),
+            )
+            .withColumn(
+                "n_redundant",
+                F.col("n_turns") - F.col("n_distinct_prefixes"),
+            )
+        )
+
+    q["q149_prefix_fork_dedup"] = q149
+
+    # CUBE — the all-subsets form of q109's ROLLUP through the same
+    # one-pass grouping-sets expansion (operators/core.py:
+    # group_by_rollup(cube=True)): one scan, one shuffle, every
+    # grouping level, grouping_id disambiguating subtotal NULLs
+    def q150(s, d):
+        from haskell_dbfunctor_spark.operators import group_by_rollup
+
+        out = group_by_rollup(
+            _t(s, d, "lineitem"),
+            ["l_returnflag", "l_linestatus"],
+            [Sum("l_quantity", "sum_qty"), CountStar("n_rows")],
+            cube=True,
+            grouping_id_as="gid",
+        )
+        return out.select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            "n_rows", F.col("gid").cast("long").alias("gid"),
+        )
+
+    q["q150_cube_grouping"] = q150
+
+    # containment (|A∩B|/|A|) dedup — the asymmetric complement of
+    # q24's Jaccard: catches short docs copied verbatim INTO longer
+    # ones (boilerplate wrappers, quote farms), invisible to Jaccard
+    # because the union denominator is dominated by the long side.
+    # Exact baseline (same class as q24); at scale feed LSH candidates
+    # (q42) into the same containment verdict.
+    def q151(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            containment_dup_counts,
+        )
+
+        return containment_dup_counts(_t(s, d, "documents"), 0.9)
+
+    q["q151_containment_dedup"] = q151
+
+    # trailing time-RANGE rolling aggregate (operators/temporal.py:
+    # rolling_range_agg): per-user 1-hour rolling event count + value
+    # sum — the variable-width frame a rows-based running total (q15)
+    # cannot express; one exchange + one sort, RangeFrame over
+    # unix_micros, no self-join
+    def q152(s, d):
+        from haskell_dbfunctor_spark.operators import rolling_range_agg
+
+        ev = _t(s, d, "events")
+        out = rolling_range_agg(
+            ev, "user_id", "ts",
+            aggs={
+                "roll_n": F.count(F.lit(1)),
+                "roll_sum": F.sum(F.col("value")),
+            },
+            window_seconds=3600.0,
+        )
+        return out.select(
+            "user_id", "event_id", "roll_n",
+            F.round("roll_sum", 2).alias("roll_sum"),
+        )
+
+    q["q152_rolling_window_1h"] = q152
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -1946,6 +2078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q148_cow_mor_equivalence", "q149_prefix_fork_dedup",
+        "q150_cube_grouping", "q151_containment_dedup",
+        "q152_rolling_window_1h",
         "q101_bm25_retrieval", "q102_hybrid_rrf", "q103_hard_negatives",
         "q104_stream_session_window", "q105_sft_render_budget",
         "q106_preference_pairs", "q107_curriculum_shards",
@@ -6091,5 +6226,82 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                round(CAST(round(1000000.0 * weight, 0) AS BIGINT)
                      / CAST(n_tokens AS DOUBLE), 4) AS epochs
         FROM w
+    """
+    # q148: the oracle knows only the LOGICAL LWW state — both physical
+    # replay paths (CoW rewrites, MoR delta collapse) must land on it
+    o["q148_cow_mor_equivalence"] = f"""
+        WITH st AS ({_CDC_LWW_SQL})
+        SELECT count(*) AS n_keys_cow,
+               count(*) AS n_keys_mor,
+               CAST(0 AS BIGINT) AS n_mismatch,
+               round(sum(value), 2) AS sum_value_cow,
+               round(sum(value), 2) AS sum_value_mor
+        FROM st
+    """
+    # q149: cumulative prefix hash via an ordered-frame string_agg
+    # window (frame order IS the aggregation order in both engines)
+    o["q149_prefix_fork_dedup"] = """
+        WITH tr AS (
+          SELECT user_id % 200 AS conv, event_type AS text, ts, event_id
+          FROM events
+        ), pfx AS (
+          SELECT conv,
+                 row_number() OVER w AS turn_no,
+                 md5(string_agg(text, chr(1)) OVER (
+                   PARTITION BY conv ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )) AS prefix_hash
+          FROM tr
+          WINDOW w AS (PARTITION BY conv ORDER BY ts, event_id)
+        )
+        SELECT turn_no, count(*) AS n_turns,
+               count(DISTINCT prefix_hash) AS n_distinct_prefixes,
+               count(*) - count(DISTINCT prefix_hash) AS n_redundant
+        FROM pfx GROUP BY turn_no
+    """
+    o["q150_cube_grouping"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    # q151: containment |A∩B|/|A| — direction picks the smaller side as
+    # contained; on a size tie the higher doc_id drops (exact dups shed
+    # exactly one copy)
+    o["q151_containment_dedup"] = """
+        WITH dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), dirs AS (
+          SELECT CASE
+                   WHEN c >= 0.9 * s1.n AND s1.n < s2.n THEN d1
+                   WHEN c >= 0.9 * s2.n AND s2.n <= s1.n THEN d2
+                 END AS doc_id
+          FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_containers FROM dirs
+          WHERE doc_id IS NOT NULL GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_containers, 0) AS n_containers
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
+    o["q152_rolling_window_1h"] = """
+        SELECT user_id, event_id,
+               count(*) OVER w AS roll_n,
+               round(sum(value) OVER w, 2) AS roll_sum
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
     """
     return o

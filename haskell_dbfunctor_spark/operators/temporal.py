@@ -1,4 +1,5 @@
-"""Temporal operators: point-in-time (as-of) join and sessionization.
+"""Temporal operators: point-in-time (as-of) join, sessionization, and
+time-range rolling aggregates.
 
 Neither exists in the reference (its join surface is the six theta
 joins, /root/reference/src/RTable/Core.hs:2704-2715); both are
@@ -24,7 +25,7 @@ Scale posture (the 100 TB question):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def asof_join(
@@ -87,6 +88,49 @@ def asof_join(
         name = c + suffix if c in taken else c
         out_cols.append(F.col(f"__att.{c}").alias(name))
     return att.where(F.col("__side") == 1).select(*out_cols)
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    aggs: dict[str, Column] | None = None,
+    window_seconds: float = 3600.0,
+    *,
+    value_col: str = "value",
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """Time-RANGE rolling aggregate: for every row, aggregate the rows
+    of the same key whose timestamp lies in ``[ts - window_seconds,
+    ts]`` — the trailing-window feature every event-stream pipeline
+    derives (rate limits, rolling spend, burst detection). A rows-frame
+    (``rtabFoldl'``-style running totals, operators/core.py
+    running_total) cannot express this: the frame width varies per row
+    with event density.
+
+    ``aggs`` maps output column name -> aggregate Column (default: one
+    SUM over ``value_col`` named ``out_col``). Plan: ONE hash exchange
+    on the key + ONE sort, then a RangeFrame window over
+    ``unix_micros(ts)`` — no self-join, no interval explode; SQL RANGE
+    BETWEEN INTERVAL semantics (ties in ts are peers: every row with
+    equal ts sees the identical frame, matching ANSI/DuckDB). Skew
+    caveat matches ``asof_join``: one key sorts in one task.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if aggs is None:
+        aggs = {out_col: F.sum(F.col(value_col))}
+    span_us = int(round(window_seconds * 1_000_000))
+    # cast: driver parquet carries TimestampNTZ, unix_micros wants
+    # TIMESTAMP (wall-clock preserving under the UTC session TZ)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-span_us, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
 
 
 def sessionize(

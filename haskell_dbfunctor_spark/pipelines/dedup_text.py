@@ -115,6 +115,74 @@ def near_dup_counts(
     )
 
 
+def containment_dup_counts(
+    docs: DataFrame, threshold: float = 0.9, *, salt: int = 64
+) -> DataFrame:
+    """Per-doc count of CONTAINERS: docs whose word set covers at least
+    ``threshold`` of this doc's word set. Containment |A∩B|/|A| is the
+    asymmetric cousin of Jaccard — it catches subset duplication
+    (a short doc copied verbatim into a longer one: quote farms,
+    boilerplate wrappers, concatenated scrapes) that the symmetric
+    Jaccard of ``near_dup_counts`` misses because the union in its
+    denominator is dominated by the longer side. The reference has no
+    set-similarity surface at all (its dedup story is `runUnion`'s
+    whole-row nub, /root/reference/src/RTable/Core.hs:3004-3005).
+
+    Direction: B contains A when c/|A| >= t and (|A| < |B| or
+    (|A| = |B| and A's id > B's id)) — the tiebreak makes exact
+    duplicates drop exactly one side. Unlike Jaccard there is NO
+    AllPairs size prefilter (containment admits any size ratio by
+    construction), so this is the exact-but-quadratic baseline, same
+    class as ``near_dup_counts``; at corpus scale generate candidates
+    with ``lsh_candidate_pairs`` first and verify containment on the
+    survivors. The shingle self-join is salted + width-pinned
+    (operators/skew.py) for the same AQE-coalescing reason as q24.
+    """
+    from ..operators.skew import salted_equi_join
+
+    dw = _words(docs)
+    sz = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dw_n = dw.join(F.broadcast(sz), "doc_id")
+    joined = salted_equi_join(
+        dw_n, dw_n, "word",
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=(F.col("l.doc_id") < F.col("r.doc_id")),
+        num_partitions=salt * 4,
+    )
+    pairs = (
+        joined.groupBy(
+            F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2"),
+            F.col("n").alias("n1"), F.col("n_r").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.lit(threshold)
+    # each unordered pair can fire in either direction; d1 < d2 always,
+    # so on a size tie the HIGHER id (d2) is the contained side
+    contained = pairs.select(
+        F.when(
+            (F.col("c") >= t * F.col("n1")) & (F.col("n1") < F.col("n2")),
+            F.col("d1"),
+        )
+        .when(
+            (F.col("c") >= t * F.col("n2")) & (F.col("n2") <= F.col("n1")),
+            F.col("d2"),
+        )
+        .alias("doc_id")
+    ).where(F.col("doc_id").isNotNull())
+    cnt = contained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_containers")
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
     """MinHash signature per doc: mh_i = min over words of md5(word#i).
 
