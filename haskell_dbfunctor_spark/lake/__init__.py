@@ -1,5 +1,6 @@
 from .dml import delete_where, update_where
 from .forget import forget_keys
+from .fsck import fsck
 from .reconcile import reconcile, snapshot_diff
 from .table import LakeTable, MergeStats
 from .transaction import Catalog, Transaction, TransactionAborted
@@ -15,4 +16,5 @@ __all__ = [
     "delete_where",
     "update_where",
     "forget_keys",
+    "fsck",
 ]

@@ -152,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
              "dropped/renamed), row lineage, and the live file census",
     )
 
+    fs = sub.add_parser(
+        "fsck",
+        help="report-only integrity check: referenced files exist, "
+             "bucket ids in range, epoch log / lineage HWM consistent; "
+             "--deep adds full-scan invariants (row placement, key "
+             "uniqueness, row-id uniqueness). Exit 3 on errors.",
+    )
+    fs.add_argument("--deep", action="store_true")
+
     sp = sub.add_parser(
         "set-props",
         help="ALTER TABLE SET/UNSET TBLPROPERTIES (metadata-only "
@@ -354,6 +363,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.action == "describe":
         print(json.dumps({"action": "describe", **table.describe()}))
         return 0
+
+    if args.action == "fsck":
+        from haskell_dbfunctor_spark.lake.fsck import fsck
+
+        res = fsck(table, deep=args.deep)
+        print(json.dumps({"action": "fsck", **res}))
+        return 0 if res["ok"] else 3
 
     if args.action == "set-props":
         props = {}
