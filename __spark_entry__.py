@@ -1268,6 +1268,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q152_rolling_window_1h"] = q152
 
+    # referential-integrity census (operators/quality.py) — the
+    # post-load FK health dashboard: per declared constraint, child
+    # rows / non-null FKs / orphans via LEFT ANTI joins (a NULL FK
+    # never violates). One action, three tiny aggregate legs.
+    def q153(s, d):
+        from haskell_dbfunctor_spark.operators.quality import (
+            referential_integrity_census,
+        )
+
+        out = referential_integrity_census([
+            ("lineitem_orderkey", _t(s, d, "lineitem"), "l_orderkey",
+             _t(s, d, "orders"), "o_orderkey"),
+            ("orders_custkey", _t(s, d, "orders"), "o_custkey",
+             _t(s, d, "customer"), "c_custkey"),
+            ("customer_nationkey", _t(s, d, "customer"), "c_nationkey",
+             _t(s, d, "nation"), "n_nationkey"),
+        ])
+        return out.select(
+            "constraint",
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_fk_non_null").cast("long").alias("n_fk_non_null"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+        )
+
+    q["q153_fk_integrity"] = q153
+
+    # per-feed freshness lag (operators/quality.py) — each event type's
+    # event-time high-water mark vs the global one; the multi-source
+    # ingest liveness dashboard (one hash agg + a broadcast 1-row max,
+    # no whole-table window)
+    def q154(s, d):
+        from haskell_dbfunctor_spark.operators.quality import freshness_lag
+
+        out = freshness_lag(
+            _t(s, d, "events"), "event_type", "ts",
+            stale_after_minutes=60.0,
+        )
+        return out.select(
+            "event_type",
+            F.date_format("group_max_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("group_max"),
+            F.date_format("global_max_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("global_max"),
+            F.round("lag_minutes", 3).alias("lag_minutes"),
+            "is_stale",
+        )
+
+    q["q154_freshness_lag"] = q154
+
+    # one-scan column profiler (operators/quality.py) — null rate /
+    # exact NDV / min / max for every documents column in a single
+    # pass (multi-distinct rides Catalyst's Expand; min/max cast to
+    # string so heterogeneous types stack into one frame)
+    def q155(s, d):
+        from haskell_dbfunctor_spark.operators.quality import profile_columns
+
+        out = profile_columns(_t(s, d, "documents"))
+        return out.select(
+            F.col("column").alias("col_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.round("null_rate", 6).alias("null_rate"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_value", "max_value",
+        )
+
+    q["q155_column_profile"] = q155
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2078,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
         "q148_cow_mor_equivalence", "q149_prefix_fork_dedup",
         "q150_cube_grouping", "q151_containment_dedup",
         "q152_rolling_window_1h",
@@ -6303,5 +6372,77 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
           PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
         )
+    """
+    o["q153_fk_integrity"] = """
+        WITH legs AS (
+          SELECT 'lineitem_orderkey' AS constraint,
+                 (SELECT count(*) FROM lineitem) AS n_child,
+                 (SELECT count(l_orderkey) FROM lineitem) AS n_fk_non_null,
+                 (SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                 AS n_orphans
+          UNION ALL
+          SELECT 'orders_custkey',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(o_custkey) FROM orders),
+                 (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+          UNION ALL
+          SELECT 'customer_nationkey',
+                 (SELECT count(*) FROM customer),
+                 (SELECT count(c_nationkey) FROM customer),
+                 (SELECT count(*) FROM customer c
+                   WHERE c.c_nationkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = c.c_nationkey))
+        )
+        SELECT * FROM legs
+    """
+    o["q154_freshness_lag"] = """
+        WITH g AS (SELECT event_type, max(ts) AS gm
+                   FROM events GROUP BY event_type),
+             x AS (SELECT max(ts) AS xm FROM events)
+        SELECT event_type,
+               strftime(gm, '%Y-%m-%d %H:%M:%S') AS group_max,
+               strftime(xm, '%Y-%m-%d %H:%M:%S') AS global_max,
+               round(date_diff('microsecond', gm, xm) / 60000000.0, 3)
+                 AS lag_minutes,
+               date_diff('microsecond', gm, xm) / 60000000.0 > 60.0
+                 AS is_stale
+        FROM g CROSS JOIN x
+    """
+    o["q155_column_profile"] = """
+        WITH n AS (SELECT count(*) AS n_rows FROM documents),
+        legs AS (
+          SELECT 'doc_id' AS col_name, count(doc_id) AS n_non_null,
+                 count(DISTINCT doc_id) AS n_distinct,
+                 CAST(min(doc_id) AS VARCHAR) AS min_value,
+                 CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+          UNION ALL
+          SELECT 'text', count(text), count(DISTINCT text),
+                 CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT 'lang', count(lang), count(DISTINCT lang),
+                 CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT 'source', count(source), count(DISTINCT source),
+                 CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+                 CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+          FROM documents
+        )
+        SELECT col_name, n.n_rows, n.n_rows - n_non_null AS n_nulls,
+               round((n.n_rows - n_non_null) / CAST(n.n_rows AS DOUBLE), 6)
+                 AS null_rate,
+               n_distinct, min_value, max_value
+        FROM legs CROSS JOIN n
     """
     return o

@@ -112,10 +112,14 @@ def freshness_lag(
         F.max(ts_col).alias("group_max_ts")
     )
     global_max = df.agg(F.max(ts_col).alias("global_max_ts"))
+    # unix_micros rejects TIMESTAMP_NTZ (what parquet event-time columns
+    # often carry) — cast both marks identically so the difference is
+    # timezone-invariant either way
     out = per_group.crossJoin(F.broadcast(global_max)).withColumn(
         "lag_minutes",
         (
-            F.unix_micros("global_max_ts") - F.unix_micros("group_max_ts")
+            F.unix_micros(F.col("global_max_ts").cast("timestamp"))
+            - F.unix_micros(F.col("group_max_ts").cast("timestamp"))
         ).cast("double")
         / F.lit(60_000_000.0),
     )
