@@ -294,7 +294,8 @@ def _record_epoch_only(table: LakeTable, epoch_id: str) -> MergeStats:
         return m
 
     committed = table._commit_rebased(
-        base=table.manifest, touched=(), apply=apply, epoch_id=epoch_id
+        base=table.manifest, touched=(), apply=apply, epoch_id=epoch_id,
+        op="record-epoch",
     )
     return MergeStats(
         epoch_id=epoch_id,
@@ -311,6 +312,7 @@ def _rewrite_commit(
     *,
     epoch_id: str | None,
     target_file_bytes: int,
+    op: str,
 ) -> dict | None:
     """Write ``out`` (already carrying BUCKET_COL) as the replacement
     for ``matched_files`` + the whole of ``matched_delta`` buckets, and
@@ -398,6 +400,7 @@ def _rewrite_commit(
         apply=apply,
         epoch_id=epoch_id,
         orphan_dir=snap_abs,
+        op=op,
     )
 
 
@@ -731,6 +734,7 @@ def _dv_mutate(
                 apply=apply,
                 epoch_id=epoch_id,
                 orphan_dir=dv_abs,
+                op="update-dv" if patch is not None else "delete-dv",
             )
         except CommitConflict:
             for p in (fold_abs, upd_abs):
@@ -874,6 +878,7 @@ def delete_where(
             committed = _rewrite_commit(
                 table, out, files, delta_buckets,
                 epoch_id=epoch_id, target_file_bytes=target_file_bytes,
+                op="delete",
             )
         except CommitConflict:
             if attempt == conflict_retries:
@@ -1030,6 +1035,7 @@ def update_where(
             committed = _rewrite_commit(
                 table, out, files, delta_buckets,
                 epoch_id=epoch_id, target_file_bytes=target_file_bytes,
+                op="update",
             )
         except CommitConflict:
             if attempt == conflict_retries:

@@ -413,6 +413,8 @@ class LakeTable:
             # from the written files' footer max (exact, driver-side)
             manifest["next_row_id"] = 0
         tbl = cls(spark, root, manifest)
+        manifest["op"] = "create"
+        manifest["op_metrics"] = tbl._op_metrics(None, manifest)
         tbl._commit(manifest)
         return tbl
 
@@ -618,6 +620,10 @@ class LakeTable:
                 "applied_epochs": sorted(m["applied_epochs"]),
                 "created_at": m.get("created_at"),
                 "staged": bool(m.get("staged")),
+                # DESCRIBE HISTORY operation/operationMetrics analog
+                # (absent on pre-upgrade manifests)
+                "op": m.get("op"),
+                "op_metrics": m.get("op_metrics"),
             })
         return sorted(out, key=lambda r: r["version"])
 
@@ -666,6 +672,55 @@ class LakeTable:
         return _read_manifest_file(
             self.root, os.path.join(self.root, MANIFEST_DIR, f"v{v}.json")
         )
+
+    def _op_metrics(self, parent: dict | None, m: dict) -> dict:
+        """Per-commit operation metrics (Delta ``operationMetrics``
+        analog): the manifest diff vs the commit's content parent —
+        data files added/removed, delta/DV files added, buckets whose
+        file list changed, and bytes added (local ``stat`` of the
+        newly referenced files only, O(files added)). Computed
+        centrally at commit time with zero Spark jobs; works on
+        hydrated manifests (every ``apply`` closure builds from a
+        hydrated parent). Rebase recomputes against the new parent, so
+        the recorded diff always matches the committed lineage."""
+
+        def _sets(man: dict | None, key: str) -> dict[str, set]:
+            return {
+                b: set(fl)
+                for b, fl in ((man or {}).get(key) or {}).items()
+            }
+
+        pb, nb = _sets(parent, "buckets"), _sets(m, "buckets")
+        added: list[str] = []
+        removed = touched = 0
+        for b in set(pb) | set(nb):
+            old, new = pb.get(b, set()), nb.get(b, set())
+            if old != new:
+                touched += 1
+            added.extend(new - old)
+            removed += len(old - new)
+        pd_, nd = _sets(parent, "delta_files"), _sets(m, "delta_files")
+        delta_added = [
+            f for b in nd for f in nd[b] - pd_.get(b, set())
+        ]
+        pv, nv = _sets(parent, "dv_files"), _sets(m, "dv_files")
+        dv_added = [f for b in nv for f in nv[b] - pv.get(b, set())]
+        bytes_added = 0
+        for rel in added + delta_added + dv_added:
+            try:
+                bytes_added += os.stat(
+                    os.path.join(self.root, rel)
+                ).st_size
+            except OSError:
+                pass  # shallow-clone foreign-root refs / expired races
+        return {
+            "files_added": len(added),
+            "files_removed": removed,
+            "delta_files_added": len(delta_added),
+            "dv_files_added": len(dv_added),
+            "buckets_touched": touched,
+            "bytes_added": bytes_added,
+        }
 
     def _commit(self, manifest: dict) -> None:
         """CAS-commit ``manifest`` as version ``manifest['version']``.
@@ -1077,6 +1132,7 @@ class LakeTable:
         epoch_id: str | None = None,
         orphan_dir: str | None = None,
         max_rebase: int = 20,
+        op: str | None = None,
     ) -> dict | None:
         """Commit ``apply(latest_manifest)`` with optimistic rebase.
 
@@ -1121,6 +1177,10 @@ class LakeTable:
                     fixed[e] = rec
                 m["applied_epochs"] = fixed
             m["parent"] = parent["version"]
+            # always overwrite (closures that dict(parent)-copy would
+            # otherwise inherit the PARENT commit's op/metrics)
+            m["op"] = op or "commit"
+            m["op_metrics"] = self._op_metrics(parent, m)
             return m
 
         parent_used = base
@@ -1459,7 +1519,8 @@ class LakeTable:
         for attempt in range(conflict_retries + 1):
             try:
                 committed = self._commit_rebased(
-                    base=self.manifest, touched=(), apply=apply
+                    base=self.manifest, touched=(), apply=apply,
+                    op="add-column",
                 )
                 return {
                     "version": committed["version"],
@@ -1859,7 +1920,9 @@ class LakeTable:
         # concurrent commit; stats entries for files the winner deleted
         # are pruned inside _commit, files it added simply lack stats
         # (never skipped — the safe default)
-        self._commit_rebased(base=self.manifest, touched=(), apply=apply)
+        self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply, op="analyze"
+        )
         return {
             "files_analyzed": n_read,
             "files_with_stats": sum(1 for e in stats.values() if e),
@@ -2089,7 +2152,10 @@ class LakeTable:
             m["file_blooms"] = merged
             return m
 
-        self._commit_rebased(base=self.manifest, touched=(), apply=apply)
+        self._commit_rebased(
+            base=self.manifest, touched=(), apply=apply,
+            op="analyze-bloom",
+        )
         return {
             "files_analyzed": n_read,
             "files_with_blooms": sum(1 for e in blooms.values() if e),
@@ -2251,7 +2317,8 @@ class LakeTable:
             return m
 
         committed = self._commit_rebased(
-            base=self.manifest, touched=(), apply=apply
+            base=self.manifest, touched=(), apply=apply,
+            op="analyze-ndv",
         )
         return {
             "files_sketched": len(todo),
@@ -3481,6 +3548,7 @@ class LakeTable:
             committed = self._commit_rebased(
                 base=base, touched=touched, apply=apply,
                 epoch_id=epoch_id, orphan_dir=snap_abs,
+                op="merge",
             )
         except Exception:
             _drop_ephemeral_quarantine()
@@ -3619,6 +3687,7 @@ class LakeTable:
         committed = self._commit_rebased(
             base=base, touched=touched, apply=apply,
             epoch_id=epoch_id, orphan_dir=snap_abs,
+            op="merge-mor",
         )
         if committed is None:  # a racing writer applied this epoch
             return MergeStats(
@@ -3735,7 +3804,8 @@ class LakeTable:
         for attempt in range(conflict_retries + 1):
             try:
                 committed = self._commit_rebased(
-                    base=self.manifest, touched=touched, apply=apply
+                    base=self.manifest, touched=touched, apply=apply,
+                    op="rollback",
                 )
                 return {
                     "rolled_back_to": int(version),
@@ -3840,6 +3910,8 @@ class LakeTable:
             "version": int(self.manifest["version"]),
             "deep": bool(deep),
         }
+        m["op"] = "clone"
+        m["op_metrics"] = dest._op_metrics(None, m)
         dest._commit(m)
         dest.manifest = dest._load_latest_published_manifest()
         return dest
@@ -3900,7 +3972,8 @@ class LakeTable:
         # concurrent data commit... except one that re-evolves the
         # same column; the schema-equality conflict rule covers it
         committed = self._commit_rebased(
-            base=self.manifest, touched=(), apply=apply
+            base=self.manifest, touched=(), apply=apply,
+            op="drop-column",
         )
         return {"dropped": name, "version": committed["version"]}
 
@@ -4047,6 +4120,8 @@ class LakeTable:
                 set(staged.get("partial_delta_files", []))
                 | set(pub.get("partial_delta_files", []))
             )
+            m["op"] = "publish"
+            m["op_metrics"] = self._op_metrics(pub, m)
             for _skip in range(64):  # staged-sibling skips are finite;
                 # bound defends against a pathological stage-loop writer
                 ae = dict(pub["applied_epochs"])
@@ -4161,6 +4236,7 @@ class LakeTable:
         committed = self._commit_rebased(
             base=self.manifest, touched=touched, apply=apply,
             orphan_dir=snap_abs,
+            op="compact-deltas",
         )
         return {
             "buckets_compacted": len(touched),
@@ -4461,6 +4537,7 @@ class LakeTable:
         committed = self._commit_rebased(
             base=self.manifest, touched=touched, apply=apply,
             orphan_dir=snap_abs,
+            op="compact",
         )
         files_after = sum(
             len(committed["buckets"].get(str(b), [])) for b in touched
@@ -4591,6 +4668,7 @@ class LakeTable:
             touched=range(self.num_buckets),
             apply=apply,
             orphan_dir=snap_abs,
+            op="rename-column",
         )
         return {"version": committed["version"], "renamed": {old: new}}
 
@@ -4697,6 +4775,7 @@ class LakeTable:
             touched=range(self.num_buckets),
             apply=apply,
             orphan_dir=snap_abs,
+            op="rebucket",
         )
         return {
             "version": committed["version"],
@@ -4890,7 +4969,8 @@ class LakeTable:
             return m
 
         committed = self._commit_rebased(
-            base=self.manifest, touched=(), apply=apply
+            base=self.manifest, touched=(), apply=apply,
+            op="add-constraint",
         )
         return {"constraint": name, "version": committed["version"]}
 
@@ -4946,7 +5026,8 @@ class LakeTable:
             return m
 
         committed = self._commit_rebased(
-            base=self.manifest, touched=(), apply=apply
+            base=self.manifest, touched=(), apply=apply,
+            op="set-properties",
         )
         return {
             "properties": dict(committed.get("properties") or {}),
@@ -4968,7 +5049,8 @@ class LakeTable:
             return m
 
         committed = self._commit_rebased(
-            base=self.manifest, touched=(), apply=apply
+            base=self.manifest, touched=(), apply=apply,
+            op="drop-constraint",
         )
         return {"dropped_constraint": name, "version": committed["version"]}
 
@@ -5136,6 +5218,7 @@ class LakeTable:
                 return rec.get("version", -1) if isinstance(rec, dict) else -1
 
             last = max(applied, key=lambda e: (_ver(e), e)) if applied else None
+            om = m.get("op_metrics") or {}
             rows.append((
                 int(m["version"]),
                 float(m.get("created_at") or 0.0),
@@ -5145,12 +5228,19 @@ class LakeTable:
                 last,
                 len(m.get("buckets", {})),
                 sum(len(v) for v in m.get("delta_files", {}).values()),
+                m.get("op"),
+                om.get("files_added"),
+                om.get("files_removed"),
+                om.get("bytes_added"),
+                om.get("buckets_touched"),
             ))
         return self.spark.createDataFrame(
             rows,
             "version int, committed_at double, parent int, staged boolean, "
             "n_applied_epochs int, last_epoch_id string, "
-            "n_buckets int, n_delta_files int",
+            "n_buckets int, n_delta_files int, "
+            "op string, files_added long, files_removed long, "
+            "bytes_added long, buckets_touched long",
         ).withColumn(
             "committed_at", F.timestamp_seconds(F.col("committed_at"))
         )
@@ -5213,6 +5303,8 @@ class LakeTable:
             "metadata_spill": bool(m.get("metadata_spill")),
             "cloned_from": m.get("cloned_from"),
             "created_at": m.get("created_at"),
+            "last_operation": m.get("op"),
+            "last_operation_metrics": m.get("op_metrics"),
         }
 
     # ------------------------------------------------ lineage / metrics
