@@ -1336,6 +1336,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q155_column_profile"] = q155
 
+    # commit audit log (lake/table.py history + op_metrics) — runs a
+    # fixed create → merge → MoR merge → compact-deltas → DV-delete
+    # sequence on a scratch lake and returns the per-commit operation
+    # log (Delta DESCRIBE HISTORY analog). The op sequence and
+    # data-change flags are fully deterministic, so the oracle pins
+    # them as literals — what's verified is the ENGINE's audit
+    # contract, not the input data.
+    def q156(s, d):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from haskell_dbfunctor_spark.lake.dml import delete_where
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        ev = (
+            _t(s, d, "events")
+            .filter(F.col("event_id") % 100 < 3)
+            .select(
+                "user_id", "event_type",
+                F.col("value").cast("double").alias("value"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.lit("U").alias("op"),
+                F.col("event_id").alias("seq"),
+            )
+        )
+        root = _tempfile.mkdtemp(prefix="q156-", dir="/dev/shm")
+        try:
+            t = LakeTable.create(
+                s, root + "/t", ev.drop("op", "seq").schema,
+                key_cols=["user_id"], num_buckets=4,
+            )
+            t.merge(ev.filter(F.col("seq") % 3 == 0), epoch_id="e1",
+                    order_cols=("ts", "seq"))
+            t.merge(ev.filter(F.col("seq") % 3 == 1), epoch_id="e2",
+                    order_cols=("ts", "seq"), mode="mor")
+            t.compact_deltas()
+            delete_where(t, F.col("user_id") % 7 == 0, mode="dv")
+            rows = [
+                (
+                    int(h["version"]),
+                    h["op"],
+                    bool(
+                        h["op_metrics"]["files_added"]
+                        + h["op_metrics"]["files_removed"]
+                        + h["op_metrics"]["delta_files_added"]
+                        + h["op_metrics"]["dv_files_added"]
+                    ),
+                    len(h["applied_epochs"]),
+                )
+                for h in LakeTable.history(t.root)
+            ]
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+        return s.createDataFrame(
+            rows,
+            "version int, operation string, data_change boolean, "
+            "n_epochs int",
+        )
+
+    q["q156_commit_audit"] = q156
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2147,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
         "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
+        "q156_commit_audit",
         "q148_cow_mor_equivalence", "q149_prefix_fork_dedup",
         "q150_cube_grouping", "q151_containment_dedup",
         "q152_rolling_window_1h",
@@ -6444,5 +6506,18 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                  AS null_rate,
                n_distinct, min_value, max_value
         FROM legs CROSS JOIN n
+    """
+    # q156's op sequence is a deterministic function of the engine's
+    # commit machinery (create never changes data; merge/merge-mor/
+    # compact-deltas/delete-dv always do; epochs accumulate 0,1,2,2,2)
+    # — the oracle pins the audit-log contract as literals
+    o["q156_commit_audit"] = """
+        SELECT * FROM (VALUES
+          (0, 'create',         false, 0),
+          (1, 'merge',          true,  1),
+          (2, 'merge-mor',      true,  2),
+          (3, 'compact-deltas', true,  2),
+          (4, 'delete-dv',      true,  2)
+        ) AS t(version, operation, data_change, n_epochs)
     """
     return o
