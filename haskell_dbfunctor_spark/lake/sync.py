@@ -39,7 +39,10 @@ def sync_cursor(dst: LakeTable) -> int:
         (
             int(e[len(SYNC_PREFIX):])
             for e in dst.applied_epochs()
-            if e.startswith(SYNC_PREFIX)
+            # join_view cursors share the retention-exempt "sync-v"
+            # prefix but carry a non-numeric suffix ("sync-vj-a3-b5");
+            # they are not OUR cursor — skip, don't crash
+            if e.startswith(SYNC_PREFIX) and e[len(SYNC_PREFIX):].isdigit()
         ),
         default=0,
     )
