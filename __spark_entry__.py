@@ -1397,6 +1397,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q156_commit_audit"] = q156
 
+    # incremental JOIN-view maintenance (lake/join_view.py): a
+    # denormalized orders ⋈ customer view kept current from BOTH
+    # tables' change feeds — never recomputed. Three refreshes: full
+    # build, then both-sides incremental (fact late-arrivals + price
+    # corrections, dim balance updates), then both-sides deletes. The
+    # oracle recomputes the final join from the raw tables, so a hash
+    # match proves the O(changes) maintenance converged to the exact
+    # recompute. At 10^10 rows each refresh is one bucket-pruned CDF
+    # read per source + one stats-pruned affected-row read + one MERGE.
+    def q157(s, d):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from haskell_dbfunctor_spark.lake.join_view import (
+            create_join_view,
+            sync_join_view,
+        )
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        orders = _t(s, d, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = _t(s, d, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        root = _tempfile.mkdtemp(prefix="q157-", dir="/dev/shm")
+        try:
+            fact = LakeTable.create(
+                s, root + "/fact", orders.schema,
+                key_cols=["o_orderkey"], num_buckets=8,
+            )
+            dim = LakeTable.create(
+                s, root + "/dim", cust.schema,
+                key_cols=["c_custkey"], num_buckets=4,
+            )
+            mo = dict(order_cols=("o_orderkey",), drop_cols=())
+            md = dict(order_cols=("c_custkey",), drop_cols=())
+            fact.merge(
+                orders.where(F.col("o_orderkey") % 4 != 3)
+                .withColumn("op", F.lit("U")),
+                epoch_id="f1", **mo,
+            )
+            dim.merge(
+                cust.withColumn("op", F.lit("U")), epoch_id="d1", **md
+            )
+            view = create_join_view(s, root + "/view", fact, dim)
+            sync_join_view(fact, dim, view, fk_cols=["o_custkey"])
+            f2 = orders.where(F.col("o_orderkey") % 4 == 3).unionByName(
+                orders.where(F.col("o_orderkey") % 10 == 2).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 5
+                )
+            )
+            fact.merge(f2.withColumn("op", F.lit("U")), epoch_id="f2", **mo)
+            dim.merge(
+                cust.where(F.col("c_custkey") % 3 == 0)
+                .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+                .withColumn("op", F.lit("U")),
+                epoch_id="d2", **md,
+            )
+            sync_join_view(fact, dim, view, fk_cols=["o_custkey"])
+            fact.merge(
+                orders.where(F.col("o_orderkey") % 10 == 7)
+                .withColumn("op", F.lit("D")),
+                epoch_id="f3", **mo,
+            )
+            dim.merge(
+                cust.where(F.col("c_custkey") % 13 == 0)
+                .withColumn("op", F.lit("D")),
+                epoch_id="d3", **md,
+            )
+            sync_join_view(fact, dim, view, fk_cols=["o_custkey"])
+            rows = (
+                view.read()
+                .groupBy(
+                    F.coalesce("c_mktsegment", F.lit("(none)"))
+                    .alias("segment")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                    F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+                )
+                .collect()
+            )
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+        return s.createDataFrame(
+            rows,
+            "segment string, n_rows long, sum_price double, "
+            "sum_bal double",
+        )
+
+    q["q157_join_view_ivm"] = q157
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2207,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q157_join_view_ivm",
         "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
         "q156_commit_audit",
         "q148_cow_mor_equivalence", "q149_prefix_fork_dedup",
@@ -6519,5 +6614,30 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
           (3, 'compact-deltas', true,  2),
           (4, 'delete-dv',      true,  2)
         ) AS t(version, operation, data_change, n_epochs)
+    """
+
+    # q157: the oracle IS the full recompute of the final join state —
+    # a hash match proves the incrementally maintained view (three
+    # O(changes) refreshes off both tables' CDFs) equals it exactly
+    o["q157_join_view_ivm"] = """
+        WITH fact_final AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 10 = 2
+                      THEN o_totalprice + 5 ELSE o_totalprice
+                 END AS tp
+          FROM orders WHERE o_orderkey % 10 <> 7
+        ), dim_final AS (
+          SELECT c_custkey, c_mktsegment,
+                 c_acctbal
+                 + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS ab
+          FROM customer WHERE c_custkey % 13 <> 0
+        )
+        SELECT coalesce(d.c_mktsegment, '(none)') AS segment,
+               count(*) AS n_rows,
+               round(sum(f.tp), 2) AS sum_price,
+               round(sum(d.ab), 2) AS sum_bal
+        FROM fact_final f
+        LEFT JOIN dim_final d ON f.o_custkey = d.c_custkey
+        GROUP BY 1
     """
     return o
