@@ -332,6 +332,55 @@ def uniform_sample_n(
     )
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``n`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis A-Res
+    ("Weighted random sampling with a reservoir", IPL 2006): each row
+    draws a deterministic uniform ``u`` from ``md5(seed || key)`` and
+    keeps priority ``u^(1/w)``; the n largest priorities ARE a
+    weight-proportional sample. Computed as ``ln(u)/w`` (monotone in
+    ``u^(1/w)``, numerically safer) and rounded to 6dp so an external
+    SQL engine lands on the same side of every comparison; ties break
+    to the smallest key.
+
+    The training-mixture primitive behind "sample 1M documents
+    proportional to token count" — heavier docs are proportionally
+    likelier, but nothing is drawn twice (temperature_sample keeps a
+    per-GROUP rate; this weights per ROW and hits an exact count).
+
+    Scale: same shape as ``uniform_sample_n`` — the priority is a pure
+    per-row expression on the scan, orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition n-heaps, O(n) driver merge);
+    no shuffle of the data, no window. Rows with NULL keys or
+    non-positive/NULL weights are dropped (no defined draw/priority).
+    """
+    u = (
+        F.conv(
+            hash_bucket_hex(
+                F.concat(F.lit(seed), F.col(key_col).cast("string"))
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16 ** 8))
+    pr = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.where(F.col(key_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pr", pr)
+        .orderBy(F.col("__pr").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__pr")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     entity_col: str,

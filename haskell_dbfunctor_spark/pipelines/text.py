@@ -1184,3 +1184,97 @@ def bm25_scores(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word-adjacency graph — nodes are distinct words,
+    undirected edges connect words that appear ADJACENT anywhere in the
+    corpus, and ``iters`` damped power iterations score centrality:
+    ``r(w) = (1-d) + d * Σ_{v∈adj(w)} r(v)/deg(v)``. The graph-scoring
+    sibling of the frequency rankers (tf-idf/BM25): a word ranks high
+    for being adjacent to other well-connected words, not merely for
+    being common. Returns the top ``k`` (word, rank[6dp], deg).
+
+    Plan shape (the iterative-DataFrame pattern shared with
+    ``operators/graph.connected_components``): adjacency pairs come
+    from zipping each token array against itself shifted by one (no
+    window, no self-join on position), edges/deg/nodes are
+    distinct-pair-sized aggregates computed ONCE, and each iteration
+    is one hash join (edges ⋈ ranks on src) + one hash agg (sum by
+    dst) + a left join back onto the node table, localCheckpoint-ed to
+    cut lineage. At 100 TB: edge volume is distinct-ADJACENT-pair
+    bounded (~10^8-9 for web text, far below token volume), every
+    iteration shuffles only (word, rank) pairs, and convergence is
+    fixed-step — no driver-side graph state. Per-iteration ranks are
+    rounded to 6dp so an external engine's different summation order
+    converges to identical values (the ivf_train/Lloyd rule).
+    """
+    toks = docs.select(_words(text_col).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("a"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("b"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    canon = (
+        pairs.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    # symmetrize with ONE explode — never a unionAll of the same
+    # derived frame (it would run the distinct subtree twice)
+    edges = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("word"), "deg").localCheckpoint(
+        eager=True
+    )
+    ranks = nodes.select("word", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.join(deg, ranks["word"] == deg["src"]).select(
+                    F.col("word").alias("cw"),
+                    (F.col("r") / F.col("deg")).alias("share"),
+                ),
+                edges["src"] == F.col("cw"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["word"] == contrib["dst"], "left"
+        ).select(
+            "word",
+            F.round(
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                6,
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.join(nodes.select("word", "deg"), "word")
+        .select("word", F.col("r").alias("rank"), "deg")
+        .orderBy(F.col("rank").desc(), F.col("word").asc())
+        .limit(k)
+    )
