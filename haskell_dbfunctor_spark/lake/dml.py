@@ -928,6 +928,13 @@ def update_where(
     table._forbid_staged("update_where")
     pred = _match(_as_column(predicate))
     assigns = _resolve_assignments(table, assignments)
+    generated = table._generated_columns()
+    direct = sorted(set(assigns) & set(generated))
+    if direct:
+        raise LakeError(
+            f"update_where: {direct} are GENERATED ALWAYS AS columns — "
+            "they recompute from their sources and cannot be assigned"
+        )
 
     def patched(df: DataFrame, only_matches: bool) -> DataFrame:
         cols = []
@@ -954,7 +961,16 @@ def update_where(
                     else F.when(pred, bump).otherwise(F.col(LAST_UPDATED_COL))
                 ).alias(LAST_UPDATED_COL)
             )
-        return df.select(*cols)
+        out = df.select(*cols)
+        # GENERATED ALWAYS AS columns recompute AFTER the patch so they
+        # see the assigned source values; unpatched rows recompute to
+        # their stored value (the write invariant), so no when(pred)
+        # gate is needed
+        for g, e in generated.items():
+            out = out.withColumn(
+                g, F.expr(e).cast(table.schema[g].dataType)
+            )
+        return out
 
     if mode == "dv":
         return _dv_mutate(

@@ -338,6 +338,7 @@ class LakeTable:
         nullable_keys: bool = False,
         properties: dict[str, str] | None = None,
         row_lineage: bool = False,
+        generated_columns: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``row_lineage=True`` enables Iceberg-v3-style row lineage:
         every stored row carries a hidden table-unique ``__row_id``
@@ -365,7 +366,22 @@ class LakeTable:
         fact/CDC tables with non-null keys keep the single-shuffle
         plan, and their NULL-keyed rows are dropped at merge (reject
         them explicitly with an expectations entry if they can
-        occur)."""
+        occur).
+
+        ``generated_columns`` ({name: SQL expr}) declares Delta-style
+        GENERATED ALWAYS AS columns: the named schema columns are
+        COMPUTED at every write from the other columns of the same row
+        (batches may omit them; values they do carry are overridden),
+        so the invariant `g == expr(row)` holds for every stored row
+        with zero read-side cost. Declared at CREATE only (Delta's own
+        rule — every file ever written carries the column, so reads
+        never need a fill path). Exprs may reference any non-generated
+        column; key columns cannot be generated. Incompatibilities are
+        enforced where they'd break the invariant: ``update_cols`` /
+        MoR ``partial=True`` merges and direct assignment via
+        ``update_where`` are refused, and dropping or renaming a
+        column referenced by a generation expr is refused while the
+        generated column exists."""
         meta_dir = os.path.join(root, MANIFEST_DIR)
         if os.path.exists(os.path.join(meta_dir, "version-hint.txt")):
             if not overwrite:
@@ -382,6 +398,38 @@ class LakeTable:
         clash = [c for c in schema.names if c in reserved]
         if clash:
             raise LakeError(f"schema uses reserved column names {clash}")
+        if generated_columns:
+            for g in generated_columns:
+                if g not in schema.names:
+                    raise LakeError(
+                        f"generated column {g!r} not in schema"
+                    )
+                if g in key_cols:
+                    raise LakeError(
+                        f"generated column {g!r} cannot be a key column "
+                        "(keys address rows; a computed key would make "
+                        "the generation expr part of row identity)"
+                    )
+            base = T.StructType(
+                [f for f in schema.fields if f.name not in generated_columns]
+            )
+            probe = spark.createDataFrame([], base)
+            for g, e in generated_columns.items():
+                try:
+                    # resolves (or raises) against the NON-generated
+                    # columns only: generation exprs cannot reference
+                    # other generated columns (no evaluation-order
+                    # dependency) or themselves
+                    probe.select(
+                        F.expr(e).cast(schema[g].dataType).alias(g)
+                    ).schema
+                except LakeError:
+                    raise
+                except Exception as ex:
+                    raise LakeError(
+                        f"generated column {g!r}: expr {e!r} does not "
+                        f"resolve against the non-generated schema: {ex}"
+                    )
         os.makedirs(meta_dir, exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         manifest = {
@@ -407,6 +455,8 @@ class LakeTable:
             # parent manifest).
             "properties": dict(properties or {}),
         }
+        if generated_columns:
+            manifest["generated_columns"] = dict(generated_columns)
         if row_lineage:
             manifest["row_lineage"] = True
             # next id to allocate; advanced by every inserting commit
@@ -1383,6 +1433,23 @@ class LakeTable:
         dd = self.manifest.get("column_defaults") or {}
         names = set(self.schema.names)
         return {c: d for c, d in dd.items() if c in names}
+
+    def _generated_columns(self) -> dict[str, str]:
+        """{name: SQL expr} of GENERATED ALWAYS AS columns (create-time
+        declaration; see :meth:`create`). Writers recompute these from
+        the row's other columns on every path that produces new row
+        images (merge, update_where); readers never need to."""
+        return dict(self.manifest.get("generated_columns") or {})
+
+    def _generation_refs(self, col: str) -> list[str]:
+        """Generated columns whose expr (conservatively, by
+        word-boundary text match) references ``col`` — the guard set
+        for drop/rename of a source column."""
+        return [
+            g
+            for g, e in self._generated_columns().items()
+            if re.search(rf"\b{re.escape(col)}\b", e)
+        ]
 
     def _unversioned_missing(self, col: str) -> list[str]:
         """``file:`` URIs of live files whose path carries no snapshot
@@ -3025,6 +3092,39 @@ class LakeTable:
             return MergeStats(
                 epoch_id=epoch_id, version=self.version, skipped=True
             )
+        generated = self._generated_columns()
+        if generated:
+            if partial:
+                raise LakeError(
+                    "generated columns are incompatible with MoR "
+                    "partial=True patches: a patch touching a source "
+                    "column would leave the stored generated value "
+                    "stale; use mode='cow' or full-row MoR"
+                )
+            if update_cols is not None:
+                raise LakeError(
+                    "update_cols cannot combine with generated columns: "
+                    "a subset update could desynchronize a generated "
+                    "column from its sources — omit update_cols "
+                    "(full-row replace recomputes them)"
+                )
+            # GENERATED ALWAYS AS: compute each declared column from
+            # the batch row, overriding anything the batch carried —
+            # BEFORE the full-row MoR completeness check (an omitting
+            # batch is legal), the expectations gate (constraints may
+            # predicate on generated values), and LWW dedup
+            for g, e in generated.items():
+                try:
+                    changes = changes.withColumn(
+                        g, F.expr(e).cast(self.schema[g].dataType)
+                    )
+                except Exception as ex:
+                    raise LakeError(
+                        f"generated column {g!r}: expr {e!r} does not "
+                        "resolve against this batch — batches on a "
+                        "generated-column table must carry every source "
+                        f"column the expr reads: {ex}"
+                    )
         if mode == "mor" and not partial:
             missing = [
                 f.name
@@ -3929,6 +4029,12 @@ class LakeTable:
             raise LakeError(f"drop_column: {name!r} is a key column")
         if name not in self.schema.names:
             raise LakeError(f"drop_column: unknown column {name!r}")
+        refs = [g for g in self._generation_refs(name) if g != name]
+        if refs:
+            raise LakeError(
+                f"drop_column: {name!r} is read by generated column(s) "
+                f"{refs} — drop those first"
+            )
         new_schema = T.StructType(
             [f for f in self.schema.fields if f.name != name]
         )
@@ -3944,6 +4050,10 @@ class LakeTable:
                 dd = dict(parent["column_defaults"])
                 dd.pop(name)
                 m["column_defaults"] = dd
+            if name in (parent.get("generated_columns") or {}):
+                gg = dict(parent["generated_columns"])
+                gg.pop(name)
+                m["generated_columns"] = gg
             scrubbed = _scrub_clustering_props(
                 parent.get("properties") or {}, dropped=name
             )
@@ -4583,6 +4693,18 @@ class LakeTable:
                 f"rename_column: {new!r} was dropped earlier; reusing the "
                 "name would resurrect its old values from un-rewritten "
                 "files of retained snapshots"
+            )
+        if old in self._generated_columns():
+            raise LakeError(
+                f"rename_column: {old!r} is a generated column; drop "
+                "and re-create the table to change its name (the "
+                "generation expr map keys on it)"
+            )
+        refs = self._generation_refs(old)
+        if refs:
+            raise LakeError(
+                f"rename_column: {old!r} is read by generated "
+                f"column(s) {refs} — their exprs would dangle"
             )
         for attempt in range(conflict_retries + 1):
             try:
@@ -5285,6 +5407,7 @@ class LakeTable:
             "row_lineage": self.row_lineage,
             "next_row_id": m.get("next_row_id"),
             "column_defaults": dict(m.get("column_defaults") or {}),
+            "generated_columns": dict(m.get("generated_columns") or {}),
             "constraints": dict(m.get("constraints") or {}),
             "properties": self.properties,
             "dropped_columns": list(m.get("dropped_columns", [])),
