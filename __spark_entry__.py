@@ -1491,6 +1491,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q157_join_view_ivm"] = q157
 
+    # Product-quantization ANN (pipelines/pq.py) — the COMPRESSED
+    # similarity path: codes are m bytes vs dims*4 vector bytes, the
+    # ADC scan reads only the code column + one broadcast LUT, exact
+    # cosine re-ranks just the shortlist. q159 composes it with the
+    # IVF coarse quantizer (FAISS IVFx,PQy — the billion-scale config).
+    def q158(s, d):
+        from haskell_dbfunctor_spark.pipelines.pq import pq_top_k
+
+        return pq_top_k(_t(s, d, "embeddings"), 0, 10)
+
+    q["q158_pq_ann"] = q158
+
+    def q159(s, d):
+        from haskell_dbfunctor_spark.pipelines.pq import ivfpq_top_k
+
+        return ivfpq_top_k(_t(s, d, "embeddings"), 0, 10)
+
+    q["q159_ivfpq_ann"] = q159
+
+    # TextRank corpus keywords (pipelines/text.py) — PageRank over the
+    # word-adjacency graph: the graph-centrality ranker next to the
+    # frequency rankers (tf-idf q61 / BM25 q101); 5 damped power
+    # iterations as hash-join + hash-agg rounds, 6dp-rounded so the
+    # oracle's unrolled SQL converges to identical doubles.
+    def q160(s, d):
+        from haskell_dbfunctor_spark.pipelines.text import textrank_keywords
+
+        return textrank_keywords(_t(s, d, "documents"), k=20)
+
+    q["q160_textrank"] = q160
+
+    # A-Res weighted sampling (pipelines/sampling.py) — exactly-n
+    # WITHOUT replacement, probability ∝ n_chars: the "sample 1M docs
+    # proportional to token count" mixture primitive; a pure per-row
+    # priority + TakeOrderedAndProject, no shuffle of the data.
+    def q161(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            weighted_sample_n,
+        )
+
+        return weighted_sample_n(
+            _t(s, d, "documents"), 25, "n_chars", "doc_id", seed="ws"
+        ).select("doc_id", "source", "n_chars")
+
+    q["q161_weighted_sample"] = q161
+
+    # GENERATED ALWAYS AS columns (lake/table.py) — the band column is
+    # never supplied by any writer: the merge computes it from value at
+    # ingest, and update_where recomputes it AFTER the patch (purchases
+    # get +50, so rows crossing the 120 boundary must flip to 'high').
+    # The oracle recomputes both from the raw feed — a hash match
+    # proves write-time generation AND DML-time regeneration.
+    def q162(s, d):
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import time as _time
+
+        import pyspark.sql.types as T
+
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        ev = _t(s, d, "events").select(
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            "user_id", "event_type", "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("seq"),
+        )
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("band", T.StringType()),
+        ])
+        base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+            "/dev/shm" if _os.path.isdir("/dev/shm")
+            else _tempfile.gettempdir()
+        )
+        prefix = "hdbf_gc_q162_"
+        for old in _os.listdir(base):
+            if old.startswith(prefix):
+                p = f"{base}/{old}"
+                try:
+                    if _time.time() - _os.path.getmtime(p) > 3600:
+                        _shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
+        tmp = _tempfile.mkdtemp(prefix=prefix, dir=base)
+        t = LakeTable.create(
+            s, f"{tmp}/lake", schema,
+            key_cols=["user_id", "event_type"], num_buckets=8,
+            generated_columns={
+                "band": "CASE WHEN value >= 120 THEN 'high' "
+                        "ELSE 'low' END"
+            },
+        )
+        t.merge(ev, epoch_id="e0", prune_buckets=False)
+        t.update_where(
+            "event_type = 'purchase'",
+            {"value": F.col("value") + F.lit(50.0)},
+        )
+        return t.read().select("user_id", "event_type", "value", "band")
+
+    q["q162_generated_columns"] = q162
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2301,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
+        "q161_weighted_sample", "q162_generated_columns",
         "q157_join_view_ivm",
         "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
         "q156_commit_audit",
@@ -2983,6 +3092,190 @@ def _ivf_oracle(
 
 
 _IVF_ORACLE_SQL = _ivf_oracle(n_centroids=8, nprobe=2)
+
+
+def _pq_ctes(m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
+    """DuckDB mirror of pq_train(refine_iters=1) + pq_encode + the
+    query LUT (pipelines/pq.py): per sub-space seeds = smallest
+    vec_ids' sub-vectors (6dp), one Lloyd step under 6dp squared-L2
+    (lowest-code ties), full-table code assignment ``a_pq(vec_id, sub,
+    code)``, and ``lut(sub, code, dd)`` = the query's distance to every
+    codeword. Names are pq_-prefixed to compose with
+    ``_ivf_assign_ctes`` in the IVF-PQ oracle."""
+    ds = dims // m
+    hi = ds + 1
+
+    def l2(off, cv):
+        d = f"(CAST(e.embedding[{off}+i] AS DOUBLE) - {cv}[i])"
+        return (
+            f"round(list_sum(list_transform(range(1,{hi}), "
+            f"i -> {d} * {d})), 6)"
+        )
+
+    return f"""dsub AS (SELECT unnest(range(1, {hi})) AS i),
+        subs AS (SELECT unnest(range(0, {m})) AS sub),
+        seeds AS (SELECT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT {n_codes}),
+        cb0 AS (
+          SELECT s.sub, e.vec_id AS code,
+                 list(round(CAST(e.embedding[s.sub*{ds} + d.i] AS DOUBLE),
+                            6) ORDER BY d.i) AS cv
+          FROM embeddings e, subs s, dsub d
+          WHERE e.vec_id IN (SELECT vec_id FROM seeds)
+          GROUP BY s.sub, e.vec_id
+        ),
+        pq_d0 AS (
+          SELECT e.vec_id, c.sub, c.code, {l2(f"c.sub*{ds}", "c.cv")} AS d6
+          FROM embeddings e, cb0 c
+        ),
+        pq_a0 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d6, code) AS rn
+            FROM pq_d0
+          ) WHERE rn = 1
+        ),
+        pq_elem AS (
+          SELECT pq_a0.sub, pq_a0.code, d.i,
+                 round(avg(CAST(e.embedding[pq_a0.sub*{ds} + d.i]
+                                AS DOUBLE)), 6) AS m
+          FROM pq_a0 JOIN embeddings e USING (vec_id), dsub d
+          GROUP BY pq_a0.sub, pq_a0.code, d.i
+        ),
+        cb1 AS (SELECT sub, code, list(m ORDER BY i) AS cv
+                FROM pq_elem GROUP BY sub, code),
+        pq_d1 AS (
+          SELECT e.vec_id, c.sub, c.code, {l2(f"c.sub*{ds}", "c.cv")} AS d6
+          FROM embeddings e, cb1 c
+        ),
+        a_pq AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d6, code) AS rn
+            FROM pq_d1
+          ) WHERE rn = 1
+        ),
+        qrow AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (
+          SELECT c.sub, c.code,
+                 round(list_sum(list_transform(range(1,{hi}), i ->
+                   (CAST(q.qv[c.sub*{ds}+i] AS DOUBLE) - c.cv[i]) *
+                   (CAST(q.qv[c.sub*{ds}+i] AS DOUBLE) - c.cv[i]))), 6) AS dd
+          FROM cb1 c, qrow q
+        )"""
+
+
+def _pq_oracle(
+    m: int = 4, n_codes: int = 8, dims: int = 64,
+    shortlist: int = 50, k: int = 10,
+) -> str:
+    """pq_top_k mirror: ADC = Σ_sub lut[sub, code] (6dp), shortlist by
+    ADC asc (vec_id ties), exact-cosine re-rank of the survivors."""
+    cos = _ivf_cos(dims + 1)
+    emb = "CAST(e.embedding[i] AS DOUBLE)"
+    qv = "CAST(q.qv[i] AS DOUBLE)"
+    return f"""
+        WITH {_pq_ctes(m, n_codes, dims)},
+        adc AS (
+          SELECT a.vec_id, round(sum(l.dd), 6) AS adc
+          FROM a_pq a JOIN lut l USING (sub, code)
+          WHERE a.vec_id <> 0
+          GROUP BY a.vec_id
+        ),
+        cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id
+                 LIMIT {shortlist})
+        SELECT e.vec_id, round({cos(emb, qv)}, 4) AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id), qrow q
+        ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _ivfpq_oracle(
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, n_codes: int = 8,
+    dims: int = 64, shortlist: int = 50, k: int = 10,
+) -> str:
+    """ivfpq_top_k mirror: the IVF CTE chain (shared verbatim with
+    q53/q90/q93) prunes to the nprobe nearest cells, the PQ chain
+    scores survivors by ADC, exact cosine re-ranks the shortlist."""
+    cos = _ivf_cos(dims + 1)
+    emb = "CAST(e.embedding[i] AS DOUBLE)"
+    cv = "c.cv[i]"
+    qv = "CAST(q.qv[i] AS DOUBLE)"
+    return f"""
+        WITH {_ivf_assign_ctes(n_centroids, dims)},
+        {_pq_ctes(m, n_codes, dims)},
+        probe AS (
+          SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY c6 DESC, cid) AS rn
+            FROM (SELECT c.cid, round({cos(cv, qv)}, 6) AS c6
+                  FROM cent1 c, qrow q)
+          ) WHERE rn <= {nprobe}
+        ),
+        adc AS (
+          SELECT a.vec_id, round(sum(l.dd), 6) AS adc
+          FROM a_pq a JOIN lut l USING (sub, code)
+          JOIN a1 USING (vec_id)
+          WHERE a.vec_id <> 0 AND a1.cid IN (SELECT cid FROM probe)
+          GROUP BY a.vec_id
+        ),
+        cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id
+                 LIMIT {shortlist})
+        SELECT e.vec_id, round({cos(emb, qv)}, 4) AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id), qrow q
+        ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _textrank_oracle(
+    iters: int = 5, damping: float = 0.85, k: int = 20
+) -> str:
+    """textrank_keywords mirror: edges = distinct undirected adjacent
+    word pairs (q123's tokenization), then ``iters`` UNROLLED damped
+    power-iteration CTEs, each 6dp-rounded like the Spark loop."""
+    ctes = [f"""dt AS (
+          SELECT doc_id, list_filter(string_split(trim(text), ' '),
+                                     w -> w <> '') AS l
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id AS did, unnest(l) AS w,
+                 generate_subscripts(l, 1) AS pos
+          FROM dt WHERE len(l) >= 2
+        ),
+        canon AS (
+          SELECT DISTINCT least(a.w, b.w) AS a, greatest(a.w, b.w) AS b
+          FROM pos a JOIN pos b
+            ON a.did = b.did AND b.pos = a.pos + 1
+          WHERE a.w <> b.w
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM canon
+          UNION ALL SELECT b, a FROM canon
+        ),
+        deg AS (SELECT src AS word, count(*) AS deg
+                FROM edges GROUP BY src),
+        r0 AS (SELECT word, 1.0 AS r FROM deg)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""r{t} AS (
+          SELECT n.word,
+                 round({1.0 - damping} + {damping} * coalesce(s.c, 0.0),
+                       6) AS r
+          FROM deg n LEFT JOIN (
+            SELECT e.dst, sum(p.r / d.deg) AS c
+            FROM edges e
+            JOIN r{t - 1} p ON p.word = e.src
+            JOIN deg d ON d.word = e.src
+            GROUP BY e.dst
+          ) s ON s.dst = n.word
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT r.word, r.r AS rank, d.deg
+        FROM r{iters} r JOIN deg d USING (word)
+        ORDER BY rank DESC, word LIMIT {k}
+    """
 
 
 def _two_epoch_lake(s: SparkSession, d: str):
@@ -6639,5 +6932,40 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         FROM fact_final f
         LEFT JOIN dim_final d ON f.o_custkey = d.c_custkey
         GROUP BY 1
+    """
+
+    o["q158_pq_ann"] = _pq_oracle()
+    o["q159_ivfpq_ann"] = _ivfpq_oracle()
+    o["q160_textrank"] = _textrank_oracle()
+
+    # q161: A-Res priority = ln((h32+1)/2^32)/weight at 6dp, h32 = the
+    # md5-prefix draw of seed||key — identical integer inputs, so both
+    # engines round the same double
+    o["q161_weighted_sample"] = """
+        WITH s AS (
+          SELECT doc_id, source, n_chars,
+                 round(ln((CAST(('0x' || substr(md5('ws' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           + 1.0) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE), 6) AS pr
+          FROM documents
+          WHERE doc_id IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, source, n_chars
+        FROM s ORDER BY pr DESC, doc_id LIMIT 25
+    """
+
+    # q162: band is GENERATED ALWAYS AS — the oracle recomputes it
+    # from the post-update value, proving the lake's write-time
+    # generation and update_where's post-patch regeneration both match
+    # a from-scratch recompute
+    o["q162_generated_columns"] = f"""
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value + 50.0
+                    ELSE value END AS value,
+               CASE WHEN (CASE WHEN event_type = 'purchase'
+                               THEN value + 50.0 ELSE value END) >= 120
+                    THEN 'high' ELSE 'low' END AS band
+        FROM ({_CDC_LWW_SQL})
     """
     return o
