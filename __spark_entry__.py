@@ -1633,6 +1633,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q162_generated_columns"] = q162
 
+    # Persisted PQ index (pipelines/pq_index.py) — q158's compressed
+    # ANN as a MAINTAINED table: the codebook trains ONCE on the
+    # initial corpus (vec_id%5!=4) and freezes; the late batch reaches
+    # the index through an incremental CDF sync (row-wise literal
+    # encoding, no retrain, no corpus rescan); the query's ADC scan
+    # reads ONLY the m-byte code column, exact cosine re-ranks the
+    # shortlist from the corpus lake. Build cached per sf dir (q90's
+    # pattern); the measured cost is LUT + code scan + re-rank.
+    def q163(s, d):
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        import pyspark.sql.types as T
+
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+        from haskell_dbfunctor_spark.pipelines.pq_index import (
+            create_codebook, create_pq_index, pq_top_k_indexed,
+            sync_pq_index, train_codebook,
+        )
+
+        base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+            "/dev/shm" if _os.path.isdir("/dev/shm")
+            else _tempfile.gettempdir()
+        )
+        src = f"{d}/embeddings.parquet"
+        stem = _os.path.basename(d.rstrip("/"))
+        tag = f"{stem}_{int(_os.path.getmtime(src))}"
+        final = f"{base}/hdbf_pqix_{tag}"
+        try:
+            for old in _os.listdir(base):
+                if (old.startswith(f"hdbf_pqix_{stem}_")
+                        and old != f"hdbf_pqix_{tag}"):
+                    _shutil.rmtree(f"{base}/{old}", ignore_errors=True)
+        except OSError:
+            pass
+
+        def _load_valid(root):
+            try:
+                cl = LakeTable.load(s, f"{root}/corpus")
+                cb = LakeTable.load(s, f"{root}/cb")
+                ix = LakeTable.load(s, f"{root}/ix")
+                if sync_pq_index(cl, ix, cb)["skipped"]:
+                    return cl, cb, ix
+            except (OSError, ValueError, KeyError):
+                pass
+            return None
+
+        if _os.path.exists(final):
+            got = _load_valid(final)
+            if got is not None:
+                return pq_top_k_indexed(
+                    got[2], got[1], got[0].read(), 0, 10
+                )
+            _shutil.rmtree(final, ignore_errors=True)
+
+        emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+        init = emb.where(F.col("vec_id") % 5 != 4)
+        late = emb.where(F.col("vec_id") % 5 == 4)
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+        tmp = _tempfile.mkdtemp(prefix="hdbf_pqix_build_", dir=base)
+        cl = LakeTable.create(
+            s, f"{tmp}/corpus", schema, key_cols=["vec_id"], num_buckets=8
+        )
+        cl.merge(init, op_col=None, order_cols=())
+        cb = create_codebook(s, f"{tmp}/cb")
+        train_codebook(init, cb)
+        ix = create_pq_index(s, f"{tmp}/ix", num_buckets=8)
+        sync_pq_index(cl, ix, cb)
+        cl.merge(late, op_col=None, order_cols=())
+        sync_pq_index(cl, ix, cb)
+        try:
+            _os.rename(tmp, final)  # atomic publish
+        except OSError:
+            racer = _load_valid(final)
+            if racer is not None:
+                _shutil.rmtree(tmp, ignore_errors=True)
+                return pq_top_k_indexed(
+                    racer[2], racer[1], racer[0].read(), 0, 10
+                )
+            return pq_top_k_indexed(ix, cb, cl.read(), 0, 10)
+        got = _load_valid(final)
+        return pq_top_k_indexed(got[2], got[1], got[0].read(), 0, 10)
+
+    q["q163_indexed_pq_ann"] = q163
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2445,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
         "q161_weighted_sample", "q162_generated_columns",
+        "q163_indexed_pq_ann",
         "q157_join_view_ivm",
         "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
         "q156_commit_audit",
@@ -3129,14 +3219,21 @@ def _ivf_oracle(
 _IVF_ORACLE_SQL = _ivf_oracle(n_centroids=8, nprobe=2)
 
 
-def _pq_ctes(m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
+def _pq_ctes(
+    m: int = 4, n_codes: int = 8, dims: int = 64,
+    train_where: str = "TRUE",
+) -> str:
     """DuckDB mirror of pq_train(refine_iters=1) + pq_encode + the
     query LUT (pipelines/pq.py): per sub-space seeds = smallest
     vec_ids' sub-vectors (6dp), one Lloyd step under 6dp squared-L2
     (lowest-code ties), full-table code assignment ``a_pq(vec_id, sub,
     code)``, and ``lut(sub, code, dd)`` = the query's distance to every
     codeword. Names are pq_-prefixed to compose with
-    ``_ivf_assign_ctes`` in the IVF-PQ oracle."""
+    ``_ivf_assign_ctes`` in the IVF-PQ oracle. ``train_where``
+    restricts codebook TRAINING to a subset — the frozen-codebook
+    contract of the persisted PQ index (q163): late vectors are still
+    ENCODED (pq_d1/a_pq run over the full table) but never move the
+    codewords."""
     ds = dims // m
     hi = ds + 1
 
@@ -3149,19 +3246,20 @@ def _pq_ctes(m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
 
     return f"""dsub AS (SELECT unnest(range(1, {hi})) AS i),
         subs AS (SELECT unnest(range(0, {m})) AS sub),
-        seeds AS (SELECT vec_id FROM embeddings
+        pq_tr AS (SELECT * FROM embeddings WHERE {train_where}),
+        seeds AS (SELECT vec_id FROM pq_tr
                   ORDER BY vec_id LIMIT {n_codes}),
         cb0 AS (
           SELECT s.sub, e.vec_id AS code,
                  list(round(CAST(e.embedding[s.sub*{ds} + d.i] AS DOUBLE),
                             6) ORDER BY d.i) AS cv
-          FROM embeddings e, subs s, dsub d
+          FROM pq_tr e, subs s, dsub d
           WHERE e.vec_id IN (SELECT vec_id FROM seeds)
           GROUP BY s.sub, e.vec_id
         ),
         pq_d0 AS (
           SELECT e.vec_id, c.sub, c.code, {l2(f"c.sub*{ds}", "c.cv")} AS d6
-          FROM embeddings e, cb0 c
+          FROM pq_tr e, cb0 c
         ),
         pq_a0 AS (
           SELECT vec_id, sub, code FROM (
@@ -3175,7 +3273,7 @@ def _pq_ctes(m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
           SELECT pq_a0.sub, pq_a0.code, d.i,
                  round(avg(CAST(e.embedding[pq_a0.sub*{ds} + d.i]
                                 AS DOUBLE)), 6) AS m
-          FROM pq_a0 JOIN embeddings e USING (vec_id), dsub d
+          FROM pq_a0 JOIN pq_tr e USING (vec_id), dsub d
           GROUP BY pq_a0.sub, pq_a0.code, d.i
         ),
         cb1 AS (SELECT sub, code, list(m ORDER BY i) AS cv
@@ -3204,15 +3302,17 @@ def _pq_ctes(m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
 
 def _pq_oracle(
     m: int = 4, n_codes: int = 8, dims: int = 64,
-    shortlist: int = 50, k: int = 10,
+    shortlist: int = 50, k: int = 10, train_where: str = "TRUE",
 ) -> str:
     """pq_top_k mirror: ADC = Σ_sub lut[sub, code] (6dp), shortlist by
-    ADC asc (vec_id ties), exact-cosine re-rank of the survivors."""
+    ADC asc (vec_id ties), exact-cosine re-rank of the survivors.
+    ``train_where`` restricts codebook training (q163's frozen-index
+    contract); encoding always covers the full table."""
     cos = _ivf_cos(dims + 1)
     emb = "CAST(e.embedding[i] AS DOUBLE)"
     qv = "CAST(q.qv[i] AS DOUBLE)"
     return f"""
-        WITH {_pq_ctes(m, n_codes, dims)},
+        WITH {_pq_ctes(m, n_codes, dims, train_where)},
         adc AS (
           SELECT a.vec_id, round(sum(l.dd), 6) AS adc
           FROM a_pq a JOIN lut l USING (sub, code)
@@ -6972,6 +7072,10 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
     o["q158_pq_ann"] = _pq_oracle()
     o["q159_ivfpq_ann"] = _ivfpq_oracle()
     o["q160_textrank"] = _textrank_oracle()
+    # q163: same PQ mirror as q158 but the codebook trains only on the
+    # initial corpus — the frozen-index contract (late vectors are
+    # encoded, never move the codewords)
+    o["q163_indexed_pq_ann"] = _pq_oracle(train_where="vec_id % 5 <> 4")
 
     # q161: A-Res priority = ln((h32+1)/2^32)/weight at 6dp, h32 = the
     # md5-prefix draw of seed||key — identical integer inputs, so both
