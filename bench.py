@@ -643,6 +643,148 @@ def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
+                 m: int = 4, n_codes: int = 16, dims: int = 64) -> None:
+    """Compressed-ANN scan cost: the phase that must touch EVERY row —
+    exact cosine over the full float-vector column vs PQ ADC over the
+    m-tinyint code column (one literal LUT per sub-space) — on the
+    same synthetic corpus written to parquet once. Also reports the
+    on-disk bytes of each layout (the 100 TB claim IS the byte ratio:
+    random floats are incompressible, codes are m bytes/row). The
+    shortlist re-rank is excluded from both legs deliberately — it
+    touches O(shortlist) rows by key at any scale, never the corpus.
+    Legs alternate per round to cancel host drift."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.pipelines.pq import pq_train
+    from haskell_dbfunctor_spark.pipelines.pq_index import code_assign_col
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_pqcost_{_uuid.uuid4().hex[:6]}",
+    )
+    d_sub = dims // m
+    # deterministic pseudo-random floats in [-1, 1): JVM-generated,
+    # incompressible (the honest worst case for the float layout)
+    emb_col = F.array(*[
+        ((F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(20000))
+          / 10000.0) - 1.0).cast("float")
+        for i in range(dims)
+    ])
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), emb_col.alias("embedding")
+    ).write.mode("overwrite").parquet(f"{root}/vec")
+    vec = spark.read.parquet(f"{root}/vec")
+    cb_rows = sorted(
+        (int(r["sub"]), int(r["code"]), [float(x) for x in r["cv"]])
+        for r in pq_train(
+            vec.where(F.col("vec_id") < 20000), m, n_codes, 1, dims
+        ).collect()
+    )
+    # dense-remap seed-id codes to 0..n_codes-1 per sub so the stored
+    # column is genuinely m tinyints and the LUT is element_at-able
+    dense = {}
+    luts = [[0.0] * n_codes for _ in range(m)]
+    qv = vec.where(F.col("vec_id") == 0).head()["embedding"]
+    per_sub: dict[int, list] = {}
+    for sub, code, cv in cb_rows:
+        per_sub.setdefault(sub, []).append((code, cv))
+    for sub, entries in per_sub.items():
+        for j, (code, cv) in enumerate(sorted(entries)):
+            dense[(sub, code)] = j
+            luts[sub][j] = round(sum(
+                (float(qv[sub * d_sub + i]) - cv[i]) ** 2
+                for i in range(d_sub)
+            ), 6)
+    raw = code_assign_col(F.col("embedding"), cb_rows, m=m, dims=dims)
+    remap = F.create_map(*[
+        x for (sub, code), j in sorted(dense.items())
+        for x in (F.lit(sub * 1000 + code), F.lit(j))
+    ])
+    vec.select(
+        "vec_id",
+        *[
+            remap[F.lit(s * 1000) + F.element_at(raw, s + 1)]
+            .cast("tinyint").alias(f"c{s}")
+            for s in range(m)
+        ],
+    ).write.mode("overwrite").parquet(f"{root}/codes")
+    codes = spark.read.parquet(f"{root}/codes")
+
+    def _tree_mb(p: str) -> float:
+        total = 0
+        for dirpath, _, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total / 1e6
+
+    def exact_leg() -> float:
+        qlit = F.lit([float(x) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), qlit,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+        nrm = F.sqrt(F.aggregate(
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, v: a + v,
+        ))
+        t0 = time.time()
+        (vec.where(F.col("vec_id") != 0)
+            .select("vec_id", (dot / nrm).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("vec_id"))
+            .limit(10).collect())
+        return time.time() - t0
+
+    def adc_leg() -> float:
+        adc = sum(
+            F.element_at(F.lit(luts[s]), F.col(f"c{s}").cast("int") + 1)
+            for s in range(m)
+        )
+        t0 = time.time()
+        (codes.where(F.col("vec_id") != 0)
+            .select("vec_id", adc.alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col("vec_id"))
+            .limit(50).collect())
+        return time.time() - t0
+
+    exact_leg(); adc_leg()  # warm codegen/readers outside the timing
+    res = {"exact_s": [], "adc_s": []}
+    for r in range(pairs):
+        for name, leg in (("exact_s", exact_leg), ("adc_s", adc_leg)):
+            s = leg()
+            res[name].append(s)
+            print(f"# round {r} {name}: {s:.3f}s", file=sys.stderr)
+    med = {k: round(sorted(v)[len(v) // 2], 3) for k, v in res.items()}
+    vec_mb, code_mb = _tree_mb(f"{root}/vec"), _tree_mb(f"{root}/codes")
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "pq_adc_scan_speedup_vs_exact",
+        "value": round(med["exact_s"] / med["adc_s"], 3),
+        "unit": "ratio (exact cosine scan s / ADC code scan s, median)",
+        "n_vecs": n_vecs,
+        "dims": dims,
+        "m": m,
+        "n_codes": n_codes,
+        "cores": cores,
+        "medians": med,
+        "vector_mb": round(vec_mb, 1),
+        "code_mb": round(code_mb, 1),
+        "byte_ratio": round(vec_mb / max(code_mb, 1e-9), 1),
+    }))
+
+
 def main_forget_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
     """Right-to-be-forgotten latency on a full production lake: state
     + per-role rollup + inverted term index replayed transactionally,
@@ -972,6 +1114,12 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--pq-cost", action="store_true",
+                    help="compressed-ANN scan cost: exact cosine over "
+                         "float vectors vs PQ ADC over m-tinyint codes "
+                         "(+ on-disk byte ratio)")
+    ap.add_argument("--vecs", type=int, default=1_000_000,
+                    help="corpus vectors for --pq-cost")
     ap.add_argument("--forget-cost", action="store_true",
                     help="right-to-be-forgotten latency: logical "
                          "multi-table forget txn + physical purge on "
@@ -1001,6 +1149,8 @@ if __name__ == "__main__":
                         kind="term")
     elif args.dv_cost:
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.pq_cost:
+        main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
         main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.forget_cost:
