@@ -3850,6 +3850,15 @@ class LakeTable:
 
         return _uw(self, predicate, assignments, **opts)
 
+    def export_symlink_manifest(self, dest: str | None = None) -> dict:
+        """Delta GENERATE symlink_format_manifest analog — see
+        ``lake/export.py`` (refuses whenever raw parquet would diverge
+        from ``read()``: pending deltas, DVs, unmaterialized
+        defaults)."""
+        from .export import export_symlink_manifest as _ex
+
+        return _ex(self, dest)
+
     def rollback(self, version: int, *, conflict_retries: int = 5) -> dict:
         """Iceberg rollback_to_snapshot: a NEW commit whose content is
         snapshot ``version``'s — data files by reference, zero

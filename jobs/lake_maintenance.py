@@ -152,6 +152,16 @@ def main(argv: list[str] | None = None) -> int:
              "dropped/renamed), row lineage, and the live file census",
     )
 
+    ex = sub.add_parser(
+        "export",
+        help="symlink-format manifest export (Delta GENERATE analog): "
+             "write the live-file listing + schema sidecar so external "
+             "engines read the snapshot as plain parquet; refuses "
+             "while deltas/DVs/unmaterialized defaults would diverge",
+    )
+    ex.add_argument("--dest", default=None,
+                    help="output dir (default <root>/_symlink_format_manifest)")
+
     fs = sub.add_parser(
         "fsck",
         help="report-only integrity check: referenced files exist, "
@@ -362,6 +372,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.action == "describe":
         print(json.dumps({"action": "describe", **table.describe()}))
+        return 0
+
+    if args.action == "export":
+        print(json.dumps(
+            {"action": "export", **table.export_symlink_manifest(args.dest)}
+        ))
         return 0
 
     if args.action == "fsck":
