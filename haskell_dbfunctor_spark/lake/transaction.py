@@ -317,6 +317,83 @@ class Catalog:
             "attempts; retry under less commit churn"
         )
 
+    # ---------------------------------------------------- catalog tags
+    def _tag_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise LakeError(f"invalid catalog tag name {name!r}")
+        return os.path.join(self.root, "tags", f"{name}.json")
+
+    def tag(self, name: str, table_roots: list[str]) -> dict:
+        """Durable CONSISTENT cross-table tag — "the corpus + rollups +
+        indexes we trained run X on" as ONE name: pins a
+        :meth:`snapshot` (tear-free read point), places a table-level
+        tag ref ``cat-<name>`` on every member (so each table's
+        ``expire_snapshots`` keeps the pinned version readable for as
+        long as the catalog tag lives), then CAS-claims
+        ``tags/<name>.json`` in the catalog. Immutable once claimed
+        (``delete_tag`` first to move it); a lost claim race rolls the
+        per-table refs back and raises."""
+        handles = self.snapshot(list(table_roots))
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ref = f"cat-{name}"
+        placed: list[LakeTable] = []
+        try:
+            for t in handles.values():
+                t.tag(ref, t.version)
+                placed.append(t)
+            payload = {
+                "name": name,
+                "created_at": time.time(),
+                "tables": {
+                    os.path.abspath(r): h.version
+                    for r, h in handles.items()
+                },
+            }
+            _atomic_claim_json(path, payload)
+            return payload
+        except (LakeError, CommitConflict, FileExistsError):
+            for t in placed:
+                try:
+                    t.delete_tag(ref)
+                except LakeError:
+                    pass
+            raise
+
+    def load_tag(self, name: str) -> dict[str, LakeTable]:
+        """Handles pinned at the tagged versions — byte-stable forever
+        (CoW files + the per-table refs shield them from expiry)."""
+        rec = _read_json(self._tag_path(name))
+        return {
+            r: LakeTable.load(self.spark, r, version=v)
+            for r, v in rec["tables"].items()
+        }
+
+    def delete_tag(self, name: str) -> dict:
+        """Drop the catalog tag AND its per-table refs (the pinned
+        snapshots become expirable again). Missing per-table refs are
+        tolerated — deletion must be re-runnable after a crash."""
+        path = self._tag_path(name)
+        try:
+            rec = _read_json(path)
+        except FileNotFoundError:
+            raise LakeError(f"no catalog tag {name!r}")
+        for r in rec["tables"]:
+            try:
+                LakeTable.load(self.spark, r).delete_tag(f"cat-{name}")
+            except (LakeError, OSError):
+                pass
+        os.unlink(path)
+        return rec
+
+    def tags(self) -> list[str]:
+        d = os.path.join(self.root, "tags")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n[:-5] for n in os.listdir(d) if n.endswith(".json")
+        )
+
     def begin(self) -> "Transaction":
         return Transaction(self)
 
