@@ -1722,6 +1722,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q163_indexed_pq_ann"] = q163
 
+    # Cluster-balanced diversity sample (pipelines/sampling.py) —
+    # unsupervised mixture balancing: IVF k-means cells over the
+    # embedding space, at most 20 keepers per cell by the md5 order.
+    # The semantic-region counterpart of q80's per-source cap.
+    def q164(s, d):
+        from haskell_dbfunctor_spark.pipelines.sampling import (
+            cluster_balanced_sample,
+        )
+
+        return cluster_balanced_sample(_t(s, d, "embeddings"), 20)
+
+    q["q164_cluster_balanced_sample"] = q164
+
     # BM25 lexical retrieval (pipelines/text.py) — the sparse half of a
     # hybrid retrieval stack next to the dense ANN path (q27/q39/q53)
     def q101(s, d):
@@ -2534,7 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
         "q161_weighted_sample", "q162_generated_columns",
-        "q163_indexed_pq_ann",
+        "q163_indexed_pq_ann", "q164_cluster_balanced_sample",
         "q157_join_view_ivm",
         "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
         "q156_commit_audit",
@@ -7076,6 +7089,19 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
     # initial corpus — the frozen-index contract (late vectors are
     # encoded, never move the codewords)
     o["q163_indexed_pq_ann"] = _pq_oracle(train_where="vec_id % 5 <> 4")
+
+    # q164: a1 is the shared IVF assignment; the cap is the
+    # cap_per_group md5 order per cell
+    o["q164_cluster_balanced_sample"] = f"""
+        WITH {_ivf_assign_ctes(8, 64)}
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM a1
+        ) WHERE rn <= 20
+    """
 
     # q161: A-Res priority = ln((h32+1)/2^32)/weight at 6dp, h32 = the
     # md5-prefix draw of seed||key — identical integer inputs, so both

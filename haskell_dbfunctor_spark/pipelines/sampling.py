@@ -332,6 +332,40 @@ def uniform_sample_n(
     )
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_per_cell: int,
+    *,
+    n_centroids: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-stratified downsample over EMBEDDING space: cluster
+    the corpus with the IVF coarse quantizer (``similarity.ivf_train``
+    — deterministic seeded k-means), then keep at most ``n_per_cell``
+    rows per cell by the ``cap_per_group`` md5 order. Where
+    ``temperature_sample`` rebalances across a LABELED group column,
+    this balances across LEARNED semantic regions — the "don't let one
+    topic dominate the mixture" curation step (cluster-balanced
+    sampling, as in DoReMi-style domain reweighting but unsupervised).
+    Returns (id, cid) for the kept rows.
+
+    Scale: clustering cost is ivf_train's (one corpus pass per Lloyd
+    step); assignment is a broadcast of the tiny centroid table; the
+    cap is a cell-partitioned window — never global. The quantizer is
+    re-trained here for self-containment; at 100 TB reuse a persisted
+    one (``pipelines/ivf_index``) and this becomes one scan."""
+    from .similarity import ivf_assign, ivf_train
+
+    cent = ivf_train(embeddings, n_centroids, refine_iters).localCheckpoint(
+        eager=True
+    )
+    assigned = ivf_assign(embeddings, cent)
+    return cap_per_group(assigned, ["cid"], n_per_cell, id_col=id_col).select(
+        id_col, "cid"
+    )
+
+
 def weighted_sample_n(
     df: DataFrame,
     n: int,
