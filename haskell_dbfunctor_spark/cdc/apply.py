@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..lake.table import LakeTable, MergeStats
+from ..lake.table import LakeError, LakeTable, MergeStats
 from .generator import KEY_COLS, TRANSCRIPT_SCHEMA, epoch_batch
 
 
@@ -47,6 +47,7 @@ class ReplayStats:
     epochs_skipped: int = 0
     events_applied: int = 0
     seconds: float = 0.0
+    manifests_exported: int = 0
     per_epoch: list = field(default_factory=list)
 
     @property
@@ -148,6 +149,7 @@ def replay(
     term_index: LakeTable | None = None,
     term_index_mode: str = "cow",
     forget_dir: str | None = None,
+    export_manifest: bool = False,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -268,6 +270,16 @@ def replay(
                     dedup_index.compact_deltas()
                 if term_index is not None and term_index_mode == "mor":
                     term_index.compact_deltas()
+            if export_manifest:
+                # refresh the external-readers listing after the epoch
+                # lands; a MoR epoch with pending deltas legitimately
+                # can't export (raw parquet would skip the collapse) —
+                # the next compaction epoch republishes
+                try:
+                    table.export_symlink_manifest()
+                    stats.manifests_exported += 1
+                except LakeError:
+                    pass
         stats.per_epoch.append(m)
         _drain_forgets()
         if stop_after is not None and stats.epochs_applied >= stop_after:

@@ -117,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
                          "state AND every maintained derived table "
                          "(rollup / dedup index / term index) in one "
                          "multi-table transaction (replay mode only)")
+    ap.add_argument("--export-manifest", action="store_true",
+                    help="after each applied epoch, refresh the "
+                         "symlink-format manifest export (external "
+                         "engines read the table as plain parquet; "
+                         "MoR epochs with pending deltas skip — the "
+                         "next --compact-every fold republishes). "
+                         "Replay mode only.")
     ap.add_argument("--auto-stats-cols", default=None,
                     help="comma-separated columns whose per-file "
                          "min/max bounds every merge/compaction "
@@ -333,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup_index_mode="mor" if args.dedup_index_mor else "cow",
         term_index=term_index,
         term_index_mode="mor" if args.term_index_mor else "cow",
+        export_manifest=args.export_manifest,
     )
     out = {
         "mode": "replay-mor" if args.mor else "replay",
@@ -343,6 +351,8 @@ def main(argv: list[str] | None = None) -> int:
         "events_per_sec": round(stats.events_per_sec, 1),
         "table_version": table.version,
         "final_rows": table.read().count(),
+        **({"manifests_exported": stats.manifests_exported}
+           if args.export_manifest else {}),
     }
     # steady state = excluding the first epoch (JVM/codegen warmup
     # dominates it regardless of cluster size) — same definition as

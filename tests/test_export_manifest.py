@@ -123,3 +123,26 @@ def test_refuses_unmaterialized_defaults_then_exports_after_compact(
     }
     con.close()
     assert tiers == {"std"}
+
+
+def test_replay_export_per_epoch(spark, root):
+    """cdc replay with export_manifest=True refreshes the external
+    listing after every applied epoch; the final listing row-matches
+    the table (DuckDB readback)."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+
+    t = open_or_create_transcripts(spark, f"{root}/t", num_buckets=4)
+    feed = change_feed(spark, n_events=4000, n_epochs=3, seed=7)
+    st = replay(t, feed, 3, export_manifest=True)
+    assert st.manifests_exported == 3
+    man = f"{root}/t/_symlink_format_manifest/manifest.txt"
+    paths = [ln for ln in open(man).read().splitlines() if ln]
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [paths]
+    ).fetchone()[0]
+    con.close()
+    assert n == t.read().count()
