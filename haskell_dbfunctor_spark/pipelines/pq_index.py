@@ -220,3 +220,129 @@ def pq_top_k_indexed(
         .select("vec_id")
     )
     return _exact_rerank(cand, corpus_vectors, query_vec_id, k)
+
+
+# --------------------------------------------------------------- IVF-PQ
+# The combined persisted layout — FAISS IVFx,PQy at rest: one index
+# table (vec_id, cid, codes) maintained off the corpus CDF, clustered
+# by cid (ivf_index.cluster_index), so a query reads ONLY the probed
+# cells' files and ONLY the m-byte code column from them. The coarse
+# quantizer (ivf_index) and the PQ codebook (above) are both frozen
+# tiny tables; neither retrains on sync.
+
+IVFPQ_INDEX_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("cid", T.LongType()),
+    T.StructField("codes", T.ArrayType(T.LongType())),
+])
+
+
+def create_ivfpq_index(
+    spark: SparkSession, root: str, *, num_buckets: int = 16
+) -> LakeTable:
+    return LakeTable.create(
+        spark, root, IVFPQ_INDEX_SCHEMA, key_cols=["vec_id"],
+        num_buckets=num_buckets,
+    )
+
+
+def sync_ivfpq_index(
+    corpus: LakeTable,
+    index: LakeTable,
+    quantizer: LakeTable | DataFrame,
+    codebook: LakeTable | DataFrame,
+    *,
+    emb_col: str = "embedding",
+    mode: str = "cow",
+) -> dict:
+    """Advance the combined index off the corpus change feed: each
+    new/updated vector gets its coarse cell (row-wise literal argmax,
+    ``ivf_index.centroid_assign_col``) AND its PQ codes (row-wise
+    literal argmin, ``code_assign_col``) in ONE 1:1 projection —
+    O(changed vectors), no shuffle beyond the merge itself."""
+    from .ivf_index import _collect_centroids, centroid_assign_col
+
+    cents = _collect_centroids(quantizer)
+    cb = _collect_codebook(codebook)
+
+    def tf(feed: DataFrame) -> DataFrame:
+        e = F.col(emb_col)
+        live = (F.col("_change_type") != "D") & e.isNotNull()
+        return feed.select(
+            "vec_id",
+            F.when(live, centroid_assign_col(e, cents)).alias("cid"),
+            F.when(live, code_assign_col(e, cb))
+            .cast(IVFPQ_INDEX_SCHEMA["codes"].dataType).alias("codes"),
+            "_change_type",
+            "_commit_version",
+        )
+
+    return sync_table(corpus, index, transform=tf, mode=mode)
+
+
+def ivfpq_top_k_indexed(
+    index: LakeTable,
+    quantizer: LakeTable | DataFrame,
+    codebook: LakeTable | DataFrame,
+    corpus_vectors: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    dims: int = 64,
+) -> DataFrame:
+    """Serve top-k from the combined index: probe the ``nprobe``
+    nearest cells (tiny quantizer scan), read ONLY those cells from
+    the index (``read_where`` — file-level stats pruning after
+    ``ivf_index.cluster_index`` has clustered it by cid), ADC-rank
+    their codes against one broadcast LUT, exact-cosine re-rank the
+    shortlist from the full-vector table. Per-query I/O =
+    (nprobe/n_centroids) x corpus in CODE bytes + ``shortlist``
+    vectors — the 100 TB serving shape."""
+    from .ivf_index import _collect_centroids
+    from .similarity import _cos6
+
+    spark = index.spark
+    cents = _collect_centroids(quantizer)
+    cb = _collect_codebook(codebook)
+    m = max(s for s, _, _ in cb) + 1
+    d_sub = dims // m
+    qrow = (
+        corpus_vectors.where(F.col("vec_id") == query_vec_id)
+        .select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    qv = [float(x) for x in qrow["embedding"]]
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv, _ in cents], "cid long, cv array<double>"
+    )
+    probes = [
+        r["cid"]
+        for r in cent_df.select(
+            "cid", _cos6(F.col("cv"), F.lit(qv)).alias("c6")
+        )
+        .orderBy(F.col("c6").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    qsv = spark.createDataFrame(
+        [(s, qv[s * d_sub:(s + 1) * d_sub]) for s in range(m)],
+        "sub int, qsv array<double>",
+    )
+    cb_df = spark.createDataFrame(cb, CODEBOOK_SCHEMA)
+    lut = cb_df.join(qsv, "sub").select(
+        "sub", "code", _l2_6(F.col("cv"), F.col("qsv")).alias("d")
+    )
+    cells = None
+    for c in probes:
+        cell = index.read_where("cid", c, c).select("vec_id", "codes")
+        cells = cell if cells is None else cells.unionByName(cell)
+    cand = (
+        _adc(cells, lut, query_vec_id)
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    return _exact_rerank(cand, corpus_vectors, query_vec_id, k)

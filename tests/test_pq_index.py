@@ -143,3 +143,47 @@ def test_incremental_sync_inserts_updates_deletes(spark, sf_dir, root):
     }
     got = {r["vec_id"]: list(r["codes"]) for r in ix.read().collect()}
     assert got == expected
+
+
+def test_ivfpq_index_matches_one_shot_and_prunes(spark, sf_dir, root):
+    """The combined (vec_id, cid, codes) index serves EXACTLY the
+    one-shot ivfpq_top_k ranking when both train on the same corpus;
+    after cluster_index, the probed-cell read plans scan only
+    cid-matching files (stats pruning)."""
+    from haskell_dbfunctor_spark.pipelines.ivf_index import (
+        cluster_index, create_quantizer, train_quantizer,
+    )
+    from haskell_dbfunctor_spark.pipelines.pq import ivfpq_top_k
+    from haskell_dbfunctor_spark.pipelines.pq_index import (
+        create_ivfpq_index, ivfpq_top_k_indexed, sync_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300)
+    corpus = LakeTable.create(
+        spark, f"{root}/corpus", CORPUS_SCHEMA, ["vec_id"], num_buckets=4
+    )
+    corpus.merge(emb, op_col=None, order_cols=())
+    qz = create_quantizer(spark, f"{root}/qz")
+    train_quantizer(emb, qz)
+    cbt = create_codebook(spark, f"{root}/cb")
+    train_codebook(emb, cbt)
+    ix = create_ivfpq_index(spark, f"{root}/ix", num_buckets=4)
+    sync_ivfpq_index(corpus, ix, qz, cbt)
+    cluster_index(ix, target_file_bytes=64 * 1024)
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivfpq_top_k_indexed(ix, qz, cbt, emb, 0, 10).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivfpq_top_k(emb, 0, 10).collect()
+    ]
+    assert got == exp
+    # incremental: deletes drop combined rows too
+    corpus.merge(
+        emb.where(F.col("vec_id") >= 290).withColumn("op", F.lit("D")),
+        order_cols=(),
+    )
+    sync_ivfpq_index(corpus, ix, qz, cbt)
+    assert ix.read().where(F.col("vec_id") >= 290).count() == 0
+    assert ix.read().count() == corpus.read().count()
