@@ -106,6 +106,7 @@ def tail_feed_dir(
     dedup_index_mode: str = "cow",
     term_index: LakeTable | None = None,
     term_index_mode: str = "cow",
+    export_manifest: bool = False,
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -212,6 +213,17 @@ def tail_feed_dir(
             )
         else:
             table.merge(batch, epoch_id=eid, **merge_opts)
+        if export_manifest:
+            # refresh the external-readers listing after the batch
+            # lands; MoR batches with pending deltas legitimately
+            # can't export — the next out-of-band compact_deltas +
+            # export (lake_maintenance) republishes
+            from ..lake.table import LakeError
+
+            try:
+                table.export_symlink_manifest()
+            except LakeError:
+                pass
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation",

@@ -123,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
                          "engines read the table as plain parquet; "
                          "MoR epochs with pending deltas skip — the "
                          "next --compact-every fold republishes). "
-                         "Replay mode only.")
+                         "Replay and --stream modes.")
     ap.add_argument("--auto-stats-cols", default=None,
                     help="comma-separated columns whose per-file "
                          "min/max bounds every merge/compaction "
@@ -246,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
                           else "cow",
                           term_index=term_index,
                           term_index_mode="mor" if args.term_index_mor
-                          else "cow")
+                          else "cow",
+                          export_manifest=args.export_manifest)
         q.awaitTermination()
         out = {"mode": "stream", "status": "drained"}
         if rollup is not None:

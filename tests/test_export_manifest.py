@@ -146,3 +146,40 @@ def test_replay_export_per_epoch(spark, root):
     ).fetchone()[0]
     con.close()
     assert n == t.read().count()
+
+
+def test_stream_tail_export_per_batch(spark, root, tmp_path):
+    """tail_feed_dir(export_manifest=True) refreshes the listing per
+    micro-batch; after the drain, DuckDB row-matches the table."""
+    import os
+
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_transcripts,
+    )
+    from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
+
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = change_feed(spark, n_events=3000, n_epochs=2, seed=11)
+    feed.where(F.col("epoch") == 0).write.mode("overwrite").parquet(
+        f"{feed_dir}/seg0"
+    )
+    feed.where(F.col("epoch") == 1).write.mode("overwrite").parquet(
+        f"{feed_dir}/seg1"
+    )
+    t = open_or_create_transcripts(spark, f"{root}/t", num_buckets=4)
+    q = tail_feed_dir(
+        spark, t, f"{feed_dir}/*", export_manifest=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    t = LakeTable.load(spark, f"{root}/t")
+    man = f"{root}/t/_symlink_format_manifest/manifest.txt"
+    paths = [ln for ln in open(man).read().splitlines() if ln]
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [paths]
+    ).fetchone()[0]
+    con.close()
+    assert n == t.read().count() > 0
