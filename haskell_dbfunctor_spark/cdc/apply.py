@@ -26,7 +26,14 @@ def open_or_create_transcripts(
     spark: SparkSession, root: str, num_buckets: int = 32,
     properties: dict[str, str] | None = None,
     row_lineage: bool = False,
+    generated_columns: dict[str, str] | None = None,
 ) -> LakeTable:
+    """``generated_columns`` ({name: SQL expr over the transcript
+    columns}) extends the created schema with GENERATED ALWAYS AS
+    columns — each expr is probed against the base schema to infer
+    the column's type, then recomputed by every merge (see
+    ``LakeTable.create``). Ignored when the table already exists
+    (declarations are create-time-only, Delta's rule)."""
     try:
         return LakeTable.load(spark, root)
     except FileNotFoundError:
@@ -34,10 +41,20 @@ def open_or_create_transcripts(
         # it arrives mid-stream via schema evolution (BASELINE.json)
         import pyspark.sql.types as T
 
+        from pyspark.sql import functions as F
+
         base = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+        if generated_columns:
+            probe = spark.createDataFrame([], base)
+            fields = list(base.fields)
+            for g, e in generated_columns.items():
+                dt = probe.select(F.expr(e).alias(g)).schema[g].dataType
+                fields.append(T.StructField(g, dt, True))
+            base = T.StructType(fields)
         return LakeTable.create(
             spark, root, base, key_cols=KEY_COLS, num_buckets=num_buckets,
             properties=properties, row_lineage=row_lineage,
+            generated_columns=generated_columns,
         )
 
 

@@ -117,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
                          "state AND every maintained derived table "
                          "(rollup / dedup index / term index) in one "
                          "multi-table transaction (replay mode only)")
+    ap.add_argument("--generated", action="append", default=[],
+                    help="NAME=SQL generated column (GENERATED ALWAYS "
+                         "AS): computed from the row's other columns "
+                         "by every merge; type inferred from the "
+                         "expr. Applies at table creation only. "
+                         "Repeatable.")
     ap.add_argument("--export-manifest", action="store_true",
                     help="after each applied epoch, refresh the "
                          "symlink-format manifest export (external "
@@ -149,10 +155,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.row_lineage and args.mor:
         ap.error("--row-lineage requires CoW merges (drop --mor): a "
                  "MoR delta append cannot preserve a matched row's id")
+    gen_cols = None
+    if args.generated:
+        gen_cols = {}
+        for item in args.generated:
+            name, _, expr = item.partition("=")
+            if not name or not expr:
+                ap.error(f"--generated needs NAME=SQL, got {item!r}")
+            gen_cols[name] = expr
     table = open_or_create_transcripts(
         spark, args.table_root, num_buckets=args.buckets,
         properties=table_props or None,
         row_lineage=args.row_lineage,
+        generated_columns=gen_cols,
     )
 
     expectations = None

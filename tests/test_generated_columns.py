@@ -200,3 +200,33 @@ def test_cdf_carries_generated_column(spark, root):
         for r in t.changes(t.version - 1, t.version).collect()
     }
     assert ch[(1, "U")] == "high"
+
+
+def test_open_or_create_transcripts_generated(spark, tmp_path):
+    """The CDC production surface: open_or_create_transcripts with
+    generated_columns infers each expr's type, creates the extended
+    schema, and every replay epoch recomputes the values."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+
+    root = str(tmp_path / "gt")
+    t = open_or_create_transcripts(
+        spark, root, num_buckets=4,
+        generated_columns={"text_len": "length(text)"},
+    )
+    assert ("text_len", "int") in [
+        (f.name, f.dataType.simpleString()) for f in t.schema.fields
+    ]
+    feed = change_feed(spark, n_events=2000, n_epochs=2, seed=3)
+    replay(t, feed, 2)
+    bad = t.read().where(
+        F.col("text_len") != F.length("text")
+    ).count()
+    assert bad == 0
+    # re-open ignores the declaration (create-time only, no clash)
+    t2 = open_or_create_transcripts(
+        spark, root, generated_columns={"other": "length(text)"}
+    )
+    assert t2._generated_columns() == {"text_len": "length(text)"}
