@@ -2607,6 +2607,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q128_fertility_by_lang"] = q128
 
+    # TIMESTAMP AS OF time travel — q64 reads the half-feed snapshot by
+    # VERSION; this resolves it by wall-clock instant (`load(as_of=t)`,
+    # Delta/Iceberg `TIMESTAMP AS OF`): a t strictly between the two
+    # commits' created_at stamps must resolve to the first commit, so
+    # the result is byte-identical to q64's (and shares its oracle).
+    def q166(s, d):
+        from haskell_dbfunctor_spark.lake.table import LakeTable
+
+        table, v1 = _two_epoch_lake(s, d)
+        created = {
+            h["version"]: h.get("created_at") or 0.0
+            for h in LakeTable.history(table.root)
+        }
+        mid = (created[v1] + created[v1 + 1]) / 2.0
+        old = LakeTable.load(s, table.root, as_of=mid)
+        if old.version != v1:  # contract, not a tuning knob
+            raise AssertionError(
+                f"as_of={mid} resolved v{old.version}, expected v{v1}"
+            )
+        return old.read().select(
+            "user_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.col("seq").alias("last_event_id"),
+        )
+
+    q["q166_asof_time_travel"] = q166
+
+    # exact heavy hitters at bounded shuffle (operators/sketch.py):
+    # Misra–Gries candidate pass + exact verify == the full
+    # GROUP BY ... HAVING count(*)*k > n answer, but only candidate
+    # items (≤ capacity × partitions) ever reach a shuffle — the
+    # 10^10-token shape where distinct bigrams ≫ memory.
+    def q167(s, d):
+        from haskell_dbfunctor_spark.operators.sketch import frequent_items
+
+        ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        docs = _t(s, d, "documents").select(ws.alias("ws"))
+        bg = F.when(
+            F.size("ws") >= 2,
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        toks = docs.select(F.explode(bg).alias("bigram"))
+        out = frequent_items(toks, "bigram", k=1000)
+        return out.select("bigram", F.col("cnt").cast("long").alias("cnt"))
+
+    q["q167_heavy_hitters"] = q167
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -2639,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q166_asof_time_travel", "q167_heavy_hitters",
         "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
         "q161_weighted_sample", "q162_generated_columns",
         "q163_indexed_pq_ann", "q164_cluster_balanced_sample",
@@ -5431,6 +5483,22 @@ WHERE COALESCE(p.op, 'U') <> 'D'
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events e, h WHERE e.event_id <= h.half
         ) WHERE rn = 1 AND op <> 'D'
+    """
+    # q166 reads the SAME snapshot as q64, resolved by timestamp
+    # instead of version — identical expected state
+    o["q166_asof_time_travel"] = o["q64_time_travel_read"]
+    o["q167_heavy_hitters"] = """
+        WITH w AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        b AS (
+          SELECT ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+          FROM w CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(ws))) AS i) t
+        )
+        SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+        HAVING count(*) * 1000 > (SELECT count(*) FROM b)
     """
     o["q65_rollup"] = """
         SELECT event_type, cohort,
