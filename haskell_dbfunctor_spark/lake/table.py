@@ -1604,8 +1604,16 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         *,
         with_lineage: bool = False,
+        _exclude_files: "frozenset[str] | None" = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame.
+
+        ``_exclude_files`` (internal, file-pruned merges only) is a set
+        of ABSOLUTE base-file paths to leave out of the scan — the
+        caller has proven via manifest stats that no row in them can
+        participate (merge key ranges disjoint). Only plain/DV base
+        files are ever excluded; delta-bearing buckets always read
+        whole (their collapse needs every base row).
 
         ``with_lineage=True`` (row-lineage tables only) additionally
         exposes the hidden ``__row_id`` / ``__last_updated_version``
@@ -1639,10 +1647,15 @@ class LakeTable:
                 return df.drop(*LINEAGE_COLS)
             return df
 
+        def _keep(files: list[str]) -> list[str]:
+            if not _exclude_files:
+                return files
+            return [p for p in files if p not in _exclude_files]
+
         delta = self._delta_files(buckets)
         dvm = self.manifest.get("dv_files", {})
         if not delta and not dvm:
-            files = self._files(buckets)
+            files = _keep(self._files(buckets))
             if not files:
                 return self.spark.createDataFrame(
                     [], scan_schema if with_lineage else self.schema
@@ -1671,7 +1684,7 @@ class LakeTable:
         plain_ids = sorted(wanted - set(delta_ids) - set(dv_plain_ids))
         if not delta_ids:
             parts: list[DataFrame] = []
-            dv_files = self._files(dv_plain_ids)
+            dv_files = _keep(self._files(dv_plain_ids))
             if dv_files:
                 parts.append(
                     self._with_default_fill(
@@ -1682,7 +1695,7 @@ class LakeTable:
                         )
                     )
                 )
-            plain_files = self._files(plain_ids)
+            plain_files = _keep(self._files(plain_ids))
             if plain_files:
                 parts.append(
                     self._with_default_fill(
@@ -1787,7 +1800,7 @@ class LakeTable:
                 F.coalesce(F.col("__op_w"), F.lit("U")) != F.lit("D")
             )
             out = live.select(*self.schema.names)
-        dv_files = self._files(dv_plain_ids)
+        dv_files = _keep(self._files(dv_plain_ids))
         if dv_files:
             out = self._with_default_fill(
                 self._apply_dvs(
@@ -1795,7 +1808,7 @@ class LakeTable:
                     self._dv_refs(dv_plain_ids),
                 )
             ).unionByName(out)
-        plain_files = self._files(plain_ids)
+        plain_files = _keep(self._files(plain_ids))
         if plain_files:
             out = (
                 self._with_default_fill(
@@ -2944,6 +2957,56 @@ class LakeTable:
                     raise
                 self.manifest = self._load_latest_published_manifest()
 
+    def _merge_file_prune(
+        self, touched: Sequence[int], bounds: dict
+    ) -> dict:
+        """Per-bucket lists of base-file rels a file-pruned CoW merge
+        may CARRY unrewritten: files whose manifest [min, max] stats on
+        the first key column are provably disjoint from the batch's
+        key range in that bucket (``bounds``: {bucket: (lo, hi)} in the
+        stats ordering domain — UTF-8 bytes for strings, epoch seconds
+        for timestamps, raw numerics otherwise).
+
+        Sound because merge matches on key EQUALITY, which is ordering-
+        free: every row of a file lies within its footer [min, max]
+        under parquet's UTF8 sort order (unsigned UTF-8 byte order =
+        code-point order), and the batch bounds are computed in the
+        SAME order (``F.min/max`` over ``encode(key, 'utf-8')``) — so
+        disjoint ranges prove no batch key equals any file row's key.
+        Spark's UTF-16 code-unit string ordering never enters: both
+        sides of the comparison live in UTF-8 byte order. Buckets with
+        pending MoR deltas always rewrite whole (the collapse needs
+        every base row); files without stats always rewrite (never
+        wrongly carried).
+        """
+        dm = self.manifest.get("delta_files", {})
+        k0 = self.key_cols[0]
+        fstats = self._stats_map([int(b) for b in touched])
+        kept: dict[str, list[str]] = {}
+        for b in touched:
+            if dm.get(str(b)):
+                continue  # delta-bearing: whole-bucket rewrite folds them
+            bb = bounds.get(b)
+            if bb is None or bb[0] is None or bb[1] is None:
+                continue
+            lo, hi = bb
+            for rel in self.manifest["buckets"].get(str(b), []):
+                s = (fstats.get(rel) or {}).get(k0)
+                if not s:
+                    continue
+                fmin, fmax = self._stat_key(s[0]), self._stat_key(s[1])
+                if isinstance(fmin, str):
+                    fmin = fmin.encode("utf-8")
+                if isinstance(fmax, str):
+                    fmax = fmax.encode("utf-8")
+                try:
+                    disjoint = fmax < lo or fmin > hi
+                except TypeError:
+                    continue  # mixed stat/bound types: never carry
+                if disjoint:
+                    kept.setdefault(str(b), []).append(rel)
+        return kept
+
     def _merge_impl(
         self,
         changes: DataFrame,
@@ -2961,6 +3024,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         target_file_bytes: int | None = None,
         prune_buckets: bool = True,
+        prune_files: bool = False,
         mode: str = "cow",
         partial: bool = False,
         stage_only: bool = False,
@@ -3017,6 +3081,18 @@ class LakeTable:
         examined — bucket pruning would silently keep unmatched rows in
         untouched buckets) and requires mode="cow" (MoR never reads
         target rows at write time).
+
+        ``prune_files=True`` (CoW only) is the trickle-update fast
+        path: within each touched bucket, base files whose manifest
+        [min, max] stats on the first key column cannot intersect the
+        batch's key range are carried into the new snapshot unread and
+        unrewritten — write amplification drops from O(touched
+        buckets) to O(files actually containing matched keys). Pays
+        off when files are key-clustered (``clustering.sort-by`` +
+        ``compact``, or naturally monotone keys) and the batch is
+        localized; needs key stats (``stats.auto-columns`` including
+        the key, or ``analyze([key])``) — files without stats always
+        rewrite, so the flag is always safe, just not always useful.
         """
         t0 = time.time()
         if mode not in ("cow", "mor"):
@@ -3078,6 +3154,42 @@ class LakeTable:
             # every target row must be examined: bucket pruning would
             # silently keep unmatched rows living in untouched buckets
             prune_buckets = False
+        if prune_files:
+            # File-level CoW merge pruning (Delta/Iceberg "merge with
+            # file skipping"): within a touched bucket, base files
+            # whose manifest [min, max] on the FIRST key column cannot
+            # intersect the batch's key range for that bucket are
+            # CARRIED into the new snapshot unrewritten — the trickle-
+            # update fast path. Sound because the merge predicate is
+            # key EQUALITY (ordering-free): a batch key can only match
+            # a row inside some file's [min, max]. Needs key stats
+            # (set ``stats.auto-columns`` to include the key, or run
+            # ``analyze([key])``); files without stats always rewrite
+            # (never wrongly carried).
+            if mode != "cow":
+                raise LakeError(
+                    "prune_files requires mode='cow' (MoR never reads "
+                    "target files at write time — nothing to prune)"
+                )
+            if not_matched_by_source is not None:
+                raise LakeError(
+                    "prune_files cannot combine with "
+                    "not_matched_by_source: unmatched target rows in "
+                    "carried files would silently survive the delete"
+                )
+            if not prune_buckets:
+                raise LakeError(
+                    "prune_files requires prune_buckets=True (file "
+                    "candidacy derives from the per-bucket batch key "
+                    "ranges that pruning collects)"
+                )
+            if self.manifest.get("nullable_keys"):
+                raise LakeError(
+                    "prune_files is unsupported on nullable_keys "
+                    "tables: NULL batch keys match NULL target keys "
+                    "but never appear in file min/max stats — a "
+                    "carried file could hide a matching NULL-keyed row"
+                )
         if mode == "mor" and update_cols is not None:
             raise LakeError(
                 "mode='mor' has no update_cols: pass partial=True and a "
@@ -3308,19 +3420,55 @@ class LakeTable:
         persisted = None
         obs_dd = None
         try:
+            kept_files: dict[str, list[str]] = {}
             if prune_buckets:
                 # single action: per-bucket counts give the touched-
                 # bucket list AND n_deduped; the observation on ch gives
                 # n_source. Worth one extra job when the batch touches
                 # few buckets (incremental epochs over a huge table).
+                # With prune_files the same job additionally collects
+                # the per-bucket batch key range (min/max of the first
+                # key column) — zero extra passes; strings aggregate
+                # over encode(key, 'utf-8') so the bounds live in
+                # parquet's own stats ordering (see _merge_file_prune).
                 persisted = deduped = deduped.persist()
                 t_a = time.time()
-                bucket_counts = {
-                    r[0]: r[1]
-                    for r in deduped.groupBy(BUCKET_COL).count().collect()
-                }
+                aggs = [F.count(F.lit(1)).alias("__n")]
+                if prune_files:
+                    k0 = key[0]
+                    ke = (
+                        F.encode(F.col(k0), "utf-8")
+                        if isinstance(self.schema[k0].dataType, T.StringType)
+                        else F.col(k0)
+                    )
+                    aggs += [
+                        F.min(ke).alias("__klo"),
+                        F.max(ke).alias("__khi"),
+                    ]
+                rows = deduped.groupBy(BUCKET_COL).agg(*aggs).collect()
+                bucket_counts = {r[0]: r["__n"] for r in rows}
                 touched = sorted(bucket_counts)
                 n_deduped = int(sum(bucket_counts.values()))
+                if prune_files:
+                    ksb = self._stat_key
+                    kept_files = self._merge_file_prune(
+                        touched,
+                        {
+                            r[0]: (
+                                ksb(
+                                    bytes(r["__klo"])
+                                    if isinstance(r["__klo"], bytearray)
+                                    else r["__klo"]
+                                ),
+                                ksb(
+                                    bytes(r["__khi"])
+                                    if isinstance(r["__khi"], bytearray)
+                                    else r["__khi"]
+                                ),
+                            )
+                            for r in rows
+                        },
+                    )
                 try:
                     n_source = int(obs_src.get["n"])
                 except Exception:
@@ -3340,8 +3488,15 @@ class LakeTable:
                 n_deduped = -1
                 n_source = -1
 
+            kept_abs = frozenset(
+                os.path.join(self.root, f)
+                for fl in kept_files.values()
+                for f in fl
+            )
             target = self.read(
-                buckets=touched, with_lineage=self.row_lineage
+                buckets=touched,
+                with_lineage=self.row_lineage,
+                _exclude_files=kept_abs or None,
             ).withColumn(
                 BUCKET_COL, self.bucket_of(*[F.col(c) for c in key])
             )
@@ -3499,7 +3654,7 @@ class LakeTable:
             touched_bytes = sum(
                 os.path.getsize(f)
                 for f in self._files(buckets=touched)
-                if os.path.exists(f)
+                if f not in kept_abs and os.path.exists(f)
             )
             avg_row = self.manifest.get("avg_row_bytes") or 256
             dd_est = n_deduped if n_deduped >= 0 else max(
@@ -3612,12 +3767,19 @@ class LakeTable:
                 )
             new_buckets = dict(parent["buckets"])
             for b in touched:
-                new_buckets[str(b)] = written.get(str(b), [])
+                # file-pruned merges CARRY the files proven disjoint
+                # from the batch's key range (kept_files is empty
+                # without prune_files — plain whole-bucket replace)
+                new_buckets[str(b)] = (
+                    kept_files.get(str(b), []) + written.get(str(b), [])
+                )
             manifest["buckets"] = new_buckets
             self._apply_stats_patch(manifest, parent, stats_patch)
             # the CoW target read collapsed any pending MoR deltas AND
             # deletion vectors of the touched buckets — their new base
-            # subsumes both
+            # subsumes both (delta-bearing buckets are never carried:
+            # _merge_file_prune skips them, so the pop below is always
+            # a whole-bucket fold)
             new_deltas = dict(parent.get("delta_files", {}))
             for b in touched:
                 new_deltas.pop(str(b), None)
@@ -3625,7 +3787,13 @@ class LakeTable:
             if parent.get("dv_files"):
                 new_dvs = dict(parent["dv_files"])
                 for b in touched:
-                    new_dvs.pop(str(b), None)
+                    # a partially-rewritten bucket KEEPS its dv refs:
+                    # carried files' position deletes still apply
+                    # (entries for rewritten files are dead but
+                    # harmless — the DV join keys live basenames only,
+                    # same rule as file-level DML rewrites)
+                    if not kept_files.get(str(b)):
+                        new_dvs.pop(str(b), None)
                 manifest["dv_files"] = new_dvs
             if new_rows > 0 and new_bytes > 0:
                 manifest["avg_row_bytes"] = max(int(new_bytes / new_rows), 16)
@@ -3672,7 +3840,20 @@ class LakeTable:
             seconds=time.time() - t0,
             extra={"timings": {k: round(v, 3) for k, v in timings.items()},
                    "write_tasks": n_parts,
-                   **({"quarantined": n_quarantined} if expectations else {})},
+                   **({"quarantined": n_quarantined} if expectations else {}),
+                   **(
+                       {
+                           "files_carried": sum(
+                               len(v) for v in kept_files.values()
+                           ),
+                           "files_rewritten": sum(
+                               len(base["buckets"].get(str(b), []))
+                               for b in touched
+                           ) - sum(len(v) for v in kept_files.values()),
+                       }
+                       if prune_files
+                       else {}
+                   )},
         )
         self._write_lineage(stats, written)
         return stats
