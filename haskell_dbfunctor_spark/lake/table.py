@@ -3007,6 +3007,90 @@ class LakeTable:
                     kept.setdefault(str(b), []).append(rel)
         return kept
 
+    def _merge_bloom_prune(
+        self,
+        touched: Sequence[int],
+        kept: dict,
+        deduped: DataFrame,
+        bucket_counts: dict,
+        limit: int,
+    ) -> dict:
+        """Refine file-pruned merge candidacy with Bloom probes: a
+        candidate file (not already carried by range stats) whose
+        bloom on the first key column rejects EVERY batch key of its
+        bucket is carried too. This is what makes pruning work on
+        UNCLUSTERED layouts — random trickle keys defeat min/max
+        ranges (every file spans the keyspace) but not membership
+        filters. Only buckets whose deduped batch count is ≤ ``limit``
+        probe (driver cost is O(probed keys × k) bit tests); the
+        positions for every distinct probed key are computed in ONE
+        Spark job per (bits, k) combo over the already-persisted
+        batch, hashing exactly as ``analyze_bloom`` built them
+        (JVM xxhash64 over the logical value — same function,
+        bit-for-bit; type-tag mismatches fall back to rewrite, the
+        same false-negative guard as ``read_where_eq``)."""
+        import base64
+
+        k0 = self.key_cols[0]
+        dm = self.manifest.get("delta_files", {})
+        plain = [int(b) for b in touched if not dm.get(str(b))]
+        blooms = self._bloom_map(plain)
+        if not blooms:
+            return kept
+        cur_type = self.schema[k0].dataType.simpleString()
+        work: dict[int, list] = {}
+        for b in plain:
+            if not (0 < bucket_counts.get(b, 0) <= limit):
+                continue
+            keptset = set(kept.get(str(b), []))
+            for rel in self.manifest["buckets"].get(str(b), []):
+                if rel in keptset:
+                    continue
+                meta = blooms.get(rel, {}).get(k0)
+                if meta is None or meta.get("type") != cur_type:
+                    continue
+                work.setdefault(b, []).append((rel, meta))
+        if not work:
+            return kept
+        combos = sorted(
+            {(m["bits"], m["k"]) for fl in work.values() for _, m in fl}
+        )
+        probe_keys = (
+            deduped.where(F.col(BUCKET_COL).isin(list(work)))
+            .select(BUCKET_COL, k0)
+            .distinct()
+        )
+        pos: dict[tuple, dict] = {}
+        for bits, k in combos:
+            rows = probe_keys.select(
+                F.col(BUCKET_COL),
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(k0), F.lit(seed)), F.lit(bits)
+                    ).alias(f"p{seed}")
+                    for seed in range(k)
+                ],
+            ).collect()
+            d: dict[int, list] = {}
+            for r in rows:
+                d.setdefault(int(r[BUCKET_COL]), []).append(
+                    [r[f"p{s}"] for s in range(k)]
+                )
+            pos[(bits, k)] = d
+        for b, fl in work.items():
+            for rel, meta in fl:
+                keysets = pos[(meta["bits"], meta["k"])].get(b, [])
+                if not keysets:
+                    continue
+                bitset = base64.b64decode(meta["b64"])
+                hit = any(
+                    all(bitset[p // 8] & (1 << (p % 8)) for p in ps)
+                    for ps in keysets
+                )
+                if not hit:
+                    kept.setdefault(str(b), []).append(rel)
+        return kept
+
     def _merge_impl(
         self,
         changes: DataFrame,
@@ -3025,6 +3109,7 @@ class LakeTable:
         target_file_bytes: int | None = None,
         prune_buckets: bool = True,
         prune_files: bool = False,
+        bloom_probe_limit: int = 10000,
         mode: str = "cow",
         partial: bool = False,
         stage_only: bool = False,
@@ -3093,6 +3178,12 @@ class LakeTable:
         localized; needs key stats (``stats.auto-columns`` including
         the key, or ``analyze([key])``) — files without stats always
         rewrite, so the flag is always safe, just not always useful.
+        When the table also has Bloom filters on the key
+        (``analyze_bloom([key])``), buckets whose batch slice is ≤
+        ``bloom_probe_limit`` keys additionally probe each candidate
+        file's bloom and carry files that reject every batch key —
+        this prunes UNCLUSTERED layouts too, where min/max ranges
+        can't (``bloom_probe_limit=0`` disables probing).
         """
         t0 = time.time()
         if mode not in ("cow", "mor"):
@@ -3469,6 +3560,14 @@ class LakeTable:
                             for r in rows
                         },
                     )
+                    if bloom_probe_limit > 0:
+                        kept_files = self._merge_bloom_prune(
+                            touched,
+                            kept_files,
+                            deduped,
+                            bucket_counts,
+                            bloom_probe_limit,
+                        )
                 try:
                     n_source = int(obs_src.get["n"])
                 except Exception:

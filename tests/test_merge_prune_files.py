@@ -397,3 +397,58 @@ def test_insert_only_bucket_with_all_files_carried(spark, tmp_path):
     assert st.n_inserted == 2 and st.n_updated == 0
     got = {r.conv_id for r in t.read().collect()}
     assert {"x0001", "x0002"} <= got and "a0001" in got
+
+def test_bloom_probe_prunes_unclustered_files(spark, tmp_path):
+    # files_per_bucket>1 splits each bucket by a key HASH — random
+    # subsets per file. Updating one bucket's MIN and MAX key makes
+    # the batch range span every file in it, so min/max stats can
+    # carry NOTHING; only the bloom membership probe can prove a file
+    # disjoint from the two probed keys.
+    from collections import defaultdict
+
+    def _layout(root):
+        t = _mk(spark, root)
+        _seed(t, spark, "a", n=200, ts=1, files_per_bucket=4,
+              target_file_bytes=1024)
+        t.analyze_bloom(["conv_id"])
+        assign = spark.createDataFrame(
+            [(f"a{i:04d}", 0) for i in range(200)],
+            "conv_id string, turn_idx int",
+        ).select(
+            "conv_id",
+            t.bucket_of(F.col("conv_id"), F.col("turn_idx")).alias("b"),
+        ).collect()
+        bykey = defaultdict(list)
+        for r in assign:
+            bykey[r.b].append(r.conv_id)
+        b0 = sorted(bykey)[0]
+        ks = sorted(bykey[b0])
+        return t, ks[0], ks[-1]
+
+    t, lo, hi = _layout(tmp_path / "bloom")
+    batch = [(lo, 0, "lo-upd", "U"), (hi, 0, "hi-upd", "U")]
+    st = t.merge(
+        _batch(spark, batch, ts=2),
+        epoch_id="u",
+        order_cols=("ts", "seq"),
+        drop_cols=("ts", "seq"),
+        prune_files=True,
+    )
+    assert st.extra["files_carried"] > 0
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got[lo] == "lo-upd" and got[hi] == "hi-upd"
+    assert len(got) == 200
+
+    # same layout, bloom probing off: the batch range spans the whole
+    # bucket, so pure range pruning carries nothing
+    t2, lo2, hi2 = _layout(tmp_path / "nobloom")
+    st2 = t2.merge(
+        _batch(spark, [(lo2, 0, "lo-upd", "U"), (hi2, 0, "hi-upd", "U")],
+               ts=2),
+        epoch_id="u",
+        order_cols=("ts", "seq"),
+        drop_cols=("ts", "seq"),
+        prune_files=True,
+        bloom_probe_limit=0,
+    )
+    assert st2.extra["files_carried"] == 0
