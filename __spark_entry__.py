@@ -2658,6 +2658,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q167_heavy_hitters"] = q167
 
+    # Debezium-envelope WAL replay (sources/debezium.py): events render
+    # into binlog JSON envelopes (MicroTimestamp longs, before-image
+    # deletes, op c/u/d, source.lsn), parse back JVM-side (from_json —
+    # no Python row work), and LWW-collapse per transcript key. The
+    # oracle recomputes the same final state straight from events, so a
+    # lossy or misordered wire roundtrip fails the hash compare.
+    def q168(s, d):
+        from haskell_dbfunctor_spark.cdc.generator import TRANSCRIPT_SCHEMA
+        from haskell_dbfunctor_spark.sources.debezium import (
+            parse_debezium, to_debezium_json,
+        )
+
+        ev = _t(s, d, "events")
+        ch = ev.select(
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .when(F.col("event_id") % 3 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.col("props").alias("text"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(F.lit("tool_"),
+                         (F.col("event_id") % 5).cast("string")),
+            ).alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("seq"),
+        )
+        parsed = parse_debezium(
+            to_debezium_json(ch, TRANSCRIPT_SCHEMA), TRANSCRIPT_SCHEMA
+        )
+        ords = F.struct("ts", "seq")
+        last = parsed.groupBy("conv_id", "turn_idx").agg(
+            F.max_by(
+                F.struct("op", "role", "text", "tool", "ts", "seq"), ords
+            ).alias("w")
+        )
+        return last.where(F.col("w.op") != "D").select(
+            "conv_id",
+            "turn_idx",
+            F.col("w.role").alias("role"),
+            F.col("w.text").alias("text"),
+            F.col("w.tool").alias("tool"),
+            F.col("w.ts").alias("ts"),
+            F.col("w.seq").alias("last_seq"),
+        )
+
+    q["q168_debezium_replay"] = q168
+
     # Driver-coverage ordering: the correctness gate samples the FIRST
     # 50 insertion-ordered entries.  Round 2 checked exactly the set in
     # CORRECTNESS_r02.json; put the 50 it did NOT check first so that
@@ -2690,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q168_debezium_replay",
         "q166_asof_time_travel", "q167_heavy_hitters",
         "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
         "q161_weighted_sample", "q162_generated_columns",
@@ -5487,6 +5543,26 @@ WHERE COALESCE(p.op, 'U') <> 'D'
     # q166 reads the SAME snapshot as q64, resolved by timestamp
     # instead of version — identical expected state
     o["q166_asof_time_travel"] = o["q64_time_travel_read"]
+    o["q168_debezium_replay"] = """
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               event_id AS last_seq
+        FROM (
+          SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 40 AS INT) AS turn_idx,
+                 CASE WHEN event_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 props AS text,
+                 CASE WHEN event_id % 3 = 0
+                      THEN 'tool_' || CAST(event_id % 5 AS VARCHAR)
+                 END AS tool,
+                 ts, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_id % 40
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND op <> 'D'
+    """
     o["q167_heavy_hitters"] = """
         WITH w AS (
           SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws

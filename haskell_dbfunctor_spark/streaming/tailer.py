@@ -107,6 +107,7 @@ def tail_feed_dir(
     term_index: LakeTable | None = None,
     term_index_mode: str = "cow",
     export_manifest: bool = False,
+    source: DataFrame | None = None,
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -172,14 +173,26 @@ def tail_feed_dir(
             "cross_batch_lww=False ONLY if feed files arrive in strict "
             "order (or keep mode='cow' for out-of-order feeds)"
         )
-    if schema is None:
-        schema = feed_schema_from_table(
-            table, op_col=op_col, order_cols=order_cols
-        )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(feed_dir)
+    if source is not None:
+        # pre-built streaming DataFrame (e.g. a Debezium JSONL tail via
+        # sources.debezium.stream_debezium_jsonl): the caller owns the
+        # reader; everything downstream — per-micro-batch MERGE,
+        # exactly-once epoch ids, cross-batch LWW, txn legs — is
+        # format-agnostic. feed_dir is still used for the default
+        # checkpoint location.
+        if not source.isStreaming:
+            raise ValueError("tail_feed_dir: source must be a streaming "
+                             "DataFrame (readStream)")
+        stream = source
+    else:
+        if schema is None:
+            schema = feed_schema_from_table(
+                table, op_col=op_col, order_cols=order_cols
+            )
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(feed_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         mf = None

@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                          "of replaying the synthetic feed")
     ap.add_argument("--feed-dir", default=None,
                     help="directory of change-event parquet files (--stream)")
+    ap.add_argument("--feed-format", default="parquet",
+                    choices=["parquet", "debezium"],
+                    help="--stream feed encoding: native change-event "
+                         "parquet, or Debezium JSONL envelopes (one JSON "
+                         "envelope per line — before/after images, op "
+                         "c/u/d/r, source.lsn as the seq tiebreak; "
+                         "sources/debezium.py parses JVM-side)")
     ap.add_argument("--no-cross-batch-lww", action="store_true",
                     help="skip the cross-batch last-writer-wins matched "
                          "filter; ONLY safe when feed files arrive in "
@@ -244,9 +251,21 @@ def main(argv: list[str] | None = None) -> int:
                         "_catalog",
                     ),
                 )
+        source = None
+        if args.feed_format == "debezium":
+            from haskell_dbfunctor_spark.sources.debezium import (
+                stream_debezium_jsonl,
+            )
+
+            # the table manifest carries the value schema; seq rides in
+            # from source.lsn, so the parsed stream already matches the
+            # tailer's (value columns + op + seq) contract
+            source = stream_debezium_jsonl(
+                spark, args.feed_dir, table.schema
+            )
         # cross_batch_lww defaults True: a late WAL file applied in a
         # later micro-batch must not overwrite newer committed state
-        q = tail_feed_dir(spark, table, args.feed_dir,
+        q = tail_feed_dir(spark, table, args.feed_dir, source=source,
                           cross_batch_lww=not args.no_cross_batch_lww,
                           expectations=expectations,
                           # --mor + --stream = delta-append micro-batches;
