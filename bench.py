@@ -643,6 +643,190 @@ def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
+                      n_batches: int = 10, batch_rows: int = 2000) -> None:
+    """Trickle-update merge cost: plain CoW (every touched bucket
+    rewrites whole) vs file-pruned CoW on two layouts — range-clustered
+    (min/max stats carry key-disjoint files) and hash-subsplit
+    (per-file key Blooms carry files whose filter rejects every batch
+    key). The workload is the append-mostly WAL shape: each batch is
+    90% inserts of NEW keys interleaved within the existing keyspace
+    (odd keys between the seeded evens — range stats alone can't prove
+    them absent on the unclustered layout, Blooms can) + 10% updates
+    of recently-inserted entities (evens in the same key window), so
+    some rewrite is always legitimate while the batch's per-bucket
+    [lo, hi] bounds stay narrow (scattering updates across the whole
+    keyspace would widen the bounds and honestly defeat range pruning
+    — that spread-update shape is the Bloom leg's job). Legs are three
+    persistent tables (shallow clones drop the stats/bloom catalogs by
+    design); rounds advance the key window so every batch stays
+    append-mostly, alternating leg order to cancel host drift.
+    Trickle-written files get min/max stats at write time
+    (stats.auto-columns), so later disjoint windows range-carry them
+    on BOTH pruned legs — only the seed files need the
+    layout-appropriate catalog."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_trickle_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+
+    def _rows_df(ids, tag):
+        # wide ~270-byte rows (the transcript shape); even keys seed,
+        # odd keys are the insert stream
+        return ids.select(
+            F.col("k"),
+            F.pmod(F.col("k"), F.lit(11)).cast("string").alias("grp"),
+            F.pmod(F.col("k") * 31, F.lit(1000)).alias("val"),
+            F.concat(*[
+                F.sha2(F.concat(F.col("k").cast("string"), F.lit(s)), 256)
+                for s in ("a", "b", "c", "d")
+            ]).alias("text"),
+            F.lit("U").alias("op"),
+            (F.col("k") + F.lit(tag)).alias("seq"),
+        )
+
+    # blooms-on-write keeps the membership filters alive across
+    # rewrites (without it, pruning decays after each bucket's first
+    # legitimate fold). A file is carried only when the bloom rejects
+    # EVERY batch key of its bucket; the default bloom.bits-per-row=16
+    # sizes each file's filter to its row count (FPR ~0.2% at any
+    # size), so consolidated files keep pruning as they grow
+    base = LakeTable.create(
+        spark, f"{root}/base", schema, key_cols=["k"], num_buckets=32,
+        properties={"stats.auto-columns": "k",
+                    "bloom.auto-columns": "k"},
+    )
+    # prune_buckets=True at seed so the write-task sizing sees the
+    # dedup count (an empty table has no byte estimate) and the 2 MB
+    # target actually subsplits each bucket into ~8 hash files
+    base.merge(
+        _rows_df(spark.range(n_rows).select((F.col("id") * 2).alias("k")), 0),
+        epoch_id="seed", order_cols=("seq",), drop_cols=("seq",),
+        files_per_bucket=8, target_file_bytes=2 << 20,
+    )
+    # range-clustered sibling layout for the stats leg (~2 MB files);
+    # range-disjoint files don't need membership filters — drop the
+    # bloom property so this leg isolates the stats path (and doesn't
+    # pay the write-time bloom pass)
+    clustered = base.shallow_clone(f"{root}/clustered")
+    clustered.set_properties({"bloom.auto-columns": None})
+    clustered.compact(sort_by="k", target_file_bytes=2 << 20)
+
+    def _batch(g: int):
+        # window g: 98% odd-key inserts + 2% same-window even-key
+        # updates — a narrow per-bucket key range (the "recent
+        # entities get edited" shape). More scattered updates would
+        # legitimately touch ~every subsplit file (each holds a hash
+        # sample of the keyspace), which is a full-rewrite workload,
+        # not a trickle.
+        n_upd = max(batch_rows * 2 // 100, 1)
+        ins = spark.range(batch_rows - n_upd).select(
+            (F.lit(g * batch_rows) + F.col("id")).alias("j")
+        ).select((F.col("j") * 2 + 1).alias("k"))
+        upd = spark.range(n_upd).select(
+            ((F.lit(g * batch_rows) + F.col("id") * 45) * 2).alias("k")
+        )
+        return _rows_df(ins.unionByName(upd), n_rows * 2 + g + 1)
+
+    def _tree_mb(p: str) -> float:
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(p, "data")):
+            for fn in fns:
+                try:
+                    total += os.path.getsize(os.path.join(dp, fn))
+                except OSError:
+                    pass
+        return total / 1e6
+
+    # persistent leg tables: shallow clones drop the stats/bloom
+    # catalogs (documented), so pruned legs must own real tables.
+    # The plain leg never prunes — strip the bloom property so it
+    # doesn't pay the write-time indexing it would never use.
+    plain = base.shallow_clone(f"{root}/plain")
+    plain.set_properties({"bloom.auto-columns": None})
+    legs = {
+        "plain": (plain, False),
+        "bloom": (base, True),
+        "stats": (clustered, True),
+    }
+    res = {m: {"merge_s": [], "mb_written": [], "files_carried": []}
+           for m in legs}
+    names = list(legs)
+    g = 0
+    # one warm pass through each leg (JIT/codegen), advancing windows
+    for m, (t, prune) in legs.items():
+        b = _batch(g).persist()
+        b.count()
+        t.merge(b, epoch_id=f"w{g}", order_cols=("seq",),
+                drop_cols=("seq",), prune_files=prune)
+        b.unpersist()
+        g += 1
+    for r in range(pairs):
+        order = names[r % 3:] + names[:r % 3]
+        for m in order:
+            t, prune = legs[m]
+            batches = [_batch(g + i).persist() for i in range(n_batches)]
+            for b in batches:
+                b.count()
+            g += n_batches
+            carried = 0
+            mb0 = _tree_mb(t.root)
+            t0 = time.time()
+            for i, b in enumerate(batches):
+                st = t.merge(b, epoch_id=f"t{g}-{i}", order_cols=("seq",),
+                             drop_cols=("seq",), prune_files=prune)
+                carried += st.extra.get("files_carried", 0)
+            total_s = time.time() - t0
+            mb = _tree_mb(t.root) - mb0
+            for b in batches:
+                b.unpersist()
+            res[m]["merge_s"].append(total_s / n_batches)
+            res[m]["mb_written"].append(mb)
+            res[m]["files_carried"].append(carried)
+            print(f"# round {r} {m}: {total_s / n_batches:.2f}s/merge, "
+                  f"{mb:.1f} MB written, {carried} files carried",
+                  file=sys.stderr)
+    med = {
+        m: {k: round(sorted(v)[len(v) // 2], 3) for k, v in vals.items()}
+        for m, vals in res.items()
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "trickle_prune_speedup_vs_plain",
+        "value": round(med["plain"]["merge_s"] / med["stats"]["merge_s"], 3),
+        "unit": "ratio (plain CoW merge s / stats-pruned clustered merge "
+                "s, median)",
+        # the hash-layout Bloom leg decays under even 2% scattered
+        # updates: every rewrite consolidates the bucket's rows into a
+        # growing file that the next batch's updates almost surely hit
+        # — membership pruning is an insert-heavy tool; scattered
+        # updates on unclustered layouts want MoR/DV writes instead
+        "bloom_leg_ratio": round(
+            med["plain"]["merge_s"] / med["bloom"]["merge_s"], 3),
+        "n_rows": n_rows, "n_batches": n_batches,
+        "batch_rows": batch_rows, "cores": cores,
+        "medians": med,
+    }))
+
+
 def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
                  m: int = 4, n_codes: int = 16, dims: int = 64) -> None:
     """Compressed-ANN scan cost: the phase that must touch EVERY row —
@@ -1114,6 +1298,11 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--trickle-cost", action="store_true",
+                    help="trickle-update merge cost: plain CoW vs "
+                         "file-pruned CoW (range-stats leg on a "
+                         "clustered layout, Bloom leg on the hash "
+                         "layout) under an append-mostly batch stream")
     ap.add_argument("--pq-cost", action="store_true",
                     help="compressed-ANN scan cost: exact cosine over "
                          "float vectors vs PQ ADC over m-tinyint codes "
@@ -1149,6 +1338,8 @@ if __name__ == "__main__":
                         kind="term")
     elif args.dv_cost:
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.trickle_cost:
+        main_trickle_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.pq_cost:
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:

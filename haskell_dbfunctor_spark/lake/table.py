@@ -891,6 +891,17 @@ class LakeTable:
                 fs.update(entries)
             manifest["file_stats"] = fs
             stats_patch = None
+        # blooms-on-write patch: same two-regime treatment
+        bloom_patch = manifest.pop("__bloom_patch", None)
+        if bloom_patch and not manifest.get("metadata_spill"):
+            fb = dict(manifest.get("file_blooms") or {})
+            for entries in bloom_patch.values():
+                for rel, e in entries.items():
+                    merged = dict(fb.get(rel) or {})
+                    merged.update(e)
+                    fb[rel] = merged
+            manifest["file_blooms"] = fb
+            bloom_patch = None
         if not manifest.get("metadata_spill"):
             inline = sum(
                 len(json.dumps(manifest.get(k) or {}, separators=(",", ":")))
@@ -1024,6 +1035,45 @@ class LakeTable:
                         bloom_refs[bid] = _write_sidecar("scb-", entries)
                 if bloom_refs:
                     out["bloom_refs"] = bloom_refs
+        elif bloom_patch:
+            # blooms-on-write against a spilled table: rewrite ONLY the
+            # patched buckets' scb-* sidecars (same O(touched) rule as
+            # the stats patch above); per-file entries MERGE per column
+            # so a patch for one column never drops another's filter
+            cache = getattr(self, "_bloom_cache", None)
+            if cache is None:
+                cache = self._bloom_cache = {}
+            bloom_refs = dict(out.get("bloom_refs") or {})
+            for bid, entries in bloom_patch.items():
+                prev: dict = {}
+                ref = bloom_refs.get(bid)
+                if ref is not None:
+                    if ref not in cache:
+                        try:
+                            with open(os.path.join(meta_dir, ref)) as fh:
+                                cache[ref] = json.load(fh)
+                        except FileNotFoundError:
+                            cache[ref] = {}
+                    prev = cache[ref]
+                livef = set(buckets.get(bid) or []) | set(
+                    deltas.get(bid) or []
+                )
+                merged = {
+                    r: dict(v) for r, v in prev.items() if r in livef
+                }
+                for r, e in entries.items():
+                    if r in livef and e:
+                        me = merged.setdefault(r, {})
+                        me.update(e)
+                bloom_refs.pop(bid, None)
+                if merged:
+                    bloom_refs[bid] = _write_sidecar("scb-", merged)
+            if bloom_refs:
+                out["bloom_refs"] = bloom_refs
+            else:
+                out.pop("bloom_refs", None)
+            # keep the live handle's view fresh (same rule as stats)
+            manifest["bloom_refs"] = dict(bloom_refs)
         out["metadata_spill"] = True
         return out
 
@@ -1886,6 +1936,109 @@ class LakeTable:
         )
         return [c.strip() for c in raw.split(",") if c.strip() in names]
 
+    def _auto_bloom_cols(self, schema_names: Sequence[str] | None = None):
+        """Columns named by the ``bloom.auto-columns`` table property —
+        blooms-on-write, the membership counterpart of
+        ``stats.auto-columns``. Every CoW merge / compaction builds
+        per-file Bloom filters for these columns over the files it just
+        wrote, in the SAME commit (one O(written) distributed pass —
+        parquet itself writes bloom filters at write time for the same
+        reason). Without it, the first legitimate rewrite of a bucket
+        consolidates its rows into bloom-less files and every later
+        file-pruned trickle merge (``merge(prune_files=True)``) and
+        point lookup (``read_where_eq``) degrades to rewrite/scan for
+        that bucket — write-time maintenance is what makes membership
+        pruning HOLD at 10^10 events, not just until the first update.
+        Size via ``bloom.bits`` (per file; default 8192 — use ~16x the
+        expected rows per file) and ``bloom.k`` (default 4)."""
+        raw = (self.properties.get("bloom.auto-columns") or "").strip()
+        if not raw:
+            return []
+        names = set(
+            schema_names if schema_names is not None else self.schema.names
+        )
+        return [c.strip() for c in raw.split(",") if c.strip() in names]
+
+    def _bloom_params(self) -> tuple[int, int, int]:
+        bits = int(self.properties.get("bloom.bits", 8192))
+        k = int(self.properties.get("bloom.k", 4))
+        # adaptive sizing: bits-per-row > 0 sizes each file's filter to
+        # its actual row count (power-of-two, floored at bloom.bits).
+        # Fixed-size filters saturate as compaction/rewrites grow files
+        # — FPR snowballs and membership pruning decays; ~16 bits/row
+        # with k=4 holds FPR ~0.2% at ANY file size, which is what
+        # parquet's own write-time bloom sizing does (ndv-driven).
+        bpr = int(self.properties.get("bloom.bits-per-row", 16))
+        return bits, k, bpr
+
+    _BLOOM_MAX_BITS = 1 << 24  # 2 MiB bitset cap per (file, col)
+
+    def _collect_written_blooms(
+        self, written: dict, cols: Sequence[str]
+    ) -> dict:
+        """Per-bucket ``{bid: {rel: {col: meta}}}`` Bloom entries for
+        freshly-written files — the write-side half of
+        blooms-on-write. One distributed pass per distinct filter size
+        over ONLY the written files (O(batch) for trickle merges),
+        computed BEFORE the commit so the filters land atomically with
+        the files they index. Sizes are powers of two so a probe can
+        hash once at the largest size and mask down (see
+        ``_merge_bloom_prune``)."""
+        if not cols:
+            return {}
+        rels = [rel for fl in written.values() for rel in fl]
+        if not rels:
+            return {}
+        import pyarrow.parquet as pq
+
+        bits, k, bpr = self._bloom_params()
+        by_bits: dict[int, list[str]] = {}
+        for rel in rels:
+            fb = bits
+            if bpr > 0:
+                try:
+                    n = pq.ParquetFile(
+                        os.path.join(self.root, rel)
+                    ).metadata.num_rows
+                except OSError:
+                    n = 0
+                want = max(n * bpr, bits)
+                fb = 1 << max(int(want - 1).bit_length(), 3)
+                fb = min(fb, self._BLOOM_MAX_BITS)
+            by_bits.setdefault(fb, []).append(rel)
+        entries: dict[str, dict] = {}
+        for fb, group in sorted(by_bits.items()):
+            entries.update(self._build_bloom_entries(group, list(cols), fb, k))
+        patch: dict = {}
+        for bid, fl in written.items():
+            be = {rel: entries[rel] for rel in fl if entries.get(rel)}
+            if be:
+                patch[str(bid)] = be
+        return patch
+
+    @staticmethod
+    def _apply_bloom_patch(m: dict, parent: dict, patch: dict) -> None:
+        """Fold a ``_collect_written_blooms`` patch into the manifest
+        under construction (inside a commit's apply closure — rebase
+        re-applies it cleanly). Same two regimes as
+        ``_apply_stats_patch``: inline ``file_blooms`` merge, or the
+        ``__bloom_patch`` deferral so ``_dehydrate_for_commit``
+        rewrites only the touched buckets' scb-* sidecars."""
+        if not patch:
+            return
+        if parent.get("file_blooms") is not None or not parent.get(
+            "metadata_spill"
+        ):
+            base = dict(parent.get("file_blooms") or {})
+            for entries in patch.values():
+                for rel, e in entries.items():
+                    merged = dict(base.get(rel) or {})
+                    merged.update(e)
+                    base[rel] = merged
+            m["file_blooms"] = base
+        else:
+            m["__bloom_patch"] = {b: dict(e) for b, e in patch.items()}
+
     def _collect_written_stats(
         self, written: dict, cols: Sequence[str]
     ) -> dict:
@@ -2095,6 +2248,79 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _build_bloom_entries(
+        self, rels: Sequence[str], cols: Sequence[str], bits: int, k: int
+    ) -> dict:
+        """One distributed pass building ``{rel: {col: bloom meta}}``
+        for the given data files — the shared core of ``analyze_bloom``
+        (catch-up over un-indexed live files) and blooms-on-write
+        (``bloom.auto-columns``: the files a merge/compaction just
+        wrote). k positions per value (xxhash64 with k seeds, mod
+        bits), explode + distinct (map-side combinable; per-task state
+        caps at files x cols x bits, never row count); at most bits/8
+        bytes of bitset per (file, col) ships to the driver."""
+        import base64
+
+        cur_types = {c: self.schema[c].dataType.simpleString() for c in cols}
+        paths = [os.path.join(self.root, rel) for rel in rels]
+        # blooms must hash LOGICAL values: a pre-default file's
+        # bloom built on raw NULLs would wrongly skip point
+        # lookups for the default value
+        df = self._with_default_fill(
+            self.spark.read.schema(self.schema).parquet(*paths)
+        )
+        melted = df.select(
+            F.input_file_name().alias("__f"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.array(
+                                *[
+                                    F.pmod(
+                                        F.xxhash64(F.col(c), F.lit(seed)),
+                                        F.lit(bits),
+                                    )
+                                    for seed in range(k)
+                                ]
+                            ).alias("ps"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("e"),
+        ).select("__f", F.col("e.c").alias("c"), F.explode("e.ps").alias("p"))
+        per_file = (
+            melted.where(F.col("p").isNotNull())  # NULL values unindexed
+            .distinct()
+            .groupBy("__f", "c")
+            .agg(F.collect_set("p").alias("ps"))
+        )
+        # map absolute scan URIs back to manifest-relative paths
+        acc: dict[str, dict[str, set]] = {}
+        for row in per_file.collect():
+            uri = row["__f"]
+            rel = next((r for r in rels if uri.endswith(r)), None)
+            if rel is None:
+                continue
+            acc.setdefault(rel, {})[row["c"]] = set(row["ps"] or [])
+        out: dict[str, dict] = {}
+        for rel in rels:
+            entry: dict = {}
+            for c in cols:
+                bitset = bytearray(bits // 8)
+                for p in acc.get(rel, {}).get(c, ()):
+                    bitset[p // 8] |= 1 << (p % 8)
+                entry[c] = {
+                    "b64": base64.b64encode(bytes(bitset)).decode(),
+                    "bits": bits,
+                    "k": k,
+                    "type": cur_types[c],
+                }
+            out[rel] = entry
+        return out
+
     def analyze_bloom(
         self, cols: Sequence[str], *, bits: int = 8192, k: int = 4
     ) -> dict:
@@ -2123,8 +2349,6 @@ class LakeTable:
         are impossible. NULLs are not indexed (a NULL probe is
         rejected).
         """
-        import base64
-
         self._forbid_staged("analyze_bloom")
         cols = list(cols)
         for c in cols:
@@ -2150,60 +2374,9 @@ class LakeTable:
         blooms: dict[str, dict] = {rel: dict(prev.get(rel, {})) for rel in live}
         n_read = len(todo)
         if todo:
-            paths = [os.path.join(self.root, rel) for rel in todo]
-            # blooms must hash LOGICAL values: a pre-default file's
-            # bloom built on raw NULLs would wrongly skip point
-            # lookups for the default value
-            df = self._with_default_fill(
-                self.spark.read.schema(self.schema).parquet(*paths)
-            )
-            melted = df.select(
-                F.input_file_name().alias("__f"),
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(c).alias("c"),
-                                F.array(
-                                    *[
-                                        F.pmod(
-                                            F.xxhash64(F.col(c), F.lit(seed)),
-                                            F.lit(bits),
-                                        )
-                                        for seed in range(k)
-                                    ]
-                                ).alias("ps"),
-                            )
-                            for c in cols
-                        ]
-                    )
-                ).alias("e"),
-            ).select("__f", F.col("e.c").alias("c"), F.explode("e.ps").alias("p"))
-            per_file = (
-                melted.where(F.col("p").isNotNull())  # NULL values unindexed
-                .distinct()
-                .groupBy("__f", "c")
-                .agg(F.collect_set("p").alias("ps"))
-            )
-            # map absolute scan URIs back to manifest-relative paths
-            acc: dict[str, dict[str, set]] = {}
-            for row in per_file.collect():
-                uri = row["__f"]
-                rel = next((r for r in todo if uri.endswith(r)), None)
-                if rel is None:
-                    continue
-                acc.setdefault(rel, {})[row["c"]] = set(row["ps"] or [])
+            built = self._build_bloom_entries(todo, cols, bits, k)
             for rel in todo:
-                for c in cols:
-                    bitset = bytearray(bits // 8)
-                    for p in acc.get(rel, {}).get(c, ()):
-                        bitset[p // 8] |= 1 << (p % 8)
-                    blooms[rel][c] = {
-                        "b64": base64.b64encode(bytes(bitset)).decode(),
-                        "bits": bits,
-                        "k": k,
-                        "type": cur_types[c],
-                    }
+                blooms[rel].update(built.get(rel, {}))
 
         if not todo and blooms == prev:
             # nothing new to index — don't burn a snapshot version
@@ -3061,22 +3234,50 @@ class LakeTable:
             .distinct()
         )
         pos: dict[tuple, dict] = {}
-        for bits, k in combos:
+        pow2 = [c for c in combos if c[0] & (c[0] - 1) == 0]
+        if pow2 == combos:
+            # adaptive sizing emits power-of-two filter sizes on
+            # purpose: h mod 2^small == (h mod 2^big) mod 2^small, so
+            # ONE probe job at the largest (bits, k) serves every
+            # combo by masking — a merge never pays more than one
+            # Spark round-trip however many filter generations the
+            # bucket's files span
+            bits_max = max(c[0] for c in combos)
+            k_max = max(c[1] for c in combos)
             rows = probe_keys.select(
                 F.col(BUCKET_COL),
                 *[
                     F.pmod(
-                        F.xxhash64(F.col(k0), F.lit(seed)), F.lit(bits)
+                        F.xxhash64(F.col(k0), F.lit(seed)), F.lit(bits_max)
                     ).alias(f"p{seed}")
-                    for seed in range(k)
+                    for seed in range(k_max)
                 ],
             ).collect()
-            d: dict[int, list] = {}
-            for r in rows:
-                d.setdefault(int(r[BUCKET_COL]), []).append(
-                    [r[f"p{s}"] for s in range(k)]
-                )
-            pos[(bits, k)] = d
+            for bits, k in combos:
+                d: dict[int, list] = {}
+                mask = bits - 1
+                for r in rows:
+                    d.setdefault(int(r[BUCKET_COL]), []).append(
+                        [r[f"p{s}"] & mask for s in range(k)]
+                    )
+                pos[(bits, k)] = d
+        else:
+            for bits, k in combos:
+                rows = probe_keys.select(
+                    F.col(BUCKET_COL),
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(k0), F.lit(seed)), F.lit(bits)
+                        ).alias(f"p{seed}")
+                        for seed in range(k)
+                    ],
+                ).collect()
+                d = {}
+                for r in rows:
+                    d.setdefault(int(r[BUCKET_COL]), []).append(
+                        [r[f"p{s}"] for s in range(k)]
+                    )
+                pos[(bits, k)] = d
         for b, fl in work.items():
             for rel, meta in fl:
                 keysets = pos[(meta["bits"], meta["k"])].get(b, [])
@@ -3852,6 +4053,13 @@ class LakeTable:
         stats_patch = self._collect_written_stats(
             written, self._auto_stat_cols(new_schema.names)
         )
+        # blooms-on-write: membership filters for the written files
+        # (one O(written) Spark pass; empty unless bloom.auto-columns
+        # is set) — keeps prune_files/read_where_eq effective across
+        # rewrites instead of decaying after each bucket's first fold
+        bloom_patch = self._collect_written_blooms(
+            written, self._auto_bloom_cols(new_schema.names)
+        )
         next_rid = (
             self._written_row_id_hwm(written) if self.row_lineage else None
         )
@@ -3874,6 +4082,7 @@ class LakeTable:
                 )
             manifest["buckets"] = new_buckets
             self._apply_stats_patch(manifest, parent, stats_patch)
+            self._apply_bloom_patch(manifest, parent, bloom_patch)
             # the CoW target read collapsed any pending MoR deltas AND
             # deletion vectors of the touched buckets — their new base
             # subsumes both (delta-bearing buckets are never carried:
@@ -4609,6 +4818,9 @@ class LakeTable:
         stats_patch = self._collect_written_stats(
             written, self._auto_stat_cols()
         )
+        bloom_patch = self._collect_written_blooms(
+            written, self._auto_bloom_cols()
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -4630,6 +4842,7 @@ class LakeTable:
                     if int(b) not in set(touched)
                 }
             self._apply_stats_patch(manifest, parent, stats_patch)
+            self._apply_bloom_patch(manifest, parent, bloom_patch)
             return manifest
 
         committed = self._commit_rebased(
@@ -4907,6 +5120,9 @@ class LakeTable:
         stats_patch = self._collect_written_stats(
             written, self._auto_stat_cols()
         )
+        bloom_patch = self._collect_written_blooms(
+            written, self._auto_bloom_cols()
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -4931,6 +5147,7 @@ class LakeTable:
                     if int(b) not in set(touched)
                 }
             self._apply_stats_patch(manifest, parent, stats_patch)
+            self._apply_bloom_patch(manifest, parent, bloom_patch)
             return manifest
 
         committed = self._commit_rebased(
