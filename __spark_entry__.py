@@ -407,6 +407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- lake merge-on-read: delta commits + collapsed read ----
     q["q48_mor_lake_state"] = _mor_lake_state
 
+    # deletion-vector MERGE (merge(mode='dv')): O(batch) writes for
+    # scattered updates — matched positions vector out, new images
+    # append; same LWW oracle as q21/q48 (see _dv_lake_state)
+    q["q169_dv_merge_state"] = _dv_lake_state
+
     # ---- lake MoR partial patches: column-wise collapse ----
     q["q66_mor_partial_patch"] = _mor_partial_patch_state
 
@@ -2745,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q169_dv_merge_state",
         "q168_debezium_replay",
         "q166_asof_time_travel", "q167_heavy_hitters",
         "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
@@ -4299,6 +4305,60 @@ def _mor_lake_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _dv_lake_state(s: SparkSession, d: str) -> DataFrame:
+    """q169: deletion-vector MERGE (merge(mode='dv') — Delta DV-backed
+    MERGE / Iceberg v3 position deletes) through the oracle gate.
+    Events split into two dv epoch commits: e1's matched keys vector
+    e0's positions out and append fresh images (O(batch) writes, no
+    bucket rewrite, no read-side collapse — the bucket stays
+    key-unique because superseded positions die in the same commit);
+    matched deletes vector without appending. ts is monotone in seq
+    and the split is by seq, so the collapsed view must equal the
+    q21/q48 LWW oracle exactly."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_dv_q169_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_dv_q169_", dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0", mode="dv")
+    st = table.merge(
+        ev.where(F.col("seq") >= half), epoch_id="e1", mode="dv"
+    )
+    if st.extra.get("dv_positions", 0) <= 0:  # contract, not tuning
+        raise AssertionError("dv merge vectored no positions")
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _schema_evolution_state(s: SparkSession, d: str) -> DataFrame:
     """q122: the north rule's schema-evolution contract through the
     oracle gate — epoch e0 merges WITHOUT the ``props`` column, e1
@@ -5107,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
+    o["q169_dv_merge_state"] = _CDC_LWW_SQL
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""

@@ -136,7 +136,7 @@ def run_cdc(
             # periodically; write-only throughput would overstate MoR)
             compact_every=(
                 max(n_epochs // 2, 1)
-                if (mode == "mor" or index == "mor"
+                if (mode in ("mor", "dv") or index == "mor"
                     or term_index == "mor") else None
             ),
             dedup_index=dedup_index,
@@ -152,6 +152,12 @@ def run_cdc(
         if mode == "mor" and table.manifest.get("delta_files"):
             t_c = time.time()
             table.compact_deltas()
+            extra_compact = time.time() - t_c
+        if mode == "dv" and any(
+            table.manifest.get("dv_files", {}).values()
+        ):
+            t_c = time.time()
+            table.compact(dv_ratio=0.0)
             extra_compact = time.time() - t_c
         if (
             index == "mor"
@@ -367,7 +373,8 @@ def _one_cdc_subprocess(cores: int, n_events: int, n_epochs: int = CDC_EPOCHS,
         [sys.executable, os.path.abspath(__file__),
          "--cdc", str(n_events), "--cores", str(cores),
          "--epochs", str(n_epochs)]
-        + (["--mor"] if mode == "mor" else []),
+        + (["--mor"] if mode == "mor" else [])
+        + (["--dv"] if mode == "dv" else []),
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -762,27 +769,35 @@ def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
     # doesn't pay the write-time indexing it would never use.
     plain = base.shallow_clone(f"{root}/plain")
     plain.set_properties({"bloom.auto-columns": None})
+    # dv leg: deletion-vector MERGE — O(batch) writes regardless of
+    # update scatter (vectors matched positions, appends new images).
+    # Production config composes it with bloom file skipping so the
+    # match SCAN also shrinks: re-index the clone's referenced files
+    # (clones drop the catalogs) and keep blooms-on-write for appends.
+    dv = base.shallow_clone(f"{root}/dvleg")
+    dv.analyze_bloom(["k"], bits=1 << 17, k=4)
     legs = {
-        "plain": (plain, False),
-        "bloom": (base, True),
-        "stats": (clustered, True),
+        "plain": (plain, False, "cow"),
+        "bloom": (base, True, "cow"),
+        "stats": (clustered, True, "cow"),
+        "dv": (dv, True, "dv"),
     }
     res = {m: {"merge_s": [], "mb_written": [], "files_carried": []}
            for m in legs}
     names = list(legs)
     g = 0
     # one warm pass through each leg (JIT/codegen), advancing windows
-    for m, (t, prune) in legs.items():
+    for m, (t, prune, mmode) in legs.items():
         b = _batch(g).persist()
         b.count()
         t.merge(b, epoch_id=f"w{g}", order_cols=("seq",),
-                drop_cols=("seq",), prune_files=prune)
+                drop_cols=("seq",), prune_files=prune, mode=mmode)
         b.unpersist()
         g += 1
     for r in range(pairs):
-        order = names[r % 3:] + names[:r % 3]
+        order = names[r % len(names):] + names[:r % len(names)]
         for m in order:
-            t, prune = legs[m]
+            t, prune, mmode = legs[m]
             batches = [_batch(g + i).persist() for i in range(n_batches)]
             for b in batches:
                 b.count()
@@ -792,8 +807,10 @@ def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
             t0 = time.time()
             for i, b in enumerate(batches):
                 st = t.merge(b, epoch_id=f"t{g}-{i}", order_cols=("seq",),
-                             drop_cols=("seq",), prune_files=prune)
-                carried += st.extra.get("files_carried", 0)
+                             drop_cols=("seq",), prune_files=prune,
+                             mode=mmode)
+                carried += st.extra.get("files_carried", 0) + \
+                    st.extra.get("files_skipped", 0)
             total_s = time.time() - t0
             mb = _tree_mb(t.root) - mb0
             for b in batches:
@@ -821,6 +838,9 @@ def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
         # updates on unclustered layouts want MoR/DV writes instead
         "bloom_leg_ratio": round(
             med["plain"]["merge_s"] / med["bloom"]["merge_s"], 3),
+        # deletion-vector MERGE: O(batch) writes at any update scatter
+        "dv_leg_ratio": round(
+            med["plain"]["merge_s"] / med["dv"]["merge_s"], 3),
         "n_rows": n_rows, "n_batches": n_batches,
         "batch_rows": batch_rows, "cores": cores,
         "medians": med,
@@ -1278,6 +1298,9 @@ if __name__ == "__main__":
     ap.add_argument("--mor", action="store_true",
                     help="CDC replay with merge-on-read deltas (O(batch) "
                          "writes) instead of copy-on-write")
+    ap.add_argument("--dv", action="store_true",
+                    help="CDC replay with deletion-vector merges "
+                         "(O(batch) writes, collapse-free reads)")
     ap.add_argument("--cdc", type=int, nargs="?", const=CDC_EVENTS_DEFAULT,
                     default=None, metavar="N_EVENTS")
     ap.add_argument("--scaling", action="store_true")
@@ -1355,10 +1378,11 @@ if __name__ == "__main__":
     elif args.scaling:
         main_scaling(args.small, args.large, args.events,
                      pairs=args.pairs, n_epochs=args.epochs,
-                     mode="mor" if args.mor else "cow")
+                     mode="mor" if args.mor else "dv" if args.dv
+                     else "cow")
     elif args.cdc is not None:
         main_cdc(args.cores, args.cdc, n_epochs=args.epochs,
-                 mode="mor" if args.mor else "cow")
+                 mode="mor" if args.mor else "dv" if args.dv else "cow")
     else:
         # 2M events amortizes fixed per-epoch cost so the recorded
         # headline reflects steady-state MERGE throughput

@@ -282,7 +282,12 @@ def replay(
             stats.epochs_applied += 1
             stats.events_applied += m.n_source
             if compact_every and stats.epochs_applied % compact_every == 0:
-                table.compact_deltas()
+                if mode == "dv":
+                    # fold accumulated deletion vectors + trickle
+                    # appends back into clean key-unique base files
+                    table.compact(dv_ratio=0.0)
+                else:
+                    table.compact_deltas()
                 if dedup_index is not None and dedup_index_mode == "mor":
                     dedup_index.compact_deltas()
                 if term_index is not None and term_index_mode == "mor":

@@ -3387,8 +3387,37 @@ class LakeTable:
         can't (``bloom_probe_limit=0`` disables probing).
         """
         t0 = time.time()
-        if mode not in ("cow", "mor"):
+        if mode not in ("cow", "mor", "dv"):
             raise LakeError(f"unknown merge mode {mode!r}")
+        if mode == "dv":
+            if update_cols is not None:
+                raise LakeError(
+                    "mode='dv' has no update_cols yet: the appended "
+                    "image replaces the whole matched row; use "
+                    "mode='cow' for column-subset updates"
+                )
+            if not_matched_by_source is not None:
+                raise LakeError(
+                    "mode='dv' cannot evaluate not_matched_by_source: "
+                    "use mode='cow' for snapshot syncs"
+                )
+            if stage_only:
+                raise LakeError(
+                    "mode='dv' does not support write-audit-publish "
+                    "staging yet; stage with mode='cow'"
+                )
+            if self.manifest.get("nullable_keys"):
+                raise LakeError(
+                    "mode='dv' is unsupported on nullable_keys tables: "
+                    "the position-match join is raw-equality; use "
+                    "mode='cow'"
+                )
+            if self.row_lineage:
+                raise LakeError(
+                    "row-lineage tables require mode='cow' merges "
+                    "(appended DV images would need id carry-over and "
+                    "serialized version stamps)"
+                )
         target_file_bytes = self._resolve_target_file_bytes(
             target_file_bytes
         )
@@ -3458,10 +3487,11 @@ class LakeTable:
             # (set ``stats.auto-columns`` to include the key, or run
             # ``analyze([key])``); files without stats always rewrite
             # (never wrongly carried).
-            if mode != "cow":
+            if mode not in ("cow", "dv"):
                 raise LakeError(
-                    "prune_files requires mode='cow' (MoR never reads "
-                    "target files at write time — nothing to prune)"
+                    "prune_files requires mode='cow' or 'dv' (MoR "
+                    "never reads target files at write time — nothing "
+                    "to prune)"
                 )
             if not_matched_by_source is not None:
                 raise LakeError(
@@ -3787,6 +3817,25 @@ class LakeTable:
                 touched = list(range(self.num_buckets))
                 n_deduped = -1
                 n_source = -1
+
+            if mode == "dv":
+                if n_source < 0:
+                    # no prune job ran: counts resolve from the
+                    # observations after _merge_dv's own actions
+                    persisted = deduped = deduped.persist()
+                st = self._merge_dv(
+                    deduped, key, batch_payload, op_col, new_schema,
+                    epoch_id=epoch_id, t0=t0, touched=touched,
+                    kept_files=kept_files, n_source=n_source,
+                    n_deduped=n_deduped, matched_filter=matched_filter,
+                    delete_op=delete_op, timings=timings,
+                    obs_src=obs_src, obs_dd=obs_dd,
+                )
+                if st.skipped:
+                    _drop_ephemeral_quarantine()
+                if expectations:
+                    st.extra["quarantined"] = n_quarantined
+                return st
 
             kept_abs = frozenset(
                 os.path.join(self.root, f)
@@ -4299,6 +4348,360 @@ class LakeTable:
             },
         )
         self._write_lineage(stats, written)
+        return stats
+
+    def _merge_dv(
+        self,
+        deduped: DataFrame,
+        key: Sequence[str],
+        batch_payload: Sequence[str],
+        op_col: str | None,
+        new_schema: T.StructType,
+        *,
+        epoch_id: str | None,
+        t0: float,
+        touched: Sequence[int],
+        kept_files: dict,
+        n_source: int,
+        n_deduped: int,
+        matched_filter: Column | None,
+        delete_op: str,
+        timings: dict,
+        obs_src: Observation | None = None,
+        obs_dd: Observation | None = None,
+    ) -> MergeStats:
+        """Deletion-vector MERGE (Delta's DV-backed MERGE / Iceberg v3
+        position-delete writes): matched target rows' positions append
+        to the bucket's deletion vectors and the batch's surviving
+        images append as fresh base files — O(batch) WRITES however
+        scattered the update keys are, where CoW rewrites every
+        touched file and MoR defers a collapse to every read. The
+        write path still READS the touched buckets (that is what buys
+        ``matched_filter`` — cross-batch LWW — which MoR structurally
+        cannot evaluate), but file skipping applies: with
+        ``prune_files=True``, files whose range stats / Blooms prove
+        them key-disjoint from the batch are excluded from the match
+        scan, so an insert-heavy trickle batch reads almost nothing.
+        Read side is the ordinary base-minus-DV view (`_apply_dvs`) —
+        appended files are plain base files, no collapse: the bucket
+        stays key-unique because every superseded image's position is
+        vectored out in the same commit.
+
+        Matched-row semantics mirror CoW exactly (same tests assert
+        bit-equal states): a matched delete always wins; a matched
+        upsert applies only where ``matched_filter`` passes (NULL
+        vetoes — fail closed); batch columns absent from an evolved
+        batch keep the TARGET's value in the appended image; inserts
+        fill write-defaults. Buckets with pending MoR deltas refuse
+        (appending a base image under a delta would let the older
+        delta override it on read — run ``compact_deltas`` first);
+        ``compact(dv_ratio=...)`` folds the vectors back into the base
+        as maintenance."""
+        new_version = self.version + 1
+        dm = self.manifest.get("delta_files", {})
+        offenders = sorted(int(b) for b in touched if dm.get(str(b)))
+        if offenders:
+            raise LakeError(
+                "merge(mode='dv'): buckets with pending MoR deltas "
+                f"cannot take position-based merges ({offenders[:8]}"
+                f"{'...' if len(offenders) > 8 else ''}) — the read-"
+                "side delta collapse would override appended images; "
+                "run compact_deltas() first or use mode='cow'/'mor'"
+            )
+        skip_abs = {
+            os.path.join(self.root, f)
+            for fl in kept_files.values()
+            for f in fl
+        }
+        all_files = self._files(buckets=touched)
+        files = [f for f in all_files if f not in skip_abs]
+        data_cols = [f.name for f in new_schema.fields if f.name not in key]
+        live_defaults = self._live_defaults()
+        is_delete = (
+            (F.col(f"s.{op_col}") == F.lit(delete_op))
+            if op_col
+            else F.lit(False)
+        )
+        t_a = time.time()
+        jp = None
+        if files:
+            scan = self._with_default_fill(
+                self.spark.read.schema(self.schema).parquet(*files)
+            )
+            tagged = scan.select(
+                "*",
+                F.col("_metadata.file_path").alias("__t_uri"),
+                self.bucket_of(*[F.col(c) for c in key]).alias("__t_b"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__t_name"),
+                F.col("_metadata.row_index").alias("__t_pos"),
+            )
+            # rows already vectored out are DEAD: matching them would
+            # double-delete a position (harmless) but, worse, let a
+            # stale image win a matched_filter comparison — anti-join
+            # them away exactly like the read path does
+            prior = self._dv_refs(touched)
+            if prior:
+                prior_paths = [os.path.join(self.root, r) for r in prior]
+                old = (
+                    self.spark.read.schema(DV_SCHEMA)
+                    .parquet(*prior_paths)
+                    .select("__dv_bucket", "__dv_name", "__dv_pos")
+                )
+                psize = 0
+                for p in prior_paths:
+                    try:
+                        psize += os.path.getsize(p)
+                    except OSError:
+                        pass
+                if psize <= 32 * 1024 * 1024:
+                    old = F.broadcast(old)
+                tagged = tagged.join(
+                    old,
+                    (tagged["__t_b"] == old["__dv_bucket"])
+                    & (tagged["__t_name"] == old["__dv_name"])
+                    & (tagged["__t_pos"] == old["__dv_pos"]),
+                    "left_anti",
+                )
+            t = tagged.alias("t")
+            # INNER join with the BATCH side broadcast: the target
+            # never shuffles — the scan streams map-side through a
+            # tiny hash table (Delta's MERGE shape: skip files, then
+            # probe the source onto the remaining scan). Gated on the
+            # deduped count so a snapshot-sized batch falls back to a
+            # shuffle join instead of flooding the driver.
+            s_side = (
+                F.broadcast(deduped)
+                if 0 <= n_deduped <= 4_000_000
+                else deduped
+            ).alias("s")
+            cond = None
+            for c in key:
+                eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+                cond = eq if cond is None else (cond & eq)
+            j = t.join(s_side, cond, "inner")
+        else:
+            j = None
+        may = matched_filter if matched_filter is not None else F.lit(True)
+        # matched delete always wins (CoW parity); matched upsert only
+        # where the filter passes — a NULL result vetoes (the where()
+        # drops NULL, same fail-closed branch CoW's when() takes)
+        dv_cond = is_delete | may
+        win_cond = ~is_delete & may
+
+        dv_written: dict[str, list[str]] = {}
+        app_written: dict[str, list[str]] = {}
+        dv_abs = app_abs = None
+        n_dv = n_app = 0
+        ins_delete = (
+            (F.col(op_col) == F.lit(delete_op)) if op_col else F.lit(False)
+        )
+
+        def ins_col(c: str) -> Column:
+            # unmatched insert image: batch value / write-default / NULL
+            if c in batch_payload:
+                return F.col(c)
+            if c in live_defaults:
+                return F.lit(live_defaults[c]["value"]).cast(
+                    new_schema[c].dataType
+                ).alias(c)
+            return F.lit(None).cast(new_schema[c].dataType).alias(c)
+
+        try:
+            if j is not None:
+                jp = j.persist()
+                marker = os.path.abspath(self.root) + os.sep
+                at = F.locate(marker, F.col("t.__t_uri"))
+                relc = F.when(
+                    at > 0,
+                    F.col("t.__t_uri").substr(
+                        at + len(marker), F.lit(1 << 20)
+                    ),
+                ).otherwise(F.col("t.__t_uri"))
+                dv_rel = os.path.join(
+                    DATA_DIR, f"dv{new_version}-{uuid.uuid4().hex[:8]}"
+                )
+                dv_abs = os.path.join(self.root, dv_rel)
+                obs_dv = Observation(f"mdv_{new_version}_{uuid.uuid4().hex[:6]}")
+                (
+                    jp.where(dv_cond)
+                    .select(
+                        relc.alias("__dv_file"),
+                        F.col("t.__t_b").alias("__dv_bucket"),
+                        F.col("t.__t_name").alias("__dv_name"),
+                        F.col("t.__t_pos").alias("__dv_pos"),
+                        F.col("t.__t_b").alias(BUCKET_COL),
+                    )
+                    .observe(obs_dv, F.count(F.lit(1)).alias("n"))
+                    .repartition(
+                        min(self.num_buckets, 64), F.col(BUCKET_COL)
+                    )
+                    .write.partitionBy(BUCKET_COL)
+                    .mode("overwrite")
+                    .parquet(dv_abs)
+                )
+                dv_written = self._scan_written(dv_abs, dv_rel)
+                try:
+                    n_dv = int(obs_dv.get["n"])
+                except Exception:
+                    import pyarrow.parquet as pq
+
+                    n_dv = sum(
+                        pq.ParquetFile(
+                            os.path.join(self.root, f)
+                        ).metadata.num_rows
+                        for fl in dv_written.values()
+                        for f in fl
+                    )
+                if not n_dv:
+                    shutil.rmtree(dv_abs, ignore_errors=True)
+                    dv_abs = None
+                    dv_written = {}
+
+                def win_col(c: str) -> Column:
+                    # matched winner image: batch value; columns the
+                    # batch does not carry keep the TARGET's value
+                    # (CoW parity across schema evolution)
+                    if c in batch_payload:
+                        return F.col(f"s.{c}").alias(c)
+                    if c in self.schema.names:
+                        return F.col(f"t.{c}").alias(c)
+                    return F.lit(None).cast(new_schema[c].dataType).alias(c)
+
+                winner_images = jp.where(win_cond).select(
+                    *[F.col(f"s.{c}").alias(c) for c in key],
+                    *[win_col(c) for c in data_cols],
+                    F.col("t.__t_b").alias(BUCKET_COL),
+                )
+                # matched keys are O(matches) <= O(batch): broadcast
+                # the anti-join that isolates the unmatched inserts
+                matched_keys = F.broadcast(
+                    jp.select(
+                        *[F.col(f"s.{c}").alias(c) for c in key]
+                    )
+                )
+                inserts = deduped.join(matched_keys, list(key), "left_anti")
+            else:
+                inserts = deduped
+                winner_images = None
+            insert_images = inserts.where(~ins_delete).select(
+                *key,
+                *[ins_col(c) for c in data_cols],
+                F.col(BUCKET_COL),
+            )
+            appends = (
+                insert_images.unionByName(winner_images)
+                if winner_images is not None
+                else insert_images
+            )
+            app_rel = os.path.join(
+                DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+            )
+            app_abs = os.path.join(self.root, app_rel)
+            obs_app = Observation(
+                f"mdva_{new_version}_{uuid.uuid4().hex[:6]}"
+            )
+            app_out = appends.observe(
+                obs_app, F.count(F.lit(1)).alias("n")
+            ).repartition(min(self.num_buckets, 64), F.col(BUCKET_COL))
+            sb = self.properties.get(CLUSTER_SORT_PROP)
+            if sb and sb in app_out.columns:
+                app_out = app_out.sortWithinPartitions(BUCKET_COL, sb)
+            (
+                app_out.write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(app_abs)
+            )
+            app_written = self._scan_written(app_abs, app_rel)
+            try:
+                n_app = int(obs_app.get["n"])
+            except Exception:
+                n_app = sum(1 for fl in app_written.values() for _ in fl)
+            if not n_app:
+                shutil.rmtree(app_abs, ignore_errors=True)
+                app_abs = None
+                app_written = {}
+        finally:
+            if jp is not None:
+                jp.unpersist()
+        timings["write"] = time.time() - t_a
+        if n_source < 0:
+            # prune_buckets=False path: the counts observations rode
+            # the dv/append actions just executed
+            try:
+                n_source = int(obs_src.get["n"]) if obs_src else 0
+                n_deduped = (
+                    int(obs_dd.get["n"]) if obs_dd is not None else n_source
+                )
+            except Exception:
+                n_source = n_deduped = 0
+
+        stats_patch = self._collect_written_stats(
+            app_written, self._auto_stat_cols(new_schema.names)
+        )
+        bloom_patch = self._collect_written_blooms(
+            app_written, self._auto_bloom_cols(new_schema.names)
+        )
+
+        def apply(parent: dict) -> dict:
+            manifest = dict(parent)
+            manifest["version"] = parent["version"] + 1
+            manifest["schema"] = new_schema.json()
+            new_buckets = dict(parent["buckets"])
+            for b, fl in app_written.items():
+                new_buckets[b] = list(new_buckets.get(b, [])) + fl
+            manifest["buckets"] = new_buckets
+            if dv_written:
+                dvs = dict(parent.get("dv_files", {}))
+                for b, refs in dv_written.items():
+                    dvs[b] = list(dvs.get(b, [])) + refs
+                manifest["dv_files"] = dvs
+            self._apply_stats_patch(manifest, parent, stats_patch)
+            self._apply_bloom_patch(manifest, parent, bloom_patch)
+            applied = dict(parent["applied_epochs"])
+            if epoch_id is not None:
+                applied[epoch_id] = {
+                    "version": manifest["version"], "ts": time.time()
+                }
+            manifest["applied_epochs"] = applied
+            return manifest
+
+        try:
+            committed = self._commit_rebased(
+                base=self.manifest, touched=list(touched), apply=apply,
+                epoch_id=epoch_id, orphan_dir=app_abs,
+                op="merge-dv",
+            )
+        except Exception:
+            if dv_abs:
+                shutil.rmtree(dv_abs, ignore_errors=True)
+            raise
+        if committed is None:  # a racing writer applied this epoch
+            if dv_abs:
+                shutil.rmtree(dv_abs, ignore_errors=True)
+            return MergeStats(
+                epoch_id=epoch_id, version=self.version, skipped=True
+            )
+        stats = MergeStats(
+            epoch_id=epoch_id,
+            version=committed["version"],
+            n_source=n_source,
+            n_deduped=n_deduped,
+            buckets_touched=len(touched),
+            seconds=time.time() - t0,
+            extra={
+                "mode": "dv",
+                "timings": {
+                    k: round(v, 3) for k, v in timings.items()
+                },
+                "dv_positions": n_dv,
+                "rows_appended": n_app,
+                "files_scanned": len(files),
+                "files_skipped": len(all_files) - len(files),
+            },
+        )
+        self._write_lineage(stats, app_written)
         return stats
 
     def quarantine(self) -> DataFrame:

@@ -46,9 +46,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge-on-read: append LWW-deduped delta files "
                          "(O(batch) writes) instead of copy-on-write bucket "
                          "rewrites; reads collapse deltas until compaction")
+    ap.add_argument("--dv", action="store_true",
+                    help="deletion-vector MERGE: matched positions vector "
+                         "out, new images append as plain base files — "
+                         "O(batch) writes like --mor but reads stay "
+                         "collapse-free and cross-batch LWW "
+                         "(matched_filter) still evaluates")
     ap.add_argument("--compact-every", type=int, default=None,
-                    help="fold pending MoR deltas into the base every K "
-                         "applied epochs (bounds the read tax)")
+                    help="fold pending MoR deltas (or, with --dv, "
+                         "deletion vectors + trickle appends) into the "
+                         "base every K applied epochs (bounds the read "
+                         "tax)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--stream", action="store_true",
                     help="tail --feed-dir with Structured Streaming instead "
@@ -159,9 +167,11 @@ def main(argv: list[str] | None = None) -> int:
     from haskell_dbfunctor_spark.cdc.generator import change_feed
 
     spark = get_spark(app_name="cdc-ingest")
-    if args.row_lineage and args.mor:
-        ap.error("--row-lineage requires CoW merges (drop --mor): a "
-                 "MoR delta append cannot preserve a matched row's id")
+    if args.mor and args.dv:
+        ap.error("--mor and --dv are mutually exclusive merge modes")
+    if args.row_lineage and (args.mor or args.dv):
+        ap.error("--row-lineage requires CoW merges (drop --mor/--dv): "
+                 "neither path preserves a matched row's id")
     gen_cols = None
     if args.generated:
         gen_cols = {}
@@ -271,7 +281,8 @@ def main(argv: list[str] | None = None) -> int:
                           # --mor + --stream = delta-append micro-batches;
                           # tail_feed_dir refuses it without
                           # --no-cross-batch-lww (ordered-feed contract)
-                          mode="mor" if args.mor else "cow",
+                          mode="mor" if args.mor
+                          else "dv" if args.dv else "cow",
                           rollup=rollup, catalog=catalog,
                           rollup_group_cols=tuple(group_cols)
                           if rollup is not None else ("role",),
@@ -365,7 +376,7 @@ def main(argv: list[str] | None = None) -> int:
         forget_dir=args.forget_dir,
         evolution_epoch=args.evolution_epoch,
         stop_after=args.stop_after,
-        mode="mor" if args.mor else "cow",
+        mode="mor" if args.mor else "dv" if args.dv else "cow",
         compact_every=args.compact_every,
         expectations=expectations,
         rollup=rollup,
@@ -378,7 +389,8 @@ def main(argv: list[str] | None = None) -> int:
         export_manifest=args.export_manifest,
     )
     out = {
-        "mode": "replay-mor" if args.mor else "replay",
+        "mode": "replay-mor" if args.mor
+        else "replay-dv" if args.dv else "replay",
         "epochs_applied": stats.epochs_applied,
         "epochs_skipped": stats.epochs_skipped,
         "events_applied": stats.events_applied,
