@@ -281,6 +281,22 @@ def _bucket_of_rel(rel: str) -> int:
     raise LakeError(f"cannot derive bucket from data path {rel!r}")
 
 
+def _forbid_legacy(table: LakeTable, mode: str, opname: str) -> None:
+    """Predicate DML during a lazy-rebucket migration: CoW rewrites
+    attribute files to buckets by PATH (old-spec ids would collide with
+    new-spec ids) and DV gating keys new-spec bucket ids (legacy files
+    never join the anti-join) — both would silently corrupt. MoR DML is
+    safe: it routes through merge(), which pre-folds the legacy buckets
+    its keys touch."""
+    if mode != "mor" and table.legacy_pending:
+        raise LakeError(
+            f"{opname}(mode={mode!r}) while a lazy rebucket migration "
+            "is pending is unsupported: run migrate_legacy() to "
+            "completion first, or use mode='mor' (tombstones/patches "
+            "route through merge, which folds as it goes)"
+        )
+
+
 def _record_epoch_only(table: LakeTable, epoch_id: str) -> MergeStats:
     """Metadata-only commit recording a zero-match DML epoch, so a
     replay skips the discovery scan. touched=() rebases over anything."""
@@ -799,6 +815,7 @@ def delete_where(
     if mode not in ("cow", "mor", "dv"):
         raise LakeError(f"delete_where: unknown mode {mode!r}")
     table._forbid_staged("delete_where")
+    _forbid_legacy(table, mode, "delete_where")
     pred = _match(_as_column(predicate))
     if mode == "dv":
         return _dv_mutate(
@@ -926,6 +943,7 @@ def update_where(
     if mode not in ("cow", "mor", "dv"):
         raise LakeError(f"update_where: unknown mode {mode!r}")
     table._forbid_staged("update_where")
+    _forbid_legacy(table, mode, "update_where")
     pred = _match(_as_column(predicate))
     assigns = _resolve_assignments(table, assignments)
     generated = table._generated_columns()

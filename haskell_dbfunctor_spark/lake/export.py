@@ -67,6 +67,12 @@ def export_symlink_manifest(
     files: list[str] = []
     for rels in (m.get("buckets") or {}).values():
         files.extend(os.path.join(table.root, rel) for rel in rels)
+    # lazy-rebucket overlay files are plain materialized base parquet
+    # (no deltas/DVs can reference them by invariant) — a raw reader
+    # unioning them with the new-spec files sees exactly table.read();
+    # the default-materialization walk below covers them like any file
+    for rels in (m.get("legacy_buckets") or {}).values():
+        files.extend(os.path.join(table.root, rel) for rel in rels)
     if defaults and files:
         import pyarrow.parquet as pq
 

@@ -262,12 +262,27 @@ def _atomic_claim_json(path: str, obj: dict) -> None:
 # still embed ``file_stats`` hydrate inline (read-compat); the next
 # commit re-splits them to scs-*.
 META_SPILL_BYTES_DEFAULT = 4 * 1024 * 1024
-_BIG_MANIFEST_KEYS = ("buckets", "delta_files", "file_stats", "file_blooms")
+_BIG_MANIFEST_KEYS = (
+    "buckets", "delta_files", "file_stats", "file_blooms", "legacy_buckets",
+)
 
 
 def _hydrate_manifest(root: str, m: dict) -> dict:
     """Resolve a spilled manifest's bucket sidecars back to the inline
     shape (no-op for inline manifests)."""
+    lrefs = m.get("legacy_refs")
+    if lrefs is not None:
+        # lazy-rebucket legacy overlay, spilled form: per-OLD-bucket
+        # scl-* sidecars (same content-addressed O(touched) contract
+        # as sc-*); hydrate back to the inline legacy_buckets map so
+        # every consumer sees one shape
+        meta = os.path.join(root, MANIFEST_DIR)
+        legacy: dict[str, list] = {}
+        for bid in sorted(lrefs, key=lambda b: int(b)):
+            with open(os.path.join(meta, lrefs[bid])) as fh:
+                legacy[bid] = json.load(fh)["files"]
+        m = {k: v for k, v in m.items() if k != "legacy_refs"}
+        m["legacy_buckets"] = legacy
     refs = m.get("bucket_refs")
     if refs is None:
         return m
@@ -741,14 +756,24 @@ class LakeTable:
             }
 
         pb, nb = _sets(parent, "buckets"), _sets(m, "buckets")
-        added: list[str] = []
-        removed = touched = 0
+        touched = 0
         for b in set(pb) | set(nb):
-            old, new = pb.get(b, set()), nb.get(b, set())
-            if old != new:
+            if pb.get(b, set()) != nb.get(b, set()):
                 touched += 1
-            added.extend(new - old)
-            removed += len(old - new)
+        # added/removed over the union of the live-data namespaces
+        # (buckets + lazy-rescale legacy overlay): a rescale or fold
+        # MOVES references between the two maps without creating or
+        # dereferencing the moved files — counting per-map would
+        # report a metadata-only rescale as removing the whole table
+        pl, nl = _sets(parent, "legacy_buckets"), _sets(m, "legacy_buckets")
+        p_all = {f for s in pb.values() for f in s} | {
+            f for s in pl.values() for f in s
+        }
+        n_all = {f for s in nb.values() for f in s} | {
+            f for s in nl.values() for f in s
+        }
+        added = list(n_all - p_all)
+        removed = len(p_all - n_all)
         pd_, nd = _sets(parent, "delta_files"), _sets(m, "delta_files")
         delta_added = [
             f for b in nd for f in nd[b] - pd_.get(b, set())
@@ -1074,6 +1099,18 @@ class LakeTable:
                 out.pop("bloom_refs", None)
             # keep the live handle's view fresh (same rule as stats)
             manifest["bloom_refs"] = dict(bloom_refs)
+        # lazy-rebucket legacy overlay spills to its own scl-* sidecars
+        # (content-addressed per OLD bucket, so a fold commit rewrites
+        # only the manifest — untouched legacy buckets re-hash to the
+        # same sidecar); at the 10^10 target the overlay starts as big
+        # as the bucket map itself, so it must never stay inline
+        legacy = manifest.get("legacy_buckets")
+        if legacy:
+            out["legacy_refs"] = {
+                bid: _write_sidecar("scl-", {"files": files})
+                for bid, files in legacy.items()
+                if files
+            }
         out["metadata_spill"] = True
         return out
 
@@ -1174,7 +1211,8 @@ class LakeTable:
 
     @staticmethod
     def _manifest_conflicts(
-        base: dict, latest: dict, touched: Sequence[int]
+        base: dict, latest: dict, touched: Sequence[int],
+        touched_legacy: Sequence[int] = (),
     ) -> bool:
         """Do commits between ``base`` and ``latest`` overlap ours?
 
@@ -1203,6 +1241,21 @@ class LakeTable:
             return True
         if latest["num_buckets"] != base["num_buckets"]:
             return True
+        if latest.get("legacy_num_buckets") != base.get("legacy_num_buckets"):
+            # a lazy rescale started (or its migration completed)
+            # in between: the layout our operation routed against is
+            # gone — conservative re-execute (cheap: rescale itself
+            # is metadata-only, folds re-plan from the new manifest)
+            return True
+        if touched_legacy:
+            ll = latest.get("legacy_buckets") or {}
+            bl = base.get("legacy_buckets") or {}
+            for b in touched_legacy:
+                if ll.get(str(b), []) != bl.get(str(b), []):
+                    # a racer folded (or re-folded) one of OUR legacy
+                    # buckets — the rows we read/planned to migrate
+                    # moved under us
+                    return True
         lb, bb = latest["buckets"], base["buckets"]
         ld = latest.get("delta_files", {})
         bd = base.get("delta_files", {})
@@ -1233,6 +1286,7 @@ class LakeTable:
         orphan_dir: str | None = None,
         max_rebase: int = 20,
         op: str | None = None,
+        touched_legacy: Sequence[int] = (),
     ) -> dict | None:
         """Commit ``apply(latest_manifest)`` with optimistic rebase.
 
@@ -1316,7 +1370,9 @@ class LakeTable:
                     self._cleanup_orphan(orphan_dir)
                     self.manifest = latest
                     return None
-                if self._manifest_conflicts(base, latest, touched):
+                if self._manifest_conflicts(
+                    base, latest, touched, touched_legacy
+                ):
                     self._cleanup_orphan(orphan_dir)
                     self.manifest = latest
                     raise
@@ -1356,6 +1412,38 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return int(self.manifest["num_buckets"])
+
+    @property
+    def legacy_pending(self) -> bool:
+        """True while a lazy ``rebucket(..., lazy=True)`` migration has
+        unfolded old-spec buckets (see ``migrate_legacy``)."""
+        return bool(self.manifest.get("legacy_buckets"))
+
+    @property
+    def legacy_num_buckets(self) -> int | None:
+        v = self.manifest.get("legacy_num_buckets")
+        return int(v) if v is not None else None
+
+    def _legacy_files(
+        self, old_buckets: Sequence[int] | None = None
+    ) -> list[str]:
+        lm = self.manifest.get("legacy_buckets") or {}
+        ids = (
+            [str(b) for b in old_buckets]
+            if old_buckets is not None
+            else list(lm)
+        )
+        out: list[str] = []
+        for b in ids:
+            out.extend(os.path.join(self.root, f) for f in lm.get(b, []))
+        return out
+
+    def _legacy_bucket_of(self, *cols: Column) -> Column:
+        """Bucket id under the PRE-rescale spec — routes merge batches
+        to the legacy buckets they must fold before applying."""
+        return F.pmod(
+            F.xxhash64(*cols), F.lit(int(self.legacy_num_buckets))
+        ).cast("int")
 
     @property
     def version(self) -> int:
@@ -1655,6 +1743,7 @@ class LakeTable:
         *,
         with_lineage: bool = False,
         _exclude_files: "frozenset[str] | None" = None,
+        _extra_files: "list[str] | None" = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame.
 
@@ -1702,10 +1791,24 @@ class LakeTable:
                 return files
             return [p for p in files if p not in _exclude_files]
 
+        # lazy-rebucket legacy overlay: rows not yet migrated to the
+        # current bucket spec live in legacy files. A FULL read always
+        # includes them; a bucket-subset read includes only what the
+        # caller feeds via ``_extra_files`` (merge pre-folds the legacy
+        # buckets its keys touch, so subset reads issued by merges are
+        # already legacy-complete; changes() feeds each side's folded
+        # legacy buckets explicitly). Legacy keys are DISJOINT from
+        # every new-spec key (any write of a key folds its legacy
+        # bucket first), so legacy files always join the PLAIN leg —
+        # never the MoR collapse or a DV anti-join.
+        extra = list(_extra_files or [])
+        if buckets is None and self.legacy_pending:
+            extra.extend(self._legacy_files())
+
         delta = self._delta_files(buckets)
         dvm = self.manifest.get("dv_files", {})
         if not delta and not dvm:
-            files = _keep(self._files(buckets))
+            files = _keep(self._files(buckets)) + extra
             if not files:
                 return self.spark.createDataFrame(
                     [], scan_schema if with_lineage else self.schema
@@ -1745,7 +1848,7 @@ class LakeTable:
                         )
                     )
                 )
-            plain_files = _keep(self._files(plain_ids))
+            plain_files = _keep(self._files(plain_ids)) + extra
             if plain_files:
                 parts.append(
                     self._with_default_fill(
@@ -1858,7 +1961,7 @@ class LakeTable:
                     self._dv_refs(dv_plain_ids),
                 )
             ).unionByName(out)
-        plain_files = _keep(self._files(plain_ids))
+        plain_files = _keep(self._files(plain_ids)) + extra
         if plain_files:
             out = (
                 self._with_default_fill(
@@ -2224,6 +2327,12 @@ class LakeTable:
                         self.last_pruned_files += 1
                         continue
                 files.append(os.path.join(self.root, rel))
+        if self.legacy_pending:
+            # lazy-rebucket overlay: legacy files have no stats (the
+            # rescale invalidated the catalogs) — always read them;
+            # bucket-subset callers still get every overlay row (old
+            # and new bucket ids don't correspond)
+            files.extend(self._legacy_files())
 
         parts: list[DataFrame] = []
         if files:
@@ -2593,6 +2702,13 @@ class LakeTable:
         live = [
             rel for files in self.manifest["buckets"].values()
             for rel in files
+        ] + [
+            # lazy-rebucket overlay files count toward coverage too
+            # (rescale drops ndv_ref, so this matters only for NDV
+            # profiles rebuilt MID-migration)
+            rel
+            for files in (self.manifest.get("legacy_buckets") or {}).values()
+            for rel in files
         ]
         if not ref:
             return {}
@@ -2700,6 +2816,11 @@ class LakeTable:
                         self.last_pruned_files += 1
                         continue
                 files.append(os.path.join(self.root, rel))
+        if self.legacy_pending:
+            # lazy-rebucket overlay: no blooms survive the rescale —
+            # legacy files always read until migrated (re-analyze
+            # restores skipping for the new-spec files immediately)
+            files.extend(self._legacy_files())
 
         parts: list[DataFrame] = []
         if files:
@@ -2796,6 +2917,7 @@ class LakeTable:
                 f"{to_version}] — the rewrite touched every row; "
                 "re-read the snapshot and resync instead"
             )
+        touched_legacy: list[int] = []
         if old.num_buckets == new.num_buckets:
             ob, nb = old.manifest["buckets"], new.manifest["buckets"]
             od = old.manifest.get("delta_files", {})
@@ -2809,6 +2931,18 @@ class LakeTable:
                 # a DV delete changes no file list — only its dv refs
                 or ov.get(str(b), []) != nv.get(str(b), [])
             )
+            # lazy-rebucket folds between the versions moved rows out
+            # of legacy buckets: feed each side's OWN copy of the
+            # differing legacy buckets into its read, so a moved-but-
+            # unchanged row appears on BOTH sides with equal payload
+            # and the value diff suppresses it (a fold emits nothing)
+            ol = old.manifest.get("legacy_buckets") or {}
+            nl = new.manifest.get("legacy_buckets") or {}
+            touched_legacy = sorted(
+                int(b)
+                for b in set(ol) | set(nl)
+                if ol.get(b, []) != nl.get(b, [])
+            )
         else:  # rebucketed in between — no layout correspondence
             touched = None
 
@@ -2821,7 +2955,14 @@ class LakeTable:
             )
 
         def onto_new_schema(t: "LakeTable") -> DataFrame:
-            df = t.read(touched, with_lineage=with_lineage)
+            extra = (
+                t._legacy_files(touched_legacy)
+                if touched is not None and touched_legacy
+                else None
+            )
+            df = t.read(
+                touched, with_lineage=with_lineage, _extra_files=extra
+            )
             dd = new.manifest.get("column_defaults") or {}
             for f in new.schema.fields:
                 if f.name not in df.columns:
@@ -3711,6 +3852,39 @@ class LakeTable:
             )
 
         deduped = deduped.withColumn(BUCKET_COL, self.bucket_of(*[F.col(c) for c in key]))
+
+        if self.legacy_pending:
+            # lazy-rebucket migration window: fold the legacy buckets
+            # this batch's keys hash to (OLD spec) into the new spec
+            # BEFORE applying — its own state-preserving commit — so
+            # the merge below sees every matched row under the current
+            # layout. Keys stay disjoint between the overlay and the
+            # new spec (the invariant every read relies on). Costs one
+            # extra pass over the batch per epoch while migrating.
+            if stage_only:
+                raise LakeError(
+                    "merge(stage_only=True) while a lazy rebucket "
+                    "migration is pending is unsupported: the fold is "
+                    "a published commit and cannot ride a staged "
+                    "chain — run migrate_legacy() to completion first"
+                )
+            if not_matched_by_source is not None:
+                # every target row must be examined — unmatched rows
+                # hiding in the overlay would silently survive
+                self.migrate_legacy()
+            else:
+                old_ids = [
+                    r[0]
+                    for r in ch.select(
+                        self._legacy_bucket_of(
+                            *[F.col(c) for c in key]
+                        ).alias("__ob")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if old_ids:
+                    self.migrate_legacy(buckets=old_ids)
 
         def _drop_ephemeral_quarantine():
             # uuid-tagged (no epoch_id) quarantine dirs are per-attempt:
@@ -4792,20 +4966,23 @@ class LakeTable:
             return m
 
         # content replaces the table wholesale -> any concurrent data
-        # commit conflicts (touched = every bucket in either snapshot)
+        # commit conflicts (touched = every bucket id under either
+        # snapshot's spec, so even a racer creating a bucket's FIRST
+        # file is caught; ditto the legacy overlay)
         touched = sorted(
+            set(range(int(old["num_buckets"])))
+            | set(range(self.num_buckets))
+        )
+        touched_legacy = sorted(
             int(b)
-            for b in set(old["buckets"])
-            | set(self.manifest["buckets"])
-            | set(old.get("delta_files", {}))
-            | set(self.manifest.get("delta_files", {}))
-            | set(old.get("dv_files", {}))
-            | set(self.manifest.get("dv_files", {}))
+            for b in set(old.get("legacy_buckets") or {})
+            | set(self.manifest.get("legacy_buckets") or {})
         )
         for attempt in range(conflict_retries + 1):
             try:
                 committed = self._commit_rebased(
                     base=self.manifest, touched=touched, apply=apply,
+                    touched_legacy=touched_legacy,
                     op="rollback",
                 )
                 return {
@@ -4886,7 +5063,7 @@ class LakeTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
             return out_rel
-        for cat in ("buckets", "delta_files", "dv_files"):
+        for cat in ("buckets", "delta_files", "dv_files", "legacy_buckets"):
             if m.get(cat):
                 m[cat] = {
                     b: [_carry(f) for f in files]
@@ -5692,6 +5869,11 @@ class LakeTable:
             )
             if scrubbed is not None:
                 manifest["properties"] = scrubbed
+            # the full rewrite folded any lazy-rescale overlay too
+            # (read() unions legacy files when no bucket subset given)
+            manifest.pop("legacy_buckets", None)
+            manifest.pop("legacy_num_buckets", None)
+            manifest.pop("legacy_refs", None)
             return manifest
 
         committed = self._commit_rebased(
@@ -5721,7 +5903,15 @@ class LakeTable:
         cycles converge the layout (``compact(max_buckets=K)`` picks
         the worst fragments each run). CLI twin:
         ``jobs/lake_maintenance.py maintain``."""
-        return {
+        out: dict = {}
+        if self.legacy_pending:
+            # lazy-rebucket migration: fold a budgeted slice of cold
+            # legacy buckets per cycle (hot ones migrate with ingest)
+            out["migrate_legacy"] = self.migrate_legacy(
+                max_buckets=max_buckets,
+                target_file_bytes=target_file_bytes,
+            )
+        out.update({
             "compact": self.compact(
                 target_file_bytes=target_file_bytes,
                 max_buckets=max_buckets,
@@ -5731,29 +5921,269 @@ class LakeTable:
                 prune_lineage=prune_lineage,
             ),
             "orphans": self.remove_orphans(grace_seconds=grace_seconds),
-        }
+        })
+        return out
 
     def rebucket(
         self,
         new_num_buckets: int,
         files_per_bucket: int = 1,
         *,
+        lazy: bool = False,
         conflict_retries: int = 5,
     ) -> dict:
-        """Change the bucket count (hash-layout rescale) — the one
-        layout operation that genuinely rewrites the table (Iceberg
-        likewise requires a rewrite to change bucket partitioning).
-        Commits as a new snapshot; key hashing stays xxhash64(key) %
-        new_B, so merges keep pruning correctly afterwards. Touches
-        every bucket, so ANY concurrent commit forces a full
-        re-execute (never a rebase)."""
+        """Change the bucket count (hash-layout rescale).
+
+        ``lazy=False`` (default): rewrite the whole table under the new
+        spec in one commit (Iceberg's rewrite-to-change-bucketing).
+        Touches every bucket, so ANY concurrent commit forces a full
+        re-execute (never a rebase).
+
+        ``lazy=True``: Iceberg partition-spec-evolution analog — a
+        METADATA-ONLY commit that declares the new spec and demotes the
+        current bucket map to a LEGACY overlay. No data moves at
+        rescale time; old-spec buckets migrate progressively:
+
+        * every subsequent ``merge`` first folds the legacy buckets its
+          batch keys hash to (old spec) into the new spec — its own
+          state-preserving commit — so trickle ingest migrates exactly
+          the hot keyspace, O(touched legacy buckets) per epoch;
+        * ``migrate_legacy(max_buckets=K)`` folds cold buckets on a
+          maintenance budget; ``maintain()`` takes a slice per cycle;
+        * reads union the legacy files (keys are DISJOINT between the
+          overlay and the new spec by construction — any write of a
+          key folds its legacy bucket first).
+
+        At the 10^10-row target a full rewrite is an O(table) job that
+        blocks ingest for hours; the lazy path is O(1) at declaration
+        and amortizes the rewrite over ingest that was rewriting those
+        buckets anyway. Restrictions while the migration is pending
+        (each has a deterministic clear, same contract as
+        ``export_symlink_manifest``): no MoR deltas or DVs may be
+        pending at rescale time (``compact_deltas()`` /
+        ``compact(dv_ratio=0.0)``), and predicate DML / WAP staging /
+        nested rescale refuse until ``migrate_legacy()`` completes.
+        Stats/bloom/NDV skipping catalogs are dropped wholesale (bucket
+        ids renumber) — re-``analyze`` after rescale."""
         for attempt in range(conflict_retries + 1):
             try:
+                if lazy:
+                    return self._rebucket_lazy_impl(new_num_buckets)
                 return self._rebucket_impl(new_num_buckets, files_per_bucket)
             except CommitConflict:
                 if attempt == conflict_retries:
                     raise
                 self.manifest = self._load_latest_published_manifest()
+
+    def _rebucket_lazy_impl(self, new_num_buckets: int) -> dict:
+        self._forbid_staged("rebucket")
+        if new_num_buckets < 1:
+            raise LakeError("new_num_buckets must be >= 1")
+        if int(new_num_buckets) == self.num_buckets:
+            raise LakeError(
+                f"rebucket(lazy=True): table is already at "
+                f"{self.num_buckets} buckets"
+            )
+        if self.legacy_pending:
+            raise LakeError(
+                "rebucket(lazy=True): a previous lazy rescale is still "
+                "migrating — run migrate_legacy() to completion first "
+                "(nested legacy overlays would need per-file spec ids)"
+            )
+        if any(self.manifest.get("delta_files", {}).values()):
+            raise LakeError(
+                "rebucket(lazy=True): pending MoR deltas are keyed by "
+                "the OLD bucket spec — run compact_deltas() first"
+            )
+        if any(self.manifest.get("dv_files", {}).values()):
+            raise LakeError(
+                "rebucket(lazy=True): pending deletion vectors gate by "
+                "the OLD bucket spec — run compact(dv_ratio=0.0) first"
+            )
+        old_n = self.num_buckets
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            m["num_buckets"] = int(new_num_buckets)
+            m["legacy_num_buckets"] = old_n
+            m["legacy_buckets"] = {
+                b: list(fl)
+                for b, fl in parent["buckets"].items()
+                if fl
+            }
+            m["buckets"] = {}
+            # skipping catalogs key files by bucket-scoped sidecars and
+            # the bucket ids just renumbered — wholesale invalidation
+            # ({} drops the refs, the sanctioned reset signal)
+            m["file_stats"] = {}
+            m["file_blooms"] = {}
+            m.pop("ndv_ref", None)
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest,
+            # metadata-only, but the layout our successor merges route
+            # against changes wholesale: any concurrent data commit
+            # must conflict (cheap re-execute — no data was written)
+            touched=range(old_n),
+            apply=apply,
+            op="rebucket-lazy",
+        )
+        return {
+            "version": committed["version"],
+            "num_buckets": int(new_num_buckets),
+            "legacy_num_buckets": old_n,
+            "legacy_buckets_pending": len(
+                committed.get("legacy_buckets") or {}
+            ),
+        }
+
+    def migrate_legacy(
+        self,
+        buckets: Sequence[int] | None = None,
+        *,
+        max_buckets: int | None = None,
+        target_file_bytes: int | None = None,
+        conflict_retries: int = 5,
+    ) -> dict:
+        """Fold legacy (pre-rescale) buckets into the current bucket
+        spec — the progressive-migration worker behind
+        ``rebucket(lazy=True)``. State-preserving: rows move, values
+        don't, so the change feed across a fold commit is empty.
+
+        ``buckets`` selects OLD-spec bucket ids (default: all pending);
+        ``max_buckets`` caps the fold per call (budgeted maintenance,
+        same contract as ``compact(max_buckets=K)``). Each call is one
+        commit; concurrent folds of the SAME legacy bucket conflict
+        (CAS) and re-execute — folding an already-folded bucket is a
+        no-op."""
+        for attempt in range(conflict_retries + 1):
+            try:
+                return self._migrate_legacy_impl(
+                    buckets, max_buckets, target_file_bytes
+                )
+            except CommitConflict:
+                if attempt == conflict_retries:
+                    raise
+                self.manifest = self._load_latest_published_manifest()
+
+    def _migrate_legacy_impl(
+        self,
+        buckets: Sequence[int] | None,
+        max_buckets: int | None,
+        target_file_bytes: int | None,
+    ) -> dict:
+        self._forbid_staged("migrate_legacy")
+        lm = self.manifest.get("legacy_buckets") or {}
+        pending = sorted(int(b) for b in lm if lm[b])
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            ids = [b for b in pending if b in want]
+        else:
+            ids = pending
+        if max_buckets is not None:
+            ids = ids[: int(max_buckets)]
+        if not ids:
+            return {
+                "migrated_buckets": 0,
+                "remaining": len(pending),
+                "version": self.version,
+            }
+        files = self._legacy_files(ids)
+        # legacy files are plain base parquet by invariant: deltas/DVs
+        # were refused at rescale time and every later write path
+        # either pre-folds (merge) or refuses (DML) while the overlay
+        # exists — so a raw scan + default fill is the exact state
+        df = self._with_default_fill(
+            self.spark.read.schema(self._scan_schema()).parquet(*files)
+        ).withColumn(
+            BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
+        )
+        target_file_bytes = self._resolve_target_file_bytes(
+            target_file_bytes
+        )
+        fold_bytes = sum(
+            os.path.getsize(p) for p in files if os.path.exists(p)
+        )
+        n_parts = max(-(-fold_bytes // target_file_bytes), 1)
+        part_cols: list[Column] = [F.col(BUCKET_COL)]
+        if n_parts > 1:
+            # seeded subsplit != the bucket hash (correlated moduli —
+            # CLAUDE.md): a big fold still spreads across write tasks
+            part_cols.append(
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(0x51F7),
+                        *[F.col(c) for c in self.key_cols],
+                    ),
+                    F.lit(int(n_parts)),
+                )
+            )
+        # cluster-on-write parity with merge: folded files land sorted
+        # on the declared clustering column from the start
+        sort_by = self.properties.get(CLUSTER_SORT_PROP)
+        out = df.repartition(int(n_parts), *part_cols)
+        if sort_by and sort_by in out.columns:
+            out = out.sortWithinPartitions(BUCKET_COL, sort_by)
+        new_version = self.version + 1
+        snap_rel = os.path.join(
+            DATA_DIR, f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
+        snap_abs = os.path.join(self.root, snap_rel)
+        (
+            out.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+        written = self._scan_written(snap_abs, snap_rel)
+        stats_patch = self._collect_written_stats(
+            written, self._auto_stat_cols()
+        )
+        bloom_patch = self._collect_written_blooms(
+            written, self._auto_bloom_cols()
+        )
+        folded = {str(b) for b in ids}
+
+        def apply(parent: dict) -> dict:
+            m = dict(parent)
+            m["version"] = parent["version"] + 1
+            new_buckets = dict(parent["buckets"])
+            for b, fl in written.items():
+                # APPEND, never replace: migrated keys are disjoint
+                # from every key already living under the new spec
+                new_buckets[b] = list(new_buckets.get(b, [])) + fl
+            m["buckets"] = new_buckets
+            rest = {
+                b: fl
+                for b, fl in (parent.get("legacy_buckets") or {}).items()
+                if b not in folded and fl
+            }
+            if rest:
+                m["legacy_buckets"] = rest
+            else:
+                # migration complete: drop the overlay wholesale so
+                # reads stop probing and restrictions lift
+                m.pop("legacy_buckets", None)
+                m.pop("legacy_num_buckets", None)
+                m.pop("legacy_refs", None)
+            self._apply_stats_patch(m, parent, stats_patch)
+            self._apply_bloom_patch(m, parent, bloom_patch)
+            return m
+
+        committed = self._commit_rebased(
+            base=self.manifest,
+            touched=sorted(int(b) for b in written),
+            touched_legacy=ids,
+            apply=apply,
+            orphan_dir=snap_abs,
+            op="migrate-legacy",
+        )
+        return {
+            "migrated_buckets": len(ids),
+            "remaining": len(committed.get("legacy_buckets") or {}),
+            "version": committed["version"],
+        }
 
     def _rebucket_impl(
         self, new_num_buckets: int, files_per_bucket: int = 1
@@ -5796,6 +6226,11 @@ class LakeTable:
             # OLD bucket ids and could silently override newer data
             manifest["delta_files"] = {}
             manifest["dv_files"] = {}
+            # a full rewrite also completes any pending lazy-rescale
+            # migration (the read above unioned the overlay)
+            manifest.pop("legacy_buckets", None)
+            manifest.pop("legacy_num_buckets", None)
+            manifest.pop("legacy_refs", None)
             return manifest
 
         # touched = every bucket: any concurrent DATA commit conflicts
@@ -5892,6 +6327,8 @@ class LakeTable:
                 yield from files
             for files in m.get("dv_files", {}).values():
                 yield from files
+            for files in (m.get("legacy_buckets") or {}).values():
+                yield from files
 
         def _refs_of(path: str) -> set[str]:
             with open(path) as fh:
@@ -5900,6 +6337,7 @@ class LakeTable:
                 set((m.get("bucket_refs") or {}).values())
                 | set((m.get("bloom_refs") or {}).values())
                 | set((m.get("stats_refs") or {}).values())
+                | set((m.get("legacy_refs") or {}).values())
             )
 
         live: set[str] = set()
@@ -6116,11 +6554,14 @@ class LakeTable:
                 referenced.update(files)
             for files in m.get("dv_files", {}).values():
                 referenced.update(files)
+            for files in (m.get("legacy_buckets") or {}).values():
+                referenced.update(files)
             with open(os.path.join(meta_dir, f)) as fh:
                 raw = json.load(fh)
             live_sidecars.update((raw.get("bucket_refs") or {}).values())
             live_sidecars.update((raw.get("bloom_refs") or {}).values())
             live_sidecars.update((raw.get("stats_refs") or {}).values())
+            live_sidecars.update((raw.get("legacy_refs") or {}).values())
             if raw.get("ndv_ref"):
                 live_sidecars.add(raw["ndv_ref"])
         cutoff_meta = time.time() - grace_seconds
@@ -6130,7 +6571,7 @@ class LakeTable:
             # crashed pre-CAS) are unreferenced; grace-gate like data
             if (
                 (
-                    f.startswith(("sc-", "scb-", "scs-"))
+                    f.startswith(("sc-", "scb-", "scs-", "scl-"))
                     and f.endswith(".json")
                 )
                 or (f.startswith("ndv-") and f.endswith(".parquet"))
@@ -6206,6 +6647,8 @@ class LakeTable:
             ("base", self.manifest.get("buckets", {})),
             ("delta", self.manifest.get("delta_files", {})),
             ("dv", self.manifest.get("dv_files", {})),
+            # lazy-rebucket overlay: bucket ids are OLD-spec here
+            ("legacy", self.manifest.get("legacy_buckets") or {}),
         ):
             for b, files in mapping.items():
                 for rel in files:
@@ -6331,6 +6774,13 @@ class LakeTable:
                 len(v) for v in (m.get("dv_files") or {}).values()
             ),
             "num_applied_epochs": len(m.get("applied_epochs", {})),
+            "legacy_num_buckets": self.legacy_num_buckets,
+            "num_legacy_buckets_pending": len(
+                m.get("legacy_buckets") or {}
+            ),
+            "num_legacy_files": sum(
+                len(v) for v in (m.get("legacy_buckets") or {}).values()
+            ),
             "staged": bool(m.get("staged")),
             "metadata_spill": bool(m.get("metadata_spill")),
             "cloned_from": m.get("cloned_from"),

@@ -107,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("rebucket", help="rescale the hash-bucket layout")
     r.add_argument("--num-buckets", type=int, required=True)
+    r.add_argument(
+        "--lazy", action="store_true",
+        help="metadata-only spec evolution: old buckets migrate "
+             "progressively (merges fold what they touch; "
+             "migrate-legacy folds the rest on a budget)",
+    )
+
+    ml = sub.add_parser(
+        "migrate-legacy",
+        help="fold pending lazy-rebucket legacy buckets into the "
+             "current spec (state-preserving; budget with --max-buckets)",
+    )
+    ml.add_argument("--max-buckets", type=int, default=None)
 
     an = sub.add_parser(
         "analyze",
@@ -584,8 +597,10 @@ def main(argv: list[str] | None = None) -> int:
         res = table.compact_deltas()
     elif args.action == "drop-column":
         res = table.drop_column(args.name)
+    elif args.action == "migrate-legacy":
+        res = table.migrate_legacy(max_buckets=args.max_buckets)
     else:
-        res = table.rebucket(args.num_buckets)
+        res = table.rebucket(args.num_buckets, lazy=args.lazy)
 
     rows_after = None if args.no_verify else table.read().count()
     # explicit raise, not assert: asserts vanish under python -O and
