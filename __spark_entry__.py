@@ -412,6 +412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # append; same LWW oracle as q21/q48 (see _dv_lake_state)
     q["q169_dv_merge_state"] = _dv_lake_state
 
+    # lazy bucket-spec evolution (rebucket(lazy=True)): reads span the
+    # legacy overlay + the new spec; same LWW oracle as q21/q48/q169
+    q["q170_lazy_rebucket_state"] = _lazy_rebucket_state
+
     # ---- lake MoR partial patches: column-wise collapse ----
     q["q66_mor_partial_patch"] = _mor_partial_patch_state
 
@@ -2750,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q170_lazy_rebucket_state",
         "q169_dv_merge_state",
         "q168_debezium_replay",
         "q166_asof_time_travel", "q167_heavy_hitters",
@@ -4359,6 +4364,64 @@ def _dv_lake_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _lazy_rebucket_state(s: SparkSession, d: str) -> DataFrame:
+    """q170: bucket-spec evolution mid-stream (rebucket(lazy=True) —
+    Iceberg partition-spec-evolution analog for the hash layout). Two
+    CDC epochs build the state at 64 buckets; a METADATA-ONLY rescale
+    declares 16 buckets; a third (narrow re-delivery) epoch folds just
+    the legacy buckets its keys hash to; migrate_legacy(max_buckets=5)
+    folds a budgeted slice more. The read happens WHILE the overlay is
+    still pending (asserted), so the query pins the union-read path:
+    state must equal the q21/q48/q169 LWW oracle exactly even though
+    rows live under two bucket specs at once."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith("hdbf_lrb_q170_"):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    tmp = _tempfile.mkdtemp(prefix="hdbf_lrb_q170_", dir=base)
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=64,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    table.rebucket(16, lazy=True)
+    # narrow re-delivery: a handful of users -> the merge folds ONLY
+    # their legacy buckets (LWW makes the re-apply state-neutral, so
+    # the oracle is unchanged); most of the overlay must survive it
+    table.merge(ev.where(F.col("user_id") % 97 == 0), epoch_id="e2")
+    table.migrate_legacy(max_buckets=5)
+    if not table.legacy_pending:  # contract: the read must span specs
+        raise AssertionError("q170 expected a pending legacy overlay")
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _schema_evolution_state(s: SparkSession, d: str) -> DataFrame:
     """q122: the north rule's schema-evolution contract through the
     oracle gate — epoch e0 merges WITHOUT the ``props`` column, e1
@@ -5168,6 +5231,7 @@ def oracle_sql() -> dict[str, str]:
     o["q34_stream_tail_state"] = _CDC_LWW_SQL
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
     o["q169_dv_merge_state"] = _CDC_LWW_SQL
+    o["q170_lazy_rebucket_state"] = _CDC_LWW_SQL
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""

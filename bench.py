@@ -847,6 +847,177 @@ def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_rescale_cost(cores: int, n_rows: int, n_batches: int = 6,
+                      batch_rows: int = 8) -> None:
+    """Bucket-spec evolution cost: full ``rebucket(256)`` (one blocking
+    O(table) rewrite) vs ``rebucket(256, lazy=True)`` (metadata-only
+    declaration + progressive migration). The lazy path never avoids
+    the total rewrite bytes — it removes the STOP-THE-WORLD: the
+    declaration is O(1), trickle merges fold only the legacy buckets
+    their keys hash to, budgeted ``migrate_legacy(max_buckets=K)``
+    slices are each small, snapshot-isolated, resumable commits that
+    readers and writers overlap freely. Reported accordingly: declare
+    latency, per-merge overhead during migration vs a no-rescale
+    control, total migration wall time, and the MAX single-commit
+    seconds on each path (the availability number that matters at
+    100 TB — a 4096-bucket fold sliced 64-at-a-time never holds the
+    table hostage; the full rebucket does)."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_rescale_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+
+    def _rows_df(ids, tag):
+        return ids.select(
+            F.col("k"),
+            F.pmod(F.col("k"), F.lit(11)).cast("string").alias("grp"),
+            F.pmod(F.col("k") * 31, F.lit(1000)).alias("val"),
+            F.concat(*[
+                F.sha2(F.concat(F.col("k").cast("string"), F.lit(s)), 256)
+                for s in ("a", "b", "c", "d")
+            ]).alias("text"),
+            F.lit("U").alias("op"),
+            (F.col("k") + F.lit(tag)).alias("seq"),
+        )
+
+    def _seed(name):
+        t = LakeTable.create(
+            spark, f"{root}/{name}", schema, key_cols=["k"],
+            num_buckets=64,
+        )
+        t.merge(_rows_df(spark.range(n_rows).select(F.col("id").alias("k")),
+                         0),
+                epoch_id="seed", order_cols=("seq",), drop_cols=("seq",))
+        return t
+
+    def _batch(g):
+        # trickle point-fixes: batch_rows scattered key updates — the
+        # shape where progressive folds amortize (wide epochs fold
+        # everything on epoch 1, which is just the rewrite paid once)
+        return _rows_df(
+            spark.range(batch_rows).select(
+                F.pmod(F.col("id") * 7919 + F.lit(g * 104729),
+                       F.lit(n_rows)).alias("k")
+            ).distinct(),
+            n_rows + g + 1,
+        )
+
+    legs: dict[str, dict] = {}
+
+    # warm pass on a scratch table: JIT/codegen/reader warmup must not
+    # land on whichever leg happens to run first
+    warm = _seed("warm")
+    for i in range(2):
+        b = _batch(i).persist(); b.count()
+        warm.merge(b, epoch_id=f"w{i}", order_cols=("seq",),
+                   drop_cols=("seq",))
+        b.unpersist()
+
+    # --- control: no rescale, same trickle merges
+    ctrl = _seed("ctrl")
+    per = []
+    for i in range(n_batches):
+        b = _batch(i).persist(); b.count()
+        m0 = time.time()
+        ctrl.merge(b, epoch_id=f"c{i}", order_cols=("seq",),
+                   drop_cols=("seq",))
+        per.append(time.time() - m0)
+        b.unpersist()
+    legs["control"] = {"merge_s_med": sorted(per)[len(per) // 2]}
+
+    # --- full rebucket leg
+    full = _seed("full")
+    t0 = time.time()
+    full.rebucket(256)
+    full_s = time.time() - t0
+    per = []
+    for i in range(n_batches):
+        b = _batch(i).persist(); b.count()
+        m0 = time.time()
+        full.merge(b, epoch_id=f"f{i}", order_cols=("seq",),
+                   drop_cols=("seq",))
+        per.append(time.time() - m0)
+        b.unpersist()
+    legs["full"] = {
+        "rebucket_s": round(full_s, 3),
+        "merge_s_med": sorted(per)[len(per) // 2],
+        "max_commit_s": round(full_s, 3),
+    }
+
+    # --- lazy leg: declare, trickle (folds ride along), budgeted folds
+    lazy = _seed("lazy")
+    t0 = time.time()
+    lazy.rebucket(256, lazy=True)
+    declare_s = time.time() - t0
+    per = []
+    for i in range(n_batches):
+        b = _batch(i).persist(); b.count()
+        m0 = time.time()
+        lazy.merge(b, epoch_id=f"l{i}", order_cols=("seq",),
+                   drop_cols=("seq",))
+        per.append(time.time() - m0)
+        b.unpersist()
+    # mid-migration read tax (overlay unioned into the scan)
+    r0 = time.time(); lazy.read().count(); read_mid_s = time.time() - r0
+    # budgeted slices: each fold commit is 8 of 64 legacy buckets —
+    # the per-slice wall time is the longest the table is ever "busy"
+    # on the lazy path (vs the full rewrite's single table-wide commit)
+    mig0 = time.time()
+    slice_s: list[float] = []
+    while lazy.legacy_pending:
+        s0 = time.time()
+        lazy.migrate_legacy(max_buckets=8)
+        slice_s.append(time.time() - s0)
+    mig_s = time.time() - mig0
+    r0 = time.time(); lazy.read().count(); read_post_s = time.time() - r0
+    legs["lazy"] = {
+        "declare_s": round(declare_s, 3),
+        "merge_s_med": sorted(per)[len(per) // 2],
+        "migrate_s_total": round(mig_s, 3),
+        "migrate_slices": len(slice_s),
+        "max_slice_s": round(max(slice_s), 3) if slice_s else 0.0,
+        "read_mid_s": round(read_mid_s, 3),
+        "read_post_s": round(read_post_s, 3),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    for m in legs:
+        if "merge_s_med" in legs[m]:
+            legs[m]["merge_s_med"] = round(legs[m]["merge_s_med"], 3)
+    print(json.dumps({
+        "metric": "lazy_rescale_declare_speedup",
+        "value": round(legs["full"]["rebucket_s"]
+                       / max(legs["lazy"]["declare_s"], 1e-3), 1),
+        "unit": "ratio (full rebucket s / lazy declare s)",
+        "slice_vs_full_commit": round(
+            legs["full"]["rebucket_s"]
+            / max(legs["lazy"]["max_slice_s"], 1e-3), 2),
+        "merge_overhead_during_migration": round(
+            legs["lazy"]["merge_s_med"] / legs["control"]["merge_s_med"],
+            2),
+        "n_rows": n_rows, "n_batches": n_batches,
+        "batch_rows": batch_rows, "cores": cores,
+        "legs": legs,
+    }))
+
+
 def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
                  m: int = 4, n_codes: int = 16, dims: int = 64) -> None:
     """Compressed-ANN scan cost: the phase that must touch EVERY row —
@@ -1321,6 +1492,11 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--rescale-cost", action="store_true",
+                    help="bucket-spec evolution: full rebucket "
+                         "(blocking O(table) rewrite) vs lazy declare "
+                         "+ progressive folds (max single-commit "
+                         "seconds is the availability headline)")
     ap.add_argument("--trickle-cost", action="store_true",
                     help="trickle-update merge cost: plain CoW vs "
                          "file-pruned CoW (range-stats leg on a "
@@ -1363,6 +1539,8 @@ if __name__ == "__main__":
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.trickle_cost:
         main_trickle_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.rescale_cost:
+        main_rescale_cost(args.cores, args.rows)
     elif args.pq_cost:
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
