@@ -416,6 +416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # legacy overlay + the new spec; same LWW oracle as q21/q48/q169
     q["q170_lazy_rebucket_state"] = _lazy_rebucket_state
 
+    # the change feed itself vs an independent SQL state diff
+    q["q171_cdf_window_diff"] = _cdf_window_diff
+    # branch WAP fast-forward must be invisible to the data
+    q["q172_branch_wap_state"] = _branch_wap_state
+    # rollback-bad-epoch -> re-apply recovery contract
+    q["q173_rollback_recovery"] = _rollback_recovery_state
+
     # ---- lake MoR partial patches: column-wise collapse ----
     q["q66_mor_partial_patch"] = _mor_partial_patch_state
 
@@ -2755,6 +2762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
         "q170_lazy_rebucket_state",
+        "q171_cdf_window_diff",
+        "q172_branch_wap_state",
+        "q173_rollback_recovery",
         "q169_dv_merge_state",
         "q168_debezium_replay",
         "q166_asof_time_travel", "q167_heavy_hitters",
@@ -4422,6 +4432,131 @@ def _lazy_rebucket_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _lake_events_tmp(s: SparkSession, d: str, prefix: str):
+    """(events-with-op frame, total count, fresh tmp dir) — the shared
+    setup of the lake-machinery oracle queries (q169/q170/q171...)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    ev = _t(s, d, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    n = ev.count()
+    base = _os.environ.get("SPARK_GRAFT_BENCH_DIR") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    for old in _os.listdir(base):
+        if old.startswith(prefix):
+            p = f"{base}/{old}"
+            try:
+                if _time.time() - _os.path.getmtime(p) > 3600:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    return ev, n, _tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def _cdf_window_diff(s: SparkSession, d: str) -> DataFrame:
+    """q171: the change feed ITSELF through the oracle gate — not a
+    consumer of it. Two epochs split by seq; the query returns
+    changes(v_after_e0, v_after_e1) row-for-row, which must equal the
+    SQL full-outer diff of the two LWW prefix states (I/U/D exactly
+    where the second epoch created/changed/deleted a live key, U rows
+    suppressed when the payload is value-identical). Pins the
+    bucket-pruned diff read and the one-hash-agg diff plan against an
+    independent engine."""
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_cdf_q171_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    v1 = table.version
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    return table.changes(v1, table.version).select(
+        "user_id", "event_type", "_change_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
+def _branch_wap_state(s: SparkSession, d: str) -> DataFrame:
+    """q172: branch-based write-audit-publish through the oracle gate.
+    Epoch e0 lands published; e1 merges onto an 'audit' BRANCH (a
+    named staged chain load() never resolves), is validated there
+    (row-count audit), then fast_forward publishes it metadata-only.
+    The final published state must equal the plain two-epoch LWW
+    oracle — branching/publishing must be invisible to the data."""
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_wap_q172_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    table.create_branch("audit")
+    table.merge_to_branch(
+        "audit", ev.where(F.col("seq") >= half), epoch_id="e1"
+    )
+    # audit gate: the staged state is readable on the branch but
+    # invisible to plain loads until fast-forward
+    audit = table.checkout_branch("audit")
+    if audit.read().count() <= 0:  # pragma: no cover - contract pin
+        raise AssertionError("q172 audit read empty")
+    if "e1" in LakeTable.load(s, table.root).applied_epochs():
+        raise AssertionError("q172 staged epoch leaked to published")
+    table.fast_forward("audit")
+    final = LakeTable.load(s, table.root)
+    return final.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
+def _rollback_recovery_state(s: SparkSession, d: str) -> DataFrame:
+    """q173: the rollback recovery story through the oracle gate —
+    roll back a bad epoch, fix the feed, re-apply. e0 lands; a
+    CORRUPTED e1 (values x1000, deletes dropped) lands; rollback to
+    the pre-e1 version REMOVES e1 from the applied set (the documented
+    contract), so re-merging the corrected e1 works instead of
+    no-oping. Final state must equal the plain LWW oracle — the bad
+    epoch leaves no trace."""
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_rbk_q173_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    good_v = table.version
+    bad = ev.where(F.col("seq") >= half).withColumn(
+        "value", F.col("value") * 1000
+    ).withColumn("op", F.lit("U"))
+    table.merge(bad, epoch_id="e1")
+    table.rollback(good_v)
+    if "e1" in table.applied_epochs():  # pragma: no cover - contract pin
+        raise AssertionError("q173 rollback kept the bad epoch applied")
+    st = table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    if st.skipped:  # pragma: no cover - contract pin
+        raise AssertionError("q173 corrected epoch was skipped")
+    return table.read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _schema_evolution_state(s: SparkSession, d: str) -> DataFrame:
     """q122: the north rule's schema-evolution contract through the
     oracle gate — epoch e0 merges WITHOUT the ``props`` column, e1
@@ -5232,6 +5367,49 @@ def oracle_sql() -> dict[str, str]:
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
     o["q169_dv_merge_state"] = _CDC_LWW_SQL
     o["q170_lazy_rebucket_state"] = _CDC_LWW_SQL
+    o["q172_branch_wap_state"] = _CDC_LWW_SQL
+    o["q173_rollback_recovery"] = _CDC_LWW_SQL
+    # q171: the CDF between the two epoch commits == the SQL full-outer
+    # diff of the two LWW prefix states (U suppressed when the payload
+    # is value-identical — IS DISTINCT FROM mirrors the engine's
+    # null-safe struct comparison)
+    o["q171_cdf_window_diff"] = """
+WITH tagged AS (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), s1 AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tagged
+    WHERE event_id < (SELECT count(*) // 2 FROM events)
+  ) WHERE rn = 1 AND op <> 'D'
+), s2 AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tagged
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT
+  coalesce(s2.user_id, s1.user_id) AS user_id,
+  coalesce(s2.event_type, s1.event_type) AS event_type,
+  CASE WHEN s1.user_id IS NULL THEN 'I'
+       WHEN s2.user_id IS NULL THEN 'D'
+       ELSE 'U' END AS _change_type,
+  CASE WHEN s2.user_id IS NULL THEN s1.value ELSE s2.value END AS value,
+  CASE WHEN s2.user_id IS NULL THEN s1.ts ELSE s2.ts END AS ts,
+  CASE WHEN s2.user_id IS NULL THEN s1.seq ELSE s2.seq
+       END AS last_event_id
+FROM s1
+FULL OUTER JOIN s2
+  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.value IS DISTINCT FROM s2.value
+   OR s1.ts IS DISTINCT FROM s2.ts
+   OR s1.seq IS DISTINCT FROM s2.seq
+"""
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""
