@@ -418,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
+    # the same window served through the lake_cdf STREAMING source
+    q["q174_stream_cdf_source"] = _stream_cdf_drain
     # branch WAP fast-forward must be invisible to the data
     q["q172_branch_wap_state"] = _branch_wap_state
     # rollback-bad-epoch -> re-apply recovery contract
@@ -2765,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_cdf_window_diff",
         "q172_branch_wap_state",
         "q173_rollback_recovery",
+        "q174_stream_cdf_source",
         "q169_dv_merge_state",
         "q168_debezium_replay",
         "q166_asof_time_travel", "q167_heavy_hitters",
@@ -4488,6 +4491,44 @@ def _cdf_window_diff(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_cdf_drain(s: SparkSession, d: str) -> DataFrame:
+    """q174: the change feed as a STRUCTURED STREAMING source
+    (``format("lake_cdf")`` — Delta streaming source analog on the
+    PySpark 4 Python DataSource API). Same two-epoch window as q171,
+    but the rows come off a real streaming drain: offsets are snapshot
+    versions persisted by Spark's checkpoint, one input partition per
+    touched bucket, the per-bucket diff running in Python workers via
+    DuckDB over the immutable parquet (the driver never touches row
+    data). availableNow makes the drain deterministic, so the batch
+    oracle (q171's SQL state diff) applies verbatim."""
+    import os as _os
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.cdf_source import read_cdf_stream
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_scdf_q174_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    v1 = table.version
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    df = read_cdf_stream(s, table.root, starting_version=v1)
+    out = _os.path.join(tmp, "out")
+    q = (
+        df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return s.read.parquet(out).select(
+        "user_id", "event_type", "_change_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _branch_wap_state(s: SparkSession, d: str) -> DataFrame:
     """q172: branch-based write-audit-publish through the oracle gate.
     Epoch e0 lands published; e1 merges onto an 'audit' BRANCH (a
@@ -5410,6 +5451,8 @@ WHERE s1.user_id IS NULL OR s2.user_id IS NULL
    OR s1.ts IS DISTINCT FROM s2.ts
    OR s1.seq IS DISTINCT FROM s2.seq
 """
+    # the streaming drain serves the SAME window -> same oracle
+    o["q174_stream_cdf_source"] = o["q171_cdf_window_diff"]
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""
