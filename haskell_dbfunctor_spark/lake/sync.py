@@ -111,3 +111,80 @@ def sync_table(
         "skipped": stats.skipped,
         "stats": stats,
     }
+
+
+def stream_sync_table(
+    spark,
+    src_root: str,
+    dst: LakeTable,
+    *,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    mode: str = "cow",
+    starting_version: int = 0,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuously maintained replica: the ``lake_cdf`` STREAMING
+    source feeding an idempotent MERGE sink via foreachBatch — the
+    always-on form of :func:`sync_table`.
+
+    The cursor is Spark's own streaming checkpoint (offsets are source
+    snapshot versions), and exactly-once composes from both ends: a
+    crashed micro-batch replays with the same ``batch_id``, whose
+    epoch id the destination has already applied — a no-op. The
+    default ``starting_version=0`` bootstraps the replica from the
+    source's empty create snapshot (the first micro-batch's net diff
+    IS the full state, delivered one partition per bucket); point it
+    at a later version to replicate forward-only.
+
+    Each micro-batch window is a NET per-key diff (one row per key),
+    so the MERGE needs no intra-batch ordering. ``transform`` follows
+    the ``sync_table`` contract: 1:1 row-wise over payload columns,
+    never filtering, preserving ``dst.key_cols`` + ``_change_type``.
+
+    ``available_now=True`` drains to the current head and stops (the
+    cron-shaped deployment; rerun to catch up); pass
+    ``available_now=False`` with a ``processing_time`` trigger for an
+    always-on replica. Returns the StreamingQuery."""
+    from ..streaming.cdf_source import read_cdf_stream
+
+    feed = read_cdf_stream(
+        spark, src_root, starting_version=starting_version
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+            missing = [
+                c
+                for c in [*dst.key_cols, "_change_type"]
+                if c not in batch.columns
+            ]
+            if missing:
+                raise LakeError(
+                    "stream_sync_table: transform dropped required "
+                    f"columns {missing}"
+                )
+        b = batch.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "D", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        ).drop("_change_type")
+        dst.merge(
+            b,
+            epoch_id=f"{SYNC_PREFIX}cdf-{batch_id}",
+            op_col="op",
+            order_cols=(),
+            mode=mode,
+        )
+
+    w = feed.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

@@ -178,3 +178,59 @@ def test_expired_cursor_fails_loud(spark, tmp_path):
     r = LakeCDFStreamReader({"root": t.root})
     with pytest.raises(ValueError, match="expired"):
         r.partitions({"version": v0}, {"version": t.version})
+
+
+def test_stream_sync_table_replica(spark, tmp_path):
+    from haskell_dbfunctor_spark.lake.sync import stream_sync_table
+
+    src = _make(spark, tmp_path, n=200)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "replica"), SCHEMA, key_cols=["k"],
+        num_buckets=4,  # replicas may choose their own layout
+    )
+    ckpt = str(tmp_path / "sync_ckpt")
+    # bootstrap: the first drain's net diff v0->head IS the full state
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt)
+    q.awaitTermination(180)
+    assert dst.read().count() == 200
+
+    # forward sync: update + delete propagate; replayed drain no-ops
+    src.merge(
+        _batch(spark, [1], "u").unionAll(_batch(spark, [2], "x", op="D")),
+        epoch_id="e1", order_cols=("ts",), drop_cols=(),
+    )
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt)
+    q.awaitTermination(180)
+    dst.manifest = dst._load_latest_published_manifest()
+    st = {r["k"]: r["v"] for r in dst.read().collect()}
+    assert len(st) == 199 and st[1] == "u_1" and 2 not in st
+    # idempotent: a third drain with nothing new commits nothing
+    v = dst.version
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt)
+    q.awaitTermination(180)
+    dst.manifest = dst._load_latest_published_manifest()
+    assert dst.version == v
+
+
+def test_stream_sync_transform(spark, tmp_path):
+    from haskell_dbfunctor_spark.lake.sync import stream_sync_table
+
+    src = _make(spark, tmp_path, n=50)
+    dsch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v_upper", T.StringType()),
+        T.StructField("ts", T.LongType()),
+    ])
+    dst = LakeTable.create(
+        spark, str(tmp_path / "silver"), dsch, key_cols=["k"],
+        num_buckets=4,
+    )
+    q = stream_sync_table(
+        spark, src.root, dst, checkpoint=str(tmp_path / "ck2"),
+        transform=lambda df: df.withColumn(
+            "v_upper", F.upper(F.col("v"))
+        ).drop("v"),
+    )
+    q.awaitTermination(180)
+    st = {r["k"]: r["v_upper"] for r in dst.read().collect()}
+    assert len(st) == 50 and st[3] == "A_3"
