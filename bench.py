@@ -1018,6 +1018,90 @@ def main_rescale_cost(cores: int, n_rows: int, n_batches: int = 6,
     }))
 
 
+def main_cdf_source_cost(cores: int, n_rows: int, n_commits: int = 5,
+                         batch_rows: int = 2000) -> None:
+    """Streaming CDF source cost: drain the same trickle-commit window
+    through ``format("lake_cdf")`` (availableNow, worker-side DuckDB
+    bucket diffs) vs the batch ``changes_since`` path (Spark hash-agg
+    diff). Both are bucket-pruned; the stream adds checkpoint +
+    micro-batch planning overhead and buys exactly-once restart and a
+    push-shaped deployment. Rows/sec on the CHANGE rows is the
+    comparable number — both paths read only touched buckets, so
+    table size drops out of the steady-state cost."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.cdf_source import read_cdf_stream
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_cdfsrc_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+    ])
+
+    def _rows(ids, tag):
+        return ids.select(
+            F.col("k"),
+            F.pmod(F.col("k"), F.lit(11)).cast("string").alias("grp"),
+            (F.col("k") * 31 + F.lit(tag)).alias("val"),
+            F.lit("U").alias("op"),
+            F.lit(tag).alias("seq"),
+        )
+
+    t = LakeTable.create(spark, f"{root}/t", schema, key_cols=["k"],
+                         num_buckets=64)
+    t.merge(_rows(spark.range(n_rows).select(F.col("id").alias("k")), 0),
+            epoch_id="seed", order_cols=("seq",), drop_cols=("seq",))
+    v0 = t.version
+    for i in range(n_commits):
+        upd = spark.range(batch_rows).select(
+            F.pmod(F.col("id") * 7919 + F.lit(i * 104729),
+                   F.lit(n_rows)).alias("k")
+        ).distinct()
+        t.merge(_rows(upd, i + 1), epoch_id=f"c{i}",
+                order_cols=("seq",), drop_cols=("seq",))
+
+    # batch path: per-commit feed, collected to parquet like a consumer
+    b0 = time.time()
+    batch_rows_out = t.changes_since(v0).count()
+    batch_s = time.time() - b0
+
+    # stream path: one availableNow drain over the same window
+    df = read_cdf_stream(spark, t.root, starting_version=v0)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    s0 = time.time()
+    q = (df.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    stream_s = time.time() - s0
+    stream_rows = spark.read.parquet(out).count()
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "cdf_stream_vs_batch_ratio",
+        "value": round(stream_s / max(batch_s, 1e-3), 2),
+        "unit": "ratio (stream drain s / batch changes_since s, same "
+                "window; stream rows are the NET diff)",
+        "stream_s": round(stream_s, 3), "batch_s": round(batch_s, 3),
+        "stream_rows": stream_rows, "batch_rows": batch_rows_out,
+        "n_rows": n_rows, "n_commits": n_commits,
+        "commit_rows": batch_rows, "cores": cores,
+    }))
+
+
 def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
                  m: int = 4, n_codes: int = 16, dims: int = 64) -> None:
     """Compressed-ANN scan cost: the phase that must touch EVERY row —
@@ -1492,6 +1576,9 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--cdf-source-cost", action="store_true",
+                    help="streaming lake_cdf drain vs batch "
+                         "changes_since over the same trickle window")
     ap.add_argument("--rescale-cost", action="store_true",
                     help="bucket-spec evolution: full rebucket "
                          "(blocking O(table) rewrite) vs lazy declare "
@@ -1541,6 +1628,8 @@ if __name__ == "__main__":
         main_trickle_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.rescale_cost:
         main_rescale_cost(args.cores, args.rows)
+    elif args.cdf_source_cost:
+        main_cdf_source_cost(args.cores, args.rows)
     elif args.pq_cost:
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
