@@ -6727,6 +6727,10 @@ class LakeTable:
         compact_deltas work list)."""
         return (
             self.files_df(footers=True)
+            # legacy-overlay rows carry OLD-spec bucket ids — mixing
+            # them into this NEW-layout dashboard would alias unrelated
+            # buckets; the overlay has its own census in describe()
+            .where(F.col("kind") != "legacy")
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("n_files"),
