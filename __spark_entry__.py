@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # the same window served through the lake_cdf STREAMING source
     q["q174_stream_cdf_source"] = _stream_cdf_drain
+    # the lake as a streaming SINK: format("lake") exactly-once MoR append
+    q["q175_stream_lake_sink"] = _stream_lake_sink_state
     # branch WAP fast-forward must be invisible to the data
     q["q172_branch_wap_state"] = _branch_wap_state
     # rollback-bad-epoch -> re-apply recovery contract
@@ -2763,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q175_stream_lake_sink",
         "q170_lazy_rebucket_state",
         "q171_cdf_window_diff",
         "q172_branch_wap_state",
@@ -4529,6 +4532,48 @@ def _stream_cdf_drain(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_lake_sink_state(s: SparkSession, d: str) -> DataFrame:
+    """q175: the lake as a STRUCTURED STREAMING SINK
+    (``df.writeStream.format("lake")`` — write-side complement of
+    q174's lake_cdf source, on the PySpark 4 Python DataSource
+    stream-writer API). The events feed streams through the sink:
+    executors stage the Arrow batches as per-bucket MoR delta parquet
+    with an in-task DuckDB LWW dedup (keys co-located by the
+    prepare-frame's bucket repartition), and the Spark-less commit
+    worker CAS-registers them as a metadata-only commit with
+    exactly-once sink-b{N} epochs. One availableNow batch, so the
+    in-task LWW decides every key and the global-LWW SQL oracle
+    applies verbatim (cross-batch LWW needs the CoW merge's matched
+    ts filter, which an O(batch) delta append by design cannot run —
+    same contract as batch MoR)."""
+    import os as _os
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.lake_sink import (
+        prepare_sink_frame, write_lake_stream,
+    )
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_sink_q175_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    feed = _os.path.join(tmp, "feed")
+    ev.write.mode("overwrite").parquet(feed)
+    src = s.readStream.schema(ev.schema).parquet(feed)
+    q = write_lake_stream(
+        prepare_sink_frame(table, src, op_col="op", width=8),
+        table.root, checkpoint=_os.path.join(tmp, "ckpt"),
+        dedup="lww", order_cols="ts,seq",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    return LakeTable.load(s, table.root).read().select(
+        "user_id", "event_type", "value", "ts",
+        F.col("seq").alias("last_event_id"),
+    )
+
+
 def _branch_wap_state(s: SparkSession, d: str) -> DataFrame:
     """q172: branch-based write-audit-publish through the oracle gate.
     Epoch e0 lands published; e1 merges onto an 'audit' BRANCH (a
@@ -5408,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
     o["q169_dv_merge_state"] = _CDC_LWW_SQL
     o["q170_lazy_rebucket_state"] = _CDC_LWW_SQL
+    o["q175_stream_lake_sink"] = _CDC_LWW_SQL
     o["q172_branch_wap_state"] = _CDC_LWW_SQL
     o["q173_rollback_recovery"] = _CDC_LWW_SQL
     # q171: the CDF between the two epoch commits == the SQL full-outer
