@@ -124,10 +124,22 @@ def stream_sync_table(
     starting_version: int = 0,
     available_now: bool = True,
     processing_time: str | None = None,
+    via: str = "merge",
 ):
     """Continuously maintained replica: the ``lake_cdf`` STREAMING
     source feeding an idempotent MERGE sink via foreachBatch — the
     always-on form of :func:`sync_table`.
+
+    ``via="sink"`` swaps the foreachBatch MERGE for the
+    ``format("lake")`` DataSource sink: the whole replica is then one
+    declarative pipeline — ``readStream.format("lake_cdf")`` →
+    ``writeStream.format("lake")`` — with zero driver-side user code
+    per batch. Each micro-batch lands as an O(batch) MoR delta append
+    (run ``compact_deltas()`` periodically on the replica); correct
+    without any dedup because a CDF window is a NET per-key diff and
+    the sink's commit order follows source commit order. The sink's
+    table guards apply (no generated/default/constraint/lineage
+    destinations); ``mode`` is ignored on this path.
 
     The cursor is Spark's own streaming checkpoint (offsets are source
     snapshot versions), and exactly-once composes from both ends: a
@@ -152,6 +164,47 @@ def stream_sync_table(
     feed = read_cdf_stream(
         spark, src_root, starting_version=starting_version
     )
+
+    if via == "sink":
+        from ..streaming.lake_sink import (
+            prepare_sink_frame, write_lake_stream,
+        )
+
+        f = feed
+        if transform is not None:
+            f = transform(f)
+            missing = [
+                c
+                for c in [*dst.key_cols, "_change_type"]
+                if c not in f.columns
+            ]
+            if missing:
+                raise LakeError(
+                    "stream_sync_table: transform dropped required "
+                    f"columns {missing}"
+                )
+        b = f.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "D", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        ).drop("_change_type")
+        trigger = (
+            {"availableNow": True}
+            if available_now
+            else (
+                {"processingTime": processing_time}
+                if processing_time is not None
+                else None
+            )
+        )
+        return write_lake_stream(
+            prepare_sink_frame(dst, b, op_col="op"),
+            dst.root, checkpoint=checkpoint, dedup="none",
+            epoch_prefix=f"{SYNC_PREFIX}cdf", trigger=trigger,
+        )
+    if via != "merge":
+        raise LakeError(f"stream_sync_table: unknown via={via!r}")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:

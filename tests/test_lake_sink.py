@@ -281,3 +281,57 @@ def test_in_task_lww_dedup(spark, tmp_path):
     assert msg.n_rows == 1
     w.commit([msg], 0)
     assert _state(spark, t.root) == [("a", 1, "last")]
+
+
+def test_stream_sync_via_sink_replica(spark, tmp_path):
+    """lake -> lake with ZERO foreachBatch code: readStream
+    format('lake_cdf') |> writeStream format('lake'). Bootstrap +
+    forward sync + idempotent re-drain, deltas fold on compaction."""
+    from haskell_dbfunctor_spark.lake.sync import stream_sync_table
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.LongType()),
+    ])
+
+    def _b(ids, tag="a", op="U"):
+        return spark.createDataFrame(
+            [(int(i), f"{tag}_{i}", 1, op) for i in ids],
+            "k long, v string, ts long, op string",
+        )
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), sch, key_cols=["k"], num_buckets=8
+    )
+    src.merge(_b(range(120)), epoch_id="e0", order_cols=("ts",),
+              drop_cols=())
+    dst = LakeTable.create(
+        spark, str(tmp_path / "replica"), sch, key_cols=["k"],
+        num_buckets=4,  # replicas may choose their own layout
+    )
+    ckpt = str(tmp_path / "ck")
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt,
+                          via="sink")
+    q.awaitTermination(180)
+    dst = LakeTable.load(spark, dst.root)
+    assert dst.read().count() == 120
+    assert any(dst.manifest.get("delta_files", {}).values())  # MoR path
+
+    src.merge(_b([1], "u").unionAll(_b([2], "x", op="D")),
+              epoch_id="e1", order_cols=("ts",), drop_cols=())
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt,
+                          via="sink")
+    q.awaitTermination(180)
+    dst = LakeTable.load(spark, dst.root)
+    st = {r["k"]: r["v"] for r in dst.read().collect()}
+    assert len(st) == 119 and st[1] == "u_1" and 2 not in st
+    # idempotent: nothing new -> no commit
+    v = dst.version
+    q = stream_sync_table(spark, src.root, dst, checkpoint=ckpt,
+                          via="sink")
+    q.awaitTermination(180)
+    assert LakeTable.load(spark, dst.root).version == v
+    # replica maintenance: deltas fold, state unchanged
+    dst.compact_deltas()
+    assert {r["k"] for r in dst.read().collect()} == set(st)
