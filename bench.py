@@ -1102,6 +1102,102 @@ def main_cdf_source_cost(cores: int, n_rows: int, n_commits: int = 5,
     }))
 
 
+def main_sink_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
+    """format("lake") streaming-sink ingest vs the replay MoR merge
+    path on the SAME deterministic feed, one commit per epoch. The
+    sink stages Arrow batches executor-side (per-bucket parquet via
+    pyarrow + in-task DuckDB LWW dedup) and CAS-registers them in a
+    Spark-less commit worker; the merge path is the JVM hash-agg
+    dedup + partitionBy delta write. Both end states must be
+    row-identical (asserted). The sink charges a full streaming-query
+    start/stop per epoch (the availableNow cron deployment shape)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.cdc.apply import replay
+    from haskell_dbfunctor_spark.cdc.generator import (
+        KEY_COLS, TRANSCRIPT_SCHEMA, change_feed,
+    )
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.lake_sink import (
+        prepare_sink_frame, write_lake_stream,
+    )
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_sink_{_uuid.uuid4().hex[:6]}",
+    )
+    try:
+        feed_path = os.path.join(root, "_feed")
+        change_feed(
+            spark, n_events, n_convs=max(n_events // 200, 100),
+            n_epochs=n_epochs,
+        ).write.partitionBy("epoch").parquet(feed_path)
+        feed = spark.read.parquet(feed_path)
+        ep_schema = feed.drop("epoch").schema
+
+        # ---- merge reference leg. Both tables carry the FULL schema
+        # (incl. tool) from creation: the sink contract forbids
+        # mid-stream evolution, so the comparison holds it fixed
+        t_mor = LakeTable.create(
+            spark, os.path.join(root, "mor"), TRANSCRIPT_SCHEMA,
+            key_cols=KEY_COLS, num_buckets=64,
+        )
+        m0 = time.time()
+        replay(t_mor, feed, n_epochs, mode="mor")
+        mor_s = time.time() - m0
+
+        # ---- streaming sink leg: one availableNow drain per epoch
+        t_sink = LakeTable.create(
+            spark, os.path.join(root, "sink"), TRANSCRIPT_SCHEMA,
+            key_cols=KEY_COLS, num_buckets=64,
+        )
+        s0 = time.time()
+        for i in range(n_epochs):
+            src = spark.readStream.schema(ep_schema).parquet(
+                os.path.join(feed_path, f"epoch={i}")
+            )
+            q = write_lake_stream(
+                prepare_sink_frame(
+                    t_sink, src, op_col="op", carry=("seq",), width=cores
+                ),
+                t_sink.root,
+                checkpoint=os.path.join(root, f"ck{i}"),
+                dedup="lww", order_cols="ts,seq",
+                epoch_prefix=f"sink-e{i}",
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(600)
+        sink_s = time.time() - s0
+
+        t_sink = LakeTable.load(spark, t_sink.root)
+        diff = (
+            t_mor.read().exceptAll(t_sink.read()).count()
+            + t_sink.read().exceptAll(t_mor.read()).count()
+        )
+        rows = t_mor.read().count()
+        print(json.dumps({
+            "metric": "sink_vs_merge_ratio",
+            "value": round(sink_s / max(mor_s, 1e-3), 2),
+            "unit": "ratio (stream-sink s / MoR merge s, same feed; "
+                    "<1 = sink faster)",
+            "sink_events_per_sec": round(n_events / sink_s, 1),
+            "merge_events_per_sec": round(n_events / mor_s, 1),
+            "sink_s": round(sink_s, 3), "merge_s": round(mor_s, 3),
+            "state_rows": rows, "state_diff_rows": diff,
+            "n_events": n_events, "n_epochs": n_epochs, "cores": cores,
+        }))
+        assert diff == 0, "sink state diverged from merge state"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
                  m: int = 4, n_codes: int = 16, dims: int = 64) -> None:
     """Compressed-ANN scan cost: the phase that must touch EVERY row —
@@ -1589,6 +1685,10 @@ if __name__ == "__main__":
                          "file-pruned CoW (range-stats leg on a "
                          "clustered layout, Bloom leg on the hash "
                          "layout) under an append-mostly batch stream")
+    ap.add_argument("--sink-cost", action="store_true",
+                    help="format('lake') streaming-sink ingest vs the "
+                         "MoR merge path on the same feed (per-epoch "
+                         "commits, states asserted identical)")
     ap.add_argument("--pq-cost", action="store_true",
                     help="compressed-ANN scan cost: exact cosine over "
                          "float vectors vs PQ ADC over m-tinyint codes "
@@ -1630,6 +1730,8 @@ if __name__ == "__main__":
         main_rescale_cost(args.cores, args.rows)
     elif args.cdf_source_cost:
         main_cdf_source_cost(args.cores, args.rows)
+    elif args.sink_cost:
+        main_sink_cost(args.cores, args.events, n_epochs=args.epochs)
     elif args.pq_cost:
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:

@@ -158,10 +158,13 @@ class LakeMoRSinkWriter(DataSourceStreamArrowWriter):
             f.name for f in tbl.schema.fields if f.name not in self.key_cols
         ]
         self.schema_names = list(tbl.schema.names)
-        # the sink's input contract: key + payload (+ __op) + __bucket
+        # the sink's input contract: key + payload (+ __op) + __bucket,
+        # plus any non-schema LWW order columns (the merge's
+        # order_cols=("ts","seq") contract — carried through the
+        # in-task dedup, dropped before the delta write)
         names = [f.name for f in schema.fields]
         expected = set(self.schema_names) | {BUCKET}
-        optional = {OP_COL}
+        optional = {OP_COL} | set(self.order_cols)
         missing = [
             c for c in self.schema_names + [BUCKET] if c not in names
         ]
@@ -208,7 +211,8 @@ class LakeMoRSinkWriter(DataSourceStreamArrowWriter):
             COLS_COL,
             pa.array([",".join(self.payload)] * n, type=pa.string()),
         )
-        # file column order mirrors _append_mor_delta's select
+        # file column order mirrors _append_mor_delta's select; carried
+        # non-schema order columns are dropped here (dedup-only)
         t = t.select(
             self.key_cols + self.payload + [OP_COL, SEQ_COL, COLS_COL, BUCKET]
         )
@@ -415,7 +419,7 @@ class LakeSinkDataSource(DataSource):
 
 def prepare_sink_frame(
     table, df: "DataFrame", *, op_col: str | None = "op",
-    width: int | None = None,
+    width: int | None = None, carry: tuple = (),
 ) -> "DataFrame":
     """Shape a (streaming or batch) frame for ``format("lake")``:
     project to the table's columns in schema order with exact-type
@@ -427,12 +431,16 @@ def prepare_sink_frame(
     where it is free. ``width`` repartitions by bucket so the sink's
     in-task LWW dedup sees every row of a key (required when
     ``option("dedup", "lww")`` is set and the source may emit a key
-    twice per micro-batch)."""
+    twice per micro-batch). ``carry`` keeps extra non-schema columns
+    (feed-only LWW order columns like ``seq``) through to the sink's
+    dedup — name them in the sink's ``order_cols`` option; they never
+    reach the delta files."""
     from pyspark.sql import functions as F
 
     schema = table.schema
     out = df.select(
         *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+        *[F.col(c) for c in carry],
         *(
             [F.col(op_col).cast("string").alias(OP_COL)]
             if op_col and op_col in df.columns
