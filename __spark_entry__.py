@@ -1227,6 +1227,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q149_prefix_fork_dedup"] = q149
 
+    # rollout SUBSUMPTION dedup — where q149 only counts redundant
+    # turns per depth, this one makes the per-conversation dedup
+    # DECISION: a rollout whose full turn sequence is a prefix of a
+    # longer rollout (abandoned retry / branch restart) or an exact
+    # clone of a smaller-id equal-length one is dropped (dup_of =
+    # keeper). The branched corpus is derived deterministically so the
+    # oracle reproduces it: every conv, plus a half-length '-retry'
+    # truncation for user_id%3==0, plus a full '-dup' clone for
+    # user_id%7==0 — one explode(array(structs)) pass, never a
+    # unionAll of the same derived subtree (CLAUDE.md: that computes
+    # the subtree twice).
+    def q176(s, d):
+        from pyspark.sql import Window as W
+
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            rollout_prefix_dedup,
+        )
+
+        ev = _t(s, d, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        base = ev.select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit("tool_"), (F.col("event_id") % 5).cast("string")
+                ),
+            ).alias("tool"),
+        ).select(
+            "*",
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("__cnt"),
+        )
+        variants = base.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("").alias("suffix"), F.lit(True).alias("emit")
+                    ),
+                    F.struct(
+                        F.lit("-retry").alias("suffix"),
+                        (
+                            (F.col("user_id") % 3 == 0)
+                            & (
+                                F.col("__rk")
+                                <= F.ceil(F.col("__cnt") / 2.0).cast("long")
+                            )
+                        ).alias("emit"),
+                    ),
+                    F.struct(
+                        F.lit("-dup").alias("suffix"),
+                        (F.col("user_id") % 7 == 0).alias("emit"),
+                    ),
+                )
+            ).alias("v"),
+        ).where(F.col("v.emit"))
+        turns = variants.select(
+            F.concat(
+                F.lit("conv-"),
+                F.col("user_id").cast("string"),
+                F.col("v.suffix"),
+            ).alias("conv_id"),
+            "event_id",
+            F.concat(
+                F.coalesce(F.col("role"), F.lit("")),
+                F.lit("#"),
+                F.coalesce(F.col("tool"), F.lit("")),
+            ).alias("content"),
+        )
+        return rollout_prefix_dedup(turns).orderBy("conv_id")
+
+    q["q176_rollout_subsumption"] = q176
+
     # CUBE — the all-subsets form of q109's ROLLUP through the same
     # one-pass grouping-sets expansion (operators/core.py:
     # group_by_rollup(cube=True)): one scan, one shuffle, every
@@ -2765,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q176_rollout_subsumption",
         "q175_stream_lake_sink",
         "q170_lazy_rebucket_state",
         "q171_cdf_window_diff",
@@ -7560,6 +7639,65 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                count(DISTINCT prefix_hash) AS n_distinct_prefixes,
                count(*) - count(DISTINCT prefix_hash) AS n_redundant
         FROM pfx GROUP BY turn_no
+    """
+    # q176: subsumption = full-conv signature equals a prefix signature
+    # of a longer conv (or an equal-length smaller-id clone); the
+    # branched corpus (retry truncations + clones) is derived exactly
+    # like the Spark side so both engines dedup the same rollout set
+    o["q176_rollout_subsumption"] = """
+        WITH t AS (
+          SELECT 'conv-' || CAST(user_id AS VARCHAR) AS cid, user_id,
+                 CASE WHEN event_id % 2 = 0
+                      THEN 'user' ELSE 'assistant' END AS role,
+                 CASE WHEN event_id % 3 = 0
+                      THEN 'tool_' || CAST(event_id % 5 AS VARCHAR)
+                 END AS tool,
+                 event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM events
+        ),
+        rollouts AS (
+          SELECT cid AS conv_id, event_id, role, tool FROM t
+          UNION ALL
+          SELECT cid || '-retry', event_id, role, tool FROM t
+          WHERE user_id % 3 = 0
+            AND rk <= CAST(ceil(cnt / 2.0) AS BIGINT)
+          UNION ALL
+          SELECT cid || '-dup', event_id, role, tool FROM t
+          WHERE user_id % 7 = 0
+        ),
+        turns AS (
+          SELECT conv_id, event_id,
+                 md5(coalesce(role, '') || '#' || coalesce(tool, '')) AS th
+          FROM rollouts
+        ),
+        arrs AS (
+          SELECT conv_id, list(th ORDER BY event_id) AS tha
+          FROM turns GROUP BY conv_id
+        ),
+        base AS (
+          SELECT conv_id, tha, len(tha) AS n_turns,
+                 md5(array_to_string(tha, '|')) AS full_sig
+          FROM arrs
+        ),
+        pref AS (
+          SELECT b.conv_id AS o_conv, b.n_turns AS o_len, u.d AS depth,
+                 md5(array_to_string(b.tha[1:u.d], '|')) AS sig
+          FROM base b, unnest(generate_series(1, b.n_turns)) AS u(d)
+        )
+        SELECT c.conv_id, CAST(c.n_turns AS BIGINT) AS n_turns,
+               min(p.o_conv) AS dup_of,
+               (min(p.o_conv) IS NULL) AS keep
+        FROM base c
+        LEFT JOIN pref p
+          ON p.sig = c.full_sig AND p.depth = c.n_turns
+         AND p.o_conv <> c.conv_id
+         AND (p.o_len > c.n_turns
+              OR (p.o_len = c.n_turns AND p.o_conv < c.conv_id))
+        GROUP BY c.conv_id, c.n_turns
+        ORDER BY conv_id
     """
     o["q150_cube_grouping"] = """
         SELECT l_returnflag, l_linestatus,

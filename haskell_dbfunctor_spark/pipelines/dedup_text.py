@@ -831,3 +831,100 @@ def passage_dedup_scrub(
         F.length("__clean").cast("long").alias("n_chars_clean"),
         F.md5(F.col("__clean")).alias("clean_hash"),
     )
+
+
+def rollout_prefix_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "event_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Branched-rollout dedup for multi-turn transcripts: a
+    conversation is SUBSUMED when its full turn sequence equals the
+    first ``len`` turns of some OTHER conversation — either a strictly
+    longer one (an abandoned retry / branch point restart) or an
+    equal-length exact clone with a smaller ``conv_col`` (the
+    deterministic keep-first rule). Returns one row per conversation:
+    (conv_col, n_turns, dup_of, keep) where ``dup_of`` is the smallest
+    subsuming conversation id (NULL if none) and ``keep = dup_of IS
+    NULL``.
+
+    Recasts the reference's duplicate-elimination semantics
+    (``/root/reference/src/RTable/Core.hs:3004`` union/``runDiff``
+    NULL-safe row equality) at the *sequence-prefix* granularity that
+    agent-transcript corpora need: straight row-level dedup never
+    catches a rollout that replays turns 1..k of a longer rollout.
+
+    Plan shape (all linear in total turns, no all-pairs):
+      1. one hash-agg per conversation builds the ordered array of
+         per-turn md5 content hashes;
+      2. every conversation explodes to its ``n_turns`` prefix
+         signatures ``md5(concat_ws('|', slice(turn_hashes, 1, d)))``
+         — O(total turns) rows;
+      3. one equi-join of full-conversation signatures against prefix
+         signatures on (sig, depth) + a min-agg picks ``dup_of``.
+    Signature equality stands in for exact prefix equality (md5 over
+    the joined turn-hash list; collisions need a 128-bit md5 collision
+    inside one corpus). Per-conversation step 2 does O(L^2) character
+    hashing via the slice re-concat — deliberate, because an external
+    SQL engine reproduces slice+concat bit-for-bit, and L is the turn
+    count of ONE conversation (bounded), never the corpus. Skew note:
+    a corpus dominated by clones of one conversation makes that
+    signature a hot join key; the min-agg bounds the output, and the
+    join salts like any equi-join if needed (operators/skew.py).
+    """
+    th = F.md5(F.col(content_col))
+    arrs = turns.groupBy(conv_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), th.alias("h"))
+                )
+            ),
+            lambda s: s["h"],
+        ).alias("__tha")
+    )
+    base = arrs.select(
+        conv_col,
+        "__tha",
+        F.size("__tha").alias("n_turns"),
+        F.md5(F.concat_ws("|", F.col("__tha"))).alias("__full_sig"),
+    )
+    pref = base.select(
+        F.col(conv_col).alias("__o_conv"),
+        F.col("n_turns").alias("__o_len"),
+        F.explode(F.sequence(F.lit(1), F.col("n_turns"))).alias("__depth"),
+        "__tha",
+    ).select(
+        "__o_conv",
+        "__o_len",
+        "__depth",
+        F.md5(
+            F.concat_ws("|", F.slice(F.col("__tha"), F.lit(1), F.col("__depth")))
+        ).alias("__sig"),
+    )
+    c = base.drop("__tha").alias("__c")
+    joined = c.join(
+        pref,
+        (F.col("__sig") == F.col("__c.__full_sig"))
+        & (F.col("__depth") == F.col("__c.n_turns"))
+        & (F.col("__o_conv") != F.col(f"__c.{conv_col}"))
+        & (
+            (F.col("__o_len") > F.col("__c.n_turns"))
+            | (
+                (F.col("__o_len") == F.col("__c.n_turns"))
+                & (F.col("__o_conv") < F.col(f"__c.{conv_col}"))
+            )
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy(f"__c.{conv_col}", "__c.n_turns")
+        .agg(F.min("__o_conv").alias("dup_of"))
+        .select(
+            conv_col,
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
