@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from haskell_dbfunctor_spark.operators import (
     Avg, Count, CountDist, CountStar, GenAgg, Max, Min, StrAgg, Sum,
@@ -418,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
+    # per-column churn census off the same feed (preimages=True)
+    q["q177_cdf_column_churn"] = _cdf_column_churn
     # the same window served through the lake_cdf STREAMING source
     q["q174_stream_cdf_source"] = _stream_cdf_drain
     # the lake as a streaming SINK: format("lake") exactly-once MoR append
@@ -2844,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
         "q176_rollout_subsumption",
+        "q177_cdf_column_churn",
         "q175_stream_lake_sink",
         "q170_lazy_rebucket_state",
         "q171_cdf_window_diff",
@@ -4573,6 +4576,74 @@ def _cdf_window_diff(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _cdf_column_churn(s: SparkSession, d: str) -> DataFrame:
+    """q177: column-level churn census off the change feed — the CDC
+    observability readout an ingest operator actually watches: of the
+    keys the second epoch touched, how many were creates / deletes /
+    updates, and WHICH payload columns the updates actually moved
+    (updates that only bump `seq` vs ones that rewrite `value`/`ts`
+    have very different downstream-maintenance cost). Consumes
+    ``changes(preimages=True)`` (the Delta-CDF U_pre/U_post contract,
+    lake/table.py changes()) in ONE pass: per-key pre/post structs +
+    I/U/D flags in a single hash agg, a 6-struct explode, one tiny
+    re-agg by measure — the CDF's bucket-pruned diff stays the only
+    data-sized read. Oracle: the SQL full-outer diff of the two LWW
+    prefix states, censused per column with IS DISTINCT FROM."""
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_churn_q177_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    v1 = table.version
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    cdf = table.changes(v1, table.version, preimages=True)
+    payload = F.struct("value", "ts", "seq")
+    per_key = cdf.groupBy("user_id", "event_type").agg(
+        F.max(
+            F.when(F.col("_change_type") == "U_pre", payload)
+        ).alias("pre"),
+        F.max(
+            F.when(F.col("_change_type") == "U_post", payload)
+        ).alias("post"),
+        F.max((F.col("_change_type") == "I").cast("int")).alias("ins"),
+        F.max((F.col("_change_type") == "D").cast("int")).alias("dele"),
+        F.max(
+            F.col("_change_type").isin("U_pre", "U_post").cast("int")
+        ).alias("upd"),
+    )
+
+    def _moved(col: str) -> Column:
+        return (
+            (F.col("upd") == 1)
+            & ~F.col(f"pre.{col}").eqNullSafe(F.col(f"post.{col}"))
+        ).cast("int")
+
+    def _m(name: str, x: Column) -> Column:
+        return F.struct(F.lit(name).alias("measure"), x.alias("x"))
+
+    return (
+        per_key.select(
+            F.explode(
+                F.array(
+                    _m("_rows_inserted", F.col("ins")),
+                    _m("_rows_deleted", F.col("dele")),
+                    _m("_rows_updated", F.col("upd")),
+                    _m("value", _moved("value")),
+                    _m("ts", _moved("ts")),
+                    _m("seq", _moved("seq")),
+                )
+            ).alias("m")
+        )
+        .groupBy(F.col("m.measure").alias("measure"))
+        .agg(F.sum("m.x").cast("long").alias("n_keys"))
+        .orderBy("measure")
+    )
+
+
 def _stream_cdf_drain(s: SparkSession, d: str) -> DataFrame:
     """q174: the change feed as a STRUCTURED STREAMING source
     (``format("lake_cdf")`` — Delta streaming source analog on the
@@ -5578,6 +5649,60 @@ WHERE s1.user_id IS NULL OR s2.user_id IS NULL
 """
     # the streaming drain serves the SAME window -> same oracle
     o["q174_stream_cdf_source"] = o["q171_cdf_window_diff"]
+    # q177: per-column churn census over the same two-state diff — a
+    # column counts as moved when both sides exist and the column is
+    # IS DISTINCT FROM across them (a moved column implies the row is
+    # one of the engine's non-suppressed U rows)
+    o["q177_cdf_column_churn"] = """
+WITH tagged AS (
+  SELECT *,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), s1 AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tagged
+    WHERE event_id < (SELECT count(*) // 2 FROM events)
+  ) WHERE rn = 1 AND op <> 'D'
+), s2 AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tagged
+  ) WHERE rn = 1 AND op <> 'D'
+), j AS (
+  SELECT s1.user_id AS u1, s2.user_id AS u2,
+         s1.value AS v1, s2.value AS v2,
+         s1.ts AS t1, s2.ts AS t2,
+         s1.seq AS q1, s2.seq AS q2
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+), a AS (
+  SELECT
+    count(*) FILTER (u1 IS NULL) AS ins,
+    count(*) FILTER (u2 IS NULL) AS dele,
+    count(*) FILTER (u1 IS NOT NULL AND u2 IS NOT NULL
+                     AND (v1 IS DISTINCT FROM v2
+                          OR t1 IS DISTINCT FROM t2
+                          OR q1 IS DISTINCT FROM q2)) AS upd,
+    count(*) FILTER (u1 IS NOT NULL AND u2 IS NOT NULL
+                     AND v1 IS DISTINCT FROM v2) AS ch_value,
+    count(*) FILTER (u1 IS NOT NULL AND u2 IS NOT NULL
+                     AND t1 IS DISTINCT FROM t2) AS ch_ts,
+    count(*) FILTER (u1 IS NOT NULL AND u2 IS NOT NULL
+                     AND q1 IS DISTINCT FROM q2) AS ch_seq
+  FROM j
+)
+SELECT measure, n_keys FROM (
+  SELECT '_rows_inserted' AS measure, ins AS n_keys FROM a
+  UNION ALL SELECT '_rows_deleted', dele FROM a
+  UNION ALL SELECT '_rows_updated', upd FROM a
+  UNION ALL SELECT 'value', ch_value FROM a
+  UNION ALL SELECT 'ts', ch_ts FROM a
+  UNION ALL SELECT 'seq', ch_seq FROM a
+) ORDER BY measure
+"""
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""
