@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
     q["q177_cdf_column_churn"] = _cdf_column_churn
+    # live + late-backfill feeds consolidated under composite LWW
+    q["q178_multisource_lww"] = _multisource_lww
     # the same window served through the lake_cdf STREAMING source
     q["q174_stream_cdf_source"] = _stream_cdf_drain
     # the lake as a streaming SINK: format("lake") exactly-once MoR append
@@ -2847,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
+        "q178_multisource_lww",
         "q175_stream_lake_sink",
         "q170_lazy_rebucket_state",
         "q171_cdf_window_diff",
@@ -4644,6 +4647,63 @@ def _cdf_column_churn(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _multisource_lww(s: SparkSession, d: str) -> DataFrame:
+    """q178: multi-SOURCE CDC consolidation — a live feed and a lower-
+    priority backfill feed upsert the same table, and on an event-time
+    tie the live row must win REGARDLESS of arrival order. Event time
+    is week-truncated so cross-source ties actually occur; the total
+    order is the composite (ts, priority, seq), enforced twice with the
+    machinery the engine already has: within a batch by merge's
+    ``order_cols`` max_by dedup, across batches by
+    ``lww_matched_filter`` over the same stored columns (the backfill
+    epoch lands BETWEEN the two live epochs, so without the composite
+    matched filter a late backfill row would clobber a same-week live
+    row it loses to). Pure upsert feed (op_col=None) — monotone
+    convergence to the global max, so the oracle is one SQL
+    row_number over (ts DESC, priority DESC, seq DESC)."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+    from haskell_dbfunctor_spark.streaming.tailer import lww_matched_filter
+
+    _, n, tmp = _lake_events_tmp(s, d, "hdbf_msrc_q178_")
+    feed = _t(s, d, "events").select(
+        "user_id", "event_type", "value",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("ts"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(0))
+        .otherwise(F.lit(1)).cast("int").alias("priority"),
+        F.col("event_id").alias("seq"),
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    table = LakeTable.create(
+        s, f"{tmp}/lake", schema,
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    order = ("ts", "priority", "seq")
+    opts = dict(
+        op_col=None, order_cols=order, drop_cols=(),
+        matched_filter=lww_matched_filter(order),
+    )
+    half = n // 2
+    live = feed.where(F.col("priority") == 1)
+    table.merge(live.where(F.col("seq") < half), epoch_id="live-0", **opts)
+    # the backfill source arrives LATE, between the live epochs
+    table.merge(
+        feed.where(F.col("priority") == 0), epoch_id="backfill", **opts
+    )
+    table.merge(live.where(F.col("seq") >= half), epoch_id="live-1", **opts)
+    return table.read().select(
+        "user_id", "event_type", "value", "ts", "priority", "seq"
+    ).orderBy("user_id", "event_type")
+
+
 def _stream_cdf_drain(s: SparkSession, d: str) -> DataFrame:
     """q174: the change feed as a STRUCTURED STREAMING source
     (``format("lake_cdf")`` — Delta streaming source analog on the
@@ -5703,6 +5763,26 @@ SELECT measure, n_keys FROM (
   UNION ALL SELECT 'seq', ch_seq FROM a
 ) ORDER BY measure
 """
+    # q178: multi-source consolidation = plain global LWW over the
+    # composite (ts, priority, seq) — the engine reaches the same state
+    # through three out-of-order epochs + the cross-batch matched filter
+    o["q178_multisource_lww"] = """
+        SELECT user_id, event_type, value, ts, priority, seq FROM (
+          SELECT user_id, event_type, value,
+                 date_trunc('week', ts) AS ts,
+                 CAST(CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END
+                      AS INT) AS priority,
+                 event_id AS seq,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY date_trunc('week', ts) DESC,
+                            CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END
+                              DESC,
+                            event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id, event_type
+    """
     # B's final rollup equals the q22 metrics over the whole feed iff
     # every (state-epoch, rollup-refresh) transaction was atomic
     o["q74_txn_atomic_commit"] = f"""
