@@ -2357,6 +2357,57 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def buckets_where(self, col: str, lo=None, hi=None) -> list[int]:
+        """Bucket ids whose data MAY contain rows with ``lo <= col <=
+        hi`` — the manifest-stats discovery pass behind range-scoped
+        maintenance (``compact(where=...)``) and any caller that wants
+        to fan a job over only the relevant buckets. Conservative by
+        construction: a bucket counts when ANY of its base files'
+        [min, max] for ``col`` intersects the range, when a file has no
+        stats for the column (run ``analyze``/stats-on-write first for
+        tight results), when the bucket holds pending MoR deltas or a
+        lazy-rebucket overlay (mutable image — never judged by base
+        stats), or when the domain is a string (same UTF-16 vs
+        code-point ordering rule as ``read_where``/dml pruning). Cost:
+        one pass over ALL buckets' stats sidecars — metadata-sized,
+        like any table-scan plan step; the point is that the DATA pass
+        it feeds then touches only the returned buckets."""
+        if lo is None and hi is None:
+            raise LakeError("buckets_where: need at least one bound")
+        dm = self.manifest.get("delta_files", {})
+        bm = self.manifest["buckets"]
+        klo = self._stat_key(lo) if lo is not None else None
+        khi = self._stat_key(hi) if hi is not None else None
+        strings = isinstance(klo, str) or isinstance(khi, str)
+        fstats = self._stats_map()
+        if self.legacy_pending:
+            # overlay rows can hash anywhere under the new spec once
+            # folded — every bucket is reachable; callers get the
+            # honest answer rather than a wrongly-narrow one
+            return sorted(
+                int(b) for b in set(bm) | set(dm) if bm.get(b) or dm.get(b)
+            )
+        out = []
+        for b in sorted(set(bm) | set(dm), key=int):
+            if dm.get(b):
+                out.append(int(b))
+                continue
+            for rel in bm.get(b, []):
+                s = fstats.get(rel, {}).get(col)
+                if s is None or strings or isinstance(s[0], str) or (
+                    isinstance(s[1], str)
+                ):
+                    out.append(int(b))
+                    break
+                fmin, fmax = s
+                if not (
+                    (khi is not None and fmin > khi)
+                    or (klo is not None and fmax < klo)
+                ):
+                    out.append(int(b))
+                    break
+        return out
+
     def _build_bloom_entries(
         self, rels: Sequence[str], cols: Sequence[str], bits: int, k: int
     ) -> dict:
@@ -5499,8 +5550,17 @@ class LakeTable:
         sort_by: str | None = None,
         zorder_by: Sequence[str] | None = None,
         dv_ratio: float = 0.10,
+        where: tuple | None = None,
     ) -> dict:
         """Iceberg rewrite_data_files: coalesce small files bucket-wise.
+
+        ``where=(col, lo, hi)`` scopes the pass to the buckets whose
+        stats say they may hold rows in [lo, hi] (``buckets_where`` —
+        Delta's ``OPTIMIZE ... WHERE``): a trickle-ingest table is hot
+        in the recent-``ts`` range and already-tidy everywhere else, so
+        nightly maintenance pays O(hot range), not O(table). Resolved
+        against the CURRENT manifest on every conflict re-plan. The
+        fragmentation rule still applies within the scope.
 
         A long ingest history leaves buckets written by tiny epochs as
         many small files; small files poison scan parallelism math and
@@ -5529,6 +5589,18 @@ class LakeTable:
         own column (sibling files span the full range of every other).
         """
         self._forbid_staged("compact")
+        if where is not None:
+            if buckets is not None:
+                raise LakeError(
+                    "compact: pass buckets OR where, not both (where "
+                    "resolves to a bucket scope itself)"
+                )
+            buckets = self.buckets_where(*where)
+            if not buckets:
+                return {
+                    "buckets_compacted": 0, "files_before": 0,
+                    "files_after": 0,
+                }
         target_file_bytes = self._resolve_target_file_bytes(
             target_file_bytes
         )

@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated columns: cluster on a Z-order "
                         "curve so range reads prune files on ANY of "
                         "them (Delta OPTIMIZE ZORDER BY analog)")
+    c.add_argument("--where", nargs=3, metavar=("COL", "LO", "HI"),
+                   default=None,
+                   help="range-scope the pass (OPTIMIZE ... WHERE): "
+                        "only buckets whose stats intersect [LO, HI] "
+                        "on COL are considered — nightly maintenance "
+                        "pays O(hot range), not O(table); pass 'none' "
+                        "for an open bound")
 
     e = sub.add_parser("expire", help="drop old snapshots + orphaned files")
     e.add_argument("--keep-last", type=int, default=2)
@@ -565,6 +572,17 @@ def main(argv: list[str] | None = None) -> int:
     rows_before = None if args.no_verify else table.read().count()
 
     if args.action == "compact":
+
+        def _bound(v: str):
+            if v.lower() == "none":
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    continue
+            return v  # string domain: buckets_where reads conservatively
+
         res = table.compact(
             target_file_bytes=args.target_file_mb * 1024 * 1024,
             min_files=args.min_files,
@@ -573,6 +591,10 @@ def main(argv: list[str] | None = None) -> int:
             zorder_by=(
                 [c.strip() for c in args.zorder_by.split(",")]
                 if args.zorder_by else None
+            ),
+            where=(
+                (args.where[0], _bound(args.where[1]), _bound(args.where[2]))
+                if args.where else None
             ),
         )
     elif args.action == "expire":
