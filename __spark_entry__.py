@@ -376,6 +376,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q24_dedup_ngram_jaccard"] = lambda s, d: near_dup_counts(
         _t(s, d, "documents"), threshold=0.8
     )
+
+    # EXACT near-dup again, but via prefix filtering (AllPairs/PPJoin):
+    # the candidate join touches only each doc's rarest tokens, so the
+    # quadratic common-shingle blowup q24 salts around never forms —
+    # the scalable exact path (q42's LSH stays the approximate one)
+    def q179(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            near_dup_counts_prefix,
+        )
+
+        return near_dup_counts_prefix(_t(s, d, "documents"), threshold=0.8)
+
+    q["q179_prefix_filter_exact"] = q179
     q["q25_minhash_signatures"] = lambda s, d: minhash_signatures(
         _t(s, d, "documents"), k=4
     )
@@ -2850,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
+        "q179_prefix_filter_exact",
         "q175_stream_lake_sink",
         "q170_lazy_rebucket_state",
         "q171_cdf_window_diff",
@@ -5543,6 +5557,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
     """
+    # q179 computes the same exact answer through prefix filtering —
+    # the oracle is q24's ground-truth all-pairs Jaccard verbatim
+    o["q179_prefix_filter_exact"] = o["q24_dedup_ngram_jaccard"]
     o["q25_minhash_signatures"] = """
         WITH dw AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word

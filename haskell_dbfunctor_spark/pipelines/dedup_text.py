@@ -928,3 +928,95 @@ def rollout_prefix_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def near_dup_counts_prefix(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT word-set-Jaccard near-dup counts via prefix filtering
+    (AllPairs / PPJoin family, Bayardo et al. WWW'07) — the scalable
+    exact alternative to ``near_dup_counts``'s all-pairs shingle join.
+    Same contract and result as ``near_dup_counts`` (per-doc count of
+    docs with J >= threshold), but the candidate join runs only on each
+    document's PREFIX tokens.
+
+    Prefix-filter theorem: order the vocabulary by a global total order
+    (here rarity: ascending document frequency, word as tiebreak — no
+    dense-rank materialization, the (df, word) tuple IS the order) and
+    keep each doc's first ``L = n - ceil(t*n) + 1`` tokens. If
+    J(A,B) >= t then A and B share at least one PREFIX token — so
+    joining prefixes loses no true pair, and exact verification of the
+    surviving candidates gives the exact answer.
+
+    Scale posture vs the all-pairs join: prefix tokens are by
+    construction the RAREST tokens of each doc, so the join key's
+    document frequency is capped and the quadratic blowup on common
+    shingles (the reason ``near_dup_counts`` needs a salted
+    width-pinned join) never happens — candidate volume is
+    sum_w df_prefix(w)^2 over rare w, not sum over ALL w. Verification
+    is one (cand x tokens) join pair-counted, O(candidates * doc_len).
+    The per-doc window is partitioned by doc_id (bounded partitions,
+    never a global sort).
+    """
+    from pyspark.sql import Window as W
+
+    dw = _words(docs)
+    sz = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dwf = dw.join(freq, "word").join(F.broadcast(sz), "doc_id")
+    w = W.partitionBy("doc_id").orderBy("df", "word")
+    pref = (
+        dwf.withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "word", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t forces t*n1 <= n2 (and symmetrically)
+            & (F.col("a.n") >= threshold * F.col("b.n"))
+            & (F.col("b.n") >= threshold * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .distinct()
+    )
+    # exact verification: count shared tokens of candidate pairs only
+    inter = (
+        cand.join(
+            dw.select(F.col("doc_id").alias("d1"), "word"), "d1"
+        )
+        .join(
+            dw.select(F.col("doc_id").alias("d2"), "word"),
+            ["d2", "word"],
+        )
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = inter.where(
+        F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+        >= F.lit(threshold)
+    ).select("d1", "d2")
+    cnt = (
+        nd.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        )
+    )

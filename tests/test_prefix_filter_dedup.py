@@ -1,0 +1,69 @@
+"""near_dup_counts_prefix == near_dup_counts (exact prefix filtering).
+
+The prefix-filter theorem says no true pair is lost; these tests pin
+the equivalence on edge shapes the sf-data oracle run may not cover:
+single-token docs (prefix length L=1), exact clones, just-below /
+just-above threshold, and a seeded random corpus.
+"""
+
+import random
+
+from pyspark.sql import Row
+
+from haskell_dbfunctor_spark.pipelines.dedup_text import (
+    near_dup_counts,
+    near_dup_counts_prefix,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def _counts(df):
+    return {r["doc_id"]: r["n_near_dups"] for r in df.collect()}
+
+
+def _assert_equiv(spark, texts, threshold=0.8):
+    d = _docs(spark, texts)
+    assert _counts(near_dup_counts_prefix(d, threshold)) == _counts(
+        near_dup_counts(d, threshold)
+    )
+
+
+def test_edge_shapes(spark):
+    _assert_equiv(spark, [
+        "a",                       # single token, L = 1
+        "a",                       # exact clone of a 1-token doc
+        "a b c d e",
+        "a b c d e",               # exact clone
+        "a b c d f",               # J = 4/6 = 0.667 < 0.8
+        "a b c d e f",             # J = 5/6 = 0.833 >= 0.8 vs clone pair
+        "x y z",                   # disjoint
+        "",                        # empty text -> no tokens
+    ])
+
+
+def test_threshold_boundary(spark):
+    # J exactly == t must be included by BOTH (>= threshold)
+    # sets {a,b,c,d} vs {a,b,c,d,e}: J = 4/5 = 0.8
+    _assert_equiv(spark, ["a b c d", "a b c d e"], threshold=0.8)
+    d = _docs(spark, ["a b c d", "a b c d e"])
+    assert _counts(near_dup_counts_prefix(d, 0.8)) == {0: 1, 1: 1}
+
+
+def test_random_corpus_seeded(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(40):
+        base = rng.sample(vocab, rng.randint(1, 12))
+        texts.append(" ".join(base))
+        if rng.random() < 0.4:  # planted near-dup: drop/keep one token
+            mut = list(base)
+            if len(mut) > 1 and rng.random() < 0.5:
+                mut.pop(rng.randrange(len(mut)))
+            texts.append(" ".join(mut))
+    _assert_equiv(spark, texts)
