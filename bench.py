@@ -1340,6 +1340,84 @@ def main_pq_cost(cores: int, n_vecs: int, pairs: int = 3,
     }))
 
 
+def main_prefix_cost(cores: int, n_docs: int = 10_000, pairs: int = 3,
+                     threshold: float = 0.8) -> None:
+    """Exact near-dup: prefix filter (AllPairs/PPJoin, q179) vs the
+    all-pairs shingle join (q24) on a synthetic ZIPFIAN corpus — the
+    vocabulary shape natural text actually has and the sf testdata does
+    not (its ~5k-word dense vocab keeps >50% of all pairs inside the
+    prefix filter, so all-pairs wins there; see the q179 docstring).
+
+    Corpus (deterministic, JVM-generated): every doc carries 10 tokens
+    from a 50-word COMMON head (df = n_docs/5 — these alone make the
+    all-pairs join volume 50*(n_docs/5)^2) and 30 df=1 RARE-tail
+    tokens; every (10k, 10k+1) pair shares 28 of the 30 rares
+    (J = 38/42 = 0.905 — a planted near-dup). The prefix (rarity
+    order) is all rare tokens, so the prefix join's candidate set is
+    EXACTLY the planted pairs while the all-pairs join still wades
+    through the common head. Both legs must return identical counts —
+    asserted, not assumed. Legs alternate to cancel host drift."""
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        near_dup_counts, near_dup_counts_prefix,
+    )
+
+    spark = _get_spark(cores)
+    calib0 = calibration_seconds()
+    planted = F.col("id") % 10 == 1
+    base = F.when(planted, F.col("id") - 1).otherwise(F.col("id"))
+    common = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit("c"), F.pmod(base * 7 + j, F.lit(50))),
+    )
+    rare = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        # planted docs keep the base doc's first 28 rares and replace
+        # the last 2 with their own -> J = 38/42 within the pair
+        lambda j: F.concat(
+            F.lit("r"),
+            F.when(planted & (j >= 28), F.col("id") * 30 + j)
+            .otherwise(base * 30 + j),
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat(common, rare)).alias("text"),
+    ).cache()
+    docs.count()
+
+    def leg(fn):
+        t0 = time.perf_counter()
+        out = fn(docs, threshold)
+        total = out.agg(F.sum("n_near_dups")).first()[0]
+        return round(time.perf_counter() - t0, 2), int(total)
+
+    res = {"allpairs_s": [], "prefix_s": []}
+    totals = set()
+    for _ in range(pairs):
+        s_a, t_a = leg(near_dup_counts)
+        s_p, t_p = leg(near_dup_counts_prefix)
+        assert t_a == t_p, f"legs disagree: {t_a} vs {t_p}"
+        totals.add(t_a)
+        res["allpairs_s"].append(s_a)
+        res["prefix_s"].append(s_p)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    print(json.dumps({
+        "metric": "prefix_filter_vs_allpairs_exact_neardup",
+        "n_docs": n_docs,
+        "threshold": threshold,
+        "planted_pairs": n_docs // 10,
+        "sum_near_dups": totals.pop(),
+        "allpairs_s": res["allpairs_s"],
+        "prefix_s": res["prefix_s"],
+        "speedup_median": round(med(res["allpairs_s"]) / med(res["prefix_s"]), 2),
+        "calib_s_start": calib0,
+        "calib_s_end": calibration_seconds(),
+        "cores": cores,
+    }))
+
+
 def main_forget_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
     """Right-to-be-forgotten latency on a full production lake: state
     + per-role rollup + inverted term index replayed transactionally,
@@ -1695,6 +1773,11 @@ if __name__ == "__main__":
                          "(+ on-disk byte ratio)")
     ap.add_argument("--vecs", type=int, default=1_000_000,
                     help="corpus vectors for --pq-cost")
+    ap.add_argument("--prefix-cost", action="store_true",
+                    help="exact near-dup: prefix filter (q179) vs "
+                         "all-pairs (q24) on a Zipfian corpus")
+    ap.add_argument("--docs", type=int, default=10_000,
+                    help="--prefix-cost corpus size")
     ap.add_argument("--forget-cost", action="store_true",
                     help="right-to-be-forgotten latency: logical "
                          "multi-table forget txn + physical purge on "
@@ -1738,6 +1821,8 @@ if __name__ == "__main__":
         main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.forget_cost:
         main_forget_cost(args.cores, args.events, n_epochs=args.epochs)
+    elif args.prefix_cost:
+        main_prefix_cost(args.cores, args.docs, pairs=min(args.pairs, 3))
     elif args.cluster_scaling:
         main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
                              n_epochs=args.epochs,

@@ -929,86 +929,111 @@ def rollout_prefix_dedup(
         )
     )
 
-
 def near_dup_counts_prefix(
-    docs: DataFrame, threshold: float = 0.8
+    docs: DataFrame, threshold: float = 0.8, *, salt: int = 32
 ) -> DataFrame:
     """EXACT word-set-Jaccard near-dup counts via prefix filtering
-    (AllPairs / PPJoin family, Bayardo et al. WWW'07) — the scalable
-    exact alternative to ``near_dup_counts``'s all-pairs shingle join.
-    Same contract and result as ``near_dup_counts`` (per-doc count of
-    docs with J >= threshold), but the candidate join runs only on each
-    document's PREFIX tokens.
+    (AllPairs / PPJoin family, Bayardo et al. WWW'07) — same contract
+    and result as ``near_dup_counts``, but the candidate join runs
+    only on each document's PREFIX tokens.
 
-    Prefix-filter theorem: order the vocabulary by a global total order
-    (here rarity: ascending document frequency, word as tiebreak — no
-    dense-rank materialization, the (df, word) tuple IS the order) and
-    keep each doc's first ``L = n - ceil(t*n) + 1`` tokens. If
-    J(A,B) >= t then A and B share at least one PREFIX token — so
-    joining prefixes loses no true pair, and exact verification of the
-    surviving candidates gives the exact answer.
+    Prefix-filter theorem: under any global total order on the
+    vocabulary (here rarity: ascending document frequency, word as
+    tiebreak — the (df, word) tuple IS the order, no dense rank
+    materialized), keep each doc's first ``L = n - ceil(t*n) + 1``
+    tokens; if J(A,B) >= t the two prefixes share a token, so the
+    prefix join loses no true pair and exact verification of the
+    survivors gives the exact answer.
 
-    Scale posture vs the all-pairs join: prefix tokens are by
-    construction the RAREST tokens of each doc, so the join key's
-    document frequency is capped and the quadratic blowup on common
-    shingles (the reason ``near_dup_counts`` needs a salted
-    width-pinned join) never happens — candidate volume is
-    sum_w df_prefix(w)^2 over rare w, not sum over ALL w. Verification
-    is one (cand x tokens) join pair-counted, O(candidates * doc_len).
-    The per-doc window is partitioned by doc_id (bounded partitions,
-    never a global sort).
+    Plan: one per-doc window builds the ordered prefix ARRAY (bounded
+    partitions — partitioned by doc_id, never a global sort); the
+    salted width-pinned self-join on prefix tokens (same AQE-blind
+    exploding-join treatment as ``near_dup_counts``) emits each
+    surviving pair EXACTLY ONCE map-side — a row is kept only when its
+    join token is the FIRST common element of the two prefix arrays
+    (``array_intersect`` preserves the left array's order), the same
+    first-matching trick as the LSH banding join, so there is no
+    distinct shuffle over candidate rows; verification then joins the
+    unique pairs to per-doc sorted token arrays and computes
+    ``size(array_intersect)`` JVM-side — O(n1+n2) per candidate, no
+    exploded token join.
+
+    WHEN THIS WINS (measured, BENCH.md "Exact near-dup: prefix filter
+    vs all-pairs"): candidate volume is sum over prefix tokens of
+    df_prefix^2. On Zipfian natural-language vocabularies the rarest
+    ~20% of each doc's tokens have df near 1 and candidates collapse
+    to near-linear — the asymptotic win over the all-pairs
+    sum-over-ALL-tokens df^2. On the synthetic dense-vocab bench
+    corpus (~5k distinct words at sf0.1) even rare tokens are shared
+    by hundreds of docs, >50% of all pairs survive the filter, and the
+    single-aggregation all-pairs plan stays faster — density of the
+    vocabulary, not corpus size, picks the winner.
     """
     from pyspark.sql import Window as W
 
+    from ..operators.skew import salted_equi_join
+
     dw = _words(docs)
-    sz = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    toks = dw.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("word")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
     freq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    dwf = dw.join(freq, "word").join(F.broadcast(sz), "doc_id")
+    dwf = dw.join(freq, "word").join(toks.select("doc_id", "n"), "doc_id")
     w = W.partitionBy("doc_id").orderBy("df", "word")
+    # ordered prefix array per doc, then one row per prefix token
+    # carrying the array (short: L ~ (1-t)*n + 1) for the map-side
+    # first-common-token pair dedup
     pref = (
         dwf.withColumn("rn", F.row_number().over(w))
         .where(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("doc_id", "word", "n")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "word"))),
+                lambda s: s["word"],
+            ).alias("pa")
+        )
+        .select("doc_id", "n", "pa", F.explode("pa").alias("word"))
     )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter: J >= t forces t*n1 <= n2 (and symmetrically)
-            & (F.col("a.n") >= threshold * F.col("b.n"))
-            & (F.col("b.n") >= threshold * F.col("a.n")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
-        )
-        .distinct()
+    joined = salted_equi_join(
+        pref, pref, "word",
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            # AllPairs size filter: J >= t forces t*n1 <= n2 <= n1/t
+            & (F.col("l.n") >= threshold * F.col("r.n"))
+            & (F.col("r.n") >= threshold * F.col("l.n"))
+        ),
+        num_partitions=salt * 4,
     )
-    # exact verification: count shared tokens of candidate pairs only
-    inter = (
-        cand.join(
-            dw.select(F.col("doc_id").alias("d1"), "word"), "d1"
-        )
+    pairs = joined.where(
+        F.element_at(F.array_intersect(F.col("pa"), F.col("pa_r")), 1)
+        == F.col("word")
+    ).select(
+        F.col("doc_id").alias("d1"), F.col("doc_id_r").alias("d2")
+    )
+    verified = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("d1"),
+                        F.col("toks").alias("t1"),
+                        F.col("n").alias("n1")), "d1")
         .join(
-            dw.select(F.col("doc_id").alias("d2"), "word"),
-            ["d2", "word"],
+            toks.select(F.col("doc_id").alias("d2"),
+                        F.col("toks").alias("t2"),
+                        F.col("n").alias("n2")), "d2")
+        .withColumn("c", F.size(F.array_intersect("t1", "t2")))
+        .where(
+            F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+            >= F.lit(threshold)
         )
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select("d1", "d2")
     )
-    nd = inter.where(
-        F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
-        >= F.lit(threshold)
-    ).select("d1", "d2")
     cnt = (
-        nd.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        verified.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_near_dups"))
     )
