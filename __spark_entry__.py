@@ -386,7 +386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             near_dup_counts_prefix,
         )
 
-        return near_dup_counts_prefix(_t(s, d, "documents"), threshold=0.8)
+        # quarter subset (q44 precedent): the sf corpus is the DENSE
+        # vocabulary case where prefix filtering keeps >50% of pairs
+        # (see docstring + BENCH.md --prefix-cost) — correctness is
+        # pinned here, the scale claim is benched on the Zipfian corpus
+        docs = _t(s, d, "documents").where(F.col("doc_id") % 4 == 0)
+        return near_dup_counts_prefix(docs, threshold=0.8)
 
     q["q179_prefix_filter_exact"] = q179
     q["q25_minhash_signatures"] = lambda s, d: minhash_signatures(
@@ -5558,8 +5563,30 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
     """
     # q179 computes the same exact answer through prefix filtering —
-    # the oracle is q24's ground-truth all-pairs Jaccard verbatim
-    o["q179_prefix_filter_exact"] = o["q24_dedup_ngram_jaccard"]
+    # q24's ground-truth all-pairs Jaccard on the same quarter subset
+    o["q179_prefix_filter_exact"] = """
+        WITH docs AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM docs
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), nd AS (
+          SELECT d1, d2 FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_near_dups FROM (
+            SELECT d1 AS doc_id FROM nd UNION ALL SELECT d2 FROM nd
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_near_dups, 0) AS n_near_dups
+        FROM docs d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
     o["q25_minhash_signatures"] = """
         WITH dw AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
