@@ -196,6 +196,11 @@ def run_cdc(
             "n_events": n_events,
             "n_epochs": n_epochs,
             "mode": mode,
+            # leg-local dosimeter: endpoint calibs bracket the WHOLE
+            # bench run and miss a ~30s co-tenant burst inside one CDC
+            # leg (observed 2026-08-20: one 4x-slow CoW leg between
+            # two quiet endpoint calibs) — sample right after the leg
+            "calib_s": calibration_seconds(),
             "host_load1": load1,
             "seconds": round(stats.seconds, 3),
             "events_per_sec": round(stats.events_per_sec, 1),
