@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # legacy overlay + the new spec; same LWW oracle as q21/q48/q169
     q["q170_lazy_rebucket_state"] = _lazy_rebucket_state
 
+    # persisted incremental GROUP BY view: CDF deltas + dirty-group
+    # min/max repair == from-scratch recompute (lake/agg_view.py)
+    q["q180_incremental_agg_view"] = _agg_view_state
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2865,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
+        "q180_incremental_agg_view",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4572,6 +4576,45 @@ def _lake_events_tmp(s: SparkSession, d: str, prefix: str):
     return ev, n, _tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+def _agg_view_state(s: SparkSession, d: str) -> DataFrame:
+    """q180: persisted incremental AGGREGATE view (lake/agg_view.py) —
+    the GROUP BY half of incremental view maintenance. Epoch e0 builds
+    the view exactly; epoch e1 (updates + deletes, including deletes
+    of stored extremes) advances it INCREMENTALLY: retractable
+    sum/count fold as signed deltas off the preimage CDF, min/max fold
+    inserts in place and repair only the dirty groups (an exact
+    re-aggregation bounded by touched groups, never a full recompute).
+    The oracle is the from-scratch GROUP BY over the final LWW state —
+    the maintained view must be indistinguishable from a recompute.
+    Recasts the reference's rerun-the-whole-Julius-chain refresh model
+    (/root/reference/src/Etl/Julius.hs) as O(changes) maintenance."""
+    from haskell_dbfunctor_spark.lake.agg_view import (
+        Max, Min, Sum, create_agg_view, sync_agg_view,
+    )
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    ev, n, tmp = _lake_events_tmp(s, d, "hdbf_aggv_q180_")
+    table = LakeTable.create(
+        s, f"{tmp}/lake", _event_state_schema(),
+        key_cols=["user_id", "event_type"], num_buckets=8,
+    )
+    specs = [Sum("value", "v_sum"), Min("value", "v_min"),
+             Max("value", "v_max"), Max("seq", "max_seq")]
+    view = create_agg_view(
+        s, f"{tmp}/view", table, ["event_type"], specs, num_buckets=4,
+    )
+    half = n // 2
+    table.merge(ev.where(F.col("seq") < half), epoch_id="e0")
+    sync_agg_view(table, view, ["event_type"], specs)  # initial build
+    table.merge(ev.where(F.col("seq") >= half), epoch_id="e1")
+    sync_agg_view(table, view, ["event_type"], specs)  # incremental
+    return view.read().select(
+        "event_type", "n_rows",
+        F.round("v_sum", 2).alias("v_sum"), "v_sum_n", "v_min", "v_max",
+        "max_seq",
+    )
+
+
 def _cdf_window_diff(s: SparkSession, d: str) -> DataFrame:
     """q171: the change feed ITSELF through the oracle gate — not a
     consumer of it. Two epochs split by seq; the query returns
@@ -5707,6 +5750,24 @@ def oracle_sql() -> dict[str, str]:
     o["q48_mor_lake_state"] = _CDC_LWW_SQL
     o["q169_dv_merge_state"] = _CDC_LWW_SQL
     o["q170_lazy_rebucket_state"] = _CDC_LWW_SQL
+    # q180: the maintained aggregate view must equal a from-scratch
+    # GROUP BY over the final LWW state (incremental sum/count folds +
+    # dirty-group min/max repair leave no trace)
+    o["q180_incremental_agg_view"] = """
+WITH state AS (
+  SELECT user_id, event_type, value, ts, event_id AS seq FROM (
+    SELECT *,
+           CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS v_sum,
+       count(value) AS v_sum_n, min(value) AS v_min, max(value) AS v_max,
+       max(seq) AS max_seq
+FROM state GROUP BY event_type
+"""
     o["q175_stream_lake_sink"] = _CDC_LWW_SQL
     o["q172_branch_wap_state"] = _CDC_LWW_SQL
     o["q173_rollback_recovery"] = _CDC_LWW_SQL

@@ -1,0 +1,224 @@
+"""Incremental aggregate-view maintenance (lake/agg_view.py).
+
+Invariant: after any refresh sequence, the view equals a full
+``GROUP BY`` recompute over the source's CURRENT snapshot — inserts,
+updates (including group migration), deletes (including deletes of the
+stored min/max, which trigger exact dirty-group repair), NULL group
+keys, and all-NULL sum columns included — with the cursor riding the
+view's own applied-epoch set.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from haskell_dbfunctor_spark.lake.agg_view import (
+    Max,
+    Min,
+    Sum,
+    av_cursor,
+    create_agg_view,
+    sync_agg_view,
+)
+from haskell_dbfunctor_spark.lake.table import LakeError, LakeTable
+
+SRC_SCHEMA = T.StructType([
+    T.StructField("eid", T.LongType()),
+    T.StructField("grp", T.StringType()),
+    T.StructField("val", T.LongType()),
+])
+
+SPECS = [Sum("val", "v_sum"), Min("val", "v_min"), Max("val", "v_max")]
+
+
+def _batch(spark, rows, op="U"):
+    """rows: (eid, grp, val)."""
+    return spark.createDataFrame(
+        rows, "eid long, grp string, val long"
+    ).withColumn("op", F.lit(op))
+
+
+def _mk(spark, tmp_path, rows):
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SRC_SCHEMA, key_cols=["eid"],
+        num_buckets=4,
+    )
+    src.merge(_batch(spark, rows), epoch_id="e1",
+              order_cols=("eid",), drop_cols=())
+    view = create_agg_view(
+        spark, str(tmp_path / "view"), src, ["grp"], SPECS, num_buckets=2,
+    )
+    return src, view
+
+
+def _recompute(src):
+    return src.read().groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("v_sum"),
+        F.count("val").cast("long").alias("v_sum_n"),
+        F.min("val").alias("v_min"),
+        F.max("val").alias("v_max"),
+    )
+
+
+def _assert_view_equals(view, src):
+    cols = ["grp", "n_rows", "v_sum", "v_sum_n", "v_min", "v_max"]
+    got = sorted(
+        map(tuple, view.read().select(*cols).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    want = sorted(
+        map(tuple, _recompute(src).select(*cols).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == want
+
+
+def test_initial_build(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path, [(i, f"g{i % 3}", 10 * i) for i in range(12)]
+    )
+    r = sync_agg_view(src, view, ["grp"], SPECS)
+    assert r["initial_build"] and r["synced_to"] == src.version
+    _assert_view_equals(view, src)
+    # caught up: second sync is a no-op
+    assert sync_agg_view(src, view, ["grp"], SPECS)["skipped"]
+
+
+def test_insert_only_fold(spark, tmp_path):
+    src, view = _mk(spark, tmp_path, [(i, "a", i) for i in range(5)])
+    sync_agg_view(src, view, ["grp"], SPECS)
+    src.merge(_batch(spark, [(100, "a", -7), (101, "b", 3)]),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    r = sync_agg_view(src, view, ["grp"], SPECS)
+    assert r["dirty_groups"] == 0  # inserts never need repair
+    _assert_view_equals(view, src)
+
+
+def test_delete_of_min_triggers_repair(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path, [(i, "a", i) for i in range(6)]  # min=0 max=5
+    )
+    sync_agg_view(src, view, ["grp"], SPECS)
+    src.merge(_batch(spark, [(0, "a", 0)], op="D"),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    r = sync_agg_view(src, view, ["grp"], SPECS)
+    assert r["dirty_groups"] == 1
+    _assert_view_equals(view, src)
+    row = view.read().where(F.col("grp") == "a").collect()[0]
+    assert row["v_min"] == 1 and row["v_max"] == 5 and row["n_rows"] == 5
+
+
+def test_interior_delete_no_repair(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path, [(i, "a", i) for i in range(6)]
+    )
+    sync_agg_view(src, view, ["grp"], SPECS)
+    # remove strictly-interior value: neither extreme moves
+    src.merge(_batch(spark, [(3, "a", 3)], op="D"),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    r = sync_agg_view(src, view, ["grp"], SPECS)
+    assert r["dirty_groups"] == 0
+    _assert_view_equals(view, src)
+
+
+def test_group_migration_update(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path,
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+    )
+    sync_agg_view(src, view, ["grp"], SPECS)
+    # eid 2 moves a -> b AND was a's max: a repairs, b folds
+    src.merge(_batch(spark, [(2, "b", 25)]),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    sync_agg_view(src, view, ["grp"], SPECS)
+    _assert_view_equals(view, src)
+
+
+def test_group_emptied_leaves_view(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path, [(1, "a", 1), (2, "b", 2)],
+    )
+    sync_agg_view(src, view, ["grp"], SPECS)
+    src.merge(_batch(spark, [(2, "b", 2)], op="D"),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    sync_agg_view(src, view, ["grp"], SPECS)
+    assert view.read().where(F.col("grp") == "b").count() == 0
+    _assert_view_equals(view, src)
+
+
+def test_null_group_and_all_null_sum(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path,
+        [(1, None, 5), (2, None, None), (3, "a", None)],
+    )
+    sync_agg_view(src, view, ["grp"], SPECS)
+    _assert_view_equals(view, src)
+    a = view.read().where(F.col("grp") == "a").collect()[0]
+    assert a["v_sum"] is None and a["v_sum_n"] == 0 and a["n_rows"] == 1
+    # retract the NULL-group's only non-null value: sum returns to NULL
+    src.merge(_batch(spark, [(1, None, 5)], op="D"),
+              epoch_id="e2", order_cols=("eid",), drop_cols=())
+    sync_agg_view(src, view, ["grp"], SPECS)
+    _assert_view_equals(view, src)
+    n = view.read().where(F.col("grp").isNull()).collect()[0]
+    assert n["v_sum"] is None and n["n_rows"] == 1
+
+
+def test_multi_epoch_catchup_and_mor(spark, tmp_path):
+    src, view = _mk(
+        spark, tmp_path, [(i, f"g{i % 2}", i) for i in range(8)]
+    )
+    sync_agg_view(src, view, ["grp"], SPECS, mode="mor")
+    # three source epochs before the next sync — changes_since folds all
+    src.merge(_batch(spark, [(20, "g0", 100)]), epoch_id="e2",
+              order_cols=("eid",), drop_cols=())
+    src.merge(_batch(spark, [(0, "g0", 0)], op="D"), epoch_id="e3",
+              order_cols=("eid",), drop_cols=())
+    src.merge(_batch(spark, [(21, "g1", -1)]), epoch_id="e4",
+              order_cols=("eid",), drop_cols=())
+    r = sync_agg_view(src, view, ["grp"], SPECS, mode="mor")
+    assert r["synced_to"] == src.version
+    _assert_view_equals(view, src)
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path):
+    src, view = _mk(spark, tmp_path, [(1, "a", 1)])
+    sync_agg_view(src, view, ["grp"], SPECS)
+    src.merge(_batch(spark, [(2, "a", 2)]), epoch_id="e2",
+              order_cols=("eid",), drop_cols=())
+    sync_agg_view(src, view, ["grp"], SPECS)
+    v = view.version
+    # simulated replay of the same window: applied-epoch check skips
+    r = sync_agg_view(src, view, ["grp"], SPECS)
+    assert r["skipped"] and view.version == v
+    _assert_view_equals(view, src)
+
+
+def test_cursor_ahead_raises(spark, tmp_path):
+    src, view = _mk(spark, tmp_path, [(1, "a", 1)])
+    src.merge(_batch(spark, [(2, "a", 2)]), epoch_id="e2",
+              order_cols=("eid",), drop_cols=())
+    sync_agg_view(src, view, ["grp"], SPECS)
+    assert av_cursor(view) == src.version >= 2
+    rolled = LakeTable.load(spark, src.root, src.version - 1)
+    with pytest.raises(LakeError, match="ahead"):
+        sync_agg_view(rolled, view, ["grp"], SPECS)
+
+
+def test_spec_validation(spark, tmp_path):
+    src, _ = _mk(spark, tmp_path, [(1, "a", 1)])
+    with pytest.raises(LakeError, match="collides"):
+        create_agg_view(
+            spark, str(tmp_path / "v2"), src, ["grp"],
+            [Sum("val", "x"), Min("val", "x_n")],
+        )
+    with pytest.raises(LakeError, match="not in source"):
+        create_agg_view(
+            spark, str(tmp_path / "v3"), src, ["nope"], SPECS,
+        )
