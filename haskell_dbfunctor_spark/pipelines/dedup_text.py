@@ -183,6 +183,101 @@ def containment_dup_counts(
     )
 
 
+def containment_dup_counts_prefix(
+    docs: DataFrame, threshold: float = 0.9, *, salt: int = 32
+) -> DataFrame:
+    """EXACT containment dup counts via the ASYMMETRIC prefix filter —
+    same contract and result as ``containment_dup_counts``, but the
+    candidate join touches only the contained side's prefix tokens.
+
+    Asymmetric prefix theorem: order the vocabulary by rarity
+    (ascending document frequency, word as tiebreak). A pair qualifies
+    when the overlap c >= t*|A| with A the smaller-or-tied side, i.e.
+    c >= o = ceil(t*|A|). A's non-prefix suffix holds only o-1 tokens,
+    so any qualifying overlap must hit A's first
+    ``L = |A| - ceil(t*|A|) + 1`` tokens — joining prefix(A) against
+    ALL of B's tokens loses no true pair. Only the CONTAINED side is
+    prefix-reduced (the container admits any size, so no size filter
+    and no container-side prefix exists); at t=0.9 the join volume is
+    ~10% of the all-pairs sum-of-df² that ``containment_dup_counts``
+    pays.
+
+    Unlike the Jaccard variant there is no map-side first-common-token
+    pair dedup (it would require the container side to carry its full
+    token array through the exploded join — O(Σn²) shuffle bytes), so
+    surviving candidate rows dedup through one (a, b) hash
+    aggregation before the exact verify join. Same density caveat as
+    ``near_dup_counts_prefix``: on the dense-vocab sf corpus the
+    filter keeps a large pair fraction; the asymptotic win is on
+    Zipfian vocabularies (bench.py --prefix-cost --containment).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.skew import salted_equi_join
+
+    dw = _words(docs)
+    toks = dw.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("word")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    freq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dwf = dw.join(freq, "word").join(toks.select("doc_id", "n"), "doc_id")
+    w = W.partitionBy("doc_id").orderBy("df", "word")
+    pref = (
+        dwf.withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "n", "word")
+    )
+    full = dw.join(toks.select("doc_id", "n"), "doc_id")
+    # contained side strictly smaller, or equal-sized with the HIGHER
+    # id (containment_dup_counts' tiebreak: exact dups drop one side)
+    joined = salted_equi_join(
+        pref, full, "word",
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=(
+            (F.col("l.n") < F.col("r.n"))
+            | ((F.col("l.n") == F.col("r.n"))
+               & (F.col("l.doc_id") > F.col("r.doc_id")))
+        ),
+        num_partitions=salt * 4,
+    )
+    cand = (
+        joined.groupBy(
+            F.col("doc_id").alias("a"), F.col("doc_id_r").alias("b"),
+            F.col("n").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .drop("__hits")
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("a"),
+                        F.col("toks").alias("ta")), "a")
+        .join(
+            toks.select(F.col("doc_id").alias("b"),
+                        F.col("toks").alias("tb")), "b")
+        .where(
+            F.size(F.array_intersect("ta", "tb"))
+            >= F.lit(threshold) * F.col("na")
+        )
+        .select("a")
+    )
+    cnt = verified.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers")
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
     """MinHash signature per doc: mh_i = min over words of md5(word#i).
 

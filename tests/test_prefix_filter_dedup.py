@@ -11,6 +11,8 @@ import random
 from pyspark.sql import Row
 
 from haskell_dbfunctor_spark.pipelines.dedup_text import (
+    containment_dup_counts,
+    containment_dup_counts_prefix,
     near_dup_counts,
     near_dup_counts_prefix,
 )
@@ -67,3 +69,56 @@ def test_random_corpus_seeded(spark):
                 mut.pop(rng.randrange(len(mut)))
             texts.append(" ".join(mut))
     _assert_equiv(spark, texts)
+
+
+# ---- containment (asymmetric prefix filter) ----
+
+
+def _ccounts(df):
+    return {r["doc_id"]: r["n_containers"] for r in df.collect()}
+
+
+def _assert_containment_equiv(spark, texts, threshold=0.9):
+    d = _docs(spark, texts)
+    assert _ccounts(
+        containment_dup_counts_prefix(d, threshold)
+    ) == _ccounts(containment_dup_counts(d, threshold))
+
+
+def test_containment_edge_shapes(spark):
+    _assert_containment_equiv(spark, [
+        "a",                       # 1-token doc contained everywhere 'a' is
+        "a",                       # exact clone tiebreak: higher id contained
+        "a b c d e f g h i j",     # container
+        "a b c d e f g h i",       # 9/9 contained in the 10-token doc
+        "a b c d e f g h x",       # 8/9 = 0.889 < 0.9
+        "x y z",                   # disjoint
+        "",                        # empty -> no tokens
+    ])
+    d = _docs(spark, ["a b c", "a b c d e f"])
+    # {a,b,c} fully inside the 6-token doc: containment 1.0
+    assert _ccounts(containment_dup_counts_prefix(d, 0.9)) == {0: 1, 1: 0}
+
+
+def test_containment_threshold_boundary(spark):
+    # c / |A| exactly == t included by BOTH (>=): 9/10 = 0.9
+    texts = ["a b c d e f g h i j",
+             "a b c d e f g h i x y z"]  # A=doc0? sizes 10 vs 12
+    _assert_containment_equiv(spark, texts, threshold=0.9)
+    d = _docs(spark, texts)
+    assert _ccounts(containment_dup_counts_prefix(d, 0.9)) == {0: 1, 1: 0}
+
+
+def test_containment_random_corpus_seeded(spark):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    for _ in range(35):
+        base = rng.sample(vocab, rng.randint(1, 10))
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:  # planted container: superset doc
+            sup = list(dict.fromkeys(
+                base + rng.sample(vocab, rng.randint(0, 6))
+            ))
+            texts.append(" ".join(sup))
+    _assert_containment_equiv(spark, texts)
