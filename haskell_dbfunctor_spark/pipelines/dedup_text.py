@@ -452,6 +452,7 @@ def near_dup_clusters(
     salt: int = 64,
     num_partitions: int | None = 256,
     keeper_score: Column | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS with keeper selection — the actual dedup
     deliverable (near-dup COUNTS tell you how contaminated the corpus
@@ -471,13 +472,19 @@ def near_dup_clusters(
     Column over ``docs``, e.g. a text_quality signal — keep the best
     duplicate, not an arbitrary one); ties break on the smaller
     doc_id. One extra max_by per cluster, same shuffle count.
+
+    ``pairs`` injects a precomputed verified-pair edge list (d1 < d2),
+    e.g. a materialized ``lsh_verified_pairs`` shared with the counts
+    path — pair generation dominates the cost, so a pipeline running
+    both counts and clusters should compute it once.
     """
     from ..operators.graph import connected_components
 
-    pairs = lsh_verified_pairs(
-        docs, threshold=threshold, k=k, bands=bands,
-        salt=salt, num_partitions=num_partitions,
-    )
+    if pairs is None:
+        pairs = lsh_verified_pairs(
+            docs, threshold=threshold, k=k, bands=bands,
+            salt=salt, num_partitions=num_partitions,
+        )
     comp = connected_components(pairs, "d1", "d2")
     base_cols = (
         docs.select("doc_id", keeper_score.alias("__score"))
@@ -522,10 +529,13 @@ def near_dup_counts_lsh(
     *,
     salt: int = 64,
     num_partitions: int | None = 256,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc near-dup counts via MinHash-LSH candidates + exact
     Jaccard verification — the 100 TB path; same output contract as
-    ``near_dup_counts`` (which is exact-but-quadratic).
+    ``near_dup_counts`` (which is exact-but-quadratic). ``pairs``
+    injects a precomputed verified edge list (see
+    ``near_dup_clusters``).
 
     Plan shape: linear signature pass → banded bucket self-join
     (candidates ∝ bucket collisions, not corpus²) → verification as a
@@ -538,7 +548,7 @@ def near_dup_counts_lsh(
     recall). This is the 100 TB default; ``near_dup_counts`` is the
     exact all-pairs fallback for small corpora or candidate re-checks.
     """
-    verified = lsh_verified_pairs(
+    verified = pairs if pairs is not None else lsh_verified_pairs(
         docs, threshold=threshold, k=k, bands=bands,
         salt=salt, num_partitions=num_partitions,
     )
