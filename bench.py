@@ -655,6 +655,97 @@ def main_dv_cost(cores: int, n_rows: int, pairs: int = 2,
     }))
 
 
+def main_codec_cost(cores: int, n_rows: int, pairs: int = 2) -> None:
+    """write.compression-codec trade: snappy (default) vs zstd on the
+    wide-transcript row shape — per-leg median ingest-merge seconds,
+    live table MB, and full-scan + hash-agg read seconds. At the
+    100 TB target the zstd leg's smaller files buy cheaper scans and
+    less shuffle-read I/O for higher write CPU; this measures both
+    sides on this host. Legs alternate per round to cancel drift."""
+    import uuid as _uuid
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp"),
+        f"hdbf_codec_{_uuid.uuid4().hex[:6]}",
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(11)).cast("string").alias("grp"),
+        F.pmod(F.col("id") * 31, F.lit(1000)).alias("val"),
+        F.concat(*[
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(s)), 256)
+            for s in ("a", "b", "c", "d")
+        ]).alias("text"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("seq"),
+    )
+    df.count()  # warm the range/codegen path outside the timed legs
+    legs = ["snappy", "zstd"]
+    res = {m: {"ingest_s": [], "live_mb": [], "scan_s": [], "agg_s": []}
+           for m in legs}
+    for r in range(pairs):
+        order = legs if r % 2 == 0 else legs[::-1]
+        for m in order:
+            troot = f"{root}/t_{m}_{r}"
+            t = LakeTable.create(
+                spark, troot, schema, key_cols=["k"], num_buckets=32,
+                properties={"write.compression-codec": m},
+            )
+            t0 = time.time()
+            t.merge(df, epoch_id="seed", order_cols=("seq",),
+                    drop_cols=("seq",), prune_buckets=False)
+            ingest_s = time.time() - t0
+            mb = sum(os.path.getsize(f) for f in t._files()) / 1e6
+            t0 = time.time()
+            t.read().count()
+            scan_s = time.time() - t0
+            t0 = time.time()
+            t.read().groupBy("grp").agg(
+                F.sum("val"), F.max("text")).collect()
+            agg_s = time.time() - t0
+            res[m]["ingest_s"].append(ingest_s)
+            res[m]["live_mb"].append(mb)
+            res[m]["scan_s"].append(scan_s)
+            res[m]["agg_s"].append(agg_s)
+            print(f"# round {r} {m}: ingest {ingest_s:.2f}s, "
+                  f"{mb:.1f} MB live, scan {scan_s:.2f}s, agg "
+                  f"{agg_s:.2f}s", file=sys.stderr)
+            shutil.rmtree(troot, ignore_errors=True)
+    med = {
+        m: {k: round(sorted(v)[len(v) // 2], 3) for k, v in vals.items()}
+        for m, vals in res.items()
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "codec_zstd_bytes_ratio",
+        "value": round(med["snappy"]["live_mb"] / med["zstd"]["live_mb"], 3),
+        "unit": "ratio (snappy live MB / zstd live MB, median)",
+        "ingest_ratio_zstd_vs_snappy": round(
+            med["zstd"]["ingest_s"] / med["snappy"]["ingest_s"], 3),
+        "scan_ratio_zstd_vs_snappy": round(
+            med["zstd"]["scan_s"] / med["snappy"]["scan_s"], 3),
+        "n_rows": n_rows,
+        "cores": cores,
+        "medians": med,
+    }))
+
+
 def main_trickle_cost(cores: int, n_rows: int, pairs: int = 2,
                       n_batches: int = 10, batch_rows: int = 2000) -> None:
     """Trickle-update merge cost: plain CoW (every touched bucket
@@ -1755,6 +1846,9 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--codec-cost", action="store_true",
+                    help="snappy vs zstd write.compression-codec "
+                         "trade: ingest s / live MB / scan s")
     ap.add_argument("--cdf-source-cost", action="store_true",
                     help="streaming lake_cdf drain vs batch "
                          "changes_since over the same trickle window")
@@ -1812,6 +1906,8 @@ if __name__ == "__main__":
                         kind="term")
     elif args.dv_cost:
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.codec_cost:
+        main_codec_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.trickle_cost:
         main_trickle_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.rescale_cost:

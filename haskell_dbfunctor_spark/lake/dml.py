@@ -363,6 +363,7 @@ def _rewrite_commit(
     (
         out.repartition(int(n_parts), *part_cols)
         .write.partitionBy(BUCKET_COL)
+        .option("compression", table._codec())
         .mode("overwrite")
         .parquet(snap_abs)
     )
@@ -590,6 +591,7 @@ def _dv_mutate(
                         min(table.num_buckets, 64), F.col(BUCKET_COL)
                     )
                     .write.partitionBy(BUCKET_COL)
+                    .option("compression", table._codec())
                     .mode("overwrite")
                     .parquet(dv_abs)
                 )
@@ -630,6 +632,7 @@ def _dv_mutate(
                             min(table.num_buckets, 64), F.col(BUCKET_COL)
                         )
                         .write.partitionBy(BUCKET_COL)
+                        .option("compression", table._codec())
                         .mode("overwrite")
                         .parquet(upd_abs)
                     )
@@ -671,6 +674,7 @@ def _dv_mutate(
                     len(matched_delta), F.col(BUCKET_COL)
                 )
                 .write.partitionBy(BUCKET_COL)
+                .option("compression", table._codec())
                 .mode("overwrite")
                 .parquet(fold_abs)
             )

@@ -105,6 +105,21 @@ CLUSTER_ZORDER_PROP = "clustering.zorder-by"
 TARGET_FILE_BYTES_PROP = "write.target-file-bytes"
 TARGET_FILE_BYTES_DEFAULT = 128 * 1024 * 1024
 
+# write.compression-codec table property (Iceberg
+# write.parquet.compression-codec / Delta parquet.compression analog):
+# parquet codec for every engine data write — merge snapshots, MoR
+# deltas, DV files, compaction, DML rewrites, quarantine. Codec is
+# PER-FILE parquet metadata, so setting or changing it mid-table is
+# always safe: existing files keep their codec and remain readable;
+# rewrites (compaction / CoW) migrate bytes lazily. Unset = snappy
+# (Spark's default). At the 100 TB target zstd trades ~1.3-2x smaller
+# files (cheaper scans + shuffle reads) for moderately higher write
+# CPU — bench.py --codec-cost measures the trade on this host.
+COMPRESSION_PROP = "write.compression-codec"
+_COMPRESSION_CODECS = frozenset(
+    {"snappy", "zstd", "gzip", "lz4", "uncompressed", "none"}
+)
+
 # schema.auto-evolve table property: "true" (default) lets merge
 # batches add/widen columns implicitly (the north rule's mid-stream
 # evolution); "false" is Delta-style schema ENFORCEMENT — implicit
@@ -3184,6 +3199,15 @@ class LakeTable:
         except (TypeError, ValueError):
             return TARGET_FILE_BYTES_DEFAULT
 
+    def _codec(self) -> str:
+        """Parquet codec for engine data writes: the
+        ``write.compression-codec`` property, snappy (Spark's default)
+        when unset. Every JVM write chain passes this as the per-write
+        ``compression`` option — never the session conf, which would
+        leak across concurrently-written tables."""
+        c = (self.properties.get(COMPRESSION_PROP) or "snappy").lower()
+        return c if c in _COMPRESSION_CODECS else "snappy"
+
     def bucket_of(self, *cols: Column) -> Column:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
@@ -3859,7 +3883,8 @@ class LakeTable:
             obs_q = Observation(f"quar_{qtag}_{uuid.uuid4().hex[:6]}")
             (
                 bad.observe(obs_q, F.count(F.lit(1)).alias("n"))
-                .write.mode("overwrite")
+                .write.option("compression", self._codec())
+                .mode("overwrite")
                 .parquet(qdir)
             )
             try:
@@ -4275,6 +4300,7 @@ class LakeTable:
                 out = out.sortWithinPartitions(BUCKET_COL, cow_sb)
             (
                 out.write.partitionBy(BUCKET_COL)
+                .option("compression", self._codec())
                 .mode("overwrite")
                 .parquet(snap_abs)
             )
@@ -4496,6 +4522,7 @@ class LakeTable:
         (
             delta_out
             .write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -4763,6 +4790,7 @@ class LakeTable:
                         min(self.num_buckets, 64), F.col(BUCKET_COL)
                     )
                     .write.partitionBy(BUCKET_COL)
+                    .option("compression", self._codec())
                     .mode("overwrite")
                     .parquet(dv_abs)
                 )
@@ -4835,6 +4863,7 @@ class LakeTable:
                 app_out = app_out.sortWithinPartitions(BUCKET_COL, sb)
             (
                 app_out.write.partitionBy(BUCKET_COL)
+                .option("compression", self._codec())
                 .mode("overwrite")
                 .parquet(app_abs)
             )
@@ -5439,6 +5468,7 @@ class LakeTable:
         (
             df.repartition(n_parts, F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -5761,6 +5791,7 @@ class LakeTable:
             out = df.repartition(n_parts, *part_cols)
         (
             out.write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -5898,6 +5929,7 @@ class LakeTable:
         (
             df.repartition(n_parts, BUCKET_COL)
             .write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -6205,6 +6237,7 @@ class LakeTable:
         snap_abs = os.path.join(self.root, snap_rel)
         (
             out.write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -6283,6 +6316,7 @@ class LakeTable:
         (
             df.repartition(n_parts, BUCKET_COL)
             .write.partitionBy(BUCKET_COL)
+            .option("compression", self._codec())
             .mode("overwrite")
             .parquet(snap_abs)
         )
@@ -6527,6 +6561,12 @@ class LakeTable:
         # clustering policy validation happens at SET time (the
         # compact-side consumer is lenient so schema drift can't brick
         # nightly maintenance — this is where typos get caught)
+        c = props.get(COMPRESSION_PROP)
+        if c is not None and str(c).lower() not in _COMPRESSION_CODECS:
+            raise LakeError(
+                f"set_properties: unknown {COMPRESSION_PROP} {c!r} "
+                f"(one of {sorted(_COMPRESSION_CODECS)})"
+            )
         if CLUSTER_SORT_PROP in props or CLUSTER_ZORDER_PROP in props:
             prospective = {
                 k: v for k, v in {**self.properties, **props}.items()

@@ -114,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
                          "the window is NOT deduplicated — size above "
                          "the max replay window). 0 = unlimited. "
                          "Applies at table creation.")
+    ap.add_argument("--codec", default=None,
+                    help="write.compression-codec table property "
+                         "(snappy|zstd|gzip|lz4|uncompressed); applies "
+                         "at table creation, per-file safe thereafter")
     ap.add_argument("--meta-spill-bytes", type=int, default=None,
                     help="inline-manifest size past which the file "
                          "listing spills to per-bucket sidecars "
@@ -155,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     table_props: dict[str, str] = {}
+    if args.codec:
+        table_props["write.compression-codec"] = args.codec
     if args.epoch_retention:
         table_props["epochs.retention-count"] = str(args.epoch_retention)
     if args.meta_spill_bytes is not None:
