@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # persisted incremental GROUP BY view: CDF deltas + dirty-group
     # min/max repair == from-scratch recompute (lake/agg_view.py)
     q["q180_incremental_agg_view"] = _agg_view_state
+    # two-hop IVM chain: fact CDF -> join view -> ITS CDF -> agg view
+    q["q181_ivm_two_hop"] = _ivm_two_hop
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2877,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
     _never_checked_first = [
         "q180_incremental_agg_view",
+        "q181_ivm_two_hop",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4671,6 +4674,63 @@ def _agg_view_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _ivm_two_hop(s: SparkSession, d: str) -> DataFrame:
+    """q181: incremental pipelines COMPOSE — a denormalized join view
+    (fact ⋈ dim, lake/join_view.py) maintained off the fact lake's
+    CDF, and an aggregate view (lake/agg_view.py) maintained off the
+    JOIN VIEW'S OWN CDF. Epoch e0 initial-builds both hops; epoch e1
+    flows through them incrementally: fact changes → view merge → the
+    view's change feed → agg deltas + dirty-group repair. No hop ever
+    recomputes from scratch, every hop is exactly-once off its own
+    cursor, and the final rollup must equal a from-scratch SQL
+    recompute over the LWW state joined to the dim. This is the 100 TB
+    materialization chain (state → denormalized → rollup) a warehouse
+    DAG runs nightly, recast as O(changes) per refresh."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.agg_view import (
+        Max, Min, Sum, create_agg_view, sync_agg_view,
+    )
+    from haskell_dbfunctor_spark.lake.join_view import (
+        create_join_view, sync_join_view,
+    )
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    fact, v1 = _two_epoch_lake(s, d)
+    _, _, tmp = _lake_events_tmp(s, d, "hdbf_ivm2_q181_")
+    dim_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("category", T.StringType()),
+    ])
+    dim = LakeTable.create(
+        s, f"{tmp}/dim", dim_schema, key_cols=["event_type"], num_buckets=2,
+    )
+    dim.merge(
+        fact.read().select("event_type").distinct().select(
+            "event_type",
+            F.when(F.length("event_type") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd")).alias("category"),
+            F.lit("U").alias("op"),
+        ),
+        epoch_id="dim-e0",
+    )
+    view = create_join_view(s, f"{tmp}/view", fact, dim)
+    specs = [Sum("value", "v_sum"), Min("value", "v_min"),
+             Max("value", "v_max")]
+    agg = create_agg_view(
+        s, f"{tmp}/agg", view, ["category"], specs, num_buckets=2,
+    )
+    pinned = LakeTable.load(s, fact.root, v1)
+    sync_join_view(pinned, dim, view, fk_cols=["event_type"])
+    sync_agg_view(view, agg, ["category"], specs)  # hop-2 initial build
+    sync_join_view(fact, dim, view, fk_cols=["event_type"])
+    sync_agg_view(view, agg, ["category"], specs)  # both hops O(changes)
+    return agg.read().select(
+        "category", "n_rows",
+        F.round("v_sum", 2).alias("v_sum"), "v_sum_n", "v_min", "v_max",
+    )
+
+
 def _cdf_window_diff(s: SparkSession, d: str) -> DataFrame:
     """q171: the change feed ITSELF through the oracle gate — not a
     consumer of it. Two epochs split by seq; the query returns
@@ -5800,6 +5860,27 @@ SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS v_sum,
        count(value) AS v_sum_n, min(value) AS v_min, max(value) AS v_max,
        max(seq) AS max_seq
 FROM state GROUP BY event_type
+"""
+    # q181: the two-hop chain (fact CDF -> join view -> its CDF -> agg
+    # view) must equal a from-scratch recompute of the whole DAG
+    o["q181_ivm_two_hop"] = """
+WITH state AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT *,
+           CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'D'
+), cat AS (
+  SELECT value,
+         CASE WHEN length(event_type) % 2 = 0 THEN 'even'
+              ELSE 'odd' END AS category
+  FROM state
+)
+SELECT category, count(*) AS n_rows, round(sum(value), 2) AS v_sum,
+       count(value) AS v_sum_n, min(value) AS v_min, max(value) AS v_max
+FROM cat GROUP BY category
 """
     o["q175_stream_lake_sink"] = _CDC_LWW_SQL
     o["q172_branch_wap_state"] = _CDC_LWW_SQL
