@@ -167,6 +167,10 @@ def replay(
     term_index_mode: str = "cow",
     forget_dir: str | None = None,
     export_manifest: bool = False,
+    agg_view: LakeTable | None = None,
+    agg_view_group_cols: tuple = ("role",),
+    agg_view_specs: tuple = (),
+    agg_view_mode: str = "cow",
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -220,6 +224,14 @@ def replay(
     honored within one epoch of arriving. NOTE the ordering contract:
     a change event for a forgotten key arriving in a LATER epoch
     re-inserts it — blocklist the keys upstream.
+
+    ``agg_view`` (+ ``agg_view_specs``, lake/agg_view.py AggSpec
+    tuple) maintains a persisted incremental aggregate view off the
+    state table's CDF after every applied epoch — the ASYNC derived
+    path (its own ``sync-vg`` cursor, its own commit; crash between
+    state commit and view sync self-heals on the next epoch's
+    catch-up). Use the transactional ``rollup`` leg instead when a
+    reader must never see state and rollup one epoch apart.
     """
     if rollup is not None and catalog is None:
         raise ValueError("rollup requires a catalog")
@@ -302,6 +314,13 @@ def replay(
                     stats.manifests_exported += 1
                 except LakeError:
                     pass
+        if agg_view is not None and not m.skipped:
+            from ..lake.agg_view import sync_agg_view
+
+            sync_agg_view(
+                table, agg_view, agg_view_group_cols,
+                list(agg_view_specs), mode=agg_view_mode,
+            )
         stats.per_epoch.append(m)
         _drain_forgets()
         if stop_after is not None and stats.epochs_applied >= stop_after:

@@ -173,6 +173,25 @@ def create_agg_view(
     )
 
 
+def open_or_create_agg_view(
+    spark: SparkSession,
+    root: str,
+    src: LakeTable,
+    group_cols: Sequence[str],
+    specs: Sequence[AggSpec],
+    **create_opts,
+) -> LakeTable:
+    """Load the view if it exists, else create it — the idempotent
+    open every resumable ingest job needs (mirrors
+    cdc/apply.py:open_or_create_rollup)."""
+    try:
+        return LakeTable.load(spark, root)
+    except FileNotFoundError:
+        return create_agg_view(
+            spark, root, src, group_cols, specs, **create_opts
+        )
+
+
 def _null_safe_semi(
     left: DataFrame, keys: DataFrame, cols: Sequence[str], how: str
 ) -> DataFrame:

@@ -108,6 +108,10 @@ def tail_feed_dir(
     term_index_mode: str = "cow",
     export_manifest: bool = False,
     source: DataFrame | None = None,
+    agg_view: LakeTable | None = None,
+    agg_view_group_cols: tuple = ("role",),
+    agg_view_specs: tuple = (),
+    agg_view_mode: str = "cow",
 ):
     """Tail a directory of change-event parquet files into the table.
 
@@ -237,6 +241,16 @@ def tail_feed_dir(
                 table.export_symlink_manifest()
             except LakeError:
                 pass
+        if agg_view is not None:
+            # async derived aggregate view (lake/agg_view.py): its own
+            # sync-vg cursor catches up past any micro-batch boundary,
+            # so a crash between state commit and view sync self-heals
+            from ..lake.agg_view import sync_agg_view
+
+            sync_agg_view(
+                table, agg_view, agg_view_group_cols,
+                list(agg_view_specs), mode=agg_view_mode,
+            )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation",

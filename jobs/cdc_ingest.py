@@ -114,6 +114,18 @@ def main(argv: list[str] | None = None) -> int:
                          "the window is NOT deduplicated — size above "
                          "the max replay window). 0 = unlimited. "
                          "Applies at table creation.")
+    ap.add_argument("--agg-view-root", default=None,
+                    help="maintain a persisted incremental aggregate "
+                         "view (lake/agg_view.py) at this root after "
+                         "every epoch/micro-batch: per --agg-view-by "
+                         "group, live row count + first/last ts + max "
+                         "turn_idx; async leg with its own sync-vg "
+                         "cursor (crash-safe catch-up)")
+    ap.add_argument("--agg-view-by", default="role",
+                    help="comma-separated group columns for "
+                         "--agg-view-root (default: role)")
+    ap.add_argument("--agg-view-mor", action="store_true",
+                    help="apply agg-view syncs as merge-on-read deltas")
     ap.add_argument("--codec", default=None,
                     help="write.compression-codec table property "
                          "(snappy|zstd|gzip|lz4|uncompressed); applies "
@@ -203,6 +215,28 @@ def main(argv: list[str] | None = None) -> int:
             if not name or not expr:
                 ap.error(f"--expect needs NAME=SQL, got {item!r}")
             expectations[name] = F.expr(expr)
+
+    agg_view = None
+    agg_view_gcols: tuple = ("role",)
+    agg_view_specs: tuple = ()
+    if args.agg_view_root:
+        from haskell_dbfunctor_spark.lake.agg_view import (
+            Max, Min, open_or_create_agg_view,
+        )
+
+        agg_view_gcols = tuple(
+            c.strip() for c in args.agg_view_by.split(",") if c.strip()
+        )
+        # freshness + depth per group: first/last event time and the
+        # deepest turn — the ops rollup a transcript feed is watched by
+        agg_view_specs = (
+            Min("ts", "first_ts"), Max("ts", "last_ts"),
+            Max("turn_idx", "max_turn"),
+        )
+        agg_view = open_or_create_agg_view(
+            spark, args.agg_view_root, table,
+            list(agg_view_gcols), list(agg_view_specs),
+        )
 
     if args.stream:
         from haskell_dbfunctor_spark.streaming.tailer import tail_feed_dir
@@ -298,7 +332,12 @@ def main(argv: list[str] | None = None) -> int:
                           term_index=term_index,
                           term_index_mode="mor" if args.term_index_mor
                           else "cow",
-                          export_manifest=args.export_manifest)
+                          export_manifest=args.export_manifest,
+                          agg_view=agg_view,
+                          agg_view_group_cols=agg_view_gcols,
+                          agg_view_specs=agg_view_specs,
+                          agg_view_mode="mor" if args.agg_view_mor
+                          else "cow")
         q.awaitTermination()
         out = {"mode": "stream", "status": "drained"}
         if rollup is not None:
@@ -307,6 +346,8 @@ def main(argv: list[str] | None = None) -> int:
             out["dedup_index_rows"] = dedup_index.read().count()
         if term_index is not None:
             out["term_index_rows"] = term_index.read().count()
+        if agg_view is not None:
+            out["agg_view_rows"] = agg_view.read().count()
         print(json.dumps(out))
         return 0
 
@@ -393,6 +434,10 @@ def main(argv: list[str] | None = None) -> int:
         term_index=term_index,
         term_index_mode="mor" if args.term_index_mor else "cow",
         export_manifest=args.export_manifest,
+        agg_view=agg_view,
+        agg_view_group_cols=agg_view_gcols,
+        agg_view_specs=agg_view_specs,
+        agg_view_mode="mor" if args.agg_view_mor else "cow",
     )
     out = {
         "mode": "replay-mor" if args.mor

@@ -211,6 +211,112 @@ def test_cursor_ahead_raises(spark, tmp_path):
         sync_agg_view(rolled, view, ["grp"], SPECS)
 
 
+def test_replay_integration(spark, tmp_path):
+    """cdc_ingest's --agg-view-root leg: replay maintains the view
+    after every epoch; final view == recompute over final state; a
+    re-replay (all epochs skipped) leaves it untouched."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.agg_view import (
+        open_or_create_agg_view,
+    )
+
+    feed = change_feed(spark, 2000, n_convs=40, max_turns=15, n_epochs=3)
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=8
+    )
+    specs = [Min("ts", "first_ts"), Max("ts", "last_ts"),
+             Max("turn_idx", "max_turn")]
+    view = open_or_create_agg_view(
+        spark, str(tmp_path / "view"), table, ["role"], specs,
+    )
+    replay(table, feed, 3, agg_view=view,
+           agg_view_group_cols=("role",), agg_view_specs=tuple(specs))
+    got = sorted(map(tuple, view.read().select(
+        "role", "n_rows", "first_ts", "last_ts", "max_turn"
+    ).collect()))
+    want = sorted(map(tuple, table.read().groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+        F.max("turn_idx").alias("max_turn"),
+    ).collect()))
+    assert got == want and len(got) > 0
+    v = view.version
+    replay(table, feed, 3, agg_view=view,
+           agg_view_group_cols=("role",), agg_view_specs=tuple(specs))
+    assert view.version == v  # skipped epochs never touch the view
+
+
+def test_stream_tail_integration(spark, tmp_path):
+    """cdc_ingest --stream --agg-view-root: the tailer syncs the view
+    after every micro-batch; final view == recompute over the state."""
+    import time as _time
+    from datetime import datetime
+
+    from haskell_dbfunctor_spark.lake.agg_view import (
+        open_or_create_agg_view,
+    )
+    from haskell_dbfunctor_spark.streaming.tailer import (
+        await_or_raise, tail_feed_dir,
+    )
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    specs = [Min("ts", "first_ts"), Max("ts", "last_ts"),
+             Max("turn_idx", "max_turn")]
+    view = open_or_create_agg_view(
+        spark, str(tmp_path / "view"), table, ["role"], specs,
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+
+    def seg(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "op string, conv_id string, turn_idx int, role string, "
+            "ts timestamp, seq long"
+        )
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = f"{feed_dir}/{name}.parquet"
+        os.rename(f"{staging}/{src}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time()
+    seg([("U", "c1", 0, "user", datetime(2025, 1, 1), 1),
+         ("U", "c1", 1, "assistant", datetime(2025, 1, 2), 2),
+         ("U", "c2", 0, "user", datetime(2025, 1, 3), 3)],
+        "wal-000", t0)
+    seg([("D", "c1", 1, None, datetime(2025, 1, 4), 4),  # drops a max
+         ("U", "c2", 7, "assistant", datetime(2025, 1, 5), 5)],
+        "wal-001", t0 + 1)
+    q = tail_feed_dir(
+        spark, table, feed_dir, cross_batch_lww=True,
+        agg_view=view, agg_view_group_cols=("role",),
+        agg_view_specs=tuple(specs),
+    )
+    await_or_raise(q, timeout_s=240)
+    got = sorted(map(tuple, view.read().select(
+        "role", "n_rows", "first_ts", "last_ts", "max_turn"
+    ).collect()))
+    want = sorted(map(tuple, table.read().groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+        F.max("turn_idx").alias("max_turn"),
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_spec_validation(spark, tmp_path):
     src, _ = _mk(spark, tmp_path, [(1, "a", 1)])
     with pytest.raises(LakeError, match="collides"):
