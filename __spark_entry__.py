@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q180_incremental_agg_view"] = _agg_view_state
     # two-hop IVM chain: fact CDF -> join view -> ITS CDF -> agg view
     q["q181_ivm_two_hop"] = _ivm_two_hop
+    # semi-structured JSON payload extraction + rollup (codegen path)
+    q["q182_json_payload_rollup"] = _json_payload_rollup
+    # cross-source near-dup contamination census (exact prefix pairs)
+    q["q183_cross_source_contamination"] = _cross_source_contamination
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2880,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         "q180_incremental_agg_view",
         "q181_ivm_two_hop",
+        "q182_json_payload_rollup",
+        "q183_cross_source_contamination",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4674,6 +4680,66 @@ def _agg_view_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _cross_source_contamination(s: SparkSession, d: str) -> DataFrame:
+    """q183: cross-source contamination census — for every unordered
+    source pair, how many EXACT near-dup pairs (word-set Jaccard >=
+    0.8, prefix-filter join, ``near_dup_pairs_prefix``) span it. The
+    corpus-ops readout behind dedup priority decisions: heavy
+    cross-source mass means two crawls overlap (dedup across them
+    before mixing); heavy diagonal mass means a source self-duplicates
+    (dedup within, cap its weight). Quarter subset at bench sf (q179
+    precedent: the scale claim lives in bench --prefix-cost; this pins
+    the census semantics cross-engine)."""
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        near_dup_pairs_prefix,
+    )
+
+    docs = _t(s, d, "documents").where(F.col("doc_id") % 4 == 0)
+    pairs = near_dup_pairs_prefix(docs, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("d1"),
+                              F.col("source").alias("s1")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"),
+                         F.col("source").alias("s2")), "d2")
+    )
+    return (
+        j.select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+def _json_payload_rollup(s: SparkSession, d: str) -> DataFrame:
+    """q182: semi-structured payload extraction — the ``props`` JSON
+    column parsed JVM-side (``get_json_object`` path expression, one
+    codegen'd projection, no UDF) and rolled up per event_type:
+    extraction coverage, value stats, distinct payload cardinality.
+    The shape every event pipeline has (tool-call args, client
+    metadata ride as JSON strings); at 100 TB the extraction stays
+    inside WholeStageCodegen and the rollup is one hash agg.
+    Recasts the reference's typed-column-only RTuple model
+    (/root/reference/src/RTable/Core.hs RDataType) to the
+    semi-structured reality the lake actually ingests."""
+    ev = _t(s, d, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_extracted"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
 def _ivm_two_hop(s: SparkSession, d: str) -> DataFrame:
     """q181: incremental pipelines COMPOSE — a denormalized join view
     (fact ⋈ dim, lake/join_view.py) maintained off the fact lake's
@@ -5882,6 +5948,44 @@ SELECT category, count(*) AS n_rows, round(sum(value), 2) AS v_sum,
        count(value) AS v_sum_n, min(value) AS v_min, max(value) AS v_max
 FROM cat GROUP BY category
 """
+    # q182: duckdb's JSON extension mirrors get_json_object
+    o["q182_json_payload_rollup"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_extracted,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+         AS k_distinct
+FROM events GROUP BY event_type
+"""
+    # q183: same exact-Jaccard pair relation as q24/q179, censused per
+    # unordered source pair
+    o["q183_cross_source_contamination"] = """
+        WITH docs AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM docs
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), nd AS (
+          SELECT d1, d2 FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+        )
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               count(*) AS n_dup_pairs
+        FROM nd JOIN docs da ON nd.d1 = da.doc_id
+                JOIN docs db ON nd.d2 = db.doc_id
+        GROUP BY 1, 2
+    """
     o["q175_stream_lake_sink"] = _CDC_LWW_SQL
     o["q172_branch_wap_state"] = _CDC_LWW_SQL
     o["q173_rollback_recovery"] = _CDC_LWW_SQL

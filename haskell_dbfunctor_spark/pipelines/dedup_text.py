@@ -1034,6 +1034,18 @@ def rollout_prefix_dedup(
         )
     )
 
+def near_dup_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.8, *, salt: int = 32
+) -> DataFrame:
+    """EXACT word-set-Jaccard near-dup PAIRS (d1 < d2) via prefix
+    filtering — the edge-list form of ``near_dup_counts_prefix`` (see
+    its docstring for the theorem, the plan shape, and the density
+    caveat); consumed directly by cross-source contamination census
+    (q183) and any clustering/keeper pipeline that wants exact edges.
+    """
+    return _near_dup_prefix_impl(docs, threshold, salt)
+
+
 def near_dup_counts_prefix(
     docs: DataFrame, threshold: float = 0.8, *, salt: int = 32
 ) -> DataFrame:
@@ -1074,6 +1086,25 @@ def near_dup_counts_prefix(
     single-aggregation all-pairs plan stays faster — density of the
     vocabulary, not corpus size, picks the winner.
     """
+    verified = _near_dup_prefix_impl(docs, threshold, salt)
+    cnt = (
+        verified.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        )
+    )
+
+
+def _near_dup_prefix_impl(
+    docs: DataFrame, threshold: float, salt: int
+) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.skew import salted_equi_join
@@ -1137,16 +1168,4 @@ def near_dup_counts_prefix(
         )
         .select("d1", "d2")
     )
-    cnt = (
-        verified.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_near_dups"))
-    )
-    return (
-        docs.select("doc_id")
-        .join(cnt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
-        )
-    )
+    return verified
