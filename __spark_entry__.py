@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q182_json_payload_rollup"] = _json_payload_rollup
     # cross-source near-dup contamination census (exact prefix pairs)
     q["q183_cross_source_contamination"] = _cross_source_contamination
+    # exact multi-quantile profile via the JVM percentile builtin
+    q["q184_value_percentiles"] = _value_percentiles
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2886,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_ivm_two_hop",
         "q182_json_payload_rollup",
         "q183_cross_source_contamination",
+        "q184_value_percentiles",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4713,6 +4716,28 @@ def _cross_source_contamination(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _value_percentiles(s: SparkSession, d: str) -> DataFrame:
+    """q184: multi-quantile distribution profile per event_type —
+    EXACT interpolated percentiles via the JVM ``percentile`` builtin
+    (single hash agg, no pandas UDAF — contrast q37's GROUPED_AGG
+    median, which exists to cover the custom-UDAF surface) plus
+    sample stddev. The ops-dashboard profile (p50/p90/p99 of a value
+    stream per type) at one-aggregation cost; a 100 TB deployment
+    swaps `percentile` for `approx_percentile(..., accuracy)` —
+    mergeable sketches, same plan shape — when exactness can yield."""
+    ev = _t(s, d, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.9), 4).alias("p90"),
+            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+    )
+
+
 def _json_payload_rollup(s: SparkSession, d: str) -> DataFrame:
     """q182: semi-structured payload extraction — the ``props`` JSON
     column parsed JVM-side (``get_json_object`` path expression, one
@@ -5986,6 +6011,16 @@ FROM events GROUP BY event_type
                 JOIN docs db ON nd.d2 = db.doc_id
         GROUP BY 1, 2
     """
+    # q184: quantile_cont == Spark percentile (both exact linear
+    # interpolation); stddev defaults to sample in both engines
+    o["q184_value_percentiles"] = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(stddev_samp(value), 4) AS sd
+FROM events GROUP BY event_type
+"""
     o["q175_stream_lake_sink"] = _CDC_LWW_SQL
     o["q172_branch_wap_state"] = _CDC_LWW_SQL
     o["q173_rollback_recovery"] = _CDC_LWW_SQL
