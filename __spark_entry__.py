@@ -445,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q183_cross_source_contamination"] = _cross_source_contamination
     # exact multi-quantile profile via the JVM percentile builtin
     q["q184_value_percentiles"] = _value_percentiles
+    # blocked edit-distance fuzzy match (levenshtein inside blocks)
+    q["q185_fuzzy_blocked_match"] = _fuzzy_blocked_match
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2889,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_json_payload_rollup",
         "q183_cross_source_contamination",
         "q184_value_percentiles",
+        "q185_fuzzy_blocked_match",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4716,6 +4719,34 @@ def _cross_source_contamination(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _fuzzy_blocked_match(s: SparkSession, d: str) -> DataFrame:
+    """q185: record-linkage style FUZZY matching — blocked
+    edit-distance join. Candidate generation by equi-join on cheap
+    blocking keys (lang, length bucket — a real linkage pipeline uses
+    sorted-neighborhood or LSH blocks); the expensive predicate
+    (``levenshtein`` on a 60-char prefix, a JVM builtin inside the
+    join filter — never a UDF) runs only within blocks, so the
+    quadratic stays confined to block sizes. Census per lang. Quarter
+    subset (q179 precedent). The fuzzy complement of the set-based
+    dedup family (q24/q151): catches typo-level mutations token sets
+    miss."""
+    docs = _t(s, d, "documents").where(F.col("doc_id") % 4 == 0)
+    blk = F.expr("n_chars div 16").cast("int").alias("blk")
+    a = docs.select(F.col("doc_id").alias("d1"), "lang", blk,
+                    F.substring("text", 1, 60).alias("t1"))
+    b = docs.select(F.col("doc_id").alias("d2"), "lang", blk,
+                    F.substring("text", 1, 60).alias("t2"))
+    j = (
+        a.join(b, ["lang", "blk"])
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.levenshtein("t1", "t2") <= 15)
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_fuzzy_pairs"),
+        F.countDistinct("d1").alias("n_left_docs"),
+    )
+
+
 def _value_percentiles(s: SparkSession, d: str) -> DataFrame:
     """q184: multi-quantile distribution profile per event_type —
     EXACT interpolated percentiles via the JVM ``percentile`` builtin
@@ -5985,6 +6016,20 @@ SELECT event_type,
        count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
          AS k_distinct
 FROM events GROUP BY event_type
+"""
+    # q185: duckdb levenshtein == Spark levenshtein (classic edit
+    # distance); blocking keys use integer div on both sides
+    o["q185_fuzzy_blocked_match"] = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+a AS (SELECT doc_id AS d1, lang, n_chars // 16 AS blk,
+             substr(text, 1, 60) AS t1 FROM docs),
+b AS (SELECT doc_id AS d2, lang, n_chars // 16 AS blk,
+             substr(text, 1, 60) AS t2 FROM docs)
+SELECT a.lang, count(*) AS n_fuzzy_pairs,
+       count(DISTINCT d1) AS n_left_docs
+FROM a JOIN b ON a.lang = b.lang AND a.blk = b.blk AND d1 < d2
+WHERE levenshtein(t1, t2) <= 15
+GROUP BY a.lang
 """
     # q183: same exact-Jaccard pair relation as q24/q179, censused per
     # unordered source pair
