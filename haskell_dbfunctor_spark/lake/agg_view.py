@@ -193,11 +193,15 @@ def open_or_create_agg_view(
 
 
 def _null_safe_semi(
-    left: DataFrame, keys: DataFrame, cols: Sequence[str], how: str
+    left: DataFrame, keys: DataFrame, cols: Sequence[str], how: str,
+    broadcast: bool = True,
 ) -> DataFrame:
     """left SEMI/ANTI join keys on null-safe group equality; the keys
-    side is broadcast (touched groups are metadata-scale relative to
-    the data)."""
+    side broadcasts by default (touched groups are metadata-scale
+    relative to the data for rollup-shaped views) — pass
+    ``broadcast=False`` when the group key is high-cardinality (e.g.
+    per-user views where an epoch touches millions of groups) and the
+    planner should shuffle both sides instead."""
     k = keys.select(
         *[F.col(c).alias(f"__gk_{i}") for i, c in enumerate(cols)]
     )
@@ -205,7 +209,7 @@ def _null_safe_semi(
     for i, c in enumerate(cols):
         e = left[c].eqNullSafe(k[f"__gk_{i}"])
         cond = e if cond is None else cond & e
-    return left.join(F.broadcast(k), cond, how)
+    return left.join(F.broadcast(k) if broadcast else k, cond, how)
 
 
 def sync_agg_view(
@@ -215,12 +219,20 @@ def sync_agg_view(
     specs: Sequence[AggSpec],
     *,
     mode: str = "cow",
+    broadcast_keys: bool = True,
 ) -> dict:
     """Advance ``dst`` to ``SELECT group_cols, aggs FROM src@current
     GROUP BY group_cols``. The first sync is the full build; every
     later sync costs O(change rows) + an exact re-aggregation of the
     dirty groups only. Idempotent: re-running after a crash re-applies
-    the same epoch and the sink's applied-epoch check skips it."""
+    the same epoch and the sink's applied-epoch check skips it.
+
+    ``broadcast_keys=False`` switches the touched-group state read and
+    the dirty-group repair from broadcast semi-joins to shuffle joins
+    — required when the group key is high-cardinality enough that an
+    epoch's touched-group set outgrows the broadcast budget (per-user
+    or per-conv views at web scale); rollup-shaped views (per-role,
+    per-source, per-day) keep the default."""
     _check_specs(src, group_cols, specs)
     gcols = list(group_cols)
     cursor = av_cursor(dst)
@@ -294,7 +306,8 @@ def sync_agg_view(
     # this read could bucket-prune; the broadcast semi keeps it one
     # filtered scan either way (touched groups ≪ view rows)
     state = _null_safe_semi(
-        dst.read(), delta.select(*gcols), gcols, "leftsemi"
+        dst.read(), delta.select(*gcols), gcols, "leftsemi",
+        broadcast=broadcast_keys,
     ).select(
         *[F.col(c).alias(f"__o_{c}" if c not in gcols else c)
           for c in dst.schema.names]
@@ -352,10 +365,12 @@ def sync_agg_view(
     # constantly and the view should store top-k reserves instead)
     n_dirty = dirty_keys.count()
     clean = _null_safe_semi(
-        incr.drop("__dirty"), dirty_keys, gcols, "left_anti"
+        incr.drop("__dirty"), dirty_keys, gcols, "left_anti",
+        broadcast=broadcast_keys,
     )
     repair = (
-        _null_safe_semi(pinned.read(), dirty_keys, gcols, "leftsemi")
+        _null_safe_semi(pinned.read(), dirty_keys, gcols, "leftsemi",
+                        broadcast=broadcast_keys)
         .groupBy(*gcols)
         .agg(*_exact_aggs(specs))
     )
