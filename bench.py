@@ -71,6 +71,7 @@ def run_cdc(
     spark, n_events: int, n_epochs: int = CDC_EPOCHS,
     feed_kwargs: dict | None = None, mode: str = "cow",
     index: str | None = None, term_index: str | None = None,
+    agg_view: bool = False, agg_view_every: int = 1,
 ) -> dict:
     """One full CDC replay: deterministic feed (materialized once, read
     back per epoch with partition pruning — a WAL is storage, not a
@@ -127,6 +128,20 @@ def run_cdc(
             )
             if catalog is None:
                 catalog = Catalog(spark, os.path.join(root, "_catalog"))
+        av = None
+        av_gcols = ("role",)
+        av_specs = ()
+        if agg_view:  # async incremental aggregate view leg
+            from haskell_dbfunctor_spark.lake.agg_view import (
+                Max, Min, open_or_create_agg_view,
+            )
+
+            av_specs = (Min("ts", "first_ts"), Max("ts", "last_ts"),
+                        Max("turn_idx", "max_turn"))
+            av = open_or_create_agg_view(
+                spark, os.path.join(root, "_agg_view"), table,
+                list(av_gcols), list(av_specs),
+            )
         st0, tt0 = _cpu_sample()
         stats = replay(
             table, feed, n_epochs, evolution_epoch=n_epochs // 2,
@@ -144,6 +159,10 @@ def run_cdc(
             dedup_index_mode=index or "cow",
             term_index=term_ix,
             term_index_mode=term_index or "cow",
+            agg_view=av,
+            agg_view_group_cols=av_gcols,
+            agg_view_specs=av_specs,
+            agg_view_every=agg_view_every,
         )
         # odd epoch counts leave the final epochs' deltas pending —
         # fold them INSIDE the timed window so the headline charges
@@ -537,6 +556,48 @@ def main_index_cost(cores: int, n_events: int, pairs: int = 2,
         "value": round(med["cow"] / med["state"], 3),
         "unit": "ratio (index-cow vs state-only steady ev/s)",
         "mor_ratio": round(med["mor"] / med["state"], 3),
+        "n_events": n_events,
+        "n_epochs": n_epochs,
+        "cores": cores,
+        "median_steady_events_per_sec": med,
+        "all_runs": res,
+    }))
+
+
+def main_agg_view_cost(cores: int, n_events: int, pairs: int = 2,
+                       n_epochs: int = 4) -> None:
+    """Marginal cost of the ASYNC incremental aggregate view leg
+    (cdc_ingest --agg-view-root): alternating state-only vs
+    state+agg-view rounds on the same deterministic feed. The view is
+    rollup-shaped (per-role first/last ts + max turn), so each epoch's
+    sync is one bucket-pruned CDF read + one tiny merge — the tax
+    should be small and flat in epoch size."""
+    if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/hdbf_bench"
+        os.makedirs(d, exist_ok=True)
+        os.environ["SPARK_GRAFT_BENCH_DIR"] = d
+    spark = _get_spark(cores)
+    run_cdc(spark, min(n_events, 200_000), n_epochs=2, agg_view=True)
+    legs = [("state", 0), ("every1", 1), ("amortized", n_epochs)]
+    res: dict[str, list[float]] = {n: [] for n, _ in legs}
+    for r in range(pairs):
+        order = legs[r % 3:] + legs[:r % 3]
+        for name, every in order:
+            out = run_cdc(spark, n_events, n_epochs=n_epochs,
+                          agg_view=every > 0,
+                          agg_view_every=max(every, 1))
+            res[name].append(out["steady_events_per_sec"])
+            print(f"# round {r} {name}: "
+                  f"{out['steady_events_per_sec']:.0f} ev/s "
+                  f"(load1 {out['host_load1']})", file=sys.stderr)
+    med = {k: sorted(v)[len(v) // 2] for k, v in res.items()}
+    print(json.dumps({
+        "metric": "agg_view_marginal_cost",
+        "value": round(med["every1"] / med["state"], 3),
+        "unit": "ratio (state+agg-view-per-epoch vs state-only "
+                "steady ev/s)",
+        "amortized_ratio": round(med["amortized"] / med["state"], 3),
+        "amortized_every": n_epochs,
         "n_events": n_events,
         "n_epochs": n_epochs,
         "cores": cores,
@@ -1846,6 +1907,9 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=2_000_000,
                     help="base-table rows for --dv-cost / rows per "
                          "epoch for --lineage-cost")
+    ap.add_argument("--agg-view-cost", action="store_true",
+                    help="marginal steady ev/s cost of the async "
+                         "incremental aggregate-view leg")
     ap.add_argument("--codec-cost", action="store_true",
                     help="snappy vs zstd write.compression-codec "
                          "trade: ingest s / live MB / scan s")
@@ -1908,6 +1972,9 @@ if __name__ == "__main__":
         main_dv_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.codec_cost:
         main_codec_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+    elif args.agg_view_cost:
+        main_agg_view_cost(args.cores, args.events,
+                           pairs=min(args.pairs, 3), n_epochs=args.epochs)
     elif args.trickle_cost:
         main_trickle_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
     elif args.rescale_cost:

@@ -171,6 +171,7 @@ def replay(
     agg_view_group_cols: tuple = ("role",),
     agg_view_specs: tuple = (),
     agg_view_mode: str = "cow",
+    agg_view_every: int = 1,
 ) -> ReplayStats:
     """Apply epochs [0, n_epochs) in order, resuming past any already
     committed (checkpoint = manifest.applied_epochs). ``stop_after``
@@ -230,8 +231,12 @@ def replay(
     state table's CDF after every applied epoch — the ASYNC derived
     path (its own ``sync-vg`` cursor, its own commit; crash between
     state commit and view sync self-heals on the next epoch's
-    catch-up). Use the transactional ``rollup`` leg instead when a
-    reader must never see state and rollup one epoch apart.
+    catch-up). ``agg_view_every=K`` syncs every K applied epochs (and
+    once after the last): the sync reads the NET window diff, so K
+    epochs cost ONE bucket-pruned diff — the amortization knob for
+    dense-touch feeds (BENCH.md agg-view-cost). Use the transactional
+    ``rollup`` leg instead when a reader must never see state and
+    rollup one epoch apart.
     """
     if rollup is not None and catalog is None:
         raise ValueError("rollup requires a catalog")
@@ -314,7 +319,8 @@ def replay(
                     stats.manifests_exported += 1
                 except LakeError:
                     pass
-        if agg_view is not None and not m.skipped:
+        if agg_view is not None and not m.skipped \
+                and stats.epochs_applied % max(agg_view_every, 1) == 0:
             from ..lake.agg_view import sync_agg_view
 
             sync_agg_view(
@@ -325,6 +331,16 @@ def replay(
         _drain_forgets()
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break
+    if agg_view is not None and stats.epochs_applied:
+        # final catch-up: with agg_view_every > 1 the last epochs may
+        # not have landed a sync; one net-diff sync closes the gap
+        # (no-op when already current)
+        from ..lake.agg_view import sync_agg_view
+
+        sync_agg_view(
+            table, agg_view, agg_view_group_cols,
+            list(agg_view_specs), mode=agg_view_mode,
+        )
     stats.seconds = time.time() - t0
     return stats
 

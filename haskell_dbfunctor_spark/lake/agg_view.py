@@ -259,7 +259,15 @@ def sync_agg_view(
                 "skipped": getattr(stats, "skipped", False),
                 "initial_build": True, "stats": stats}
 
-    ch = src.changes_since(cursor, preimages=True)
+    # NET window diff, not per-commit granularity: a key inserted then
+    # retracted inside the window contributes zero to every retractable
+    # delta and never needs to exist for the min/max algebra (stale
+    # intermediates only matter when their retraction fires the dirty
+    # rule, and a net diff has neither side) — so one bucket-pruned
+    # diff pays for the WHOLE window no matter how many commits it
+    # spans. Syncing every K epochs therefore costs one diff, not K
+    # (see cdc/apply.py replay(agg_view_every=...)).
+    ch = src.changes(cursor, va, preimages=True)
     w = (
         F.when(F.col("_change_type").isin("I", "U_post"), F.lit(1))
         .otherwise(F.lit(-1))

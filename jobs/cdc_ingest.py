@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                          "--agg-view-root (default: role)")
     ap.add_argument("--agg-view-mor", action="store_true",
                     help="apply agg-view syncs as merge-on-read deltas")
+    ap.add_argument("--agg-view-every", type=int, default=1,
+                    help="sync the agg view every K applied epochs "
+                         "(replay mode; the sync reads the NET window "
+                         "diff, so K epochs cost one diff)")
     ap.add_argument("--codec", default=None,
                     help="write.compression-codec table property "
                          "(snappy|zstd|gzip|lz4|uncompressed); applies "
@@ -438,6 +442,7 @@ def main(argv: list[str] | None = None) -> int:
         agg_view_group_cols=agg_view_gcols,
         agg_view_specs=agg_view_specs,
         agg_view_mode="mor" if args.agg_view_mor else "cow",
+        agg_view_every=args.agg_view_every,
     )
     out = {
         "mode": "replay-mor" if args.mor
