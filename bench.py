@@ -317,6 +317,47 @@ def main_bench(sf_dir: str, cores: int, cdc_events: int) -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # lake-machinery warmup: the timed list leads with lake/IVM queries
+    # (q180/q181 run first for driver coverage), whose merge / CDF-diff
+    # / view-sync code paths carry their OWN first-use JIT (~10s
+    # measured on q180 when warmup stopped at the generic shapes). One
+    # micro lake cycle — create, two merges, net diff, agg-view sync —
+    # compiles them outside the timed window.
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from haskell_dbfunctor_spark.lake.agg_view import (
+            Max as _Mx, create_agg_view as _cav, sync_agg_view as _sav,
+        )
+        from haskell_dbfunctor_spark.lake.table import LakeTable as _LT
+        import pyspark.sql.types as _T
+
+        _wroot = _tf.mkdtemp(prefix="hdbf_warm_", dir=os.environ.get(
+            "SPARK_GRAFT_BENCH_DIR") or None)
+        _ws = _T.StructType([
+            _T.StructField("k", _T.LongType()),
+            _T.StructField("g", _T.StringType()),
+            _T.StructField("v", _T.LongType()),
+        ])
+        _wt = _LT.create(spark, f"{_wroot}/t", _ws, key_cols=["k"],
+                         num_buckets=2)
+        _wb = spark.range(200).select(
+            _F.col("id").alias("k"),
+            (_F.col("id") % 3).cast("string").alias("g"),
+            _F.col("id").alias("v"), _F.lit("U").alias("op"),
+        )
+        _wt.merge(_wb, epoch_id="w0", order_cols=("k",), drop_cols=())
+        _wv = _cav(spark, f"{_wroot}/v", _wt, ["g"], [_Mx("v", "vmax")])
+        _sav(_wt, _wv, ["g"], [_Mx("v", "vmax")])
+        _wt.merge(_wb.where("k < 50"), epoch_id="w1",
+                  order_cols=("k",), drop_cols=())
+        _wt.changes(1, 2, preimages=True).write.format("noop").mode(
+            "overwrite").save()
+        _sav(_wt, _wv, ["g"], [_Mx("v", "vmax")])
+        _sh.rmtree(_wroot, ignore_errors=True)
+    except Exception:
+        pass  # warmup must never fail the bench
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
