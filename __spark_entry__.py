@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q184_value_percentiles"] = _value_percentiles
     # blocked edit-distance fuzzy match (levenshtein inside blocks)
     q["q185_fuzzy_blocked_match"] = _fuzzy_blocked_match
+    # arbitrary GROUPING SETS in one Expand hash agg
+    q["q186_grouping_sets"] = _grouping_sets
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2892,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_cross_source_contamination",
         "q184_value_percentiles",
         "q185_fuzzy_blocked_match",
+        "q186_grouping_sets",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4719,6 +4722,29 @@ def _cross_source_contamination(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _grouping_sets(s: SparkSession, d: str) -> DataFrame:
+    """q186: arbitrary GROUPING SETS — the general form q65's ROLLUP
+    and q150's CUBE specialize (reference analog: N separate
+    runGroupBy scans unioned by hand, /root/reference/src/RTable/
+    Core.hs:2661): per-event-type totals, per-user-band totals, and
+    the grand total in ONE hash aggregation (Catalyst Expand), with
+    grouping_id telling subtotal NULLs from data NULLs. PySpark 4
+    DataFrame.groupingSets — no SQL string needed."""
+    ev = _t(s, d, "events").withColumn(
+        "user_band", F.pmod("user_id", F.lit(10))
+    )
+    return (
+        ev.groupingSets(
+            [["event_type"], ["user_band"], []], "event_type", "user_band"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v_sum"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def _fuzzy_blocked_match(s: SparkSession, d: str) -> DataFrame:
     """q185: record-linkage style FUZZY matching — blocked
     edit-distance join. Candidate generation by equi-join on cheap
@@ -6030,6 +6056,15 @@ SELECT a.lang, count(*) AS n_fuzzy_pairs,
 FROM a JOIN b ON a.lang = b.lang AND a.blk = b.blk AND d1 < d2
 WHERE levenshtein(t1, t2) <= 15
 GROUP BY a.lang
+"""
+    # q186: duckdb GROUPING() bit order == Spark grouping_id for the
+    # same column order; user_band BIGINT both sides
+    o["q186_grouping_sets"] = """
+SELECT event_type, user_band, count(*) AS n,
+       round(sum(value), 2) AS v_sum,
+       CAST(grouping(event_type, user_band) AS BIGINT) AS gid
+FROM (SELECT *, user_id % 10 AS user_band FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_band), ())
 """
     # q183: same exact-Jaccard pair relation as q24/q179, censused per
     # unordered source pair
