@@ -293,6 +293,27 @@ def main(argv: list[str] | None = None) -> int:
                          "orphan sweep) for requests that don't set "
                          "their own 'purge' field")
 
+    sav = sub.add_parser(
+        "sync-agg-view",
+        help="advance a persisted incremental aggregate view "
+             "(lake/agg_view.py) to the source table's current "
+             "snapshot: one net-window CDF diff + dirty-group repair; "
+             "creates the view on first run",
+    )
+    sav.add_argument("--view-root", required=True)
+    sav.add_argument("--by", required=True,
+                     help="comma-separated group columns")
+    sav.add_argument("--spec", action="append", default=[],
+                     metavar="KIND:COL:NAME",
+                     help="aggregate spec, repeatable: sum:value:v_sum "
+                          "min:ts:first_ts max:turn_idx:max_turn "
+                          "(n_rows is always maintained)")
+    sav.add_argument("--mode", choices=("cow", "mor"), default="cow")
+    sav.add_argument("--no-broadcast-keys", action="store_true",
+                     help="shuffle-join the touched/dirty key sets "
+                          "instead of broadcasting (high-cardinality "
+                          "group keys)")
+
     dw = sub.add_parser(
         "delete-where",
         help="DELETE FROM table WHERE <sql predicate> (retention/GDPR "
@@ -417,6 +438,36 @@ def main(argv: list[str] | None = None) -> int:
                 props[item] = None
         res = table.set_properties(props)
         print(json.dumps({"action": "set-props", **res}))
+        return 0
+
+    if args.action == "sync-agg-view":
+        from haskell_dbfunctor_spark.lake.agg_view import (
+            Max, Min, Sum, open_or_create_agg_view, sync_agg_view,
+        )
+
+        kinds = {"sum": Sum, "min": Min, "max": Max}
+        specs = []
+        for item in args.spec:
+            parts = item.split(":")
+            if len(parts) != 3 or parts[0].lower() not in kinds:
+                ap.error(f"--spec needs KIND:COL:NAME with KIND in "
+                         f"sum|min|max, got {item!r}")
+            specs.append(kinds[parts[0].lower()](parts[1], parts[2]))
+        gcols = [c.strip() for c in args.by.split(",") if c.strip()]
+        view = open_or_create_agg_view(
+            spark, args.view_root, table, gcols, specs,
+        )
+        res = sync_agg_view(
+            table, view, gcols, specs, mode=args.mode,
+            broadcast_keys=not args.no_broadcast_keys,
+        )
+        res.pop("stats", None)
+        print(json.dumps({
+            "action": "sync-agg-view",
+            "view_version": view.version,
+            "view_rows": view.read().count(),
+            **res,
+        }))
         return 0
 
     if args.action == "analyze":
