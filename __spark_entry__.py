@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q185_fuzzy_blocked_match"] = _fuzzy_blocked_match
     # arbitrary GROUPING SETS in one Expand hash agg
     q["q186_grouping_sets"] = _grouping_sets
+    # nested array<struct> conversation rows through the lake merge
+    q["q187_nested_transcripts"] = _nested_transcripts
     # the change feed itself vs an independent SQL state diff
     q["q171_cdf_window_diff"] = _cdf_window_diff
     # per-column churn census off the same feed (preimages=True)
@@ -2895,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_value_percentiles",
         "q185_fuzzy_blocked_match",
         "q186_grouping_sets",
+        "q187_nested_transcripts",
         "q176_rollout_subsumption",
         "q177_cdf_column_churn",
         "q178_multisource_lww",
@@ -4722,6 +4725,78 @@ def _cross_source_contamination(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _nested_transcripts(s: SparkSession, d: str) -> DataFrame:
+    """q187: NESTED payloads through the CDC lake — each conversation
+    stored as ONE row whose ``turns`` column is an
+    ``array<struct<turn_idx, role, text>>`` (the document-store shape
+    of multi-turn transcripts), upserted document-style: epoch e0
+    writes prefix-built conv rows, epoch e1 REPLACES the full row for
+    every conv the second half touched. Exercises struct/array
+    payloads through schema check, LWW dedup, bucket merge, and the
+    collapsed read (nested equality is Spark-native); the oracle
+    checks scalar projections of the nested rows (counts, first role
+    by turn order, last turn id) that DuckDB derives relationally."""
+    import pyspark.sql.types as T
+
+    from haskell_dbfunctor_spark.lake.table import LakeTable
+
+    _, _, tmp = _lake_events_tmp(s, d, "hdbf_nest_q187_")
+    ev = _t(s, d, "events").select(
+        "user_id", F.col("event_id").alias("seq"),
+        F.col("event_type").alias("role"), F.col("props").alias("text"),
+    )
+    half = ev.agg(F.max("seq")).first()[0] // 2
+
+    turns_type = (
+        "array<struct<turn_idx:bigint,role:string,text:string>>"
+    )
+
+    def conv_rows(events):
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seq").alias("turn_idx"),
+                            "role", "text",
+                        )
+                    )
+                )
+                # collect_list yields containsNull=False; cast to the
+                # declared nullable element type or the merge schema
+                # check reads it as a type change (the pq_index rule)
+                .cast(turns_type)
+                .alias("turns")
+            )
+            .withColumn("op", F.lit("U"))
+        )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turns", T.ArrayType(T.StructType([
+            T.StructField("turn_idx", T.LongType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]))),
+    ])
+    table = LakeTable.create(
+        s, f"{tmp}/lake", schema, key_cols=["user_id"], num_buckets=8,
+    )
+    table.merge(conv_rows(ev.where(F.col("seq") <= half)),
+                epoch_id="e0", order_cols=(), drop_cols=())
+    touched = ev.where(F.col("seq") > half).select("user_id").distinct()
+    table.merge(conv_rows(ev.join(touched, "user_id")),
+                epoch_id="e1", order_cols=(), drop_cols=())
+    out = table.read()
+    return out.select(
+        "user_id",
+        F.size("turns").cast("long").alias("n_turns"),
+        F.element_at("turns", 1)["role"].alias("first_role"),
+        F.element_at("turns", -1)["turn_idx"].alias("last_turn"),
+    )
+
+
 def _grouping_sets(s: SparkSession, d: str) -> DataFrame:
     """q186: arbitrary GROUPING SETS — the general form q65's ROLLUP
     and q150's CUBE specialize (reference analog: N separate
@@ -6065,6 +6140,24 @@ SELECT event_type, user_band, count(*) AS n,
        CAST(grouping(event_type, user_band) AS BIGINT) AS gid
 FROM (SELECT *, user_id % 10 AS user_band FROM events)
 GROUP BY GROUPING SETS ((event_type), (user_band), ())
+"""
+    # q187: scalar projections of the nested conv rows — users touched
+    # by the second half carry ALL their events, others the prefix only
+    o["q187_nested_transcripts"] = """
+WITH half AS (SELECT max(event_id) // 2 AS h FROM events),
+touched AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_id > (SELECT h FROM half)
+),
+vis AS (
+  SELECT e.* FROM events e
+  WHERE e.event_id <= (SELECT h FROM half)
+     OR e.user_id IN (SELECT user_id FROM touched)
+)
+SELECT user_id, count(*) AS n_turns,
+       arg_min(event_type, event_id) AS first_role,
+       max(event_id) AS last_turn
+FROM vis GROUP BY user_id
 """
     # q183: same exact-Jaccard pair relation as q24/q179, censused per
     # unordered source pair
