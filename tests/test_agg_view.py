@@ -317,6 +317,40 @@ def test_stream_tail_integration(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_maintenance_cli(spark, tmp_path):
+    """lake_maintenance sync-agg-view: builds the view on first run,
+    idempotent-skips when caught up, rejects malformed specs."""
+    import json
+    import subprocess
+    import sys
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SRC_SCHEMA, key_cols=["eid"],
+        num_buckets=2,
+    )
+    src.merge(_batch(spark, [(i, f"g{i % 2}", i) for i in range(10)]),
+              epoch_id="e1", order_cols=("eid",), drop_cols=())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "lake_maintenance.py"),
+             "--table-root", str(tmp_path / "src"), "sync-agg-view",
+             "--view-root", str(tmp_path / "view"), "--by", "grp",
+             *extra],
+            capture_output=True, text=True, cwd=repo,
+        )
+
+    p = run("--spec", "sum:val:v_sum", "--spec", "max:val:v_max")
+    out = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["initial_build"] and out["view_rows"] == 2
+    p2 = run("--spec", "sum:val:v_sum", "--spec", "max:val:v_max")
+    out2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert out2["skipped"]
+    bad = run("--spec", "median:val:x")
+    assert bad.returncode != 0 and "KIND" in (bad.stderr + bad.stdout)
+
+
 def test_spec_validation(spark, tmp_path):
     src, _ = _mk(spark, tmp_path, [(1, "a", 1)])
     with pytest.raises(LakeError, match="collides"):
