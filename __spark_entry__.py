@@ -2889,59 +2889,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # yet — they must land inside the first-50 sample, ahead of the
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
+    # Round-4 gate ordering (VERDICT r03 "Next round" item 1): brand-new
+    # round-4 queries lead (zero verification rows anywhere), then the 86
+    # never-driver-checked entries the judge re-verified green at sf0.001
+    # in r03 (q46-q100 block first, then q111-q147) so CORRECTNESS_r04
+    # samples them and cumulative driver coverage reaches 151/187+.
     _never_checked_first = [
-        "q180_incremental_agg_view",
-        "q181_ivm_two_hop",
-        "q182_json_payload_rollup",
-        "q183_cross_source_contamination",
-        "q184_value_percentiles",
-        "q185_fuzzy_blocked_match",
-        "q186_grouping_sets",
-        "q187_nested_transcripts",
-        "q176_rollout_subsumption",
-        "q177_cdf_column_churn",
-        "q178_multisource_lww",
-        "q179_prefix_filter_exact",
-        "q175_stream_lake_sink",
-        "q170_lazy_rebucket_state",
-        "q171_cdf_window_diff",
-        "q172_branch_wap_state",
-        "q173_rollback_recovery",
-        "q174_stream_cdf_source",
-        "q169_dv_merge_state",
-        "q168_debezium_replay",
-        "q166_asof_time_travel", "q167_heavy_hitters",
-        "q158_pq_ann", "q159_ivfpq_ann", "q160_textrank",
-        "q161_weighted_sample", "q162_generated_columns",
-        "q163_indexed_pq_ann", "q164_cluster_balanced_sample",
-        "q165_indexed_ivfpq_ann",
-        "q157_join_view_ivm",
-        "q153_fk_integrity", "q154_freshness_lag", "q155_column_profile",
-        "q156_commit_audit",
-        "q148_cow_mor_equivalence", "q149_prefix_fork_dedup",
-        "q150_cube_grouping", "q151_containment_dedup",
-        "q152_rolling_window_1h",
-        "q101_bm25_retrieval", "q102_hybrid_rrf", "q103_hard_negatives",
-        "q104_stream_session_window", "q105_sft_render_budget",
-        "q106_preference_pairs", "q107_curriculum_shards",
-        "q108_passage_dedup", "q109_rollup_grouping", "q110_pivot",
-        "q111_stream_dedup_redelivery", "q112_skew_diagnostics",
-        "q113_clone_correction", "q114_transcript_integrity",
-        "q115_tool_transitions", "q116_mixture_plan",
-        "q117_delete_vectors", "q118_dv_update",
-        "q119_dv_retention_sweep", "q120_sq8_ann",
-        "q121_sft_loss_mask", "q122_schema_evolution",
-        "q123_bigram_logprob", "q124_semantic_decontam",
-        "q125_row_lineage", "q126_column_defaults",
-        "q127_incremental_sft", "q128_fertility_by_lang",
-        "q129_decontam_evidence", "q130_conv_pattern_census",
-        "q131_scd2_history", "q132_quarantine_replay",
-        "q133_dataset_card", "q134_distribution_drift",
-        "q135_conv_degeneration", "q136_centroid_drift",
-        "q137_pack_sequences", "q138_materialize_mixture",
-        "q139_funnel", "q140_cohort_retention", "q141_term_search",
-        "q142_vocab_overlap", "q143_value_outliers", "q144_vocab_growth",
-        "q145_indexed_term_search", "q146_stream_interval_join",
+        # --- new in round 4 (prepend as added) ---
+        # --- judge-green, never driver-checked (r03 VERDICT list) ---
+        "q46_group_map_rank",
+        "q47_embedding_near_dup",
+        "q49_asof_join",
+        "q50_sessionize",
+        "q51_simhash_near_dup",
+        "q52_stratified_sample",
+        "q53_ivf_ann",
+        "q54_lake_change_feed",
+        "q55_incremental_agg",
+        "q56_winnow_fingerprints",
+        "q57_stats_pruned_read",
+        "q58_session_window",
+        "q59_normalize_text",
+        "q60_vocabulary",
+        "q61_tfidf_top_terms",
+        "q62_pivot_counts",
+        "q63_cdf_per_commit",
+        "q64_time_travel_read",
+        "q65_rollup",
+        "q67_near_dup_clusters",
+        "q68_bloom_point_lookup",
+        "q71_decontamination",
+        "q73_pack_shards",
+        "q75_redact_pii",
+        "q76_chunk_documents",
+        "q77_remove_repetition",
+        "q78_source_stats",
+        "q79_length_histogram",
+        "q80_cap_per_source",
+        "q81_unigram_logprob",
+        "q82_centroid_cosine",
+        "q83_range_join",
+        "q84_char_entropy",
+        "q85_cross_corpus_dedup",
+        "q86_percentile_trim",
+        "q87_uniform_sample_n",
+        "q88_snapshot_reconcile",
+        "q89_indexed_dedup",
+        "q90_indexed_ivf_ann",
+        "q91_delete_where",
+        "q92_update_where",
+        "q93_semantic_dedup",
+        "q94_temperature_mix",
+        "q95_bpe_pair_stats",
+        "q96_duplicated_passages",
+        "q97_bpe_apply",
+        "q98_curate_corpus",
+        "q99_snapshot_sync",
+        "q100_leakage_safe_split",
+        "q111_stream_dedup_redelivery",
+        "q112_skew_diagnostics",
+        "q113_clone_correction",
+        "q114_transcript_integrity",
+        "q115_tool_transitions",
+        "q116_mixture_plan",
+        "q117_delete_vectors",
+        "q118_dv_update",
+        "q119_dv_retention_sweep",
+        "q120_sq8_ann",
+        "q121_sft_loss_mask",
+        "q122_schema_evolution",
+        "q123_bigram_logprob",
+        "q124_semantic_decontam",
+        "q125_row_lineage",
+        "q126_column_defaults",
+        "q127_incremental_sft",
+        "q128_fertility_by_lang",
+        "q129_decontam_evidence",
+        "q130_conv_pattern_census",
+        "q131_scd2_history",
+        "q132_quarantine_replay",
+        "q133_dataset_card",
+        "q134_distribution_drift",
+        "q135_conv_degeneration",
+        "q136_centroid_drift",
+        "q137_pack_sequences",
+        "q138_materialize_mixture",
+        "q139_funnel",
+        "q140_cohort_retention",
+        "q141_term_search",
+        "q142_vocab_overlap",
+        "q143_value_outliers",
+        "q144_vocab_growth",
+        "q145_indexed_term_search",
+        "q146_stream_interval_join",
         "q147_forget",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
