@@ -331,10 +331,15 @@ def replay(
         _drain_forgets()
         if stop_after is not None and stats.epochs_applied >= stop_after:
             break
-    if agg_view is not None and stats.epochs_applied:
+    if agg_view is not None:
         # final catch-up: with agg_view_every > 1 the last epochs may
         # not have landed a sync; one net-diff sync closes the gap
-        # (no-op when already current)
+        # (no-op when already current). Runs even when THIS replay
+        # applied zero new epochs: a crash between the last epoch's
+        # state commit and its view sync, followed by a resume where
+        # every epoch is already applied, must still bring the view
+        # current — the cursor check makes the already-current case a
+        # cheap metadata no-op (ADVICE r03)
         from ..lake.agg_view import sync_agg_view
 
         sync_agg_view(

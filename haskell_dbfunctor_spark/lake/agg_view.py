@@ -22,6 +22,24 @@ Aggregate algebra (the classic IVM split):
   maintains a visible companion ``<name>_n`` non-NULL count so an
   all-retracted sum goes back to SQL NULL, not 0 — the auxiliary count
   every algebraic IVM system stores.
+
+  **Float contract** (the classic IVM caveat): incremental Sum is
+  EXACT for integral/decimal columns — adding and subtracting long or
+  decimal deltas commutes — but for DOUBLE/FLOAT measures, adding and
+  later subtracting rounded deltas drifts relative to a from-scratch
+  aggregate (``1e16 + 1 - 1e16`` folds to ``0`` incrementally, ``1``
+  exactly). By default this module therefore treats a RETRACTION
+  touching a floating-point Sum column like a min/max retraction: the
+  group goes dirty and is re-aggregated exactly from the pinned
+  snapshot, so stored float sums never accumulate cancellation drift
+  across syncs. Insert-only folds stay incremental — their error is
+  plain fp-summation reassociation, the same class as Spark's own
+  nondeterministic partial-aggregation order, bounded by one rounding
+  per sync (relative error ≤ syncs · ulp · condition-number, NOT
+  cumulative cancellation). Workloads that delete/update float
+  measures constantly can pass ``float_sum_repair=False`` to keep the
+  O(changes)-only path and accept the drift — or declare the measure
+  as decimal/long in the source schema, which is the real fix.
 - **non-retractable** (``Min``/``Max``): inserts fold in place
   (``least``/``greatest``); a retraction that ties-or-beats the stored
   extreme makes the group **dirty**, and dirty groups are re-aggregated
@@ -220,6 +238,7 @@ def sync_agg_view(
     *,
     mode: str = "cow",
     broadcast_keys: bool = True,
+    float_sum_repair: bool = True,
 ) -> dict:
     """Advance ``dst`` to ``SELECT group_cols, aggs FROM src@current
     GROUP BY group_cols``. The first sync is the full build; every
@@ -232,8 +251,21 @@ def sync_agg_view(
     — required when the group key is high-cardinality enough that an
     epoch's touched-group set outgrows the broadcast budget (per-user
     or per-conv views at web scale); rollup-shaped views (per-role,
-    per-source, per-day) keep the default."""
+    per-source, per-day) keep the default.
+
+    ``float_sum_repair`` (default True): a retraction touching a
+    DOUBLE/FLOAT ``Sum`` column marks its group dirty for exact
+    re-aggregation, so cancellation drift (``1e16 + 1 - 1e16`` → 0)
+    never accumulates in stored float sums — see the module docstring
+    for the full float contract. ``False`` keeps the pure O(changes)
+    algebra and accepts the drift."""
     _check_specs(src, group_cols, specs)
+    float_sum = {
+        s.name
+        for s in specs
+        if isinstance(s, Sum)
+        and isinstance(src.schema[s.col].dataType, (T.DoubleType, T.FloatType))
+    } if float_sum_repair else set()
     gcols = list(group_cols)
     cursor = av_cursor(dst)
     va = src.version
@@ -289,6 +321,17 @@ def sync_agg_view(
                 .cast("long")
                 .alias(f"__d_{s.name}_n")
             )
+            if s.name in float_sum:
+                # any non-NULL retraction on a float measure → dirty
+                # (exact repair; see float contract in module docstring)
+                deltas_exprs.append(
+                    F.max(
+                        F.when(
+                            (F.col("__w") == -1) & F.col(s.col).isNotNull(),
+                            F.lit(True),
+                        )
+                    ).alias(f"__ret_{s.name}")
+                )
         elif isinstance(s, Min):
             deltas_exprs.append(
                 F.min(F.when(F.col("__w") == 1, F.col(s.col)))
@@ -350,6 +393,10 @@ def sync_agg_view(
             )
             img.append(val.cast(dst.schema[s.name].dataType).alias(s.name))
             img.append(nn.cast("long").alias(f"{s.name}_n"))
+            if s.name in float_sum:
+                dirty = dirty | F.coalesce(
+                    F.col(f"__ret_{s.name}"), F.lit(False)
+                )
         else:
             old = F.col(f"__o_{s.name}")
             ins = F.col(f"__ins_{s.name}")

@@ -120,6 +120,21 @@ _COMPRESSION_CODECS = frozenset(
     {"snappy", "zstd", "gzip", "lz4", "uncompressed", "none"}
 )
 
+
+def validate_compression_codec(props: dict | None, *, where: str) -> None:
+    """Reject unknown ``write.compression-codec`` values LOUDLY at every
+    entry point that accepts properties (create / set_properties /
+    cdc_ingest --codec). ``_codec()`` deliberately falls back to snappy
+    on garbage (old manifests must stay readable), so a typo that only
+    hit the read side would silently write the default codec forever
+    (ADVICE r03)."""
+    c = (props or {}).get(COMPRESSION_PROP)
+    if c is not None and str(c).lower() not in _COMPRESSION_CODECS:
+        raise LakeError(
+            f"{where}: unknown {COMPRESSION_PROP} {c!r} "
+            f"(one of {sorted(_COMPRESSION_CODECS)})"
+        )
+
 # schema.auto-evolve table property: "true" (default) lets merge
 # batches add/widen columns implicitly (the north rule's mid-stream
 # evolution); "false" is Delta-style schema ENFORCEMENT — implicit
@@ -412,6 +427,7 @@ class LakeTable:
         ``update_where`` are refused, and dropping or renaming a
         column referenced by a generation expr is refused while the
         generated column exists."""
+        validate_compression_codec(properties, where="create")
         meta_dir = os.path.join(root, MANIFEST_DIR)
         if os.path.exists(os.path.join(meta_dir, "version-hint.txt")):
             if not overwrite:
@@ -6561,12 +6577,7 @@ class LakeTable:
         # clustering policy validation happens at SET time (the
         # compact-side consumer is lenient so schema drift can't brick
         # nightly maintenance — this is where typos get caught)
-        c = props.get(COMPRESSION_PROP)
-        if c is not None and str(c).lower() not in _COMPRESSION_CODECS:
-            raise LakeError(
-                f"set_properties: unknown {COMPRESSION_PROP} {c!r} "
-                f"(one of {sorted(_COMPRESSION_CODECS)})"
-            )
+        validate_compression_codec(props, where="set_properties")
         if CLUSTER_SORT_PROP in props or CLUSTER_ZORDER_PROP in props:
             prospective = {
                 k: v for k, v in {**self.properties, **props}.items()

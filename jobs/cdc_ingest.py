@@ -176,7 +176,17 @@ def main(argv: list[str] | None = None) -> int:
 
     table_props: dict[str, str] = {}
     if args.codec:
+        # fail at arg-parse time, not silently at write time: create()
+        # validates too, but an EXISTING table path never calls create
+        from haskell_dbfunctor_spark.lake.table import (
+            validate_compression_codec,
+        )
+
         table_props["write.compression-codec"] = args.codec
+        try:
+            validate_compression_codec(table_props, where="--codec")
+        except Exception as ex:
+            ap.error(str(ex))
     if args.epoch_retention:
         table_props["epochs.retention-count"] = str(args.epoch_retention)
     if args.meta_spill_bytes is not None:

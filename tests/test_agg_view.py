@@ -249,6 +249,41 @@ def test_replay_integration(spark, tmp_path):
     assert view.version == v  # skipped epochs never touch the view
 
 
+def test_replay_zero_epoch_resume_catches_up_view(spark, tmp_path):
+    """Crash-recovery contract (ADVICE r03): a crash AFTER the last
+    epoch's state commit but BEFORE its view sync, followed by a resume
+    where every epoch is already applied (epochs_applied == 0), must
+    still bring the view current — the final catch-up sync runs
+    unconditionally."""
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.agg_view import (
+        open_or_create_agg_view,
+    )
+
+    feed = change_feed(spark, 1500, n_convs=30, max_turns=12, n_epochs=2)
+    table = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=8
+    )
+    specs = [Max("turn_idx", "max_turn")]
+    view = open_or_create_agg_view(
+        spark, str(tmp_path / "view"), table, ["role"], specs,
+    )
+    # "crash before any view sync": state fully lands, view never syncs
+    replay(table, feed, 2)
+    assert view.read().count() == 0
+    # resume with the view leg on: all epochs skip, view must catch up
+    stats = replay(table, feed, 2, agg_view=view,
+                   agg_view_group_cols=("role",), agg_view_specs=tuple(specs))
+    assert stats.epochs_applied == 0
+    got = sorted(map(tuple, view.read().select("role", "max_turn").collect()))
+    want = sorted(map(tuple, table.read().groupBy("role").agg(
+        F.max("turn_idx").alias("max_turn")).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_stream_tail_integration(spark, tmp_path):
     """cdc_ingest --stream --agg-view-root: the tailer syncs the view
     after every micro-batch; final view == recompute over the state."""

@@ -168,6 +168,22 @@ def test_guards_refuse_unsound_windows(spark, tmp_path):
         r2.partitions({"version": v}, {"version": t2.version})
 
 
+def test_missing_duckdb_fails_loud_at_construction(spark, tmp_path):
+    """Packaging guard (VERDICT r03 item 3): the per-bucket diff needs
+    duckdb inside every Python worker; a deployment without it must get
+    ONE clear driver-side error naming the requirement, not per-task
+    worker tracebacks."""
+    from haskell_dbfunctor_spark.streaming.cdf_source import (
+        _require_duckdb,
+    )
+
+    with pytest.raises(ImportError, match="EVERY EXECUTOR"):
+        _require_duckdb(_find_spec=lambda name: None)
+    # present (this sandbox): construction goes through the probe fine
+    t = _make(spark, tmp_path)
+    LakeCDFStreamReader({"root": t.root})
+
+
 def test_expired_cursor_fails_loud(spark, tmp_path):
     t = _make(spark, tmp_path)
     v0 = t.version

@@ -95,3 +95,19 @@ def test_invalid_codec_rejected(spark, tmp_path):
     )
     with pytest.raises(LakeError, match="compression-codec"):
         t.set_properties({"write.compression-codec": "lzma"})
+
+
+def test_invalid_codec_rejected_at_create_and_cli(spark, tmp_path):
+    """ADVICE r03: a typo'd codec must fail loudly at create(properties=)
+    and at cdc_ingest --codec — never silently degrade to snappy."""
+    with pytest.raises(LakeError, match="compression-codec"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"), SCHEMA, key_cols=["k"],
+            num_buckets=2, properties={"write.compression-codec": "zsdt"},
+        )
+    # CLI arg-parse path (covers the existing-table case where create()
+    # never runs): argparse .error exits with SystemExit(2)
+    import jobs.cdc_ingest as ci
+    with pytest.raises(SystemExit):
+        ci.main(["--table-root", str(tmp_path / "t2"),
+                 "--epochs", "1", "--codec", "zsdt"])
