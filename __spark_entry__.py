@@ -2297,6 +2297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental re-render work list off the lineage-decorated CDF
     q["q127_incremental_sft"] = _incremental_sft_state
 
+    # q188: q127's incremental-SFT loop, but the state lake ingests via
+    # MERGE-ON-READ epochs (row lineage under MoR — VERDICT r03 item 4):
+    # provisional ids allocated at delta-append, stable ids resolved by
+    # the read-side collapse, lineage-decorated CDF identical in
+    # contract to the CoW path (same oracle as q127 by construction)
+    q["q188_mor_lineage_sft"] = lambda s, d: _incremental_sft_state(
+        s, d, prefix="hdbf_dml_q188_", merge_mode="mor"
+    )
+
     # dead-letter replay: gate -> quarantine -> fix -> re-merge (LWW)
     q["q132_quarantine_replay"] = _quarantine_replay_state
 
@@ -2896,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # samples them and cumulative driver coverage reaches 151/187+.
     _never_checked_first = [
         # --- new in round 4 (prepend as added) ---
+        "q188_mor_lineage_sft",
         # --- judge-green, never driver-checked (r03 VERDICT list) ---
         "q46_group_map_rank",
         "q47_embedding_near_dup",
@@ -3961,7 +3971,7 @@ def _two_epoch_lake(s: SparkSession, d: str):
 
 def _dml_state_lake(
     s: SparkSession, d: str, prefix: str, row_lineage: bool = False,
-    expectations: dict | None = None,
+    expectations: dict | None = None, merge_mode: str = "cow",
 ):
     """A FRESH event-state lake for a predicate-DML query (q91/q92):
     one CoW merge epoch of the full feed into a table storing exactly
@@ -4011,7 +4021,7 @@ def _dml_state_lake(
     )
     # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
     t.merge(ev, epoch_id="e0", prune_buckets=False,
-            expectations=expectations)
+            expectations=expectations, mode=merge_mode)
     return t
 
 
@@ -4225,7 +4235,10 @@ def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
+def _incremental_sft_state(
+    s: SparkSession, d: str, *,
+    prefix: str = "hdbf_dml_q127_", merge_mode: str = "cow",
+) -> DataFrame:
     """q127: INCREMENTAL training-data refresh off the lineage-
     decorated change feed (lake/table.py changes(with_lineage=True)).
     The production loop at 10^10 rows: after an epoch lands, re-render
@@ -4239,7 +4252,9 @@ def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
     plus id_ok pinning that the CDF's row ids match the v1 snapshot
     for carried keys and sit above the v1 high-water mark for inserts.
     """
-    t = _dml_state_lake(s, d, "hdbf_dml_q127_", row_lineage=True)
+    t = _dml_state_lake(
+        s, d, prefix, row_lineage=True, merge_mode=merge_mode
+    )
     v1 = t.version
     hwm1 = int(t.manifest["next_row_id"])
     state = t.read()
@@ -4259,7 +4274,7 @@ def _incremental_sft_state(s: SparkSession, d: str) -> DataFrame:
     t.merge(
         patch.unionByName(dels).unionByName(inserts),
         epoch_id="e2", order_cols=("ts",), drop_cols=(),
-        prune_buckets=False,
+        prune_buckets=False, mode=merge_mode,
     )
     feed = t.changes(v1, with_lineage=True)
     from haskell_dbfunctor_spark.lake.table import LakeTable as _LT
@@ -7572,6 +7587,10 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
                TRUE AS id_ok
         FROM changed
     """
+    # q188: identical work list — the MoR-ingested lineage lake must
+    # produce the exact same CDF as q127's CoW build (stable-id
+    # resolution is a read-side concern, invisible to the contract)
+    o["q188_mor_lineage_sft"] = o["q127_incremental_sft"]
     # q126: pre-add rows read the initial-default 1.0; the purchase
     # patch writes an explicit 2.0; the synthetic inserts omit the
     # column and get the write-default 1.0

@@ -661,7 +661,11 @@ def _dv_mutate(
         fold_written: dict[str, list[str]] = {}
         fold_abs = None
         if matched_delta:
-            survivors = fold(table.read(matched_delta)).withColumn(
+            survivors = fold(
+                table.read(
+                    matched_delta, with_lineage=table.row_lineage
+                )
+            ).withColumn(
                 BUCKET_COL,
                 table.bucket_of(*[F.col(c) for c in table.key_cols]),
             )
@@ -886,7 +890,9 @@ def delete_where(
             else None
         )
         if delta_buckets:
-            folded = table.read(delta_buckets).where(~pred)
+            folded = table.read(
+                delta_buckets, with_lineage=table.row_lineage
+            ).where(~pred)
             survivors = (
                 folded if survivors is None
                 else survivors.unionByName(folded)
@@ -1060,7 +1066,10 @@ def update_where(
             else None
         )
         if delta_buckets:
-            folded = patched(table.read(delta_buckets), False)
+            folded = patched(
+                table.read(delta_buckets, with_lineage=table.row_lineage),
+                False,
+            )
             rewritten = (
                 folded if rewritten is None
                 else rewritten.unionByName(folded)

@@ -393,9 +393,12 @@ class LakeTable:
         inserted or updated it) — read them via
         ``read(with_lineage=True)``. The columns are materialized
         eagerly in the data files, so layout operations carry them for
-        free; the costs are (a) MoR merges/DML are rejected (a delta
-        append never reads the target, so a matched row's id could not
-        be preserved — use CoW or DV modes), (b) write-audit-publish
+        free; the costs are (a) full-row MoR merges allocate
+        PROVISIONAL ids per delta row and the read-side collapse
+        resolves the stable id (smallest id after the last delete
+        tombstone — matched keys keep their base id; partial-patch MoR
+        and DV-mode MERGE stay rejected, though
+        ``delete_where(mode='dv')`` works), (b) write-audit-publish
         staging is rejected (fork sides would double-allocate ids),
         and (c) concurrent commits always re-execute rather than
         rebase (two racing merges would allocate overlapping ids and
@@ -1895,17 +1898,9 @@ class LakeTable:
             for p in parts[1:]:
                 out = out.unionByName(p)
             return _present(out)
-        if self.row_lineage:
-            # unreachable by construction: lineage tables reject every
-            # delta-producing path (MoR merges/DML); a delta here means
-            # manifest corruption — refuse rather than lose row ids in
-            # the collapse
-            raise LakeError(
-                "row-lineage table has pending MoR deltas (corrupt "
-                "manifest?) — the collapse cannot preserve row ids"
-            )
+        lineage = self.row_lineage
         read_schema = T.StructType(
-            list(self.schema.fields)
+            list(scan_schema.fields)  # schema (+ lineage fields if on)
             + [
                 T.StructField("__op", T.StringType(), True),
                 T.StructField("__commit_seq", T.LongType(), True),
@@ -1939,21 +1934,75 @@ class LakeTable:
             # decides the whole row — no per-column work, no __cols
             # parsing. Measured 5x cheaper than the column-wise
             # collapse on the CDC replay bench.
-            collapsed = df.groupBy(*key).agg(
+            aggs = [
                 F.max_by(
-                    F.struct(*payload, F.col("__op").alias("__op")), ords
+                    F.struct(
+                        *payload,
+                        F.col("__op").alias("__op"),
+                        *([F.col(LAST_UPDATED_COL)] if lineage else []),
+                    ),
+                    ords,
                 ).alias("__w")
-            )
+            ]
+            if lineage:
+                # stable-id resolution (still ONE hash aggregation,
+                # ObjectHashAggregate combines map-side; the per-key
+                # image list is bounded by pending deltas since the
+                # last compaction + 1): the row id of a live key is
+                # the SMALLEST id among images after the last delete
+                # tombstone — the base id when the key predates the
+                # deltas (base ids < all provisional delta ids), the
+                # reinsert's fresh provisional id after a delete
+                # (CoW delete+reinsert allocates fresh too).
+                aggs.append(
+                    F.max(
+                        F.when(F.col("__op") == "D", ords)
+                    ).alias("__ld")
+                )
+                aggs.append(
+                    F.collect_list(
+                        F.struct(
+                            ords.alias("o"),
+                            F.col("__op").alias("p"),
+                            F.col(ROW_ID_COL).alias("r"),
+                        )
+                    ).alias("__imgs")
+                )
+            collapsed = df.groupBy(*key).agg(*aggs)
             live = collapsed.where(
                 F.coalesce(F.col("__w.__op"), F.lit("U")) != F.lit("D")
             )
-            out = live.select(
-                *[
-                    F.col(c) if c in key else F.col(f"__w.{c}").alias(c)
-                    for c in self.schema.names
-                ]
-            )
+            sel = [
+                F.col(c) if c in key else F.col(f"__w.{c}").alias(c)
+                for c in self.schema.names
+            ]
+            if lineage:
+                ld = F.coalesce(F.col("__ld"), F.lit(-1))
+                rid = F.array_min(
+                    F.transform(
+                        F.filter(
+                            F.col("__imgs"),
+                            lambda x: (x["p"].isNull() | (x["p"] != "D"))
+                            & (x["o"] > ld),
+                        ),
+                        lambda x: x["r"],
+                    )
+                )
+                sel.append(rid.alias(ROW_ID_COL))
+                sel.append(
+                    F.col(f"__w.{LAST_UPDATED_COL}").alias(LAST_UPDATED_COL)
+                )
+            out = live.select(*sel)
         else:
+            if lineage:
+                # defensive: partial merges are rejected on lineage
+                # tables at merge(), so partial deltas here mean a
+                # corrupt manifest — refuse rather than guess ids
+                raise LakeError(
+                    "row-lineage table has partial-patch MoR deltas "
+                    "(corrupt manifest?) — no single image decides a "
+                    "row, so its __row_id cannot be resolved"
+                )
             # Column-wise collapse (partial-patch MoR): a delta row
             # SETS only the columns its batch carried (recorded in
             # __cols; NULL = legacy full-row delta or a base row =
@@ -1988,7 +2037,7 @@ class LakeTable:
         if dv_files:
             out = self._with_default_fill(
                 self._apply_dvs(
-                    self.spark.read.schema(self.schema).parquet(*dv_files),
+                    self.spark.read.schema(scan_schema).parquet(*dv_files),
                     self._dv_refs(dv_plain_ids),
                 )
             ).unionByName(out)
@@ -1996,12 +2045,12 @@ class LakeTable:
         if plain_files:
             out = (
                 self._with_default_fill(
-                    self.spark.read.schema(self.schema)
+                    self.spark.read.schema(scan_schema)
                     .parquet(*plain_files)
                 )
                 .unionByName(out)
             )
-        return out
+        return _present(out)
 
     # ------------------------------------------- file statistics / skipping
     @staticmethod
@@ -3654,12 +3703,13 @@ class LakeTable:
             target_file_bytes
         )
         if self.row_lineage:
-            if mode == "mor":
+            if mode == "mor" and partial:
                 raise LakeError(
-                    "row-lineage tables require mode='cow' merges: a "
-                    "MoR delta append never reads the target, so a "
-                    "matched row's __row_id cannot be preserved "
-                    "(deletes may use delete_where(mode='dv') instead)"
+                    "row-lineage tables do not support MoR partial "
+                    "patches: the column-wise collapse resolves each "
+                    "column independently, so no single image decides "
+                    "the row and a stable __row_id cannot be derived "
+                    "(use full-row mode='mor', or mode='cow')"
                 )
             if stage_only:
                 raise LakeError(
@@ -4504,6 +4554,27 @@ class LakeTable:
         ``__commit_seq`` for the read-side latest-commit-wins collapse
         (base rows read as seq 0)."""
         new_version = self.version + 1
+        lineage_cols: list[Column] = []
+        if self.row_lineage:
+            # Iceberg-v3 row-tracking-under-MoR analog: every delta row
+            # gets a PROVISIONAL id above the high-water mark (the
+            # append never reads the target, so it cannot know which
+            # keys match). The read-side collapse resolves the stable
+            # id per key — the smallest id among images after the last
+            # delete tombstone — so a matched row keeps its base id
+            # (base ids are always below provisionals) and a
+            # delete+reinsert gets the reinsert's fresh id, matching
+            # CoW semantics. Serial history (_manifest_conflicts
+            # forces re-execute for lineage data commits) makes the
+            # allocation race-free; version stamps baked here are
+            # final because lineage commits never rebase.
+            hwm = int(self.manifest.get("next_row_id", 0))
+            lineage_cols = [
+                (F.lit(hwm) + F.monotonically_increasing_id()).alias(
+                    ROW_ID_COL
+                ),
+                F.lit(new_version).cast("long").alias(LAST_UPDATED_COL),
+            ]
         delta = deduped.select(
             *key,
             *batch_payload,
@@ -4513,6 +4584,7 @@ class LakeTable:
             # patches column-wise from the newest delta carrying each
             # column (constant per batch: RLE-compressed to nothing)
             F.lit(",".join(batch_payload)).alias("__cols"),
+            *lineage_cols,
             F.col(BUCKET_COL),
         )
         obs_dd = Observation(f"mor_dd_v{new_version}")
@@ -4549,6 +4621,9 @@ class LakeTable:
             n_deduped = int(obs_dd.get["n"])
         except Exception:
             n_source = n_deduped = 0
+        next_rid = (
+            self._written_row_id_hwm(written) if self.row_lineage else None
+        )
 
         base = self.manifest
         touched = sorted(int(b) for b in written)
@@ -4557,6 +4632,10 @@ class LakeTable:
             manifest = dict(parent)
             manifest["version"] = parent["version"] + 1
             manifest["schema"] = new_schema.json()
+            if next_rid is not None:
+                manifest["next_row_id"] = max(
+                    next_rid, int(parent.get("next_row_id", 0))
+                )
             new_deltas = {
                 b: list(fl)
                 for b, fl in parent.get("delta_files", {}).items()
@@ -5470,7 +5549,11 @@ class LakeTable:
         if not touched:
             return {"buckets_compacted": 0, "delta_files_folded": 0}
         folded = sum(len(dm[str(b)]) for b in touched)
-        df = self.read(buckets=touched).withColumn(
+        # lineage tables fold WITH their resolved ids — the rewritten
+        # base files carry them (the any-rewrite-path invariant)
+        df = self.read(
+            buckets=touched, with_lineage=self.row_lineage
+        ).withColumn(
             BUCKET_COL, self.bucket_of(*[F.col(c) for c in self.key_cols])
         )
         new_version = self.version + 1

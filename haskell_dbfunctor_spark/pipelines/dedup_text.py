@@ -278,6 +278,97 @@ def containment_dup_counts_prefix(
     )
 
 
+def containment_dup_counts_sketch(
+    docs: DataFrame, threshold: float = 0.9, *, k: int = 8, salt: int = 32
+) -> DataFrame:
+    """Containment dup counts via a BOTTOM-K SKETCH candidate filter —
+    the sublinear sibling of ``containment_dup_counts_prefix`` (the
+    relationship q42's LSH has to q24's exact all-pairs): candidates →
+    one pair dedup → the SAME exact verify, but the contained side
+    contributes only ``k`` tokens per doc REGARDLESS of doc length,
+    where the exact prefix filter must keep ``n - ceil(t*n) + 1``
+    (≈ 10% of every doc at t=0.9, growing linearly with doc size).
+
+    Sketch: order each doc's token set by a fixed random hash
+    (``xxhash64``) and keep the k smallest — a uniform size-k sample
+    of the set (one permutation, shared by every doc, so equal tokens
+    hash equally corpus-wide). If B contains A at level t, at least
+    ``t·|A|`` of A's tokens are in B, and A's bottom-k misses ALL of
+    them only with probability C(n-c,k)/C(n,k) ≤ (1-t)^k — at t=0.9,
+    k=8 that is 1e-8 per qualifying pair, so recall is 1.0 for any
+    corpus small enough to enumerate and deterministic for a given
+    corpus (the hash is unseeded). Docs with |A| ≤ k are sketched
+    whole — exact by construction. The candidate join is the same
+    salted token join as the prefix variant (container side full), the
+    verify is the same ``array_intersect`` on collected token arrays,
+    so FALSE POSITIVES are impossible — the sketch can only lose
+    pairs, never invent them (one-sided error, like q42 vs q24).
+
+    Approximate by rubric, exact in practice at (t, k) = (0.9, 8);
+    bench.py --prefix-cost --containment A/Bs all three paths on the
+    planted Zipfian corpus and asserts count parity."""
+    from pyspark.sql import Window as W
+
+    from ..operators.skew import salted_equi_join
+
+    dw = _words(docs)
+    toks = dw.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("word")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dwn = dw.join(toks.select("doc_id", "n"), "doc_id")
+    w = W.partitionBy("doc_id").orderBy(F.xxhash64("word"), "word")
+    sk = (
+        dwn.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(k))
+        .select("doc_id", "n", "word")
+    )
+    # contained side strictly smaller, or equal-sized with the HIGHER
+    # id (containment_dup_counts' tiebreak: exact dups drop one side)
+    joined = salted_equi_join(
+        sk, dwn, "word",
+        salt=salt, salt_by=["doc_id"],
+        extra_cond=(
+            (F.col("l.n") < F.col("r.n"))
+            | ((F.col("l.n") == F.col("r.n"))
+               & (F.col("l.doc_id") > F.col("r.doc_id")))
+        ),
+        num_partitions=salt * 4,
+    )
+    cand = (
+        joined.groupBy(
+            F.col("doc_id").alias("a"), F.col("doc_id_r").alias("b"),
+            F.col("n").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .drop("__hits")
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("a"),
+                        F.col("toks").alias("ta")), "a")
+        .join(
+            toks.select(F.col("doc_id").alias("b"),
+                        F.col("toks").alias("tb")), "b")
+        .where(
+            F.size(F.array_intersect("ta", "tb"))
+            >= F.lit(threshold) * F.col("na")
+        )
+        .select("a")
+    )
+    cnt = verified.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers")
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
     """MinHash signature per doc: mh_i = min over words of md5(word#i).
 

@@ -126,9 +126,14 @@ class LakeMoRSinkWriter(DataSourceStreamArrowWriter):
         tbl = _load_table(self.root)
         m = tbl.manifest
         if tbl.row_lineage:
+            # the engine supports full-row MoR on lineage tables, but
+            # this sink's executor-side delta writer has no access to
+            # the manifest's next_row_id high-water mark to allocate
+            # provisional ids — route through foreachBatch merge
             raise ValueError(
-                "lake sink: row-lineage tables reject MoR deltas — use "
-                "the foreachBatch CoW merge path"
+                "lake sink: cannot allocate row-lineage ids from "
+                "executors — use the foreachBatch merge path "
+                "(mode='cow' or 'mor')"
             )
         if m.get("generated_columns"):
             raise ValueError(

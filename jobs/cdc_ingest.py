@@ -201,9 +201,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="cdc-ingest")
     if args.mor and args.dv:
         ap.error("--mor and --dv are mutually exclusive merge modes")
-    if args.row_lineage and (args.mor or args.dv):
-        ap.error("--row-lineage requires CoW merges (drop --mor/--dv): "
-                 "neither path preserves a matched row's id")
+    if args.row_lineage and args.dv:
+        ap.error("--row-lineage does not support --dv merges (appended "
+                 "DV images would need id carry-over); CoW and full-row "
+                 "--mor both preserve row ids")
     gen_cols = None
     if args.generated:
         gen_cols = {}

@@ -1,6 +1,7 @@
 """Property-based soak (hypothesis) for ROW LINEAGE: under ANY
-interleaving of CoW merges, predicate DML (CoW and deletion-vector
-modes), and layout maintenance (compact / rebucket), a
+interleaving of CoW AND full-row MoR merges, predicate DML (CoW,
+deletion-vector, and MoR modes), delta compaction, and layout
+maintenance (compact / rebucket), a
 create(row_lineage=True) table must keep
 
   1. value semantics IDENTICAL to the sequential batch oracle
@@ -36,12 +37,19 @@ event = st.tuples(
 )
 
 OPS = ["none", "compact", "rebucket", "update_cow", "update_dv",
-       "delete_cow", "delete_dv"]
+       "delete_cow", "delete_dv", "compact_deltas", "update_mor",
+       "delete_mor"]
 
 
 def _run_op(table, action):
     if action == "compact":
         table.compact(min_files=1)
+    elif action == "compact_deltas":
+        table.compact_deltas()
+    elif action == "update_mor":
+        table.update_where("k % 3 = 0", {"v": F.lit("moru")}, mode="mor")
+    elif action == "delete_mor":
+        table.delete_where("k = 4", mode="mor")
     elif action == "rebucket":
         table.rebucket(8 if table.num_buckets == 4 else 4)
     elif action == "update_cow":
@@ -55,9 +63,10 @@ def _run_op(table, action):
 
 
 def _oracle_op(state, action):
-    if action in ("update_cow", "update_dv"):
-        rem = 1 if action == "update_cow" else 2
-        val = "upd" if action == "update_cow" else "dvu"
+    if action in ("update_cow", "update_dv", "update_mor"):
+        rem = {"update_cow": 1, "update_dv": 2, "update_mor": 0}[action]
+        val = {"update_cow": "upd", "update_dv": "dvu",
+               "update_mor": "moru"}[action]
         for k in state:
             if k % 3 == rem:
                 state[k] = val
@@ -65,6 +74,8 @@ def _oracle_op(state, action):
         state.pop(5, None)
     elif action == "delete_dv":
         state.pop(6, None)
+    elif action == "delete_mor":
+        state.pop(4, None)
 
 
 def _merge_oracle(state, batch):
@@ -95,9 +106,10 @@ def _lineage(table):
     st.lists(event, min_size=4, max_size=24),
     st.lists(st.sampled_from(OPS), min_size=3, max_size=3),
     st.booleans(),  # two-level (spilled) manifest layout
+    st.lists(st.sampled_from(["cow", "mor"]), min_size=3, max_size=3),
 )
 def test_lineage_invariants_under_interleaving(
-    spark, tmp_path_factory, events, schedule, spill
+    spark, tmp_path_factory, events, schedule, spill, modes
 ):
     root = str(tmp_path_factory.mktemp("rl_prop"))
     table = LakeTable.create(
@@ -124,6 +136,8 @@ def test_lineage_invariants_under_interleaving(
             table.merge(
                 df.where((df.seq >= lo) & (df.seq < hi)),
                 epoch_id=f"b{i}", order_cols=("ts", "seq"),
+                drop_cols=(),  # MoR full-row mode needs every column
+                mode=modes[i],
             )
             _merge_oracle(state, indexed[lo:hi])
             cur = _lineage(table)

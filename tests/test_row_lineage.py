@@ -10,8 +10,10 @@ row). Pins the contract:
   mark; the mark never regresses (including across rollback);
 - layout operations (compact, rebucket, rename_column) preserve both
   columns bit-for-bit;
-- MoR merges/DML and WAP staging are rejected (a delta append cannot
-  preserve a matched row's id; fork sides would double-allocate);
+- full-row MoR merges allocate provisional ids and the collapse
+  resolves the stable id (see test_row_lineage_mor.py); partial-patch
+  MoR, DV-mode MERGE, and WAP staging are rejected (no single image
+  decides a patched row; fork sides would double-allocate);
 - read() hides the columns unless with_lineage=True;
 - concurrent lineage data commits serialize (the loser re-executes,
   so ids stay unique) — see _manifest_conflicts.
@@ -140,12 +142,15 @@ def test_reserved_names_rejected(spark, root):
         t.rename_column("v", ROW_ID_COL)
 
 
-def test_mor_and_wap_rejected(spark, root):
+def test_mor_partial_and_wap_rejected(spark, root):
+    """Full-row MoR is supported (test_row_lineage_mor.py); the paths
+    that still cannot preserve ids refuse loudly."""
     t = _make(spark, root, n=3)
-    with pytest.raises(LakeError, match="row-lineage"):
+    with pytest.raises(LakeError, match="partial"):
         t.merge(
             _batch(spark, [(1, "z", 9, "U")]),
             mode="mor",
+            partial=True,
             order_cols=("ts",),
             drop_cols=(),
         )
@@ -156,8 +161,13 @@ def test_mor_and_wap_rejected(spark, root):
             order_cols=("ts",),
             drop_cols=(),
         )
-    with pytest.raises(LakeError):
-        t.delete_where("k = 1", mode="mor")
+    with pytest.raises(LakeError, match="row-lineage"):
+        t.merge(
+            _batch(spark, [(1, "z", 9, "U")]),
+            mode="dv",
+            order_cols=("ts",),
+            drop_cols=(),
+        )
 
 
 def test_layout_ops_preserve_lineage(spark, root):
