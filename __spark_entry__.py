@@ -1389,6 +1389,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q151_containment_dedup"] = q151
 
+    # q189: containment again via the BOTTOM-K SKETCH candidate filter
+    # (VERDICT r03 item 5 — the sublinear sibling q151's exact prefix
+    # filter needed, the way q24 has q42): k=8 sampled tokens per
+    # contained doc regardless of doc size, one-sided error, and the
+    # sf corpus' max word-set size (31) keeps n-c < k so the sketch is
+    # EXACT here by pigeonhole — same oracle as q151 by construction.
+    def q189(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            containment_dup_counts_sketch,
+        )
+
+        return containment_dup_counts_sketch(_t(s, d, "documents"), 0.9)
+
+    q["q189_containment_sketch"] = q189
+
     # trailing time-RANGE rolling aggregate (operators/temporal.py:
     # rolling_range_agg): per-user 1-hour rolling event count + value
     # sum — the variable-width frame a rows-based running total (q15)
@@ -2906,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         # --- new in round 4 (prepend as added) ---
         "q188_mor_lineage_sft",
+        "q189_containment_sketch",
         # --- judge-green, never driver-checked (r03 VERDICT list) ---
         "q46_group_map_rank",
         "q47_embedding_near_dup",
@@ -8529,6 +8545,9 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         SELECT d.doc_id, coalesce(cnt.n_containers, 0) AS n_containers
         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
     """
+    # q189: the bottom-k sketch is exact on this corpus (max word-set
+    # 31 => n-c < k at t=0.9) — same ground truth as q151
+    o["q189_containment_sketch"] = o["q151_containment_dedup"]
     o["q152_rolling_window_1h"] = """
         SELECT user_id, event_id,
                count(*) OVER w AS roll_n,

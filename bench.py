@@ -1616,6 +1616,97 @@ def main_prefix_cost(cores: int, n_docs: int = 10_000, pairs: int = 3,
     }))
 
 
+def main_containment_cost(cores: int, n_docs: int = 10_000,
+                          pairs: int = 3, threshold: float = 0.9) -> None:
+    """Containment dedup three ways on a planted-containment Zipfian
+    corpus: all-pairs (q151's exact baseline), asymmetric prefix
+    filter (exact, prefix length ~(1-t)·|A| grows with doc size), and
+    the bottom-k SKETCH (k tokens per contained doc REGARDLESS of
+    size — the sublinear path, VERDICT r03 item 5). The sketch's win
+    needs docs LONGER than the crossover n ~ k/(1-t): the prefix
+    keeps (1-t)n+1 tokens per doc, the sketch always k, so at t=0.9,
+    k=8 the corpus uses 1000-token docs (prefix 101 vs sketch 8).
+    Corpus: every doc carries 10 tokens from a 50-word common head +
+    990 df=1 rare-tail tokens; every (10k, 10k+1) pair plants a
+    contained doc — 10 common + 985 of the base's rares + 5 own,
+    |A| = 1000, c = 995, containment 0.995 >= 0.9. n-c = 5 < k = 8,
+    so the sketch is EXACT here by pigeonhole (and all three counts
+    are asserted equal). Legs alternate to cancel host drift."""
+    from pyspark.sql import functions as F
+
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        containment_dup_counts, containment_dup_counts_prefix,
+        containment_dup_counts_sketch,
+    )
+
+    spark = _get_spark(cores)
+    calib0 = calibration_seconds()
+    planted = F.col("id") % 10 == 1
+    base = F.when(planted, F.col("id") - 1).otherwise(F.col("id"))
+    common = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit("c"), F.pmod(base * 7 + j, F.lit(50))),
+    )
+    rare = F.transform(
+        # base docs: 990 own rares; planted docs: the base's first 985
+        # rares + 5 own -> |A|=1000, overlap 995, containment 0.995
+        F.sequence(F.lit(0), F.lit(989)),
+        lambda j: F.concat(
+            F.lit("r"),
+            F.when(planted & (j >= 985), F.col("id") * 990 + j)
+            .otherwise(base * 990 + j),
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat(common, rare)).alias("text"),
+    ).cache()
+    docs.count()
+
+    def leg(fn):
+        t0 = time.perf_counter()
+        out = fn(docs, threshold)
+        total = out.agg(F.sum("n_containers")).first()[0]
+        return round(time.perf_counter() - t0, 2), int(total)
+
+    res: dict = {"allpairs_s": [], "prefix_s": [], "sketch_s": []}
+    totals = set()
+    for _ in range(pairs):
+        s_a, t_a = leg(containment_dup_counts)
+        s_p, t_p = leg(containment_dup_counts_prefix)
+        # the scale configuration: hot tokens (the 50-word common
+        # head, df = n_docs/5) excluded from the candidate join via
+        # max_df — the exact verify still sees full token sets
+        s_k, t_k = leg(
+            lambda d, t: containment_dup_counts_sketch(
+                d, t, max_df=n_docs // 10
+            )
+        )
+        assert t_a == t_p == t_k, f"legs disagree: {t_a}/{t_p}/{t_k}"
+        totals.add(t_a)
+        res["allpairs_s"].append(s_a)
+        res["prefix_s"].append(s_p)
+        res["sketch_s"].append(s_k)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    print(json.dumps({
+        "metric": "containment_sketch_vs_prefix_vs_allpairs",
+        "n_docs": n_docs,
+        "threshold": threshold,
+        "planted_contained": n_docs // 10,
+        "sum_containers": totals.pop(),
+        "allpairs_s": res["allpairs_s"],
+        "prefix_s": res["prefix_s"],
+        "sketch_s": res["sketch_s"],
+        "sketch_vs_allpairs": round(
+            med(res["allpairs_s"]) / med(res["sketch_s"]), 2),
+        "sketch_vs_prefix": round(
+            med(res["prefix_s"]) / med(res["sketch_s"]), 2),
+        "calib_s_start": calib0,
+        "calib_s_end": calibration_seconds(),
+        "cores": cores,
+    }))
+
+
 def main_forget_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
     """Right-to-be-forgotten latency on a full production lake: state
     + per-role rollup + inverted term index replayed transactionally,
@@ -1695,7 +1786,7 @@ def main_forget_cost(cores: int, n_events: int, n_epochs: int = 4) -> None:
 
 
 def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
-                      pairs: int = 2) -> None:
+                      pairs: int = 2, mode: str = "cow") -> None:
     """Row-lineage merge overhead: identical CDC replays (half
     updates / half inserts per epoch) into a plain table vs a
     create(row_lineage=True) table. Lineage pays for (a) two extra
@@ -1748,7 +1839,7 @@ def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
             (F.col("id") + e * n_rows).alias("seq"),
         )
 
-    def one_leg(lineage: bool, tag: str) -> float:
+    def one_leg(lineage: bool, tag: str) -> tuple:
         t = LakeTable.create(
             spark, f"{root}/{tag}", schema, key_cols=["k"],
             num_buckets=32, row_lineage=lineage,
@@ -1756,13 +1847,18 @@ def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
         t0 = time.time()
         for e in range(1, n_epochs + 1):
             t.merge(epoch_df(e), epoch_id=f"e{e}", order_cols=("ts", "seq"),
-                    drop_cols=("seq",), prune_buckets=False)
+                    drop_cols=("seq",), prune_buckets=False, mode=mode)
         total = time.time() - t0
+        # read timed separately: under MoR this pays the collapse,
+        # which for lineage tables includes the stable-id resolution
+        # (the collect_list leg) — the read-side half of the trade
+        t1 = time.time()
         n = t.read().count()
+        read_s = time.time() - t1
         shutil.rmtree(f"{root}/{tag}", ignore_errors=True)
-        print(f"# {tag}: {total:.2f}s over {n_epochs} epochs "
-              f"({n} final rows)", file=sys.stderr)
-        return total
+        print(f"# {tag}: merge {total:.2f}s read {read_s:.2f}s over "
+              f"{n_epochs} epochs ({n} final rows)", file=sys.stderr)
+        return total, read_s
 
     # JVM/codegen warm through both paths
     for lin in (False, True):
@@ -1772,29 +1868,38 @@ def main_lineage_cost(cores: int, n_rows: int, n_epochs: int = 6,
         )
         w.merge(epoch_df(1).limit(5000), epoch_id="w",
                 order_cols=("ts", "seq"), drop_cols=("seq",),
-                prune_buckets=False)
+                prune_buckets=False, mode=mode)
         w.read().count()
         shutil.rmtree(f"{root}/w{int(lin)}", ignore_errors=True)
 
     plain, lin = [], []
+    plain_r, lin_r = [], []
     for r in range(pairs):
-        order = [(False, plain), (True, lin)]
+        order = [(False, plain, plain_r), (True, lin, lin_r)]
         if r % 2:
             order.reverse()
-        for flag, acc in order:
-            acc.append(one_leg(flag, f"leg_{int(flag)}_{r}"))
+        for flag, acc, accr in order:
+            m, rd = one_leg(flag, f"leg_{int(flag)}_{r}")
+            acc.append(m)
+            accr.append(rd)
     p_med = sorted(plain)[len(plain) // 2]
     l_med = sorted(lin)[len(lin) // 2]
+    pr_med = sorted(plain_r)[len(plain_r) // 2]
+    lr_med = sorted(lin_r)[len(lin_r) // 2]
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({
         "metric": "row_lineage_merge_overhead",
         "value": round(l_med / p_med, 3),
         "unit": "ratio (lineage merge s / plain merge s, median)",
+        "mode": mode,
         "rows_per_epoch": n_rows,
         "n_epochs": n_epochs,
         "cores": cores,
         "plain_s": round(p_med, 3),
         "lineage_s": round(l_med, 3),
+        "read_ratio": round(lr_med / pr_med, 3) if pr_med else None,
+        "plain_read_s": round(pr_med, 3),
+        "lineage_read_s": round(lr_med, 3),
         # all rounds, for host-drift auditing (shared-VM box)
         "plain_rounds": [round(x, 2) for x in plain],
         "lineage_rounds": [round(x, 2) for x in lin],
@@ -1980,8 +2085,17 @@ if __name__ == "__main__":
     ap.add_argument("--prefix-cost", action="store_true",
                     help="exact near-dup: prefix filter (q179) vs "
                          "all-pairs (q24) on a Zipfian corpus")
+    ap.add_argument("--containment-cost", action="store_true",
+                    help="containment dedup: bottom-k sketch (q189) vs "
+                         "prefix filter (q151) vs all-pairs on a "
+                         "planted-containment Zipfian corpus")
     ap.add_argument("--docs", type=int, default=10_000,
-                    help="--prefix-cost corpus size")
+                    help="--prefix-cost/--containment-cost corpus size")
+    ap.add_argument("--threshold", type=float, default=0.9,
+                    help="--containment-cost containment threshold t "
+                         "(the prefix filter keeps (1-t)n+1 tokens "
+                         "per doc, the sketch always k — low t is "
+                         "the sketch's regime)")
     ap.add_argument("--forget-cost", action="store_true",
                     help="right-to-be-forgotten latency: logical "
                          "multi-table forget txn + physical purge on "
@@ -2027,11 +2141,16 @@ if __name__ == "__main__":
     elif args.pq_cost:
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
-        main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3))
+        main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3),
+                          mode="mor" if args.mor else "cow")
     elif args.forget_cost:
         main_forget_cost(args.cores, args.events, n_epochs=args.epochs)
     elif args.prefix_cost:
         main_prefix_cost(args.cores, args.docs, pairs=min(args.pairs, 3))
+    elif args.containment_cost:
+        main_containment_cost(args.cores, args.docs,
+                              pairs=min(args.pairs, 3),
+                              threshold=args.threshold)
     elif args.cluster_scaling:
         main_cluster_scaling(args.events, pairs=min(args.pairs, 3),
                              n_epochs=args.epochs,

@@ -3255,6 +3255,96 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def changes_segmented(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        preimages: bool = False,
+        with_lineage: bool = False,
+    ) -> list[dict]:
+        """Schema-VERSIONED change batches across rename boundaries —
+        the escape hatch for the one window shape :meth:`changes`
+        refuses (Delta CDF's schema-versioned batch emission analog;
+        VERDICT r03 item 6). A ``rename_column`` rewrites every row
+        under the new name, so a single name-keyed diff across it
+        would report the whole table changed; instead, the window is
+        SPLIT at each rename commit into segments that ``changes``
+        can diff honestly, with explicit rename markers in between.
+
+        Returns an ordered list of dicts:
+
+        - ``{"kind": "changes", "from_version": a, "to_version": b,
+          "schema": <StructType of snapshot b>, "df": DataFrame}`` —
+          a normal change frame for [a, b], in snapshot b's schema;
+        - ``{"kind": "rename", "old": o, "new": n, "version": v}`` —
+          apply ``o -> n`` to the consumer's sink (a metadata
+          operation; the rename commit itself changes NO row values,
+          which is exactly why the plain diff cannot see it).
+
+        A consumer folds the list in order: apply each change frame,
+        then each rename, and its replica matches ``to_version``'s
+        snapshot. Empty segments (adjacent renames, or a rename as the
+        first/last commit) are elided. When no rename lies inside the
+        window this returns the single segment ``changes`` would give.
+        """
+        to_version = self.version if to_version is None else to_version
+        if from_version > to_version:
+            raise LakeError(
+                f"changes_segmented: from_version {from_version} > "
+                f"to_version {to_version} (swapped arguments?)"
+            )
+        new = LakeTable.load(self.spark, self.root, to_version)
+        crossed = sorted(
+            (
+                r for r in new.manifest.get("renamed_columns", [])
+                if from_version < r["version"] <= to_version
+            ),
+            key=lambda r: r["version"],
+        )
+        out: list[dict] = []
+        cur = from_version
+
+        def _seg(a: int, b: int) -> None:
+            if b <= a:
+                return
+            snap = LakeTable.load(self.spark, self.root, b)
+            out.append({
+                "kind": "changes",
+                "from_version": a,
+                "to_version": b,
+                "schema": snap.schema,
+                "df": self.changes(
+                    a, b, preimages=preimages, with_lineage=with_lineage
+                ),
+            })
+
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        for r in crossed:
+            # the rename commit rewrote [parent -> r.version] with
+            # identical values under the new name: diff UP TO the
+            # pre-rename snapshot, emit the marker, resume AT the
+            # rename snapshot — the boundary itself contributes no
+            # rows. The PUBLISHED parent is recorded explicitly (WAP
+            # claims can make it < version-1).
+            try:
+                with open(
+                    os.path.join(meta_dir, f"v{r['version']}.json")
+                ) as fh:
+                    pre = json.load(fh).get("parent", r["version"] - 1)
+            except OSError:
+                pre = r["version"] - 1
+            _seg(cur, pre)
+            out.append({
+                "kind": "rename",
+                "old": r["old"],
+                "new": r["new"],
+                "version": int(r["version"]),
+            })
+            cur = r["version"]
+        _seg(cur, to_version)
+        return out
+
     def _resolve_target_file_bytes(self, v: int | None) -> int:
         if v is not None:
             return int(v)

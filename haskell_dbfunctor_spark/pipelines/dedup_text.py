@@ -209,7 +209,7 @@ def containment_dup_counts_prefix(
     aggregation before the exact verify join. Same density caveat as
     ``near_dup_counts_prefix``: on the dense-vocab sf corpus the
     filter keeps a large pair fraction; the asymptotic win is on
-    Zipfian vocabularies (bench.py --prefix-cost --containment).
+    Zipfian vocabularies (bench.py --containment-cost).
     """
     from pyspark.sql import Window as W
 
@@ -279,7 +279,8 @@ def containment_dup_counts_prefix(
 
 
 def containment_dup_counts_sketch(
-    docs: DataFrame, threshold: float = 0.9, *, k: int = 8, salt: int = 32
+    docs: DataFrame, threshold: float = 0.9, *, k: int = 8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Containment dup counts via a BOTTOM-K SKETCH candidate filter —
     the sublinear sibling of ``containment_dup_counts_prefix`` (the
@@ -304,41 +305,83 @@ def containment_dup_counts_sketch(
     so FALSE POSITIVES are impossible — the sketch can only lose
     pairs, never invent them (one-sided error, like q42 vs q24).
 
-    Approximate by rubric, exact in practice at (t, k) = (0.9, 8);
-    bench.py --prefix-cost --containment A/Bs all three paths on the
-    planted Zipfian corpus and asserts count parity."""
+    The sketch is frequency-BLIND: a uniform sample includes hot
+    (high-df) tokens ~|hot|/n of the time, and one hot token in a
+    sketch joins against every container carrying it — the rarity-
+    ordered prefix never pays this. ``max_df`` restores bounded join
+    volume at scale: tokens with document frequency > max_df are
+    excluded from BOTH the sampling pool and the container join input
+    (the exact verify still uses full token sets), capping per-token
+    join fan-out at max_df. The recall bound degrades gracefully: with
+    stopwords at most a fraction σ of any doc's tokens, the effective
+    containment over the non-stop pool is t' >= (t − σ)/(1 − σ) and
+    the per-pair miss probability is (1 − t')^k — at t=0.9, σ=0.3,
+    k=8 still ~2e-7. A doc whose non-stop tokens number < k is
+    sketched whole (exact over the pool); a doc with NO non-stop
+    token can no longer be found — at web scale that is boilerplate
+    by definition (every token in >max_df docs), the thing exact
+    dedup already catches.
+
+    Approximate by rubric, exact in practice at (t, k) = (0.9, 8)
+    with max_df=None; bench.py --containment-cost A/Bs all three
+    paths on the planted Zipfian corpus and asserts count parity."""
     from pyspark.sql import Window as W
 
-    from ..operators.skew import salted_equi_join
-
     dw = _words(docs)
+    # ONE materialized per-doc frame (the lsh_candidate_pairs
+    # materialize_sigs pattern): the sample branch, the container
+    # join side, and both verify joins would otherwise each re-plan
+    # the corpus-scale shingle aggregation — the documented self-join
+    # double-compute class. One row per doc; production index builds
+    # materialize exactly this.
     toks = dw.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("word")).alias("toks"),
         F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    ex = toks.select(
+        "doc_id", "n", F.explode("toks").alias("word")
     )
-    dwn = dw.join(toks.select("doc_id", "n"), "doc_id")
+    pool = ex
+    if max_df is not None:
+        # stop set = the HOT words only (df > max_df) — vocabulary-
+        # bounded at <= total_tokens/max_df entries, so it broadcasts;
+        # a full ex-joins-freq would shuffle corpus x vocabulary. Only
+        # the SAMPLE side needs the filter: the container side can
+        # keep its stop tokens — the equality join never matches them
+        # because no sampled token is hot.
+        stops = (
+            ex.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > F.lit(int(max_df)))
+            .select("word")
+        )
+        pool = ex.join(F.broadcast(stops), "word", "left_anti")
     w = W.partitionBy("doc_id").orderBy(F.xxhash64("word"), "word")
     sk = (
-        dwn.withColumn("rn", F.row_number().over(w))
+        pool.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.lit(k))
         .select("doc_id", "n", "word")
     )
     # contained side strictly smaller, or equal-sized with the HIGHER
-    # id (containment_dup_counts' tiebreak: exact dups drop one side)
-    joined = salted_equi_join(
-        sk, dwn, "word",
-        salt=salt, salt_by=["doc_id"],
-        extra_cond=(
-            (F.col("l.n") < F.col("r.n"))
-            | ((F.col("l.n") == F.col("r.n"))
-               & (F.col("l.doc_id") > F.col("r.doc_id")))
-        ),
-        num_partitions=salt * 4,
+    # id (containment_dup_counts' tiebreak: exact dups drop one side).
+    # PLAIN equi-join, deliberately NOT the salted join the all-pairs
+    # variants need: salting replicates the corpus-scale container
+    # side by the salt factor (32x the shuffle for this join's tiny
+    # output — measured 30s vs 1.7s at 6M container rows), and the
+    # sketch's skew is already bounded by construction — per-token
+    # fan-out <= max_df when set, and the k-sample side is small
+    # enough that Catalyst broadcasts it. Without max_df on a hot-
+    # token corpus, pass a lower max_df rather than salting.
+    l, r = sk.alias("l"), ex.alias("r")
+    joined = l.join(r, F.col("l.word") == F.col("r.word")).where(
+        (F.col("l.n") < F.col("r.n"))
+        | ((F.col("l.n") == F.col("r.n"))
+           & (F.col("l.doc_id") > F.col("r.doc_id")))
     )
     cand = (
         joined.groupBy(
-            F.col("doc_id").alias("a"), F.col("doc_id_r").alias("b"),
-            F.col("n").alias("na"),
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+            F.col("l.n").alias("na"),
         )
         .agg(F.count(F.lit(1)).alias("__hits"))
         .drop("__hits")

@@ -908,18 +908,97 @@ def _merge_pair_expr(syms, a: str, b: str):
     )
 
 
+def _merge_batch_expr(syms, batch: list[tuple[str, str]]):
+    """Fold expression applying a BATCH of mutually non-interacting BPE
+    merges in one pass — equivalent to applying them sequentially
+    BECAUSE the batch acceptance rule (bpe_learn) guarantees pairwise
+    disjointness over each pair's {a, b, a||b}: no pair's symbols can
+    be created or consumed by another pair's merge, so application
+    order is irrelevant and one left-to-right greedy scan with a
+    K-way pattern match reproduces K sequential scans. Expression
+    size is O(K) via array literals + array_position — NEVER K nested
+    aggregates (an 8-deep fold chain blows analysis/codegen).
+
+    Accumulator: ``out`` = merged prefix; ``open`` = 1-based index of
+    the pair whose ``a`` the last emitted symbol matches (0 = none).
+    A merged output is never an opener (a||b is disjoint from every
+    ``a`` by the acceptance rule)."""
+    A = F.array(*[F.lit(a) for a, _ in batch])
+    B = F.array(*[F.lit(b) for _, b in batch])
+    M = F.array(*[F.lit(a + b) for a, b in batch])
+
+    def step(acc, s):
+        # element_at under ANSI throws on index 0 and & does not
+        # short-circuit — the when() guard makes the probe lazy
+        hit = s == F.when(acc["open"] > 0, F.element_at(B, acc["open"]))
+        return F.struct(
+            F.when(
+                hit,
+                F.concat(
+                    F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+                    F.array(F.element_at(M, acc["open"])),
+                ),
+            )
+            .otherwise(F.concat(acc["out"], F.array(s)))
+            .alias("out"),
+            F.when(hit, F.lit(0))
+            .otherwise(F.array_position(A, s).cast("int"))
+            .alias("open"),
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(0).alias("open"),
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+
+
 def bpe_learn(
-    docs: DataFrame, n_merges: int = 8, *, text_col: str = "text"
+    docs: DataFrame, n_merges: int = 8, *, text_col: str = "text",
+    batch_k: int = 8, top_m: int = 64, stats: dict | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn n_merges BPE merges over the corpus. One corpus-scale
     vocabulary aggregation, then every round runs ONLY over the compact
     (symbols, wc) vocabulary frame: count adjacent symbol pairs
-    weighted by wc, take the argmax (count DESC, sym1, sym2 tiebreak),
-    apply the merge to the symbol arrays with a JVM-side fold
-    (no Python in the loop). Returns (merges, final vocab frame with
-    `syms` segmented). The per-round driver collect is ONE row — the
-    winning pair — which is how distributed BPE works everywhere: the
+    weighted by wc, accept a BATCH of merges (below), apply them to the
+    symbol arrays with a JVM-side fold (no Python in the loop).
+    Returns (merges, final vocab frame with `syms` segmented). The
     model (merge list) is driver-state, the data stays distributed.
+
+    BATCHED ROUNDS (VERDICT r03 item 7 — vocab-induction scale): one
+    top-1 collect per merge is 30k driver round-trips at a 30k-merge
+    vocab. Instead each round collects the top ``top_m`` pairs and
+    accepts up to ``batch_k`` of them, PROVABLY reproducing the
+    sequential (count DESC, sym1, sym2) greedy list:
+
+    - accept the maximal prefix of the sorted list that is pairwise
+      disjoint over each pair's EXTENDED symbol set ``{a, b, a||b}``
+      — merging (a,b) destroys only adjacencies touching a/b and
+      creates only adjacencies touching a||b, so a pair referencing
+      none of the three keeps its exact count (plain string
+      disjointness is NOT enough: ("ab","c") never shares a raw
+      symbol with ("a","b") yet its count grows when a||b instances
+      appear);
+    - truncate the prefix STRICTLY ABOVE the danger bound
+      ``max(first symbol-sharing pair's count, the unseen floor)``:
+      every pair CREATED by merging (a,b) has the form (x·ab) or
+      (ab·x) and its count is bounded by the PRE-merge count of
+      (x,a) / (b,x) — a pair sharing a symbol with (a,b), hence
+      ranked at or below the first symbol-sharing candidate; pairs
+      outside the collected top-M are bounded by the M-th count
+      (the floor). A prefix pair strictly above both bounds beats
+      every challenger the earlier merges of its batch can create,
+      so it IS the true next sequential argmax. Ties truncate
+      (strictness matters: a created pair could tie and win the
+      lexicographic tiebreak) — the next round re-ranks them.
+
+    Worst case (top pairs all chained through one hot symbol) accepts
+    1/round — exactly the sequential cost; Zipfian corpora typically
+    accept several. ``batch_k=1`` forces classic per-merge rounds.
     """
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
     vocab = (
@@ -933,26 +1012,71 @@ def bpe_learn(
         "transform(sequence(0, size(syms) - 2), "
         "i -> struct(syms[i] AS sym1, syms[i + 1] AS sym2))"
     )
-    for _ in range(n_merges):
+    top_m = max(int(top_m), int(batch_k) + 1, 2)
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
         top = (
             vocab.where(F.size("syms") >= 2)
             .select(F.explode(pairs).alias("p"), "wc")
             .groupBy("p.sym1", "p.sym2")
             .agg(F.sum("wc").alias("pc"))
             .orderBy(F.desc("pc"), "sym1", "sym2")
-            .limit(1)
+            .limit(top_m)
             .collect()
         )
         if not top:
             break
-        a, b = top[0]["sym1"], top[0]["sym2"]
-        merges.append((a, b))
+        # unseen pairs are bounded by the M-th collected count; a
+        # short list means we saw everything (no unseen challenger)
+        floor = int(top[-1]["pc"]) if len(top) == top_m else -1
+        accepted: list[tuple[str, str]] = [
+            (top[0]["sym1"], top[0]["sym2"])
+        ]
+        counts = [int(top[0]["pc"])]
+        # extended symbol set: raw symbols AND merged outputs
+        syms = {top[0]["sym1"], top[0]["sym2"],
+                top[0]["sym1"] + top[0]["sym2"]}
+        danger = floor
+        for row in top[1:]:
+            a, b, pc = row["sym1"], row["sym2"], int(row["pc"])
+            if {a, b, a + b} & syms:
+                # first candidate INTERACTING with the accepted set
+                # caps every acceptance (created-pair bound) — record
+                # and stop (later interactors rank no higher)
+                danger = max(danger, pc)
+                break
+            if len(accepted) >= batch_k:
+                # cap reached: keep scanning ONLY to find the danger
+                # bound — an interactor below an unaccepted disjoint
+                # pair still bounds created-pair challengers
+                continue
+            accepted.append((a, b))
+            counts.append(pc)
+            syms |= {a, b, a + b}
+        # strict-truncate: keep only pairs whose count beats the
+        # danger bound outright (the head always survives — nothing
+        # can be created before the first merge applies)
+        keep = 1
+        while keep < len(accepted) and counts[keep] > danger:
+            keep += 1
+        accepted = accepted[:keep]
+        accepted = accepted[: n_merges - len(merges)]
+        merges.extend(accepted)
+        # ONE O(K)-sized fold applies the whole batch (equivalent to
+        # sequential application by the extended-disjointness rule).
+        # localCheckpoint (not persist): it TRUNCATES the plan lineage,
+        # keeping per-round analysis O(1) — a persisted chain re-analyzes
+        # the whole round history every round (quadratic at vocab-
+        # induction round counts)
         nxt = vocab.select(
-            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "wc"
-        ).persist()
-        nxt.count()
+            _merge_batch_expr(F.col("syms"), accepted).alias("syms"),
+            "wc",
+        ).localCheckpoint(eager=True)
         vocab.unpersist()
         vocab = nxt
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, vocab
 
 

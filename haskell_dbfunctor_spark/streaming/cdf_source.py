@@ -32,8 +32,13 @@ Contract guards (fail loud, never silently wrong): pending MoR deltas
 or deletion vectors in the window's touched buckets refuse (the raw
 parquet diff would skip the collapse — ``compact_deltas()`` /
 ``compact(dv_ratio=0.0)`` first); a column rename inside the window
-refuses (same rule as ``changes()``); unmaterialized column defaults
-refuse (raw parquet reads NULL where the engine reads the default).
+refuses (same rule as ``changes()``; ``changes_segmented()`` is the
+batch-side escape hatch). Column DEFAULTS are handled, not refused:
+each partition carries the live ``column_defaults`` metadata and the
+worker resolves them per file from the snapshot version in the path
+(``_with_default_fill`` parity), so a stream RESUMES across an
+``add_column(default=...)`` — the metadata-only add itself emits zero
+change rows; only unversioned file paths (deep clones) still refuse.
 A bucket-spec change (rebucket, lazy-rescale fold) inside the window
 falls back to ONE whole-table diff partition — correct, just not
 bucket-pruned for that batch.
@@ -47,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -80,12 +86,19 @@ class _BucketDiffPartition(InputPartition):
     needs rides in the partition — workers have no SparkSession and
     never read the manifest."""
 
-    def __init__(self, old_files, new_files, key_cols, payload, types):
+    def __init__(self, old_files, new_files, key_cols, payload, types,
+                 defaults=None):
         self.old_files = list(old_files)
         self.new_files = list(new_files)
         self.key_cols = list(key_cols)
         self.payload = list(payload)
         self.types = dict(types)  # col -> spark simpleString
+        # col -> {"value": literal, "version": add-commit version} for
+        # live column defaults: the worker resolves them per FILE from
+        # the snapshot version in the path (same rule as the engine's
+        # _with_default_fill) — a file written before the add reads
+        # the default where raw parquet reads NULL/missing
+        self.defaults = dict(defaults or {})
 
 
 def _require_duckdb(_find_spec=None) -> None:
@@ -112,12 +125,22 @@ def _require_duckdb(_find_spec=None) -> None:
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, scan_schema=None):
         # late import: the datasource module must stay importable in
         # bare Python workers
         from ..lake.table import LakeTable, MANIFEST_DIR
 
         _require_duckdb()
+        # the NEGOTIATED scan schema (captured when the streaming df
+        # was defined): emitted tuples must match it even when the
+        # table has since evolved — a stream started before an
+        # add_column keeps its filtered view (new columns invisible,
+        # changes touching ONLY them suppressed); restarting the query
+        # from the same checkpoint with a fresh readStream picks the
+        # new schema up. None = serve the current manifest schema.
+        self._scan_fields = (
+            [f.name for f in scan_schema.fields] if scan_schema else None
+        )
         self._MANIFEST_DIR = MANIFEST_DIR
         self._LakeTable = LakeTable
         self.root = options.get("root")
@@ -172,8 +195,22 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         new = self._manifest(ev)
         schema = T.StructType.fromJson(json.loads(new["schema"]))
         key = list(new["key_cols"])
-        payload = [f.name for f in schema.fields if f.name not in key]
+        if self._scan_fields is not None:
+            have = {f.name for f in schema.fields}
+            want = [c for c in self._scan_fields if c != "_change_type"]
+            gone = [c for c in want if c not in have]
+            if gone:
+                raise ValueError(
+                    f"lake_cdf: column(s) {gone} were dropped/renamed "
+                    "after this stream started — restart the query "
+                    "from the same checkpoint to pick up the current "
+                    "schema"
+                )
+            payload = [c for c in want if c not in key]
+        else:
+            payload = [f.name for f in schema.fields if f.name not in key]
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        types = {c: types[c] for c in [*key, *payload]}
         for c, s in types.items():
             if _duck_type(s) is None:
                 raise ValueError(
@@ -192,16 +229,31 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 f"the window [{sv}, {ev}] — re-read the snapshot and "
                 "restart the stream (same rule as changes())"
             )
-        if new.get("column_defaults") or old.get("column_defaults"):
-            raise ValueError(
-                "lake_cdf: table declares column defaults — raw parquet "
-                "workers would read NULL where the engine reads the "
-                "default; materialize first (compact/rebucket) or use "
-                "changes()"
-            )
+        # live column defaults ride into every partition; the worker
+        # applies the same per-file version rule as the engine's
+        # _with_default_fill, so streams RESUME across an
+        # add_column(default=) instead of refusing (VERDICT r03 item
+        # 6). Guard: default resolution needs the writing version in
+        # the file PATH — unversioned files (deep clones) refuse.
+        defaults = {
+            c: {"value": d["value"], "version": int(d["version"])}
+            for c, d in (new.get("column_defaults") or {}).items()
+            if c in types
+        }
+        _ver_rx = re.compile(r"[/\\]s(\d+)-[0-9a-f]{8}[/\\]")
 
         def _abs(rels):
-            return [os.path.join(self.root, f) for f in rels]
+            out = []
+            for f in rels:
+                if defaults and not _ver_rx.search("/" + f + "/"):
+                    raise ValueError(
+                        "lake_cdf: table declares column defaults but "
+                        f"file {f!r} carries no snapshot version in "
+                        "its path (deep clone?) — materialize defaults "
+                        "first (compact/rebucket) or use changes()"
+                    )
+                out.append(os.path.join(self.root, f))
+            return out
 
         if (
             old["num_buckets"] != new["num_buckets"]
@@ -232,7 +284,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 return _abs(fl)
 
             return [
-                _BucketDiffPartition(_all(old), _all(new), key, payload, types)
+                _BucketDiffPartition(
+                    _all(old), _all(new), key, payload, types,
+                    defaults=defaults,
+                )
             ]
 
         ob, nb = old["buckets"], new["buckets"]
@@ -260,7 +315,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             parts.append(
                 _BucketDiffPartition(
                     _abs(ob.get(bs, [])), _abs(nb.get(bs, [])),
-                    key, payload, types,
+                    key, payload, types, defaults=defaults,
                 )
             )
         return parts
@@ -272,6 +327,15 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         key, payload = partition.key_cols, partition.payload
         cols = key + payload
+
+        defaults = partition.defaults
+
+        def _lit(v) -> str:
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
 
         def _side_sql(files: list[str], alias: str) -> str:
             if not files:
@@ -287,15 +351,34 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             have: set[str] = set()
             for f in files:
                 have.update(pq.ParquetFile(f).schema_arrow.names)
-            sel = ", ".join(
-                c if c in have
-                else f"CAST(NULL AS {_duck_type(partition.types[c])}) AS {c}"
-                for c in cols
-            )
+
+            def _proj(c: str) -> str:
+                raw = (
+                    c if c in have
+                    else f"CAST(NULL AS {_duck_type(partition.types[c])})"
+                )
+                d = defaults.get(c)
+                if d is None:
+                    return raw if raw == c else f"{raw} AS {c}"
+                # per-file initial-default (engine _with_default_fill
+                # parity): a file whose path snapshot-version predates
+                # the add reads the default, not NULL — partitions()
+                # guarantees every path parses (unversioned refuse)
+                cast = f"CAST({_lit(d['value'])} AS " \
+                       f"{_duck_type(partition.types[c])})"
+                ver = (r"TRY_CAST(regexp_extract(filename, "
+                       r"'[/\\]s(\d+)-[0-9a-f]{8}[/\\]', 1) AS BIGINT)")
+                return (
+                    f"CASE WHEN {ver} < {int(d['version'])} "
+                    f"THEN {cast} ELSE {raw} END AS {c}"
+                )
+
+            sel = ", ".join(_proj(c) for c in cols)
             fl = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+            fn = ", filename=true" if defaults else ""
             return (
                 f"SELECT {sel}, TRUE AS __p "
-                f"FROM read_parquet([{fl}], union_by_name=true)"
+                f"FROM read_parquet([{fl}], union_by_name=true{fn})"
             )
 
         on = " AND ".join(
@@ -371,7 +454,7 @@ class LakeCDFDataSource(DataSource):
         return ", ".join(fields)
 
     def streamReader(self, schema) -> LakeCDFStreamReader:
-        return LakeCDFStreamReader(dict(self.options))
+        return LakeCDFStreamReader(dict(self.options), scan_schema=schema)
 
 
 def read_cdf_stream(spark, root: str, *, starting_version: int | None = None):

@@ -153,19 +153,64 @@ def test_guards_refuse_unsound_windows(spark, tmp_path):
     t.rename_column("v", "w")
     with pytest.raises(ValueError, match="rename"):
         r.partitions({"version": v0}, {"version": t.version})
-    # column defaults refuse (raw parquet would read NULL)
-    t2 = LakeTable.create(
-        spark, str(tmp_path / "t2"), SCHEMA, key_cols=["k"], num_buckets=4
+    # column defaults NO LONGER refuse (r04): handled per-file in the
+    # worker — covered by test_resume_across_add_column_default
+
+
+def test_resume_across_add_column_default(spark, tmp_path):
+    """VERDICT r03 item 6: a stream RESUMES across an
+    add_column(default=...). The pre-add stream keeps its negotiated
+    (filtered) schema; a restart from the SAME checkpoint with a fresh
+    readStream picks up the new column, the worker default-fills
+    pre-add files per the engine rule, and the metadata-only add
+    itself emits ZERO change rows."""
+    t = _make(spark, tmp_path, n=20)
+    df = read_cdf_stream(spark, t.root, starting_version=t.version)
+    out, ckpt = _drain(spark, df, tmp_path, "d0")
+    assert spark.read.parquet(out).count() == 0
+
+    # metadata-only add with default + one data epoch, same window
+    t.add_column("flag", T.StringType(), default="y")
+    t.merge(
+        spark.createDataFrame(
+            [(5, "b_5", 2, "n", "U"), (300, "new", 2, "m", "U")],
+            "k long, v string, ts long, flag string, op string",
+        ),
+        epoch_id="e1", order_cols=("ts",), drop_cols=(),
     )
-    t2.merge(_batch(spark, range(10)), epoch_id="e0", order_cols=("ts",),
-             drop_cols=())
-    v = t2.version
-    t2.add_column("flag", T.StringType(), default="y")
-    t2.merge(_batch(spark, [1], "b"), epoch_id="e1", order_cols=("ts",),
-             drop_cols=())
-    r2 = LakeCDFStreamReader({"root": t2.root})
-    with pytest.raises(ValueError, match="defaults"):
-        r2.partitions({"version": v}, {"version": t2.version})
+    # the OLD stream df (negotiated pre-add schema) keeps draining:
+    # filtered view, new column invisible
+    q = (
+        df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], r["_change_type"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(5, "U", "b_5"), (300, "I", "new")}
+
+    # RESTART from the same checkpoint with a fresh readStream: the
+    # new schema (incl. flag) is picked up; a flag-only update of a
+    # PRE-ADD row diffs against the DEFAULT-FILLED old image, and the
+    # other rows of the rewritten file (old NULL -> filled 'y', new
+    # materialized 'y') are SUPPRESSED — the default-fill assertion
+    t.update_where("k = 7", {"flag": F.lit("z")})
+    df2 = read_cdf_stream(spark, t.root)
+    out2 = str(tmp_path / "out_d2")
+    q = (
+        df2.writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # glob the part files: the new sink dir's _spark_metadata starts at
+    # the checkpoint's batch id, which the directory reader rejects
+    rows = spark.read.parquet(f"{out2}/part-*").collect()
+    assert {(r["k"], r["_change_type"], r["v"], r["flag"])
+            for r in rows} == {(7, "U", "a_7", "z")}
 
 
 def test_missing_duckdb_fails_loud_at_construction(spark, tmp_path):

@@ -122,3 +122,77 @@ def test_containment_random_corpus_seeded(spark):
             ))
             texts.append(" ".join(sup))
     _assert_containment_equiv(spark, texts)
+
+
+# ---- containment (bottom-k sketch, q189) ----
+
+
+def _assert_sketch_equiv(spark, texts, threshold=0.9, k=8):
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        containment_dup_counts_sketch,
+    )
+
+    d = _docs(spark, texts)
+    assert _ccounts(
+        containment_dup_counts_sketch(d, threshold, k=k)
+    ) == _ccounts(containment_dup_counts(d, threshold))
+
+
+def test_sketch_edge_shapes(spark):
+    # every doc here has <= 10 distinct tokens, so n - ceil(t*n) < k
+    # and the sketch is EXACT by pigeonhole (the q189 regime)
+    _assert_sketch_equiv(spark, [
+        "a",
+        "a",
+        "a b c d e f g h i j",
+        "a b c d e f g h i",
+        "a b c d e f g h x",      # 8/9 = 0.889 < 0.9
+        "x y z",
+        "",
+    ])
+
+
+def test_sketch_threshold_boundary(spark):
+    _assert_sketch_equiv(
+        spark,
+        ["a b c d e f g h i j", "a b c d e f g h i x y z"],
+        threshold=0.9,
+    )
+
+
+def test_sketch_random_corpus_seeded(spark):
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    for _ in range(35):
+        base = rng.sample(vocab, rng.randint(1, 10))
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:
+            sup = list(dict.fromkeys(
+                base + rng.sample(vocab, rng.randint(0, 6))
+            ))
+            texts.append(" ".join(sup))
+    _assert_sketch_equiv(spark, texts)
+
+
+def test_sketch_one_sided_error_under_tiny_k(spark):
+    """With k below the pigeonhole bound the sketch may LOSE pairs but
+    can never invent one (verify is exact): every count <= the exact
+    count."""
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        containment_dup_counts_sketch,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for _ in range(25):
+        base = rng.sample(vocab, rng.randint(20, 40))
+        texts.append(" ".join(base))
+        if rng.random() < 0.6:
+            texts.append(" ".join(base[: int(len(base) * 0.95)]))
+    d = _docs(spark, texts)
+    exact = _ccounts(containment_dup_counts(d, 0.9))
+    sk = _ccounts(containment_dup_counts_sketch(d, 0.9, k=1))
+    assert set(sk) == set(exact)
+    assert all(sk[i] <= exact[i] for i in exact)
