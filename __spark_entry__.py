@@ -2321,6 +2321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, prefix="hdbf_dml_q188_", merge_mode="mor"
     )
 
+    # q190: schema-VERSIONED CDF across a rename boundary (VERDICT r03
+    # item 6 — changes_segmented): a consumer folds per-segment change
+    # frames + explicit rename markers and its replica must equal the
+    # final snapshot; oracle = the whole mutation story from scratch.
+    q["q190_segmented_cdf_rebuild"] = _segmented_cdf_rebuild
+
     # dead-letter replay: gate -> quarantine -> fix -> re-merge (LWW)
     q["q132_quarantine_replay"] = _quarantine_replay_state
 
@@ -2922,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (prepend as added) ---
         "q188_mor_lineage_sft",
         "q189_containment_sketch",
+        "q190_segmented_cdf_rebuild",
         # --- judge-green, never driver-checked (r03 VERDICT list) ---
         "q46_group_map_rank",
         "q47_embedding_near_dup",
@@ -4310,6 +4317,62 @@ def _incremental_sft_state(
         F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
         .otherwise(F.col("__row_id") >= F.lit(hwm1))
         .alias("id_ok"),
+    )
+
+
+def _segmented_cdf_rebuild(s: SparkSession, d: str) -> DataFrame:
+    """q190: rebuild a replica ACROSS a column rename purely from
+    ``changes_segmented`` (lake/table.py) — the Delta schema-versioned
+    CDF batches analog. History: e2 mutates (purchases +100, hot views
+    deleted), then ``rename_column("value", "amount")`` (a full
+    rewrite the name-keyed diff cannot see through — plain changes()
+    refuses the window), then e3 doubles click amounts. The consumer
+    folds the returned list in order: change frames MERGE into the
+    replica, rename markers rename the replica's column — and the
+    result must equal the final snapshot, which the oracle derives
+    from scratch. Segment boundaries contribute ZERO rows (the rename
+    rewrite changes no values), so the fold's row volume is
+    O(actual changes), never O(table)."""
+    from haskell_dbfunctor_spark.lake.table import LakeTable as _LT
+
+    t = _dml_state_lake(s, d, "hdbf_dml_q190_")
+    v0 = t.version
+    state = t.read()
+    patch = (
+        state.where(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = state.where(
+        (F.col("event_type") == "view") & (F.col("value") > 100)
+    ).withColumn("op", F.lit("D"))
+    t.merge(patch.unionByName(dels), epoch_id="e2",
+            order_cols=("ts",), drop_cols=(), prune_buckets=False)
+    t.rename_column("value", "amount")
+    patch2 = (
+        t.read().where(F.col("event_type") == "click")
+        .withColumn("amount", F.col("amount") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    t.merge(patch2, epoch_id="e3", order_cols=("ts",), drop_cols=(),
+            prune_buckets=False)
+
+    keys = ["user_id", "event_type"]
+    replica = _LT.load(s, t.root, v0).read()
+    for seg in t.changes_segmented(v0):
+        if seg["kind"] == "rename":
+            replica = replica.withColumnRenamed(seg["old"], seg["new"])
+            continue
+        ch = seg["df"]
+        touched = ch.select(*keys).distinct()
+        upserts = ch.where(F.col("_change_type") != "D").select(
+            *replica.columns
+        )
+        replica = replica.join(touched, keys, "left_anti").unionByName(
+            upserts
+        )
+    return replica.select(
+        "user_id", "event_type", F.round("amount", 2).alias("amount")
     )
 
 
@@ -7607,6 +7670,23 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
     # produce the exact same CDF as q127's CoW build (stable-id
     # resolution is a read-side concern, invisible to the contract)
     o["q188_mor_lineage_sft"] = o["q127_incremental_sft"]
+    # q190: the whole mutation story from scratch — e2 patches/deletes
+    # on `value`, the rename makes it `amount`, e3 doubles clicks; the
+    # segmented-CDF fold must land exactly here
+    o["q190_segmented_cdf_rebuild"] = f"""
+        WITH s1 AS ({_CDC_LWW_SQL}),
+        m1 AS (
+          SELECT user_id, event_type,
+                 CASE WHEN event_type = 'purchase' THEN value + 100.0
+                      ELSE value END AS amount
+          FROM s1
+          WHERE NOT (event_type = 'view' AND value > 100)
+        )
+        SELECT user_id, event_type,
+               round(CASE WHEN event_type = 'click' THEN amount * 2
+                          ELSE amount END, 2) AS amount
+        FROM m1
+    """
     # q126: pre-add rows read the initial-default 1.0; the purchase
     # patch writes an explicit 2.0; the synthetic inserts omit the
     # column and get the write-default 1.0

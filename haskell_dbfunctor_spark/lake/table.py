@@ -3332,8 +3332,17 @@ class LakeTable:
                     os.path.join(meta_dir, f"v{r['version']}.json")
                 ) as fh:
                     pre = json.load(fh).get("parent", r["version"] - 1)
-            except OSError:
-                pre = r["version"] - 1
+            except OSError as e:
+                # never guess version-1: with WAP it can be a STAGED
+                # claimer (leaking never-published data into the feed)
+                # or an expired manifest
+                raise LakeError(
+                    f"changes_segmented: rename commit v{r['version']} "
+                    "manifest is unreadable — cannot resolve the "
+                    "published pre-rename boundary (expired past the "
+                    "retention window?); re-read the snapshot and "
+                    "resync"
+                ) from e
             _seg(cur, pre)
             out.append({
                 "kind": "rename",

@@ -310,9 +310,11 @@ def containment_dup_counts_sketch(
     sketch joins against every container carrying it — the rarity-
     ordered prefix never pays this. ``max_df`` restores bounded join
     volume at scale: tokens with document frequency > max_df are
-    excluded from BOTH the sampling pool and the container join input
-    (the exact verify still uses full token sets), capping per-token
-    join fan-out at max_df. The recall bound degrades gracefully: with
+    excluded from the SAMPLING pool (the container side keeps its hot
+    tokens — the equality join can never match an excluded token, so
+    filtering it would only add a corpus-scale join; the exact verify
+    still uses full token sets), capping per-token join fan-out at
+    max_df. The recall bound degrades gracefully: with
     stopwords at most a fraction σ of any doc's tokens, the effective
     containment over the non-stop pool is t' >= (t − σ)/(1 − σ) and
     the per-pair miss probability is (1 − t')^k — at t=0.9, σ=0.3,

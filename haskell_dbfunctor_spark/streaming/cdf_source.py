@@ -206,6 +206,23 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                     "from the same checkpoint to pick up the current "
                     "schema"
                 )
+            # tuples bind to the scan schema POSITIONALLY: the
+            # negotiated field order must be the canonical one this
+            # source emits (key..., _change_type, payload...) — a
+            # user-supplied .schema() in another order would silently
+            # swap column values, so refuse it loudly
+            nk = len(key)
+            if (
+                self._scan_fields[:nk] != list(key)
+                or len(self._scan_fields) <= nk
+                or self._scan_fields[nk] != "_change_type"
+            ):
+                raise ValueError(
+                    "lake_cdf: scan schema must start with the key "
+                    f"columns {list(key)} followed by '_change_type' "
+                    f"(got {self._scan_fields[:nk + 1]}); omit "
+                    ".schema(...) — the source derives it"
+                )
             payload = [c for c in want if c not in key]
         else:
             payload = [f.name for f in schema.fields if f.name not in key]
@@ -335,6 +352,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 return "TRUE" if v else "FALSE"
             if isinstance(v, str):
                 return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, float) and (v != v or v in (
+                float("inf"), float("-inf")
+            )):
+                # bare inf/nan are identifiers to DuckDB — quote them
+                # (the surrounding CAST parses the string form)
+                return "'" + repr(v) + "'"
             return repr(v)
 
         def _side_sql(files: list[str], alias: str) -> str:
