@@ -2142,7 +2142,8 @@ if __name__ == "__main__":
         main_pq_cost(args.cores, args.vecs, pairs=min(args.pairs, 3))
     elif args.lineage_cost:
         main_lineage_cost(args.cores, args.rows, pairs=min(args.pairs, 3),
-                          mode="mor" if args.mor else "cow")
+                          mode="mor" if args.mor
+                          else "dv" if args.dv else "cow")
     elif args.forget_cost:
         main_forget_cost(args.cores, args.events, n_epochs=args.epochs)
     elif args.prefix_cost:

@@ -396,9 +396,10 @@ class LakeTable:
         free; the costs are (a) full-row MoR merges allocate
         PROVISIONAL ids per delta row and the read-side collapse
         resolves the stable id (smallest id after the last delete
-        tombstone — matched keys keep their base id; partial-patch MoR
-        and DV-mode MERGE stay rejected, though
-        ``delete_where(mode='dv')`` works), (b) write-audit-publish
+        tombstone — matched keys keep their base id); DV merges carry
+        ids directly from the matched target scan; only partial-patch
+        MoR stays rejected (no single image decides a patched row),
+        (b) write-audit-publish
         staging is rejected (fork sides would double-allocate ids),
         and (c) concurrent commits always re-execute rather than
         rebase (two racing merges would allocate overlapping ids and
@@ -3792,12 +3793,12 @@ class LakeTable:
                     "the position-match join is raw-equality; use "
                     "mode='cow'"
                 )
-            if self.row_lineage:
-                raise LakeError(
-                    "row-lineage tables require mode='cow' merges "
-                    "(appended DV images would need id carry-over and "
-                    "serialized version stamps)"
-                )
+            # row lineage works under DV merges: the write path READS
+            # the touched buckets to find positions anyway, so matched
+            # winner images carry the target's __row_id directly and
+            # inserts allocate above the high-water mark; version
+            # stamps baked into appended files are final because
+            # lineage data commits never rebase (_manifest_conflicts)
         target_file_bytes = self._resolve_target_file_bytes(
             target_file_bytes
         )
@@ -4871,8 +4872,11 @@ class LakeTable:
         t_a = time.time()
         jp = None
         if files:
+            # lineage tables scan the stored schema: matched winner
+            # images carry t.__row_id into the appended files
             scan = self._with_default_fill(
-                self.spark.read.schema(self.schema).parquet(*files)
+                self.spark.read.schema(self._scan_schema())
+                .parquet(*files)
             )
             tagged = scan.select(
                 "*",
@@ -5019,6 +5023,16 @@ class LakeTable:
                 winner_images = jp.where(win_cond).select(
                     *[F.col(f"s.{c}").alias(c) for c in key],
                     *[win_col(c) for c in data_cols],
+                    *(
+                        [
+                            F.col(f"t.{ROW_ID_COL}").alias(ROW_ID_COL),
+                            F.lit(new_version).cast("long").alias(
+                                LAST_UPDATED_COL
+                            ),
+                        ]
+                        if self.row_lineage
+                        else []
+                    ),
                     F.col("t.__t_b").alias(BUCKET_COL),
                 )
                 # matched keys are O(matches) <= O(batch): broadcast
@@ -5035,6 +5049,19 @@ class LakeTable:
             insert_images = inserts.where(~ins_delete).select(
                 *key,
                 *[ins_col(c) for c in data_cols],
+                *(
+                    [
+                        (
+                            F.lit(int(self.manifest.get("next_row_id", 0)))
+                            + F.monotonically_increasing_id()
+                        ).alias(ROW_ID_COL),
+                        F.lit(new_version).cast("long").alias(
+                            LAST_UPDATED_COL
+                        ),
+                    ]
+                    if self.row_lineage
+                    else []
+                ),
                 F.col(BUCKET_COL),
             )
             appends = (
@@ -5091,11 +5118,20 @@ class LakeTable:
         bloom_patch = self._collect_written_blooms(
             app_written, self._auto_bloom_cols(new_schema.names)
         )
+        next_rid = (
+            self._written_row_id_hwm(app_written)
+            if self.row_lineage
+            else None
+        )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
             manifest["version"] = parent["version"] + 1
             manifest["schema"] = new_schema.json()
+            if next_rid is not None:
+                manifest["next_row_id"] = max(
+                    next_rid, int(parent.get("next_row_id", 0))
+                )
             new_buckets = dict(parent["buckets"])
             for b, fl in app_written.items():
                 new_buckets[b] = list(new_buckets.get(b, [])) + fl

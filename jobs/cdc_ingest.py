@@ -201,10 +201,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="cdc-ingest")
     if args.mor and args.dv:
         ap.error("--mor and --dv are mutually exclusive merge modes")
-    if args.row_lineage and args.dv:
-        ap.error("--row-lineage does not support --dv merges (appended "
-                 "DV images would need id carry-over); CoW and full-row "
-                 "--mor both preserve row ids")
+    # row lineage works under all three merge modes (CoW carry-over,
+    # MoR provisional-id resolution, DV direct carry from the matched
+    # target scan) — no mode restriction
     gen_cols = None
     if args.generated:
         gen_cols = {}

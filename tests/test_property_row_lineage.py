@@ -106,7 +106,8 @@ def _lineage(table):
     st.lists(event, min_size=4, max_size=24),
     st.lists(st.sampled_from(OPS), min_size=3, max_size=3),
     st.booleans(),  # two-level (spilled) manifest layout
-    st.lists(st.sampled_from(["cow", "mor"]), min_size=3, max_size=3),
+    st.lists(st.sampled_from(["cow", "mor", "dv"]), min_size=3,
+             max_size=3),
 )
 def test_lineage_invariants_under_interleaving(
     spark, tmp_path_factory, events, schedule, spill, modes
@@ -133,6 +134,11 @@ def test_lineage_invariants_under_interleaving(
     prev = _lineage(table)
     for i, (lo, hi) in enumerate(cuts):
         if hi > lo:
+            if modes[i] == "dv" and table.manifest.get("delta_files"):
+                # documented refusal: DV merges can't land on buckets
+                # with pending MoR deltas — fold first (the production
+                # pattern the error message prescribes)
+                table.compact_deltas()
             table.merge(
                 df.where((df.seq >= lo) & (df.seq < hi)),
                 epoch_id=f"b{i}", order_cols=("ts", "seq"),

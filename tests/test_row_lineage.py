@@ -161,13 +161,8 @@ def test_mor_partial_and_wap_rejected(spark, root):
             order_cols=("ts",),
             drop_cols=(),
         )
-    with pytest.raises(LakeError, match="row-lineage"):
-        t.merge(
-            _batch(spark, [(1, "z", 9, "U")]),
-            mode="dv",
-            order_cols=("ts",),
-            drop_cols=(),
-        )
+    # DV-mode MERGE is SUPPORTED on lineage tables (round 4) — the
+    # positive path is pinned in test_row_lineage_mor.py
 
 
 def test_layout_ops_preserve_lineage(spark, root):

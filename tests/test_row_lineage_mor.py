@@ -235,3 +235,51 @@ def test_mixed_cow_mor_history_unique_ids(spark, root):
     assert _payload(t) == _payload(cow)
     assert set(_lineage(t)) == set(_lineage(cow))
     del birth
+
+
+def test_dv_merge_preserves_ids(spark, root):
+    """DV-mode MERGE on a lineage table (round 4): matched winner
+    images carry the target's id from the match scan; inserts allocate
+    above the high-water mark; deletes vector positions out."""
+    t = _make(spark, root, n=6)
+    before = _lineage(t)
+    hwm0 = int(t.manifest["next_row_id"])
+    st = t.merge(
+        _batch(
+            spark,
+            [(1, "dv", 2, "U"), (4, None, 2, "D"), (77, "new", 2, "U")],
+        ),
+        epoch_id="e1", mode="dv", order_cols=("ts",), drop_cols=(),
+    )
+    after = _lineage(t)
+    assert after[1][0] == before[1][0] and after[1][1] == st.version
+    assert 4 not in after
+    assert after[77][0] >= hwm0 and after[77][1] == st.version
+    for k in (0, 2, 3, 5):
+        assert after[k] == before[k]
+    ids = [rid for rid, _ in after.values()]
+    assert len(ids) == len(set(ids))
+    assert int(t.manifest["next_row_id"]) > hwm0
+    assert _payload(t)[1] == ("dv", 2)
+    # compact folds the vectors away with ids intact
+    t.compact(min_files=1, dv_ratio=0.0)
+    assert _lineage(t) == after
+
+
+def test_dv_merge_matched_filter_lww(spark, root):
+    """Cross-batch LWW through a DV merge keeps the veto'd target row
+    AND its lineage untouched."""
+    from haskell_dbfunctor_spark.streaming.tailer import (
+        lww_matched_filter,
+    )
+
+    t = _make(spark, root, n=3)
+    before = _lineage(t)
+    t.merge(
+        _batch(spark, [(1, "stale", 0, "U")]),  # ts 0 < stored ts 1
+        epoch_id="e1", mode="dv", order_cols=("ts",), drop_cols=(),
+        matched_filter=lww_matched_filter(("ts",)),
+    )
+    after = _lineage(t)
+    assert after[1] == before[1]
+    assert _payload(t)[1] == ("v1", 1)  # stale write veto'd
