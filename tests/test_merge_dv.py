@@ -257,10 +257,19 @@ def test_refusals(spark, tmp_path):
     with pytest.raises(LakeError, match="nullable_keys"):
         nk.merge(_batch(spark, MIXED), mode="dv")
 
+    # DV merges on row-lineage tables are supported (the position scan
+    # carries target ids; inserts allocate above the hwm) — deep
+    # checks live in tests/test_row_lineage_mor.py
     rl = LakeTable.create(
         spark, str(tmp_path / "rl"), SCHEMA,
         key_cols=["conv_id", "turn_idx"], num_buckets=2,
         row_lineage=True,
     )
-    with pytest.raises(LakeError, match="row-lineage"):
-        rl.merge(_batch(spark, MIXED), mode="dv")
+    st = rl.merge(_batch(spark, MIXED), epoch_id="rl0", mode="dv")
+    assert st.extra["mode"] == "dv"
+    ids = [
+        r["__row_id"]
+        for r in rl.read(with_lineage=True).select("__row_id").collect()
+    ]
+    assert all(i is not None for i in ids)
+    assert len(ids) == len(set(ids))
