@@ -2926,64 +2926,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # yet — they must land inside the first-50 sample, ahead of the
     # r02-unchecked block (which the round-2 judge already re-verified
     # at sf0.01, so a few of those slipping to round 4 costs nothing).
-    # Round-4 gate ordering (VERDICT r03 "Next round" item 1): brand-new
-    # round-4 queries lead (zero verification rows anywhere), then the 86
-    # never-driver-checked entries the judge re-verified green at sf0.001
-    # in r03 (q46-q100 block first, then q111-q147) so CORRECTNESS_r04
-    # samples them and cumulative driver coverage reaches 151/187+.
+    # Round-5 gate ordering (VERDICT r04 "Next round" item 1): brand-new
+    # round-5 queries lead (zero verification rows anywhere), then the
+    # LAST 39 never-driver-checked entries (q99-q100, q111-q147 — all
+    # judge-green at sf0.001 in r04), padded to 50 with entries the
+    # driver has checked exactly once (the q148+ block from r03).
+    # CORRECTNESS_r05 at 50/50 closes cumulative driver coverage at
+    # 190/190 and retires the judge-only tier.
     _never_checked_first = [
-        # --- new in round 4 (prepend as added) ---
-        "q188_mor_lineage_sft",
-        "q189_containment_sketch",
-        "q190_segmented_cdf_rebuild",
-        # --- judge-green, never driver-checked (r03 VERDICT list) ---
-        "q46_group_map_rank",
-        "q47_embedding_near_dup",
-        "q49_asof_join",
-        "q50_sessionize",
-        "q51_simhash_near_dup",
-        "q52_stratified_sample",
-        "q53_ivf_ann",
-        "q54_lake_change_feed",
-        "q55_incremental_agg",
-        "q56_winnow_fingerprints",
-        "q57_stats_pruned_read",
-        "q58_session_window",
-        "q59_normalize_text",
-        "q60_vocabulary",
-        "q61_tfidf_top_terms",
-        "q62_pivot_counts",
-        "q63_cdf_per_commit",
-        "q64_time_travel_read",
-        "q65_rollup",
-        "q67_near_dup_clusters",
-        "q68_bloom_point_lookup",
-        "q71_decontamination",
-        "q73_pack_shards",
-        "q75_redact_pii",
-        "q76_chunk_documents",
-        "q77_remove_repetition",
-        "q78_source_stats",
-        "q79_length_histogram",
-        "q80_cap_per_source",
-        "q81_unigram_logprob",
-        "q82_centroid_cosine",
-        "q83_range_join",
-        "q84_char_entropy",
-        "q85_cross_corpus_dedup",
-        "q86_percentile_trim",
-        "q87_uniform_sample_n",
-        "q88_snapshot_reconcile",
-        "q89_indexed_dedup",
-        "q90_indexed_ivf_ann",
-        "q91_delete_where",
-        "q92_update_where",
-        "q93_semantic_dedup",
-        "q94_temperature_mix",
-        "q95_bpe_pair_stats",
-        "q96_duplicated_passages",
-        "q97_bpe_apply",
-        "q98_curate_corpus",
+        # --- new in round 5 (prepend as added) ---
+        # --- last 39 never-driver-checked (r04 VERDICT list) ---
         "q99_snapshot_sync",
         "q100_leakage_safe_split",
         "q111_stream_dedup_redelivery",
@@ -3023,6 +2975,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_indexed_term_search",
         "q146_stream_interval_join",
         "q147_forget",
+        # --- padding to 50: driver-checked exactly once (r03 only) ---
+        "q148_cow_mor_equivalence",
+        "q149_prefix_fork_dedup",
+        "q150_cube_grouping",
+        "q151_containment_dedup",
+        "q152_rolling_window_1h",
+        "q153_fk_integrity",
+        "q154_freshness_lag",
+        "q155_column_profile",
+        "q156_commit_audit",
+        "q157_join_view_ivm",
+        "q158_pq_ann",
     ]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _never_checked_first:

@@ -1600,7 +1600,16 @@ class LakeTable:
     # version in their path; those fall back to a driver-side footer
     # membership check, cached per snapshot (rare: requires deep-clone
     # + later add_column-with-default).
-    _SNAP_VER_PATTERN = r"[/\\]s(\d+)-[0-9a-f]{8}[/\\]"
+    # The greedy ``.*`` prefix makes extraction take the LAST
+    # version-shaped segment: a lake whose ROOT path itself matches
+    # s{N}-{8hex} (e.g. /data/s3-deadbeef/lake) must not have its root
+    # segment shadow the file's real snapshot dir. Nothing BELOW a
+    # snapshot dir is version-shaped by construction (bucket=N subdirs,
+    # numeric clone counters, part files need a trailing separator), so
+    # last-match == the writing snapshot. The streaming CDF worker SQL
+    # (streaming/cdf_source.py) uses the same pattern — keep in
+    # lockstep.
+    _SNAP_VER_PATTERN = r".*[/\\]s(\d+)-[0-9a-f]{8}[/\\]"
 
     def _live_defaults(self) -> dict:
         dd = self.manifest.get("column_defaults") or {}

@@ -101,6 +101,16 @@ class _BucketDiffPartition(InputPartition):
         self.defaults = dict(defaults or {})
 
 
+_DUCKDB_PACKAGING_MSG = (
+    "lake_cdf streaming source requires the 'duckdb' package on "
+    "the DRIVER and EVERY EXECUTOR's Python (the per-bucket diff "
+    "runs inside Python workers). Ship it with the job env — "
+    "e.g. a conda/venv archive via spark.archives, a docker "
+    "image, or pip-installed on the cluster nodes; --py-files "
+    "alone does not carry binary wheels."
+)
+
+
 def _require_duckdb(_find_spec=None) -> None:
     """Driver-side packaging probe (VERDICT r03 item 3): the per-bucket
     diff runs ``import duckdb`` INSIDE every Python worker, so a
@@ -109,19 +119,15 @@ def _require_duckdb(_find_spec=None) -> None:
     opaque worker traceback. Probing at stream construction (driver
     side, where env == executor env in local mode and a missing wheel
     is the common misconfiguration) turns that into one clear error
-    naming the requirement before any task launches."""
+    naming the requirement before any task launches. ``read()`` wraps
+    its own worker-side import with the same message so clusters whose
+    executor env differs from the driver's get the actionable error
+    too (ADVICE r04)."""
     import importlib.util
 
     find = _find_spec or importlib.util.find_spec
     if find("duckdb") is None:
-        raise ImportError(
-            "lake_cdf streaming source requires the 'duckdb' package on "
-            "the DRIVER and EVERY EXECUTOR's Python (the per-bucket diff "
-            "runs inside Python workers). Ship it with the job env — "
-            "e.g. a conda/venv archive via spark.archives, a docker "
-            "image, or pip-installed on the cluster nodes; --py-files "
-            "alone does not carry binary wheels."
-        )
+        raise ImportError(_DUCKDB_PACKAGING_MSG)
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
@@ -257,7 +263,11 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             for c, d in (new.get("column_defaults") or {}).items()
             if c in types
         }
-        _ver_rx = re.compile(r"[/\\]s(\d+)-[0-9a-f]{8}[/\\]")
+        # greedy .* prefix => extraction takes the LAST version-shaped
+        # segment (lockstep with LakeTable._SNAP_VER_PATTERN): a root
+        # path that itself matches s{N}-{8hex} must not shadow the
+        # file's real snapshot dir (ADVICE r04)
+        _ver_rx = re.compile(r".*[/\\]s(\d+)-[0-9a-f]{8}[/\\]")
 
         def _abs(rels):
             out = []
@@ -339,7 +349,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
     # ------------------------------------------------ worker diff
     def read(self, partition: _BucketDiffPartition) -> Iterator[tuple]:
-        import duckdb
+        # worker-side guard: on a real cluster the executor Python can
+        # lack duckdb even when the driver probe passed — re-raise the
+        # same actionable packaging message instead of the bare
+        # ModuleNotFoundError worker traceback (ADVICE r04)
+        try:
+            import duckdb
+        except ImportError as e:
+            raise ImportError(_DUCKDB_PACKAGING_MSG) from e
         import pyarrow.parquet as pq
 
         key, payload = partition.key_cols, partition.payload
@@ -389,8 +406,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 # guarantees every path parses (unversioned refuse)
                 cast = f"CAST({_lit(d['value'])} AS " \
                        f"{_duck_type(partition.types[c])})"
+                # greedy .* prefix: LAST version-shaped segment wins
+                # (engine _SNAP_VER_PATTERN lockstep — ADVICE r04)
                 ver = (r"TRY_CAST(regexp_extract(filename, "
-                       r"'[/\\]s(\d+)-[0-9a-f]{8}[/\\]', 1) AS BIGINT)")
+                       r"'.*[/\\]s(\d+)-[0-9a-f]{8}[/\\]', 1) AS BIGINT)")
                 return (
                     f"CASE WHEN {ver} < {int(d['version'])} "
                     f"THEN {cast} ELSE {raw} END AS {c}"

@@ -213,6 +213,34 @@ def test_resume_across_add_column_default(spark, tmp_path):
             for r in rows} == {(7, "U", "a_7", "z")}
 
 
+def test_version_shaped_root_worker_default_fill(spark, tmp_path):
+    """ADVICE r04: the worker-side per-file default fill parses the
+    snapshot version from the file path — a lake rooted under a
+    directory matching s{N}-{8hex} must not have the ROOT segment
+    shadow each file's real snapshot dir (last-match extraction,
+    engine parity). With the first-match rule every file would parse
+    version 99 here and pre-add rows would diff with NULL flags."""
+    base = tmp_path / "s99-deadbeef"
+    base.mkdir()
+    t = LakeTable.create(
+        spark, str(base / "t"), SCHEMA, key_cols=["k"], num_buckets=8
+    )
+    t.merge(_batch(spark, range(20)), epoch_id="e0",
+            order_cols=("ts",), drop_cols=())
+    t.add_column("flag", T.StringType(), default="y")
+    v1 = t.version
+    # flag-only update of a PRE-ADD row: the old image must be the
+    # DEFAULT-FILLED 'y' (so only k=7 emits; the rewritten file's
+    # untouched rows suppress as filled-'y' == materialized-'y')
+    t.update_where("k = 7", {"flag": F.lit("z")})
+    df = read_cdf_stream(spark, t.root, starting_version=v1)
+    out, _ = _drain(spark, df, tmp_path, "vroot")
+    rows = spark.read.parquet(out).collect()
+    assert {(r["k"], r["_change_type"], r["flag"]) for r in rows} == {
+        (7, "U", "z")
+    }
+
+
 def test_missing_duckdb_fails_loud_at_construction(spark, tmp_path):
     """Packaging guard (VERDICT r03 item 3): the per-bucket diff needs
     duckdb inside every Python worker; a deployment without it must get

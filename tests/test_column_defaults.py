@@ -79,6 +79,30 @@ def test_initial_and_write_default(spark, root):
     assert s[1] == 0.5  # untouched pre-add rows still default
 
 
+def test_version_shaped_root_resolves_per_file(spark, tmp_path):
+    """ADVICE r04: a lake ROOTED under a directory that itself matches
+    the snapshot-dir pattern s{N}-{8hex} (e.g. .../s99-deadbeef/lake)
+    must still resolve defaults from each FILE's own snapshot segment,
+    not the root's. Extraction takes the LAST version-shaped path
+    segment (greedy-prefix regex, engine + streaming worker lockstep).
+    With the old first-match rule every file here would parse version
+    99 (>= the add version), so pre-add rows would wrongly read NULL."""
+    root = str(tmp_path / "s99-deadbeef" / "lake")
+    t = _make(spark, root)  # version 1 files predate the add
+    t.add_column("score", "double", default=0.5)
+    assert all(v == 0.5 for v in _scores(t).values())
+    # post-add files read raw (explicit value and explicit NULL)
+    t.merge(
+        spark.createDataFrame(
+            [(101, "x", 3, 0.9), (102, "y", 3, None)],
+            "k long, v string, ts long, score double",
+        ),
+        epoch_id="e2", op_col=None, order_cols=("ts",), drop_cols=(),
+    )
+    s = _scores(t)
+    assert s[101] == 0.9 and s[102] is None and s[1] == 0.5
+
+
 def test_add_without_default_reads_null(spark, root):
     t = _make(spark, root, n=3)
     t.add_column("extra", "string")
