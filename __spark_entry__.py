@@ -1411,6 +1411,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q189_containment_sketch"] = q189
 
+    # q191: the AUTO-selected containment path (VERDICT r04 item 2) —
+    # containment_density_probe (two linear jobs: doc count + one agg
+    # over the vocabulary-sized df relation) picks all-pairs / prefix /
+    # sketch per corpus and derives max_df for the sketch. The dense sf
+    # corpus probes stop_mass ~= 1.0 (31-word vocabulary, median df ~=
+    # 0.8*n_docs) and short docs, so auto lands on the exact PREFIX
+    # path here (pinned in tests); the bench --containment-cost Zipfian
+    # corpus probes stop_mass ~= 0.01 at 1000-token docs and lands on
+    # the SKETCH with the same max_df the bench set manually. Half
+    # subset keeps the bench-time cost of running the containment join
+    # a second time (q151 covers the full corpus) proportionate while
+    # staying far from the allpairs-regime probe bound at sf0.001.
+    def q191(s, d):
+        from haskell_dbfunctor_spark.pipelines.dedup_text import (
+            containment_dup_counts_auto,
+        )
+
+        docs = _t(s, d, "documents").where(F.col("doc_id") % 2 == 1)
+        return containment_dup_counts_auto(docs, 0.9)
+
+    q["q191_containment_auto"] = q191
+
     # trailing time-RANGE rolling aggregate (operators/temporal.py:
     # rolling_range_agg): per-user 1-hour rolling event count + value
     # sum — the variable-width frame a rows-based running total (q15)
@@ -2935,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 190/190 and retires the judge-only tier.
     _never_checked_first = [
         # --- new in round 5 (prepend as added) ---
+        "q191_containment_auto",
         # --- last 39 never-driver-checked (r04 VERDICT list) ---
         "q99_snapshot_sync",
         "q100_leakage_safe_split",
@@ -8595,6 +8618,36 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         )
         SELECT d.doc_id, coalesce(cnt.n_containers, 0) AS n_containers
         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    """
+    # q191: auto-selected containment — the probe picks the exact
+    # prefix path on the dense sf corpus, so q151's ground truth on
+    # the half subset IS the oracle (the probe changes the plan, never
+    # the result)
+    o["q191_containment_auto"] = """
+        WITH sub AS (
+          SELECT * FROM documents WHERE doc_id % 2 = 1
+        ), dw AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM sub
+        ), dw2 AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM dw2 GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM dw2 a JOIN dw2 b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), dirs AS (
+          SELECT CASE
+                   WHEN c >= 0.9 * s1.n AND s1.n < s2.n THEN d1
+                   WHEN c >= 0.9 * s2.n AND s2.n <= s1.n THEN d2
+                 END AS doc_id
+          FROM pairs
+          JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_containers FROM dirs
+          WHERE doc_id IS NOT NULL GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(cnt.n_containers, 0) AS n_containers
+        FROM sub d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
     """
     # q189: the bottom-k sketch is exact on this corpus (max word-set
     # 31 => n-c < k at t=0.9) — q151's ground truth on the 1/8 subset

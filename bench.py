@@ -1635,7 +1635,8 @@ def main_containment_cost(cores: int, n_docs: int = 10_000,
     from pyspark.sql import functions as F
 
     from haskell_dbfunctor_spark.pipelines.dedup_text import (
-        containment_dup_counts, containment_dup_counts_prefix,
+        containment_density_probe, containment_dup_counts,
+        containment_dup_counts_auto, containment_dup_counts_prefix,
         containment_dup_counts_sketch,
     )
 
@@ -1669,7 +1670,16 @@ def main_containment_cost(cores: int, n_docs: int = 10_000,
         total = out.agg(F.sum("n_containers")).first()[0]
         return round(time.perf_counter() - t0, 2), int(total)
 
-    res: dict = {"allpairs_s": [], "prefix_s": [], "sketch_s": []}
+    # auto-selection sanity (VERDICT r04 item 2): the density probe
+    # must land on the SKETCH here with the same max_df the manual
+    # legs below set by hand (hot_cut = n_docs // 10 at this scale)
+    probe = containment_density_probe(docs, threshold)
+    assert probe["path"] == "sketch", probe
+    assert probe["max_df"] == n_docs // 10, probe
+
+    res: dict = {
+        "allpairs_s": [], "prefix_s": [], "sketch_s": [], "auto_s": [],
+    }
     totals = set()
     for _ in range(pairs):
         s_a, t_a = leg(containment_dup_counts)
@@ -1682,11 +1692,15 @@ def main_containment_cost(cores: int, n_docs: int = 10_000,
                 d, t, max_df=n_docs // 10
             )
         )
-        assert t_a == t_p == t_k, f"legs disagree: {t_a}/{t_p}/{t_k}"
+        # end-to-end auto: pays its own probe, must land ~sketch
+        s_u, t_u = leg(containment_dup_counts_auto)
+        assert t_a == t_p == t_k == t_u, \
+            f"legs disagree: {t_a}/{t_p}/{t_k}/{t_u}"
         totals.add(t_a)
         res["allpairs_s"].append(s_a)
         res["prefix_s"].append(s_p)
         res["sketch_s"].append(s_k)
+        res["auto_s"].append(s_u)
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     print(json.dumps({
         "metric": "containment_sketch_vs_prefix_vs_allpairs",
@@ -1697,10 +1711,15 @@ def main_containment_cost(cores: int, n_docs: int = 10_000,
         "allpairs_s": res["allpairs_s"],
         "prefix_s": res["prefix_s"],
         "sketch_s": res["sketch_s"],
+        "auto_s": res["auto_s"],
+        "auto_path": probe["path"],
+        "auto_max_df": probe["max_df"],
         "sketch_vs_allpairs": round(
             med(res["allpairs_s"]) / med(res["sketch_s"]), 2),
         "sketch_vs_prefix": round(
             med(res["prefix_s"]) / med(res["sketch_s"]), 2),
+        "auto_vs_sketch": round(
+            med(res["auto_s"]) / med(res["sketch_s"]), 2),
         "calib_s_start": calib0,
         "calib_s_end": calibration_seconds(),
         "cores": cores,

@@ -31,9 +31,12 @@ Contracts and caveats (read before wiring into production):
   change event for a forgotten key arriving AFTER the forget commits
   re-inserts the key (standard CDC MERGE semantics — a delete is not
   a tombstone). Quiesce or blocklist the keys upstream first.
-- Row-lineage tables are rejected: they cannot stage (WAP fork sides
-  would double-allocate row ids). Use ``delete_where`` on the state
-  plus explicit index syncs instead.
+- Row-lineage tables work (round 5): the transaction's staged chain
+  claims a disjoint row-id reservation block at stage time, so fork
+  sides can never double-allocate ids (see
+  ``LakeTable._claim_row_id_block``). A forget is delete-only, so no
+  new ids are minted anyway — the block claim is the general WAP
+  contract, not a forget-specific cost.
 - Rows quarantined by merge expectations live OUTSIDE snapshots
   (``quarantine()`` dirs) and are not touched here.
 - Per-commit lineage/metrics records store only counts and file
@@ -88,12 +91,6 @@ def forget_keys(
     Returns ``{"matched", "epoch_id", "skipped", "stats", "versions",
     "purged"}``.
     """
-    if state.row_lineage:
-        raise LakeError(
-            "forget_keys: row-lineage tables cannot stage multi-table "
-            "transactions; use state.delete_where(...) plus explicit "
-            "sync_term_index/sync_dedup_index instead"
-        )
     probe_cols = list(keys.columns)
     missing = [c for c in probe_cols if c not in state.schema.names]
     if missing:

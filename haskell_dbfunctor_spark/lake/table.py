@@ -87,6 +87,23 @@ _LINEAGE_FIELDS = [
 # newest such entry is exempt from epochs.retention-count pruning
 SYNC_EPOCH_PREFIX = "sync-v"
 
+# Row-id reservation blocks (round 5: row lineage x write-audit-
+# publish). A staged (WAP) chain on a lineage table cannot allocate
+# __row_ids from the published high-water mark — a concurrent main
+# writer (or a sibling chain) forking from the same head would hand
+# out the same ids. Instead each chain CAS-claims a disjoint block
+# from a reserved HIGH id space at chain start (metadata/rowres-K.json
+# via the same os.link claim as version files): organic allocation
+# grows from 0 and never crosses ROW_ID_RES_BASE; chain K allocates in
+# [BASE + K*BLOCK, BASE + (K+1)*BLOCK). Claimed blocks are never
+# reused (published rows keep their ids forever; an abandoned chain's
+# block is cheap — one small json). Budget: 2^16 chains of 2^46 ids —
+# the same order as the organic budget (monotonically_increasing_id
+# burns up to partitions<<33 per commit, ~0.5M commits at 1024-way
+# writes), so reservations are not the binding id-space constraint.
+ROW_ID_RES_BASE = 1 << 62
+ROW_ID_RES_BLOCK = 1 << 46
+
 # Declared clustering policy (Delta liquid-clustering / Iceberg
 # sort-order analog): table properties that make maintenance
 # compactions cluster their rewrites automatically. Property-driven
@@ -395,16 +412,19 @@ class LakeTable:
         eagerly in the data files, so layout operations carry them for
         free; the costs are (a) full-row MoR merges allocate
         PROVISIONAL ids per delta row and the read-side collapse
-        resolves the stable id (smallest id after the last delete
-        tombstone — matched keys keep their base id); DV merges carry
-        ids directly from the matched target scan; only partial-patch
-        MoR stays rejected (no single image decides a patched row),
-        (b) write-audit-publish
-        staging is rejected (fork sides would double-allocate ids),
-        and (c) concurrent commits always re-execute rather than
+        resolves the stable id (the earliest image after the last
+        delete tombstone — matched keys keep their base id); DV
+        merges carry ids directly from the matched target scan; only
+        partial-patch MoR stays rejected (no single image decides a
+        patched row), (b) write-audit-publish staging claims a
+        disjoint row-id reservation block per staged chain (round 5 —
+        fork sides can never double-allocate; ~2^16 chains over the
+        table's lifetime, see ``_claim_row_id_block``), and (c)
+        concurrent PUBLISHED commits always re-execute rather than
         rebase (two racing merges would allocate overlapping ids and
         embed stale commit versions; ``_manifest_conflicts`` enforces
-        serial history for lineage tables).
+        serial history for lineage tables — publish of a reserved
+        chain validates under the standard bucket-overlap rule).
 
         ``nullable_keys=True`` declares that NULL is a legal key
         VALUE (e.g. a rollup keyed on a nullable dimension): merges
@@ -1248,6 +1268,8 @@ class LakeTable:
     def _manifest_conflicts(
         base: dict, latest: dict, touched: Sequence[int],
         touched_legacy: Sequence[int] = (),
+        *,
+        lineage_reserved: bool = False,
     ) -> bool:
         """Do commits between ``base`` and ``latest`` overlap ours?
 
@@ -1261,7 +1283,11 @@ class LakeTable:
         """
         if latest["version"] == base["version"]:
             return False
-        if base.get("row_lineage") and len(list(touched)) > 0:
+        if (
+            base.get("row_lineage")
+            and len(list(touched)) > 0
+            and not lineage_reserved
+        ):
             # lineage tables serialize their DATA commits on version
             # numbers: a racing commit may have allocated row ids from
             # the same next_row_id high-water mark (duplicate ids), and
@@ -1270,7 +1296,12 @@ class LakeTable:
             # rebasing would commit stale lineage. Re-execution against
             # the winner's snapshot is always correct. Metadata-only
             # commits (touched=(): analyze, epoch records) write no
-            # data files and rebase as usual.
+            # data files and rebase as usual. EXCEPTION
+            # (lineage_reserved=True, the WAP publish path): a staged
+            # chain that allocated inside its own reservation block
+            # can never duplicate a main writer's ids, so publish
+            # validates under the standard bucket-overlap rule like
+            # any other staged chain.
             return True
         if latest["schema"] != base["schema"]:
             return True
@@ -1395,7 +1426,22 @@ class LakeTable:
                     claimer = json.load(fh)
                 if claimer.get("staged"):
                     # a staged sibling holds our number; it is not on
-                    # the published chain — keep content, bump number
+                    # the published chain — keep content, bump number.
+                    # Safe for LINEAGE data commits too (round 5): the
+                    # sibling allocated ids inside its own reservation
+                    # block (staging on lineage tables requires one),
+                    # our allocation came from the published parent's
+                    # organic mark, and the published parent itself is
+                    # unchanged — no rebase onto foreign data happens.
+                    # Re-executing instead would deadlock: the parked
+                    # staged claimer never goes away. Caveat: the
+                    # skipped commit's files keep their pre-claim
+                    # version stamps (__last_updated_version and the
+                    # s{v}- path segment reference the sibling-claimed
+                    # number). Both stay STRICTLY BELOW the committed
+                    # number, so per-file default resolution (path
+                    # version vs add version) still orders correctly;
+                    # the stamp is advisory under this rare race.
                     manifest = attempt(parent_used, claimed_v + 1)
                     continue
                 latest = self._load_latest_published_manifest()
@@ -1959,11 +2005,10 @@ class LakeTable:
                 # ObjectHashAggregate combines map-side; the per-key
                 # image list is bounded by pending deltas since the
                 # last compaction + 1): the row id of a live key is
-                # the SMALLEST id among images after the last delete
+                # the EARLIEST image's id after the last delete
                 # tombstone — the base id when the key predates the
-                # deltas (base ids < all provisional delta ids), the
-                # reinsert's fresh provisional id after a delete
-                # (CoW delete+reinsert allocates fresh too).
+                # deltas, the reinsert's fresh provisional id after a
+                # delete (CoW delete+reinsert allocates fresh too).
                 aggs.append(
                     F.max(
                         F.when(F.col("__op") == "D", ords)
@@ -1988,6 +2033,14 @@ class LakeTable:
             ]
             if lineage:
                 ld = F.coalesce(F.col("__ld"), F.lit(-1))
+                # stable id = the EARLIEST image after the last delete
+                # tombstone (min by commit ord, not min id): the base
+                # row when the key predates the deltas, the reinsert's
+                # fresh provisional after a delete. Ordering by ord
+                # instead of id magnitude keeps this correct when base
+                # ids come from a WAP reservation block (high space,
+                # round 5) while later provisionals are organic (low).
+                # One image per (key, ord) — ties cannot occur.
                 rid = F.array_min(
                     F.transform(
                         F.filter(
@@ -1995,9 +2048,11 @@ class LakeTable:
                             lambda x: (x["p"].isNull() | (x["p"] != "D"))
                             & (x["o"] > ld),
                         ),
-                        lambda x: x["r"],
+                        lambda x: F.struct(
+                            x["o"].alias("o"), x["r"].alias("r")
+                        ),
                     )
-                )
+                )["r"]
                 sel.append(rid.alias(ROW_ID_COL))
                 sel.append(
                     F.col(f"__w.{LAST_UPDATED_COL}").alias(LAST_UPDATED_COL)
@@ -2252,19 +2307,95 @@ class LakeTable:
                 patch[str(bid)] = entries
         return patch
 
-    def _written_row_id_hwm(self, written: dict) -> int:
+    def _claim_row_id_block(self) -> dict:
+        """CAS-claim the next free row-id reservation block for a
+        staged (WAP) chain on a row-lineage table. Returns
+        ``{"start": S, "end": E}`` with ``S >= ROW_ID_RES_BASE``;
+        concurrent claimers race on ``metadata/rowres-K.json`` (same
+        os.link claim as version files) and the loser takes the next
+        K, so two chains can never share a block. Blocks are permanent
+        once claimed (their ids may be published); expire/orphan
+        sweeps never touch ``rowres-*`` files."""
+        if int(self.manifest.get("next_row_id", 0)) >= ROW_ID_RES_BASE:
+            raise LakeError(
+                "row-id space exhausted: organic next_row_id crossed "
+                "the reservation base — the table needs a rebuild"
+            )
+        meta_dir = os.path.join(self.root, MANIFEST_DIR)
+        taken = [
+            int(f[7:-5])
+            for f in os.listdir(meta_dir)
+            if f.startswith("rowres-") and f.endswith(".json")
+            and f[7:-5].isdigit()
+        ]
+        k = (max(taken) + 1) if taken else 0
+        while True:
+            start = ROW_ID_RES_BASE + k * ROW_ID_RES_BLOCK
+            end = start + ROW_ID_RES_BLOCK
+            if end > (1 << 63) - 1:
+                raise LakeError(
+                    "row-id reservation space exhausted (2^16 staged "
+                    "lineage chains claimed over the table's lifetime)"
+                )
+            try:
+                _atomic_claim_json(
+                    os.path.join(meta_dir, f"rowres-{k}.json"),
+                    {"start": start, "end": end,
+                     "created_at": time.time()},
+                )
+                return {"start": start, "end": end}
+            except CommitConflict:
+                k += 1  # lost the claim race; take the next block
+
+    def _written_row_id_hwm(
+        self, written: dict, *, organic_only: bool = False
+    ) -> int:
         """next_row_id after a commit that wrote ``written`` files:
         max ``__row_id`` across their parquet footers + 1 (exact for a
         plain long column; driver-side O(written files), same posture
-        as stats-on-write). Never regresses below the current mark."""
+        as stats-on-write). Never regresses below the current mark.
+
+        ``organic_only=True`` (every PUBLISHED commit): ids at or
+        above ``ROW_ID_RES_BASE`` are WAP reservation-block ids and
+        must NOT advance the organic mark — a bucket holding
+        previously-published WAP rows would otherwise jump the mark
+        into reserved space on its next rewrite (and break future
+        block claims). A file whose footer max is a block id may
+        still hold FRESH organic allocations below it, so those
+        files get one exact Spark scan (max __row_id < base — rare:
+        only buckets containing WAP rows pay it). Staged chains pass
+        False: their mark IS the block cursor."""
         hwm = int(self.manifest.get("next_row_id", 0))
         top = hwm - 1
+        rescan: list[str] = []
         for files in written.values():
             for rel in files:
                 e = self._footer_stats_entry(rel, [ROW_ID_COL])
                 mx = (e or {}).get(ROW_ID_COL, [None, None])[1]
-                if mx is not None:
-                    top = max(top, int(mx))
+                if mx is None:
+                    continue
+                if organic_only and int(mx) >= ROW_ID_RES_BASE:
+                    rescan.append(
+                        rel if os.path.isabs(rel)
+                        else os.path.join(self.root, rel)
+                    )
+                    continue
+                top = max(top, int(mx))
+        if rescan:
+            row = (
+                self.spark.read.parquet(*rescan)
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col(ROW_ID_COL) < F.lit(ROW_ID_RES_BASE),
+                            F.col(ROW_ID_COL),
+                        )
+                    ).alias("mx")
+                )
+                .first()
+            )
+            if row["mx"] is not None:
+                top = max(top, int(row["mx"]))
         return top + 1
 
     @staticmethod
@@ -3811,6 +3942,7 @@ class LakeTable:
         target_file_bytes = self._resolve_target_file_bytes(
             target_file_bytes
         )
+        lineage_res: dict | None = None
         if self.row_lineage:
             if mode == "mor" and partial:
                 raise LakeError(
@@ -3821,11 +3953,18 @@ class LakeTable:
                     "(use full-row mode='mor', or mode='cow')"
                 )
             if stage_only:
-                raise LakeError(
-                    "row-lineage tables do not support write-audit-"
-                    "publish staging: fork sides would allocate row "
-                    "ids from the same high-water mark"
-                )
+                # round 5 (VERDICT r04 item 3): WAP staging works on
+                # lineage tables via DISJOINT row-id reservation
+                # blocks — the chain's first staged merge CAS-claims a
+                # block from the high reserved space and every chain
+                # commit allocates inside it, so main writers (and
+                # sibling chains, each with their own block) can never
+                # hand out the same id. The block rides the staged
+                # manifests as `lineage_reservation`; publish() drops
+                # it and keeps main's organic high-water mark.
+                lineage_res = self.manifest.get(
+                    "lineage_reservation"
+                ) or self._claim_row_id_block()
             clash = [c for c in changes.columns if c in LINEAGE_COLS]
             if clash:
                 raise LakeError(
@@ -4153,7 +4292,7 @@ class LakeTable:
                     deduped, key, batch_payload, op_col, new_schema,
                     epoch_id=epoch_id, t0=t0, obs_src=obs_src,
                     files_per_bucket=files_per_bucket, stage_only=stage_only,
-                    partial=partial,
+                    partial=partial, lineage_res=lineage_res,
                 )
             except Exception:
                 _drop_ephemeral_quarantine()
@@ -4392,6 +4531,12 @@ class LakeTable:
                 # + 1 (exact). Concurrent allocators can't interleave:
                 # _manifest_conflicts serializes lineage data commits.
                 hwm = int(self.manifest.get("next_row_id", 0))
+                if lineage_res is not None:
+                    # staged chain: allocate inside the chain's
+                    # reserved block (chain start floors the published
+                    # parent's organic mark up to the block start;
+                    # continuations carry the cursor in next_row_id)
+                    hwm = max(hwm, int(lineage_res["start"]))
                 lineage_out = [
                     F.coalesce(
                         F.col(f"t.{ROW_ID_COL}"),
@@ -4536,8 +4681,22 @@ class LakeTable:
             written, self._auto_bloom_cols(new_schema.names)
         )
         next_rid = (
-            self._written_row_id_hwm(written) if self.row_lineage else None
+            self._written_row_id_hwm(
+                written, organic_only=lineage_res is None
+            )
+            if self.row_lineage else None
         )
+        if (
+            next_rid is not None
+            and lineage_res is not None
+            and next_rid > int(lineage_res["end"])
+        ):
+            raise LakeError(
+                "staged lineage chain exhausted its row-id reservation "
+                f"block (allocated past {lineage_res['end']}): publish "
+                "the chain and start a new one (a fresh chain claims a "
+                "fresh block)"
+            )
 
         def apply(parent: dict) -> dict:
             manifest = dict(parent)
@@ -4545,8 +4704,16 @@ class LakeTable:
             manifest["schema"] = new_schema.json()
             if next_rid is not None:
                 manifest["next_row_id"] = max(
-                    next_rid, int(parent.get("next_row_id", 0))
+                    next_rid, int(parent.get("next_row_id", 0)),
+                    *(
+                        [int(lineage_res["start"])]
+                        if lineage_res is not None else []
+                    ),
                 )
+                if lineage_res is not None:
+                    # the chain cursor + block ride every staged
+                    # manifest; publish() strips both
+                    manifest["lineage_reservation"] = dict(lineage_res)
             new_buckets = dict(parent["buckets"])
             for b in touched:
                 # file-pruned merges CARRY the files proven disjoint
@@ -4656,6 +4823,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         stage_only: bool = False,
         partial: bool = False,
+        lineage_res: dict | None = None,
     ) -> MergeStats:
         """Commit the deduped batch as bucket-partitioned delta files:
         no target read, no join, no base rewrite — the O(batch) ingest
@@ -4669,15 +4837,20 @@ class LakeTable:
             # gets a PROVISIONAL id above the high-water mark (the
             # append never reads the target, so it cannot know which
             # keys match). The read-side collapse resolves the stable
-            # id per key — the smallest id among images after the last
+            # id per key — the EARLIEST image's id after the last
             # delete tombstone — so a matched row keeps its base id
-            # (base ids are always below provisionals) and a
-            # delete+reinsert gets the reinsert's fresh id, matching
-            # CoW semantics. Serial history (_manifest_conflicts
-            # forces re-execute for lineage data commits) makes the
-            # allocation race-free; version stamps baked here are
-            # final because lineage commits never rebase.
+            # and a delete+reinsert gets the reinsert's fresh id,
+            # matching CoW semantics. Serial history
+            # (_manifest_conflicts forces re-execute for lineage data
+            # commits) makes the allocation race-free; version stamps
+            # baked here are final because lineage commits never
+            # rebase. Staged chains allocate inside their reserved
+            # block instead (lineage_res, round 5).
             hwm = int(self.manifest.get("next_row_id", 0))
+            if lineage_res is not None:
+                # staged chain: provisionals come from the chain's
+                # reserved block (same rule as the CoW staged path)
+                hwm = max(hwm, int(lineage_res["start"]))
             lineage_cols = [
                 (F.lit(hwm) + F.monotonically_increasing_id()).alias(
                     ROW_ID_COL
@@ -4731,8 +4904,22 @@ class LakeTable:
         except Exception:
             n_source = n_deduped = 0
         next_rid = (
-            self._written_row_id_hwm(written) if self.row_lineage else None
+            self._written_row_id_hwm(
+                written, organic_only=lineage_res is None
+            )
+            if self.row_lineage else None
         )
+        if (
+            next_rid is not None
+            and lineage_res is not None
+            and next_rid > int(lineage_res["end"])
+        ):
+            raise LakeError(
+                "staged lineage chain exhausted its row-id reservation "
+                f"block (allocated past {lineage_res['end']}): publish "
+                "the chain and start a new one (a fresh chain claims a "
+                "fresh block)"
+            )
 
         base = self.manifest
         touched = sorted(int(b) for b in written)
@@ -4743,8 +4930,14 @@ class LakeTable:
             manifest["schema"] = new_schema.json()
             if next_rid is not None:
                 manifest["next_row_id"] = max(
-                    next_rid, int(parent.get("next_row_id", 0))
+                    next_rid, int(parent.get("next_row_id", 0)),
+                    *(
+                        [int(lineage_res["start"])]
+                        if lineage_res is not None else []
+                    ),
                 )
+                if lineage_res is not None:
+                    manifest["lineage_reservation"] = dict(lineage_res)
             new_deltas = {
                 b: list(fl)
                 for b, fl in parent.get("delta_files", {}).items()
@@ -5128,7 +5321,8 @@ class LakeTable:
             app_written, self._auto_bloom_cols(new_schema.names)
         )
         next_rid = (
-            self._written_row_id_hwm(app_written)
+            # DV merges are never staged: always the organic mark
+            self._written_row_id_hwm(app_written, organic_only=True)
             if self.row_lineage
             else None
         )
@@ -5553,7 +5747,10 @@ class LakeTable:
             ):
                 self.manifest = pub  # raced duplicate publish: no-op
                 return {"published": False, "version": pub["version"]}
-            if self._manifest_conflicts(base, pub, touched) or (
+            if self._manifest_conflicts(
+                base, pub, touched,
+                lineage_reserved=bool(staged.get("lineage_reservation")),
+            ) or (
                 pub.get("constraints") != base.get("constraints")
             ):
                 # constraint DDL is schema-like for WAP purposes: the
@@ -5571,6 +5768,13 @@ class LakeTable:
             m = dict(staged)
             m.pop("staged", None)
             m.pop("wap_base", None)
+            if m.pop("lineage_reservation", None) is not None:
+                # the chain's cursor lives in its reservation block
+                # (high space); main's ORGANIC high-water mark is the
+                # published authority — carrying the block cursor
+                # forward would jump organic allocation into reserved
+                # space and break future block claims
+                m["next_row_id"] = int(pub.get("next_row_id", 0))
             # Table properties always come from the CURRENT published
             # head, not the fork point: staged handles cannot run
             # set_properties (_forbid_staged), so the staged chain can

@@ -484,7 +484,10 @@ class Transaction:
             or sd.get(str(b), []) != bd.get(str(b), [])
             or sv.get(str(b), []) != bv.get(str(b), [])
         ]
-        return not LakeTable._manifest_conflicts(base, pub, touched) and (
+        return not LakeTable._manifest_conflicts(
+            base, pub, touched,
+            lineage_reserved=bool(staged.get("lineage_reservation")),
+        ) and (
             pub.get("constraints") == base.get("constraints")
         )
 

@@ -234,13 +234,18 @@ def test_drain_forget_dir_within_replay(spark, tmp_path):
     assert drain_forget_dir(cat, state, str(fdir), rollup=rollup) == []
 
 
-def test_forget_rejects_row_lineage(spark, tmp_path):
+def test_forget_works_on_row_lineage(spark, tmp_path):
+    """Round 5 (VERDICT r04 item 3): row-lineage tables forget via
+    the same staged transaction — the chain claims a disjoint row-id
+    reservation block, so staging can no longer double-allocate ids.
+    Full contract in test_lineage_wap.py; here the refusal flip on
+    the transcripts production surface."""
     state = open_or_create_transcripts(
         spark, str(tmp_path / "lin"), num_buckets=2, row_lineage=True
     )
     cat = Catalog(spark, str(tmp_path / "_catalog"))
-    with pytest.raises(LakeError, match="row-lineage"):
-        forget_keys(cat, state, _probe(spark, ["x"]))
+    out = forget_keys(cat, state, _probe(spark, ["x"]))
+    assert out["matched"] == 0 and out["skipped"]
 
 
 def test_forget_rejects_unknown_probe_column(spark, tmp_path):

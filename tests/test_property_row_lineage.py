@@ -1,7 +1,8 @@
 """Property-based soak (hypothesis) for ROW LINEAGE: under ANY
-interleaving of CoW AND full-row MoR merges, predicate DML (CoW,
-deletion-vector, and MoR modes), delta compaction, and layout
-maintenance (compact / rebucket), a
+interleaving of CoW AND full-row MoR merges (direct-published OR
+routed through a write-audit-publish staged chain — round 5),
+predicate DML (CoW, deletion-vector, and MoR modes), delta
+compaction, and layout maintenance (compact / rebucket), a
 create(row_lineage=True) table must keep
 
   1. value semantics IDENTICAL to the sequential batch oracle
@@ -12,7 +13,9 @@ create(row_lineage=True) table must keep
      no delete+reinsert inside an op — absence in between is the only
      legal way an id changes);
   4. __last_updated_version within [1, version], and the manifest's
-     next_row_id strictly above every live id.
+     next_row_id strictly above every live ORGANIC id (WAP-inserted
+     rows carry reservation-block ids above ROW_ID_RES_BASE, which
+     the organic high-water mark deliberately ignores).
 """
 
 import pandas as pd
@@ -20,7 +23,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F, types as T
 
-from haskell_dbfunctor_spark.lake.table import LakeTable
+from haskell_dbfunctor_spark.lake.table import (
+    ROW_ID_RES_BASE,
+    LakeTable,
+)
 
 SCHEMA = T.StructType([
     T.StructField("k", T.IntegerType(), False),
@@ -108,9 +114,12 @@ def _lineage(table):
     st.booleans(),  # two-level (spilled) manifest layout
     st.lists(st.sampled_from(["cow", "mor", "dv"]), min_size=3,
              max_size=3),
+    # route this cut's merge through a WAP staged chain + publish
+    # (round 5: staged lineage merges claim a reservation block)
+    st.lists(st.booleans(), min_size=3, max_size=3),
 )
 def test_lineage_invariants_under_interleaving(
-    spark, tmp_path_factory, events, schedule, spill, modes
+    spark, tmp_path_factory, events, schedule, spill, modes, staged
 ):
     root = str(tmp_path_factory.mktemp("rl_prop"))
     table = LakeTable.create(
@@ -134,17 +143,29 @@ def test_lineage_invariants_under_interleaving(
     prev = _lineage(table)
     for i, (lo, hi) in enumerate(cuts):
         if hi > lo:
-            if modes[i] == "dv" and table.manifest.get("delta_files"):
+            mode = modes[i]
+            if staged[i] and mode == "dv":
+                mode = "cow"  # DV staging is refused for all tables
+            if mode == "dv" and table.manifest.get("delta_files"):
                 # documented refusal: DV merges can't land on buckets
                 # with pending MoR deltas — fold first (the production
                 # pattern the error message prescribes)
                 table.compact_deltas()
-            table.merge(
-                df.where((df.seq >= lo) & (df.seq < hi)),
-                epoch_id=f"b{i}", order_cols=("ts", "seq"),
-                drop_cols=(),  # MoR full-row mode needs every column
-                mode=modes[i],
-            )
+            batch = df.where((df.seq >= lo) & (df.seq < hi))
+            if staged[i]:
+                fork = LakeTable.load(spark, root)
+                fork.merge(
+                    batch, epoch_id=f"b{i}", order_cols=("ts", "seq"),
+                    drop_cols=(), mode=mode, stage_only=True,
+                )
+                fork.publish()
+                table.manifest = table._load_latest_published_manifest()
+            else:
+                table.merge(
+                    batch, epoch_id=f"b{i}", order_cols=("ts", "seq"),
+                    drop_cols=(),  # MoR full-row mode needs all columns
+                    mode=mode,
+                )
             _merge_oracle(state, indexed[lo:hi])
             cur = _lineage(table)
             _check(table, cur, prev, state, schedule, i, "merge")
@@ -166,8 +187,10 @@ def _check(table, cur, prev, state, schedule, i, what):
     # 3. stable ids for keys alive across the op
     for k in set(cur) & set(prev):
         assert cur[k][1] == prev[k][1], (ctx, k)
-    # 4. version stamps + high-water mark
+    # 4. version stamps + high-water mark (organic ids only: WAP
+    # rows carry reservation-block ids the organic mark ignores)
     v = table.version
     assert all(1 <= luv <= v for (_, _, luv) in cur.values()), ctx
-    if ids:
-        assert int(table.manifest["next_row_id"]) > max(ids), ctx
+    organic = [i for i in ids if i < ROW_ID_RES_BASE]
+    if organic:
+        assert int(table.manifest["next_row_id"]) > max(organic), ctx

@@ -12,8 +12,9 @@ row). Pins the contract:
   columns bit-for-bit;
 - full-row MoR merges allocate provisional ids and the collapse
   resolves the stable id (see test_row_lineage_mor.py); partial-patch
-  MoR, DV-mode MERGE, and WAP staging are rejected (no single image
-  decides a patched row; fork sides would double-allocate);
+  MoR is rejected (no single image decides a patched row); WAP
+  staging works via row-id reservation blocks (round 5 —
+  test_lineage_wap.py);
 - read() hides the columns unless with_lineage=True;
 - concurrent lineage data commits serialize (the loser re-executes,
   so ids stay unique) — see _manifest_conflicts.
@@ -142,9 +143,12 @@ def test_reserved_names_rejected(spark, root):
         t.rename_column("v", ROW_ID_COL)
 
 
-def test_mor_partial_and_wap_rejected(spark, root):
-    """Full-row MoR is supported (test_row_lineage_mor.py); the paths
-    that still cannot preserve ids refuse loudly."""
+def test_mor_partial_rejected_wap_reserved(spark, root):
+    """Full-row MoR is supported (test_row_lineage_mor.py); partial
+    patches still cannot preserve ids and refuse loudly. WAP staging
+    WORKS since round 5 via row-id reservation blocks — the full
+    contract is pinned in test_lineage_wap.py; here just the refusal
+    flip."""
     t = _make(spark, root, n=3)
     with pytest.raises(LakeError, match="partial"):
         t.merge(
@@ -154,13 +158,13 @@ def test_mor_partial_and_wap_rejected(spark, root):
             order_cols=("ts",),
             drop_cols=(),
         )
-    with pytest.raises(LakeError, match="row-lineage"):
-        t.merge(
-            _batch(spark, [(1, "z", 9, "U")]),
-            stage_only=True,
-            order_cols=("ts",),
-            drop_cols=(),
-        )
+    st = t.merge(
+        _batch(spark, [(1, "z", 9, "U")]),
+        stage_only=True,
+        order_cols=("ts",),
+        drop_cols=(),
+    )
+    assert not st.skipped and t.manifest.get("lineage_reservation")
     # DV-mode MERGE is SUPPORTED on lineage tables (round 4) — the
     # positive path is pinned in test_row_lineage_mor.py
 
