@@ -161,6 +161,35 @@ def stream_sync_table(
     always-on replica. Returns the StreamingQuery."""
     from ..streaming.cdf_source import read_cdf_stream
 
+    # Replica rename tracking (round 5): the lake_cdf source serves a
+    # rename-crossing window under the stream's negotiated names, and
+    # a fresh readStream (this call) negotiates the source's CURRENT
+    # names — so a replica whose source renamed a column since the
+    # last sync must apply the same rename first, or the merge would
+    # schema-EVOLVE the new name in next to the stale old column
+    # (changes_segmented's consumer contract, automated: its rename
+    # markers say exactly "apply o -> n to the sink"). Old names are
+    # tombstoned at the source (never reused), so presence of the OLD
+    # name in dst + absence of the NEW one identifies exactly the
+    # pending renames, idempotently, regardless of the cursor.
+    src_head = LakeTable.load(spark, src_root)
+    src_names = set(src_head.schema.names)
+    recs = sorted(
+        src_head.manifest.get("renamed_columns", []),
+        key=lambda r: int(r["version"]),
+    )
+    for d in list(dst.schema.names):
+        term = d
+        for r in recs:  # forward-map through rename chains (a->b->c)
+            if r["old"] == term:
+                term = r["new"]
+        if (
+            term != d
+            and term in src_names
+            and term not in dst.schema.names
+        ):
+            dst.rename_column(d, term)
+
     feed = read_cdf_stream(
         spark, src_root, starting_version=starting_version
     )

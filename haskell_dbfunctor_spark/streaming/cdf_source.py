@@ -31,9 +31,15 @@ diff would.
 Contract guards (fail loud, never silently wrong): pending MoR deltas
 or deletion vectors in the window's touched buckets refuse (the raw
 parquet diff would skip the collapse — ``compact_deltas()`` /
-``compact(dv_ratio=0.0)`` first); a column rename inside the window
-refuses (same rule as ``changes()``; ``changes_segmented()`` is the
-batch-side escape hatch). Column DEFAULTS are handled, not refused:
+``compact(dv_ratio=0.0)`` first); a DROPPED negotiated column still
+refuses. Column RENAMES are TRACKED, not refused (round 5, the
+streaming analog of ``changes_segmented``): ``rename_column`` is a
+full CoW rewrite, so each side's files carry that snapshot's names
+and the diff maps logical (negotiated) names to per-side physical
+names — a live stream keeps emitting under its negotiated names (the
+rename commit itself emits zero rows: no value changed), and a
+restart from the same checkpoint re-negotiates the new names, mapping
+pre-rename windows back. Column DEFAULTS are handled, not refused:
 each partition carries the live ``column_defaults`` metadata and the
 worker resolves them per file from the snapshot version in the path
 (``_with_default_fill`` parity), so a stream RESUMES across an
@@ -81,13 +87,33 @@ def _duck_type(simple: str) -> str | None:
     return None
 
 
+def _physical_name(name: str, version: int, records) -> str:
+    """Physical column name of logical ``name`` in files referenced by
+    the manifest at ``version``. ``rename_column`` is a full CoW
+    rewrite, so every file of snapshot V carries V-era names — no
+    per-file vintage mixing. ``records`` are the manifest's
+    ``renamed_columns`` entries ({old, new, version}); old names are
+    tombstoned (never reused), so chains are unambiguous. Two passes:
+    forward to the newest name (the stream may have negotiated its
+    schema BEFORE later renames), then backward through every rename
+    newer than ``version`` (the side may predate renames the
+    negotiated schema already reflects)."""
+    for r in sorted(records, key=lambda r: int(r["version"])):
+        if r["old"] == name:
+            name = r["new"]
+    for r in sorted(records, key=lambda r: -int(r["version"])):
+        if int(r["version"]) > version and r["new"] == name:
+            name = r["old"]
+    return name
+
+
 class _BucketDiffPartition(InputPartition):
     """One bucket's (old files, new files) pair; everything the worker
     needs rides in the partition — workers have no SparkSession and
     never read the manifest."""
 
     def __init__(self, old_files, new_files, key_cols, payload, types,
-                 defaults=None):
+                 defaults=None, old_names=None, new_names=None):
         self.old_files = list(old_files)
         self.new_files = list(new_files)
         self.key_cols = list(key_cols)
@@ -99,6 +125,14 @@ class _BucketDiffPartition(InputPartition):
         # _with_default_fill) — a file written before the add reads
         # the default where raw parquet reads NULL/missing
         self.defaults = dict(defaults or {})
+        # logical (negotiated) column -> PHYSICAL name in each side's
+        # files, when a rename lies between the stream's negotiated
+        # schema and a side's snapshot (round 5: streaming schema
+        # tracking — a live stream keeps emitting under its negotiated
+        # names across rename_column; a restart re-negotiates the new
+        # names and maps old windows back)
+        self.old_names = dict(old_names or {})
+        self.new_names = dict(new_names or {})
 
 
 _DUCKDB_PACKAGING_MSG = (
@@ -200,40 +234,77 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         old = self._manifest(sv)
         new = self._manifest(ev)
         schema = T.StructType.fromJson(json.loads(new["schema"]))
-        key = list(new["key_cols"])
+        key_phys = list(new["key_cols"])  # ev-era physical names
+
+        # STREAMING SCHEMA TRACKING across renames (round 5, VERDICT
+        # r04 item 4): rename_column is a full CoW rewrite, so every
+        # file of snapshot V carries V-era names — the diff just needs
+        # a logical->physical name map PER SIDE. A live stream keeps
+        # emitting under its NEGOTIATED names (the rename commit
+        # itself changes no values, so it emits zero rows); a restart
+        # re-negotiates the new names and maps old windows back. Truly
+        # DROPPED negotiated columns still refuse. Records come from
+        # ev's manifest plus the current head's (a restarted stream's
+        # negotiated schema may postdate ev).
+        rec_set = {
+            (r["old"], r["new"], int(r["version"]))
+            for r in new.get("renamed_columns", [])
+        }
+        try:
+            head = self._manifest(self._latest())
+            rec_set |= {
+                (r["old"], r["new"], int(r["version"]))
+                for r in head.get("renamed_columns", [])
+            }
+        except ValueError:
+            pass
+        recs = [
+            {"old": o, "new": n, "version": v} for (o, n, v) in rec_set
+        ]
+        have_ev = {f.name for f in schema.fields}
         if self._scan_fields is not None:
-            have = {f.name for f in schema.fields}
             want = [c for c in self._scan_fields if c != "_change_type"]
-            gone = [c for c in want if c not in have]
+            new_names = {c: _physical_name(c, ev, recs) for c in want}
+            gone = [c for c in want if new_names[c] not in have_ev]
             if gone:
                 raise ValueError(
-                    f"lake_cdf: column(s) {gone} were dropped/renamed "
-                    "after this stream started — restart the query "
-                    "from the same checkpoint to pick up the current "
-                    "schema"
+                    f"lake_cdf: column(s) {gone} were dropped after "
+                    "this stream started — restart the query from the "
+                    "same checkpoint to pick up the current schema"
                 )
             # tuples bind to the scan schema POSITIONALLY: the
             # negotiated field order must be the canonical one this
             # source emits (key..., _change_type, payload...) — a
             # user-supplied .schema() in another order would silently
             # swap column values, so refuse it loudly
-            nk = len(key)
+            nk = len(key_phys)
             if (
-                self._scan_fields[:nk] != list(key)
+                [new_names.get(c) for c in self._scan_fields[:nk]]
+                != key_phys
                 or len(self._scan_fields) <= nk
                 or self._scan_fields[nk] != "_change_type"
             ):
                 raise ValueError(
                     "lake_cdf: scan schema must start with the key "
-                    f"columns {list(key)} followed by '_change_type' "
+                    f"columns {key_phys} followed by '_change_type' "
                     f"(got {self._scan_fields[:nk + 1]}); omit "
                     ".schema(...) — the source derives it"
                 )
+            key = list(self._scan_fields[:nk])  # logical key names
             payload = [c for c in want if c not in key]
         else:
-            payload = [f.name for f in schema.fields if f.name not in key]
-        types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        types = {c: types[c] for c in [*key, *payload]}
+            key = key_phys
+            payload = [
+                f.name for f in schema.fields if f.name not in key
+            ]
+            new_names = {c: c for c in [*key, *payload]}
+        old_names = {
+            c: _physical_name(c, sv, recs) for c in [*key, *payload]
+        }
+        ev_types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        types = {c: ev_types[new_names[c]] for c in [*key, *payload]}
         for c, s in types.items():
             if _duck_type(s) is None:
                 raise ValueError(
@@ -241,27 +312,21 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                     "worker-side diff mapping yet — use changes() for "
                     "this table"
                 )
-        crossed = [
-            r for r in new.get("renamed_columns", [])
-            if sv < r["version"] <= ev
-        ]
-        if crossed:
-            raise ValueError(
-                "lake_cdf: column rename "
-                f"{crossed[0]['old']!r}->{crossed[0]['new']!r} inside "
-                f"the window [{sv}, {ev}] — re-read the snapshot and "
-                "restart the stream (same rule as changes())"
-            )
         # live column defaults ride into every partition; the worker
         # applies the same per-file version rule as the engine's
         # _with_default_fill, so streams RESUME across an
         # add_column(default=) instead of refusing (VERDICT r03 item
         # 6). Guard: default resolution needs the writing version in
         # the file PATH — unversioned files (deep clones) refuse.
+        # Manifest keys are ev-physical names; the worker keys by the
+        # stream's logical names.
+        phys_to_logical = {p: c for c, p in new_names.items()}
         defaults = {
-            c: {"value": d["value"], "version": int(d["version"])}
-            for c, d in (new.get("column_defaults") or {}).items()
-            if c in types
+            phys_to_logical[cn]: {
+                "value": d["value"], "version": int(d["version"])
+            }
+            for cn, d in (new.get("column_defaults") or {}).items()
+            if cn in phys_to_logical
         }
         # greedy .* prefix => extraction takes the LAST version-shaped
         # segment (lockstep with LakeTable._SNAP_VER_PATTERN): a root
@@ -313,7 +378,8 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return [
                 _BucketDiffPartition(
                     _all(old), _all(new), key, payload, types,
-                    defaults=defaults,
+                    defaults=defaults, old_names=old_names,
+                    new_names=new_names,
                 )
             ]
 
@@ -343,6 +409,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 _BucketDiffPartition(
                     _abs(ob.get(bs, [])), _abs(nb.get(bs, [])),
                     key, payload, types, defaults=defaults,
+                    old_names=old_names, new_names=new_names,
                 )
             )
         return parts
@@ -378,6 +445,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return repr(v)
 
         def _side_sql(files: list[str], alias: str) -> str:
+            # logical -> physical name map for THIS side's files
+            # (rename tracking: pre-rename files carry the old name)
+            names = (
+                partition.old_names if alias == "o"
+                else partition.new_names
+            )
             if not files:
                 sel = ", ".join(
                     f"CAST(NULL AS {_duck_type(partition.types[c])}) "
@@ -393,8 +466,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 have.update(pq.ParquetFile(f).schema_arrow.names)
 
             def _proj(c: str) -> str:
+                phys = names.get(c, c)
                 raw = (
-                    c if c in have
+                    phys if phys in have
                     else f"CAST(NULL AS {_duck_type(partition.types[c])})"
                 )
                 d = defaults.get(c)

@@ -149,11 +149,20 @@ def test_guards_refuse_unsound_windows(spark, tmp_path):
     with pytest.raises(ValueError, match="MoR deltas"):
         r.partitions({"version": v0}, {"version": t.version})
     t.compact_deltas()
-    # rename inside the window
-    t.rename_column("v", "w")
-    with pytest.raises(ValueError, match="rename"):
-        r.partitions({"version": v0}, {"version": t.version})
-    # column defaults NO LONGER refuse (r04): handled per-file in the
+    # renames NO LONGER refuse (r05): tracked via per-side physical
+    # name maps — covered by test_stream_survives_rename. A truly
+    # DROPPED negotiated column still refuses.
+    import pyspark.sql.types as T2
+
+    neg = T2.StructType(
+        [t.schema["k"], T2.StructField("_change_type", T2.StringType())]
+        + [t.schema["v"], t.schema["ts"]]
+    )
+    rd = LakeCDFStreamReader({"root": t.root}, scan_schema=neg)
+    t.drop_column("v")
+    with pytest.raises(ValueError, match="dropped"):
+        rd.partitions({"version": v0}, {"version": t.version})
+    # column defaults do not refuse (r04): handled per-file in the
     # worker — covered by test_resume_across_add_column_default
 
 
@@ -211,6 +220,119 @@ def test_resume_across_add_column_default(spark, tmp_path):
     rows = spark.read.parquet(f"{out2}/part-*").collect()
     assert {(r["k"], r["_change_type"], r["v"], r["flag"])
             for r in rows} == {(7, "U", "a_7", "z")}
+
+
+def test_stream_survives_rename_live(spark, tmp_path):
+    """Round 5 (VERDICT r04 item 4): a LIVE stream keeps draining
+    across a rename_column — no restart, no refusal. The window
+    crossing the rename emits under the stream's NEGOTIATED (old)
+    names; the rename rewrite itself contributes ZERO rows (every row
+    rewritten, no value changed), and post-rename files serve the
+    renamed physical column under the logical name."""
+    t = _make(spark, tmp_path, n=20)
+    df = read_cdf_stream(spark, t.root, starting_version=t.version)
+    out, ckpt = _drain(spark, df, tmp_path, "rnl")
+    assert spark.read.parquet(out).count() == 0
+    t.merge(_batch(spark, [5], "b"), epoch_id="e1",
+            order_cols=("ts",), drop_cols=())
+    t.rename_column("v", "w")
+    t.merge(
+        spark.createDataFrame(
+            [(300, "n_300", 1, "U")],
+            "k long, w string, ts long, op string",
+        ),
+        epoch_id="e2", order_cols=("ts",), drop_cols=(),
+    )
+    q = (
+        df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    # negotiated name 'v' serves both sides; exactly two rows — the
+    # rename's whole-table rewrite diffs to nothing
+    assert {(r["k"], r["_change_type"], r["v"]) for r in rows} == {
+        (5, "U", "b_5"), (300, "I", "n_300")
+    }
+
+
+def test_stream_restart_after_rename_maps_back(spark, tmp_path):
+    """A RESTART from the same checkpoint re-negotiates the renamed
+    schema; a pending pre-rename window maps the old side's physical
+    name back to the new logical name."""
+    t = _make(spark, tmp_path, n=20)
+    df = read_cdf_stream(spark, t.root, starting_version=t.version)
+    out, ckpt = _drain(spark, df, tmp_path, "rnr")
+    t.merge(_batch(spark, [5], "b"), epoch_id="e1",
+            order_cols=("ts",), drop_cols=())
+    q = (
+        df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # cursor now sits BEFORE the rename; rename + a post-rename commit
+    t.rename_column("v", "w")
+    t.merge(
+        spark.createDataFrame(
+            [(301, "n_301", 1, "U"), (5, "b2_5", 2, "U")],
+            "k long, w string, ts long, op string",
+        ),
+        epoch_id="e2", order_cols=("ts",), drop_cols=(),
+    )
+    df2 = read_cdf_stream(spark, t.root)  # re-negotiates 'w'
+    out2 = str(tmp_path / "out_rnr2")
+    q = (
+        df2.writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(f"{out2}/part-*").collect()
+    assert {(r["k"], r["_change_type"], r["w"]) for r in rows} == {
+        (301, "I", "n_301"), (5, "U", "b2_5")
+    }
+
+
+def test_stream_sync_replica_across_rename(spark, tmp_path):
+    """The replica use-case end-to-end: stream_sync_table keeps a
+    correct replica across a source rename — the sync applies the
+    source's pending renames to the destination first (the
+    changes_segmented consumer contract, automated), then drains the
+    window; replica state tracks the source exactly under the new
+    name."""
+    from haskell_dbfunctor_spark.lake.sync import stream_sync_table
+
+    t = _make(spark, tmp_path, n=10)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "replica"), SCHEMA, key_cols=["k"],
+        num_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt_sync_rn")
+    q = stream_sync_table(
+        spark, t.root, dst, checkpoint=ckpt, starting_version=0
+    )
+    q.awaitTermination(180)
+    t.merge(_batch(spark, [3], "b"), epoch_id="e1",
+            order_cols=("ts",), drop_cols=())
+    t.rename_column("v", "w")
+    t.merge(
+        spark.createDataFrame(
+            [(400, "n_400", 1, "U"), (7, "", 1, "D")],
+            "k long, w string, ts long, op string",
+        ),
+        epoch_id="e2", order_cols=("ts",), drop_cols=(),
+    )
+    q = stream_sync_table(
+        spark, t.root, dst, checkpoint=ckpt, starting_version=0
+    )
+    q.awaitTermination(180)
+    dst.manifest = dst._load_latest_published_manifest()
+    assert "w" in dst.schema.names and "v" not in dst.schema.names
+    got = {r["k"]: r["w"] for r in dst.read().collect()}
+    want = {r["k"]: r["w"] for r in t.read().collect()}
+    assert got == want
 
 
 def test_version_shaped_root_worker_default_fill(spark, tmp_path):
