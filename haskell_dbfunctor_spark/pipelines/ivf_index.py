@@ -230,3 +230,157 @@ def ivf_top_k_indexed(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def quantizer_drift(
+    index: LakeTable, quantizer: LakeTable | DataFrame
+) -> dict:
+    """Measure how well the FROZEN quantizer still fits the indexed
+    vectors (round 5, VERDICT r04 item 6 — q136 measures drift but
+    nothing acts on it). One aggregation pass over the index:
+
+    - ``mean_fit``: average cosine between each vector and its
+      assigned centroid — the quantization quality the queries
+      actually experience (probe selection assumes vectors sit near
+      their cell's centroid);
+    - ``worst_cell_cos``: per cell, cosine between the STORED
+      centroid and the current MEAN of its members, minimized over
+      cells — a drifting ingest distribution shows up here first
+      (new mass pulls a cell's true center away from the frozen
+      centroid while mean_fit degrades more slowly);
+    - ``drift`` = 1 - worst_cell_cos: the trigger metric
+      ``maintain_ivf_index`` compares against its threshold.
+
+    Cost: O(index) once — a maintenance-cadence job, not a query-path
+    one (same posture as analyze/compact)."""
+    cents = _collect_centroids(quantizer)
+    cent_map = {cid: (cv, cn) for cid, cv, cn in cents}
+    rows = (
+        index.read()
+        .where(F.col("cid").isNotNull())
+        .select(
+            "cid",
+            *[
+                F.when(
+                    F.col("cid") == F.lit(cid),
+                    _dot(F.col("embedding"), F.lit(cv))
+                    / (_norm(F.col("embedding")) * F.lit(cn)),
+                ).alias(f"__fit_{cid}")
+                for cid, (cv, cn) in cent_map.items()
+            ],
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("cid", "dim")
+        .agg(
+            F.avg("v").alias("mv"),
+            *[
+                F.avg(f"__fit_{cid}").alias(f"fit_{cid}")
+                for cid in cent_map
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not rows:
+        return {"mean_fit": 1.0, "worst_cell_cos": 1.0, "drift": 0.0,
+                "cells": 0, "vectors": 0}
+    # reassemble per-cell mean vectors + fits driver-side (cells x
+    # dims rows — tiny by construction)
+    import math
+
+    means: dict = {}
+    fits: dict = {}
+    counts: dict = {}
+    for r in rows:
+        means.setdefault(r["cid"], {})[r["dim"]] = float(r["mv"])
+        f = r[f"fit_{r['cid']}"]
+        if f is not None:
+            fits[r["cid"]] = float(f)
+        counts[r["cid"]] = int(r["n"])
+    worst = 1.0
+    for cid, dims in means.items():
+        cv, cn = cent_map.get(cid, (None, None))
+        if cv is None:
+            continue
+        mv = [dims[i] for i in sorted(dims)]
+        d = sum(a * b for a, b in zip(mv, cv))
+        nm = math.sqrt(sum(a * a for a in mv))
+        if nm > 0 and cn > 0:
+            worst = min(worst, d / (nm * cn))
+    total = sum(counts.values())
+    mean_fit = (
+        sum(fits[c] * counts[c] for c in fits) / total if total else 1.0
+    )
+    return {
+        "mean_fit": round(mean_fit, 6),
+        "worst_cell_cos": round(worst, 6),
+        "drift": round(1.0 - worst, 6),
+        "cells": len(means),
+        "vectors": total,
+    }
+
+
+def maintain_ivf_index(
+    index: LakeTable,
+    quantizer: LakeTable,
+    *,
+    drift_threshold: float = 0.02,
+    n_centroids: int | None = None,
+    refine_iters: int = 1,
+    cluster: bool = True,
+) -> dict:
+    """Requantization trigger (round 5): probe :func:`quantizer_drift`
+    and, when ``drift`` exceeds the threshold, RETRAIN the frozen
+    quantizer from the index's current vectors and rebuild the codes
+    CELL-INCREMENTALLY — reassign every vector row-wise against the
+    new centroids (one scan, no shuffle: the literal-unrolled
+    ``centroid_assign_col``) but MERGE only the rows whose cid
+    actually changed, so the write is O(moved vectors), not O(index).
+    Finishes with :func:`cluster_index` (sort-by-cid compaction +
+    stats refresh) so the new cells prune again.
+
+    The trigger belongs to table maintenance (``lake_maintenance
+    requantize-ivf``), mirroring how compaction/analyze are explicit
+    cadence jobs: queries keep the classic frozen-quantizer IVF
+    contract between maintenance runs."""
+    probe = quantizer_drift(index, quantizer)
+    out = {"drift_probe": probe, "triggered": False, "moved": 0}
+    if probe["drift"] <= drift_threshold or probe["vectors"] == 0:
+        return out
+    out["triggered"] = True
+    k = n_centroids if n_centroids is not None else probe["cells"]
+    vecs = index.read().where(F.col("cid").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    train_quantizer(
+        vecs, quantizer, n_centroids=k, refine_iters=refine_iters
+    )
+    quantizer.manifest = quantizer._load_latest_published_manifest()
+    cents = _collect_centroids(quantizer)
+    moved = (
+        index.read()
+        .where(F.col("cid").isNotNull())
+        .select(
+            "vec_id",
+            centroid_assign_col(F.col("embedding"), cents).alias("ncid"),
+            "cid",
+            "embedding",
+        )
+        .where(~F.col("ncid").eqNullSafe(F.col("cid")))
+        .select(
+            "vec_id", F.col("ncid").alias("cid"), "embedding"
+        )
+    )
+    st = index.merge(
+        moved.select(
+            "vec_id", "cid",
+            F.col("embedding").cast(
+                INDEX_SCHEMA["embedding"].dataType
+            ).alias("embedding"),
+        ),
+        op_col=None, order_cols=(),
+    )
+    out["moved"] = st.n_updated + st.n_inserted
+    if cluster:
+        out["cluster"] = cluster_index(index)
+    return out

@@ -960,6 +960,7 @@ def _merge_batch_expr(syms, batch: list[tuple[str, str]]):
 def bpe_learn(
     docs: DataFrame, n_merges: int = 8, *, text_col: str = "text",
     batch_k: int = 8, top_m: int = 64, stats: dict | None = None,
+    adaptive: bool = True, max_batch_k: int = 256,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn n_merges BPE merges over the corpus. One corpus-scale
     vocabulary aggregation, then every round runs ONLY over the compact
@@ -999,6 +1000,20 @@ def bpe_learn(
     Worst case (top pairs all chained through one hot symbol) accepts
     1/round — exactly the sequential cost; Zipfian corpora typically
     accept several. ``batch_k=1`` forces classic per-merge rounds.
+
+    ADAPTIVE GROWTH (round 5, VERDICT r04 item 5): acceptance caps
+    (``batch_k``/``top_m``) bound how much ONE round may take, never
+    WHAT it takes — the extended-disjointness + danger-truncation
+    proof holds for any cap, so resizing between rounds cannot change
+    the merge list. With ``adaptive=True`` (default) a round that
+    SATURATES its cap (acceptance was cap-bound, not conflict-bound)
+    doubles ``batch_k`` (up to ``max_batch_k``) and widens ``top_m``
+    with it; a round accepting under half its cap halves back toward
+    the initial — conflict-bound corpora (chained hot symbols) fall
+    back to the sequential cadence instead of paying ever-larger
+    collects for one acceptance. On the Zipfian regime this makes
+    round count ~ n_merges / k_avg with k_avg growing geometrically
+    (30k merges in hundreds of collects, not thousands).
     """
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
     vocab = (
@@ -1012,24 +1027,27 @@ def bpe_learn(
         "transform(sequence(0, size(syms) - 2), "
         "i -> struct(syms[i] AS sym1, syms[i + 1] AS sym2))"
     )
-    top_m = max(int(top_m), int(batch_k) + 1, 2)
+    k0, m0 = max(int(batch_k), 1), int(top_m)
+    cur_k = k0
     rounds = 0
+    accept_hist: list[int] = []
     while len(merges) < n_merges:
         rounds += 1
+        cur_m = max(m0, 4 * cur_k, cur_k + 1, 2)
         top = (
             vocab.where(F.size("syms") >= 2)
             .select(F.explode(pairs).alias("p"), "wc")
             .groupBy("p.sym1", "p.sym2")
             .agg(F.sum("wc").alias("pc"))
             .orderBy(F.desc("pc"), "sym1", "sym2")
-            .limit(top_m)
+            .limit(cur_m)
             .collect()
         )
         if not top:
             break
         # unseen pairs are bounded by the M-th collected count; a
         # short list means we saw everything (no unseen challenger)
-        floor = int(top[-1]["pc"]) if len(top) == top_m else -1
+        floor = int(top[-1]["pc"]) if len(top) == cur_m else -1
         accepted: list[tuple[str, str]] = [
             (top[0]["sym1"], top[0]["sym2"])
         ]
@@ -1046,7 +1064,7 @@ def bpe_learn(
                 # and stop (later interactors rank no higher)
                 danger = max(danger, pc)
                 break
-            if len(accepted) >= batch_k:
+            if len(accepted) >= cur_k:
                 # cap reached: keep scanning ONLY to find the danger
                 # bound — an interactor below an unaccepted disjoint
                 # pair still bounds created-pair challengers
@@ -1061,6 +1079,15 @@ def bpe_learn(
         while keep < len(accepted) and counts[keep] > danger:
             keep += 1
         accepted = accepted[:keep]
+        if adaptive:
+            # resize BEFORE the remaining-merges clip: a round that
+            # filled its cap was cap-bound (grow); one under half its
+            # cap was conflict-bound (shrink toward the initial)
+            if keep >= cur_k:
+                cur_k = min(cur_k * 2, int(max_batch_k))
+            elif keep < cur_k // 2:
+                cur_k = max(k0, cur_k // 2)
+        accept_hist.append(keep)
         accepted = accepted[: n_merges - len(merges)]
         merges.extend(accepted)
         # ONE O(K)-sized fold applies the whole batch (equivalent to
@@ -1077,6 +1104,8 @@ def bpe_learn(
         vocab = nxt
     if stats is not None:
         stats["rounds"] = rounds
+        stats["accepted_per_round"] = accept_hist
+        stats["batch_k_final"] = cur_k
     return merges, vocab
 
 

@@ -314,6 +314,23 @@ def main(argv: list[str] | None = None) -> int:
                           "instead of broadcasting (high-cardinality "
                           "group keys)")
 
+    rq = sub.add_parser(
+        "requantize-ivf",
+        help="probe centroid drift of a persisted IVF index "
+             "(--table-root = the index) against its frozen quantizer "
+             "table; when drift exceeds the threshold, retrain the "
+             "quantizer from the current vectors, reassign codes "
+             "cell-incrementally (writes only moved vectors), and "
+             "re-cluster the index",
+    )
+    rq.add_argument("--quantizer-root", required=True)
+    rq.add_argument("--drift-threshold", type=float, default=0.02)
+    rq.add_argument("--n-centroids", type=int, default=None,
+                    help="retrain with this many cells (default: keep "
+                         "the current count)")
+    rq.add_argument("--probe-only", action="store_true",
+                    help="report the drift metrics without acting")
+
     dw = sub.add_parser(
         "delete-where",
         help="DELETE FROM table WHERE <sql predicate> (retention/GDPR "
@@ -468,6 +485,31 @@ def main(argv: list[str] | None = None) -> int:
             "view_rows": view.read().count(),
             **res,
         }))
+        return 0
+
+    if args.action == "requantize-ivf":
+        from haskell_dbfunctor_spark.pipelines.ivf_index import (
+            maintain_ivf_index, quantizer_drift,
+        )
+
+        qt = LakeTable.load(spark, args.quantizer_root)
+        if args.probe_only:
+            res = {
+                "drift_probe": quantizer_drift(table, qt),
+                "triggered": False,
+            }
+        else:
+            res = maintain_ivf_index(
+                table, qt,
+                drift_threshold=args.drift_threshold,
+                n_centroids=args.n_centroids,
+            )
+            res.pop("cluster", None)  # MergeStats: not JSON-friendly
+        print(json.dumps({
+            "action": "requantize-ivf",
+            "quantizer_version": qt.version,
+            **res,
+        }, default=str))
         return 0
 
     if args.action == "analyze":

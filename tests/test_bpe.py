@@ -212,10 +212,51 @@ def test_bpe_batched_rounds_match_sequential(spark):
     # acceptance rate is corpus-dependent; worst case degrades to 1)
     assert stats["rounds"] < len(merges)
 
-    # batch_k=1 degrades to the classic per-merge loop, same output
+    # batch_k=1, adaptive off: degrades to the classic per-merge
+    # loop, same output (adaptive=True would GROW the cap when a
+    # round saturates — that's the round-5 scaling path, below)
     stats1 = {}
     merges1, vocab1 = bpe_learn(docs, n_merges=12, batch_k=1,
-                                stats=stats1)
+                                adaptive=False, stats=stats1)
     vocab1.unpersist()
     assert merges1 == want_merges[:12]
     assert stats1["rounds"] == 12
+
+
+def test_bpe_adaptive_growth_zipfian(spark):
+    """Round 5 (VERDICT r04 item 5): adaptive batch growth — on a
+    corpus whose top pairs are pairwise disjoint (the Zipfian word
+    regime), saturated rounds double batch_k geometrically, so 40
+    merges land in <= n_merges/4 rounds; output stays EXACTLY the
+    sequential greedy list (resizing caps how much a round takes,
+    never what it takes)."""
+    # 60 two-symbol words over disjoint symbol pairs, Zipf-ish counts
+    words = {
+        chr(0x400 + 2 * i) + chr(0x401 + 2 * i): 1000 - 10 * i
+        for i in range(60)
+    }
+    docs = _corpus_df(
+        spark, [[w for w, c in words.items() for _ in range(c)]]
+    )
+    n = 40
+    want_merges, _ = _py_bpe(words, n)
+    stats = {}
+    merges, vocab = bpe_learn(docs, n_merges=n, batch_k=8, stats=stats)
+    vocab.unpersist()
+    assert merges == want_merges
+    assert stats["rounds"] <= n // 4
+    assert stats["batch_k_final"] > 8  # growth actually engaged
+
+    # adversarial chained corpus (the conflict-bound regime): adaptive
+    # shrinks back instead of widening collects — identical output
+    chained = {"aaaaaaa": 50, "aaaa": 30, "aa": 20}
+    docs2 = _corpus_df(
+        spark, [[w for w, c in chained.items() for _ in range(c)]]
+    )
+    want2, _ = _py_bpe(chained, 5)
+    stats2 = {}
+    merges2, vocab2 = bpe_learn(docs2, n_merges=5, batch_k=8,
+                                stats=stats2)
+    vocab2.unpersist()
+    assert merges2 == want2
+    assert stats2["batch_k_final"] <= 8  # never grew past the initial
