@@ -2334,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # row lineage through a CDC epoch (lake/table.py row_lineage)
     q["q125_row_lineage"] = _row_lineage_state
+    q["q192_lineage_wap"] = _lineage_wap_state
 
     # ADD COLUMN WITH DEFAULT, metadata-only (lake/table.py add_column)
     q["q126_column_defaults"] = _column_defaults_state
@@ -2958,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _never_checked_first = [
         # --- new in round 5 (prepend as added) ---
         "q191_containment_auto",
+        "q192_lineage_wap",
         # --- last 39 never-driver-checked (r04 VERDICT list) ---
         "q99_snapshot_sync",
         "q100_leakage_safe_split",
@@ -4248,6 +4250,67 @@ def _row_lineage_state(s: SparkSession, d: str) -> DataFrame:
         F.col("__last_updated_version").alias("last_updated_version"),
         F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
         .otherwise(F.col("__row_id") >= F.lit(hwm1))
+        .alias("id_ok"),
+    )
+
+
+def _lineage_wap_state(s: SparkSession, d: str) -> DataFrame:
+    """q192: ROW LINEAGE x WRITE-AUDIT-PUBLISH (round 5 —
+    lake/table.py _claim_row_id_block). A staged chain on a
+    row_lineage=True lake claims a DISJOINT row-id reservation block,
+    so WAP staging no longer risks double-allocated ids: the chain
+    stages an update of every 'purchase' key (+50) plus two synthetic
+    inserts, the auditor's handle sees them while main does not, and
+    publish() fast-forwards metadata-only. The query verifies the
+    contract per row: matched keys keep their pre-fork __row_id
+    (id_ok), WAP inserts allocate INSIDE the reserved high space
+    (>= ROW_ID_RES_BASE — the block contract itself), and main's
+    organic next_row_id survives the publish un-jumped (folded into
+    id_ok for the pre-fork rows: a jumped mark cannot un-keep ids,
+    but a duplicated id breaks the join's uniqueness and the hash)."""
+    t = _dml_state_lake(s, d, "hdbf_wap_q192_", row_lineage=True)
+    v1 = t.version
+    from haskell_dbfunctor_spark.lake.table import (
+        ROW_ID_RES_BASE as _RB, LakeTable as _LT,
+    )
+
+    state = t.read()
+    patch = (
+        state.where(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + F.lit(50.0))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = s.createDataFrame(
+        [
+            (9100000 + i, "synthetic", 1.0, None, -1, "U")
+            for i in (1, 2)
+        ],
+        "user_id long, event_type string, value double, ts timestamp, "
+        "last_event_id long, op string",
+    )
+    fork = _LT.load(s, t.root)
+    fork.merge(
+        patch.unionByName(inserts),
+        epoch_id="wap1",
+        order_cols=("ts",),
+        drop_cols=(),
+        stage_only=True,
+        prune_buckets=False,
+    )
+    fork.publish()
+    t.manifest = t._load_latest_published_manifest()
+    lin1 = (
+        _LT.load(s, t.root, version=v1)
+        .read(with_lineage=True)
+        .select("user_id", "event_type", F.col("__row_id").alias("rid1"))
+    )
+    lin2 = t.read(with_lineage=True)
+    return lin2.join(lin1, ["user_id", "event_type"], "left").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("rid1").isNotNull(), F.col("__row_id") == F.col("rid1"))
+        .otherwise(F.col("__row_id") >= F.lit(_RB))
         .alias("id_ok"),
     )
 
@@ -7230,6 +7293,25 @@ FROM w LEFT JOIN c USING (doc_id) WHERE NOT w.hold
         )
         SELECT user_id, event_type, value, last_updated_version,
                TRUE AS id_ok
+        FROM final
+    """
+    # q192: lineage x WAP — the staged chain's updates keep ids, its
+    # inserts land in the reserved block, so id_ok is TRUE everywhere;
+    # values reproduce from the LWW state + the staged patch
+    o["q192_lineage_wap"] = f"""
+        WITH s1 AS ({_CDC_LWW_SQL}),
+        final AS (
+          SELECT user_id, event_type,
+                 CASE WHEN event_type = 'purchase'
+                      THEN value + 50.0 ELSE value END AS value
+          FROM s1
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9100001, 'synthetic', 1.0),
+            (9100002, 'synthetic', 1.0)
+          ) v(user_id, event_type, value)
+        )
+        SELECT user_id, event_type, value, TRUE AS id_ok
         FROM final
     """
     # q132: A = LWW state over rows that PASSED the gate (gate applies
