@@ -242,6 +242,71 @@ def test_reservation_exhaustion_fails_loud(spark, root, monkeypatch):
         )
 
 
+def test_txn_replay_rollup_on_lineage_table(spark, tmp_path):
+    """The production unlock: cdc_ingest --rollup-root + --row-lineage
+    together — the transactional per-epoch state+rollup commit stages
+    through WAP, which lineage tables refused before round 5. Each
+    epoch's staged chain claims its own reservation block; final state
+    matches a plain replay, ids are unique and organic rows stay below
+    the reservation base, and the rollup recounts exactly."""
+    import os as _os
+
+    from haskell_dbfunctor_spark.cdc.apply import (
+        open_or_create_rollup, open_or_create_transcripts, replay,
+    )
+    from haskell_dbfunctor_spark.cdc.generator import change_feed
+    from haskell_dbfunctor_spark.lake.transaction import Catalog
+
+    feed = change_feed(spark, 2000, seed=7, n_convs=25, n_epochs=3)
+    state = open_or_create_transcripts(
+        spark, str(tmp_path / "state"), num_buckets=4, row_lineage=True
+    )
+    rollup = open_or_create_rollup(
+        spark, str(tmp_path / "rollup"), ["role"]
+    )
+    cat = Catalog(spark, str(tmp_path / "_cat"))
+    st = replay(state, feed, 3, catalog=cat, rollup=rollup)
+    assert st.epochs_applied == 3
+    state.manifest = state._load_latest_published_manifest()
+    plain = open_or_create_transcripts(
+        spark, str(tmp_path / "plain"), num_buckets=4
+    )
+    replay(plain, feed, 3)
+    key = ["conv_id", "turn_idx"]
+    got = {
+        tuple(r[k] for k in key): r["text"]
+        for r in state.read().collect()
+    }
+    want = {
+        tuple(r[k] for k in key): r["text"]
+        for r in plain.read().collect()
+    }
+    assert got == want and got
+    lin = state.read(with_lineage=True).select(ROW_ID_COL).collect()
+    ids = [r[ROW_ID_COL] for r in lin]
+    assert len(set(ids)) == len(ids)
+    # one reservation block per epoch's staged chain
+    blocks = [
+        f for f in _os.listdir(_os.path.join(state.root, "metadata"))
+        if f.startswith("rowres-")
+    ]
+    assert len(blocks) == 3
+    rollup.manifest = rollup._load_latest_published_manifest()
+    roll = {
+        r["role"]: r["live_rows"]
+        for r in rollup.read().collect() if r["live_rows"]
+    }
+    want_roll = {
+        r["role"]: r["n"]
+        for r in state.read().groupBy("role")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert roll == want_roll
+    # idempotent re-apply
+    st2 = replay(state, feed, 3, catalog=cat, rollup=rollup)
+    assert st2.epochs_applied == 0
+
+
 def test_forget_on_lineage_table(spark, root, tmp_path):
     from haskell_dbfunctor_spark.lake.forget import forget_keys
     from haskell_dbfunctor_spark.lake.transaction import Catalog
