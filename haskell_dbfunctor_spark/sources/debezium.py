@@ -166,7 +166,16 @@ def parse_debezium(
     )
     bad = F.col("__env").isNull() | op.isNull() | img.isNull()
     if on_unknown == "error":
-        guard = F.when(
+        # The loud path rides INSIDE the projected op column instead of
+        # a separate Filter: a Filter's predicate gets pushed through
+        # the parse projection, inlining the __env alias — measured SIX
+        # from_json evaluations per row in the Filter node alone (q168,
+        # round 6). With every reference in one Project, whole-stage
+        # codegen's subexpression elimination parses each envelope
+        # once. Failure semantics are unchanged: any bad row raises at
+        # execution time with the same message (op is always part of
+        # the normalized output, so the check always evaluates).
+        op = F.when(
             bad,
             F.raise_error(
                 F.concat(
@@ -174,9 +183,8 @@ def parse_debezium(
                     F.substring(F.coalesce(F.col("__raw"), F.lit("<null>")),
                                 1, 200),
                 )
-            ),
-        ).otherwise(F.lit(True))
-        parsed = parsed.where(guard)
+            ).cast("string"),
+        ).otherwise(op)
     else:
         parsed = parsed.where(~bad)
 
