@@ -53,6 +53,56 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.unionAll(self_edge).distinct()
 
 
+#: edges at or below this resolve driver-side (two 8-byte ids/edge —
+#: ~128 MB at the cap, inside spark.driver.maxResultSize)
+_CC_LOCAL_MAX_EDGES = 8_000_000
+
+
+def _cc_local(e: DataFrame, node_t) -> DataFrame:
+    """Driver-side CC for driver-sized edge sets — identical contract
+    to the distributed loop: (node, component) with component = the
+    component's MINIMUM node id, nodes limited to those in ``e``.
+
+    Vectorized min-label propagation over factorized node codes
+    (NumPy scatter-min + pointer jumping — the same contraction idea,
+    O(E) per round, a handful of rounds): node codes are assigned in
+    SORTED node order, so the minimum code in a component maps back to
+    the minimum node id. Python string comparison orders by code
+    point, which matches Spark's UTF8 binary ordering, so string node
+    ids keep the same minimum."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("component", node_t)]
+    )
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    us, vs = pdf["u"].to_numpy(), pdf["v"].to_numpy()
+    nodes = np.unique(np.concatenate([us, vs]))
+    cu = np.searchsorted(nodes, us)
+    cv = np.searchsorted(nodes, vs)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[cu], lab[cv])
+        np.minimum.at(lab, cu, m)
+        np.minimum.at(lab, cv, m)
+        while True:  # pointer jumping: compress label chains
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, before):
+            break
+    out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -93,6 +143,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_n = e.count()
+    # Smallness cutover (round 6): the distinct edge count is already
+    # on the driver, so a graph that FITS the driver (<= ~16 MB of id
+    # pairs) resolves by union-find locally instead of ~3 Spark jobs x
+    # O(log^2 n) contraction rounds — measured ~50 scheduler-bound
+    # 0.05s jobs on the sf0.1 dedup graph. Arrow both ways (toPandas /
+    # createDataFrame), no Python worker in any later scan. The star
+    # contraction below is unchanged and remains the at-scale path.
+    if prev_n <= _CC_LOCAL_MAX_EDGES:
+        return _cc_local(e, node_t)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n2 = e2.count()

@@ -945,18 +945,51 @@ def lsh_verified_pairs(
         docs, k=k, bands=bands,
         threshold=threshold, salt=salt, num_partitions=num_partitions,
     )
-    sets = _words(docs).groupBy("doc_id").agg(F.collect_set("word").alias("words"))
+    # exact-verify representation: word-set ARRAYS in general; a
+    # small-vocabulary corpus (round-6 bitset block) verifies on
+    # BITMASKS instead — popcounts give the identical (c, n1, n2)
+    # integers at a fraction of the shuffle bytes and compare cost.
+    # Candidate generation (minhash banding) is untouched either way.
+    vocab = _bitset_vocab(docs)
+    if vocab is not None:
+        # mask != 0 mirrors the array path (empty docs never reach the
+        # shingle aggregation, and an all-zero pair would divide 0/0)
+        sets = (
+            _doc_masks(docs, vocab)
+            .where(F.col("mask") != 0).select("doc_id", "mask")
+        )
+        j = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("d1"),
+                            F.col("mask").alias("m1")), "d1"
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("d2"),
+                            F.col("mask").alias("m2")), "d2"
+            )
+            .withColumn("c", F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))))
+            .withColumn("n1", F.bit_count("m1"))
+            .withColumn("n2", F.bit_count("m2"))
+        )
+    else:
+        sets = _words(docs).groupBy("doc_id").agg(
+            F.collect_set("word").alias("words")
+        )
+        j = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("d1"),
+                            F.col("words").alias("w1")), "d1"
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("d2"),
+                            F.col("words").alias("w2")), "d2"
+            )
+            .withColumn("c", F.size(F.array_intersect("w1", "w2")))
+            .withColumn("n1", F.size("w1"))
+            .withColumn("n2", F.size("w2"))
+        )
     return (
-        cand.join(
-            sets.select(F.col("doc_id").alias("d1"), F.col("words").alias("w1")), "d1"
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("d2"), F.col("words").alias("w2")), "d2"
-        )
-        .withColumn("c", F.size(F.array_intersect("w1", "w2")))
-        .withColumn("n1", F.size("w1"))
-        .withColumn("n2", F.size("w2"))
-        .where(
+        j.where(
             F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
             >= F.lit(threshold)
         )
@@ -1278,12 +1311,24 @@ def cross_corpus_near_dups(
             )
         ).alias("word"),
     )
+    # exact-verify representation (round 6): word-set bitmask on a
+    # small-vocabulary corpus (popcount verify — identical (c, n1, n2)
+    # integers, a fraction of the bytes), word ARRAY otherwise. The
+    # minhash banding half is identical either way.
+    vocab = _bitset_vocab(tagged)
+    if vocab is not None:
+        _m = F.create_map(
+            *[x for i, w in enumerate(vocab) for x in (F.lit(w), F.lit(1 << i))]
+        )
+        wset_agg = F.sum(F.element_at(_m, F.col("word"))).alias("words")
+    else:
+        wset_agg = F.collect_set("word").alias("words")
     sigs = dw.groupBy("doc_id", "side").agg(
         *[
             F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"mh_{i}")
             for i in range(k)
         ],
-        F.collect_set("word").alias("words"),
+        wset_agg,
     )
     bucket_arr = F.array(
         *[
@@ -1341,14 +1386,20 @@ def cross_corpus_near_dups(
     w_corp = sigs.where(F.col("side") == 0).select(
         F.col("doc_id").alias("match_doc_id"), F.col("words").alias("w2")
     )
+    if vocab is not None:
+        c_expr = F.bit_count(F.col("w1").bitwiseAND(F.col("w2")))
+        n1_expr, n2_expr = F.bit_count("w1"), F.bit_count("w2")
+    else:
+        c_expr = F.size(F.array_intersect("w1", "w2"))
+        n1_expr, n2_expr = F.size("w1"), F.size("w2")
     verified = (
         pairs.join(w_in, "in_doc_id").join(w_corp, "match_doc_id")
         .select(
             "in_doc_id",
             "match_doc_id",
-            F.size(F.array_intersect("w1", "w2")).alias("c"),
-            F.size("w1").alias("n1"),
-            F.size("w2").alias("n2"),
+            c_expr.alias("c"),
+            n1_expr.alias("n1"),
+            n2_expr.alias("n2"),
         )
         .withColumn(
             "jaccard",

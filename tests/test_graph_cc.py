@@ -131,3 +131,48 @@ def test_quality_keeper_selection(spark):
     singles = cl.where((F.col("cluster_size") == 1) & ~F.col("is_keeper"))
     assert singles.count() == 0
     cl.unpersist()
+
+
+def test_cc_local_matches_distributed(spark):
+    """Round 6: the driver-side smallness cutover (_cc_local, NumPy
+    min-label propagation) must produce the identical (node,
+    component) set as the distributed star-contraction loop on the
+    same edges — including min-id components, chains, and multiple
+    separate components."""
+    import random
+
+    from haskell_dbfunctor_spark.operators import graph as G
+
+    rnd = random.Random(7)
+    edges = []
+    # 40 clusters of random size with random internal spanning edges,
+    # node ids shuffled so minima land arbitrarily
+    ids = list(range(10_000, 12_000))
+    rnd.shuffle(ids)
+    pos = 0
+    for _ in range(40):
+        size = rnd.randint(1, 12) + 1
+        group = ids[pos:pos + size]
+        pos += size
+        for i in range(1, len(group)):
+            edges.append((group[i], group[rnd.randrange(i)]))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {(r[0], r[1]) for r in G.connected_components(df).collect()}
+    # force the distributed path by dropping the cutover
+    old = G._CC_LOCAL_MAX_EDGES
+    G._CC_LOCAL_MAX_EDGES = -1
+    try:
+        dist = {(r[0], r[1]) for r in G.connected_components(df).collect()}
+    finally:
+        G._CC_LOCAL_MAX_EDGES = old
+    assert local == dist
+
+
+def test_cc_local_string_nodes(spark):
+    from haskell_dbfunctor_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string"
+    )
+    got = {(r[0], r[1]) for r in connected_components(df).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
