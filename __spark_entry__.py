@@ -1244,18 +1244,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one sort per conv, no self-join); at 100 TB this is the prefix-
     # dedup pass a trajectory-training pipeline runs before tokenizing.
     def q149(s, d):
-        from pyspark.sql import Window as W
-
+        # prefix_hash = md5 of the \x01-joined running text prefix.
+        # The windowed form (collect_list().over(unboundedPreceding)
+        # + concat + md5 PER ROW) re-hashes every prefix from scratch:
+        # O(L^2) bytes per conversation, ~9 GB md5 input at sf0.1
+        # (3000-turn convs). One Arrow grouped-map per conversation
+        # keeps an INCREMENTAL hashlib.md5 state instead — the same
+        # md5 strings (pinned by the oracle) in O(total bytes).
         tr = _t(s, d, "events").select(
             (F.col("user_id") % 200).alias("conv"),
             F.col("event_type").alias("text"),
             "ts", "event_id",
         )
-        w = W.partitionBy("conv").orderBy("ts", "event_id")
-        wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        tr = tr.withColumn("turn_no", F.row_number().over(w)).withColumn(
-            "prefix_hash",
-            F.md5(F.concat_ws("\x01", F.collect_list("text").over(wf))),
+
+        def _prefix_hashes(pdf):
+            import hashlib
+
+            import numpy as _np
+            import pandas as _pd
+
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            h = hashlib.md5()
+            out = []
+            first = True
+            for t in pdf["text"]:
+                if not first:
+                    h.update(b"\x01")
+                h.update(t.encode("utf-8"))
+                first = False
+                # hexdigest() reports the running state without
+                # finalizing it — the incremental identity for
+                # md5(concat_ws('\x01', prefix))
+                out.append(h.hexdigest())
+            return _pd.DataFrame(
+                {
+                    "turn_no": _np.arange(1, len(out) + 1, dtype="int32"),
+                    "prefix_hash": out,
+                }
+            )
+
+        tr = tr.groupBy("conv").applyInPandas(
+            _prefix_hashes, "turn_no int, prefix_hash string"
         )
         return (
             tr.groupBy("turn_no")

@@ -1158,6 +1158,58 @@ def simhash_near_dup_counts(
     band_width = bits // bands
     mask = (1 << band_width) - 1
     sh = simhash64(docs) if bits == 64 else simhash16(docs)
+    # Distinct-value fast path (round 6, the bitset-family idea): at 16
+    # bits the DISTINCT simhash values cap at 2^16 (duplicate-heavy
+    # corpora collapse far below that), so the exact answer is an
+    # O(M^2) popcount loop over distinct hashes expanded by group size
+    # — no banding, no salted exploding join, same (doc_id,
+    # n_near_dups) bit-for-bit. 64-bit corpora (M ~ n_docs — the
+    # distinct set itself is data-scale) keep the pigeonhole band join.
+    sigs = None
+    if bits == 16 and max_hamming >= 0:
+        sigs = (
+            sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("gs"))
+            .localCheckpoint(eager=True)
+        )
+    if sigs is not None and sigs.count() <= _BITSET_MAX_SETS:
+        a = _spread(sigs).select(
+            F.col("simhash").alias("ha"), F.col("gs").alias("gsa")
+        )
+        b = sigs.select(F.col("simhash").alias("hb"), F.col("gs").alias("gsb"))
+        qual = a.join(
+            F.broadcast(b),
+            (F.col("ha") < F.col("hb"))
+            & (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                <= F.lit(max_hamming)
+            ),
+        )
+        gains = qual.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ha").alias("h"), F.col("gsb").alias("g")),
+                    F.struct(F.col("hb").alias("h"), F.col("gsa").alias("g")),
+                )
+            ).alias("e")
+        ).select(F.col("e.h").alias("simhash"), F.col("e.g").alias("g"))
+        cross = gains.groupBy("simhash").agg(F.sum("g").alias("x"))
+        per_hash = (
+            sigs.select("simhash", (F.col("gs") - F.lit(1)).alias("self_g"))
+            .join(cross, "simhash", "left")
+            .select(
+                "simhash",
+                (F.col("self_g") + F.coalesce(F.col("x"), F.lit(0)))
+                .alias("nnd"),
+            )
+        )
+        return (
+            docs.select("doc_id")
+            .join(sh.join(F.broadcast(per_hash), "simhash"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("nnd", F.lit(0)).cast("long").alias("n_near_dups"),
+            )
+        )
     band_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), b * band_width)
