@@ -4017,15 +4017,27 @@ def _two_epoch_lake(s: SparkSession, d: str):
     return LakeTable.load(s, f"{final}/lake"), v1
 
 
+_DML_BASE_CACHE: dict = {}  # (sf_dir, row_lineage, merge_mode) -> pristine root
+
+
 def _dml_state_lake(
     s: SparkSession, d: str, prefix: str, row_lineage: bool = False,
     expectations: dict | None = None, merge_mode: str = "cow",
 ):
     """A FRESH event-state lake for a predicate-DML query (q91/q92):
     one CoW merge epoch of the full feed into a table storing exactly
-    the q21 LWW-state columns. Never cached — DML mutates the table, so
-    sharing a build across queries would let one query's delete leak
-    into another's oracle. Old scratch dirs age out after an hour."""
+    the q21 LWW-state columns. Each caller gets a PRIVATE table — DML
+    mutates it, so sharing a live table across queries would let one
+    query's delete leak into another's oracle. Round 6: the pristine
+    post-e0 build is identical across the ~12 callers, so it is built
+    once PER PROCESS (never persisted across bench invocations — every
+    run recomputes it from the parquet feed) and each query receives
+    its own plain directory copy (manifest paths are root-relative, so
+    a copied tree is a fully independent table; ~15 MB on tmpfs vs a
+    ~2 s full-feed LWW merge per query). Expectation-gated builds
+    (q132) stay uncached — the gate changes the pristine state and a
+    Column expression has no stable cache key. Old scratch dirs age
+    out after an hour."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -4054,7 +4066,7 @@ def _dml_state_lake(
         "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
     )
     for old in _os.listdir(base):
-        if old.startswith(prefix):
+        if old.startswith(prefix) or old.startswith("hdbf_dmlbase_"):
             p = f"{base}/{old}"
             try:
                 if _time.time() - _os.path.getmtime(p) > 3600:
@@ -4062,15 +4074,31 @@ def _dml_state_lake(
             except OSError:
                 continue
     tmp = _tempfile.mkdtemp(prefix=prefix, dir=base)
-    t = LakeTable.create(
-        s, f"{tmp}/lake", schema,
-        key_cols=["user_id", "event_type"], num_buckets=8,
-        row_lineage=row_lineage,
-    )
-    # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
-    t.merge(ev, epoch_id="e0", prune_buckets=False,
-            expectations=expectations, mode=merge_mode)
-    return t
+    if expectations is not None:
+        t = LakeTable.create(
+            s, f"{tmp}/lake", schema,
+            key_cols=["user_id", "event_type"], num_buckets=8,
+            row_lineage=row_lineage,
+        )
+        # full feed >> 8 buckets: skip the touched-set pre-job
+        t.merge(ev, epoch_id="e0", prune_buckets=False,
+                expectations=expectations, mode=merge_mode)
+        return t
+    key = (d, row_lineage, merge_mode)
+    pristine = _DML_BASE_CACHE.get(key)
+    if pristine is None or not _os.path.isdir(pristine):
+        ptmp = _tempfile.mkdtemp(prefix="hdbf_dmlbase_", dir=base)
+        t = LakeTable.create(
+            s, f"{ptmp}/lake", schema,
+            key_cols=["user_id", "event_type"], num_buckets=8,
+            row_lineage=row_lineage,
+        )
+        # full feed >> 8 buckets: skip the touched-set pre-job (CLAUDE.md)
+        t.merge(ev, epoch_id="e0", prune_buckets=False, mode=merge_mode)
+        pristine = f"{ptmp}/lake"
+        _DML_BASE_CACHE[key] = pristine
+    _shutil.copytree(pristine, f"{tmp}/lake")
+    return LakeTable.load(s, f"{tmp}/lake")
 
 
 _STATE_COLS = ["user_id", "event_type", "value", "ts", "last_event_id"]
