@@ -62,7 +62,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same handful of immutable input files. Caching the plan (never
     any computed data — each query still executes from the parquet
     bytes) removes ~15 s of pure driver-side re-inference per run."""
-    key = (id(spark), sf_dir, name)
+    # keyed on the session OBJECT (not id(): a stopped session's id can
+    # be reused by a new one after GC; holding the reference pins it)
+    key = (spark, sf_dir, name)
     df = _T_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
