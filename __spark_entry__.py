@@ -5965,7 +5965,11 @@ def _stream_interval_join(s: SparkSession, d: str) -> DataFrame:
     )
     src = f"{d}/events.parquet"
     stem = _os.path.basename(d.rstrip("/"))
-    tag = f"{stem}_{int(_os.path.getmtime(src))}"
+    # _p4: 4 files per side (was coalesce(1)) — the drain's two feed
+    # scans ran as single 0.7s tasks; availableNow with no
+    # maxFilesPerTrigger still takes all files in ONE micro-batch, so
+    # the single-segment join semantics (and the oracle) are unchanged
+    tag = f"{stem}_{int(_os.path.getmtime(src))}_p4"
     feeds = f"{base}/hdbf_sjoin_{tag}"
     try:
         for old in _os.listdir(base):
@@ -5984,7 +5988,7 @@ def _stream_interval_join(s: SparkSession, d: str) -> DataFrame:
         (
             ev.where(F.col("event_type") == "view")
             .select("user_id", F.col("event_id").alias("view_id"), "ts")
-            .coalesce(1).write.parquet(f"{tmp}/views")
+            .repartition(4).write.parquet(f"{tmp}/views")
         )
         (
             ev.where(F.col("event_type") == "click")
@@ -5992,7 +5996,7 @@ def _stream_interval_join(s: SparkSession, d: str) -> DataFrame:
                 "user_id", F.col("event_id").alias("click_id"),
                 F.col("ts").alias("c_ts"),
             )
-            .coalesce(1).write.parquet(f"{tmp}/clicks")
+            .repartition(4).write.parquet(f"{tmp}/clicks")
         )
         open(f"{tmp}/_DONE", "w").close()
         try:

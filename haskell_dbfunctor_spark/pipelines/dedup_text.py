@@ -1355,6 +1355,15 @@ def cross_corpus_near_dups(
     tagged = incoming.select("doc_id", "text").withColumn(
         "side", F.lit(1)
     ).unionByName(corpus.select("doc_id", "text").withColumn("side", F.lit(0)))
+    # the k-md5-per-word signature aggregation is compute-bound and
+    # partial (map-side): its parallelism is the SCAN's. A small-file
+    # corpus scans in 1-2 partitions and serializes the minhash work
+    # (measured: 2 tasks x ~2 s at sf0.1); spread it only when the
+    # scan is narrower than the session — a wide scan (the at-scale
+    # case) never pays the extra exchange.
+    par = tagged.sparkSession.sparkContext.defaultParallelism
+    if tagged.rdd.getNumPartitions() < par:
+        tagged = tagged.repartition(par)
     dw = tagged.select(
         "doc_id", "side",
         F.explode(
