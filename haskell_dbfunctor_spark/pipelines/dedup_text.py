@@ -1667,15 +1667,90 @@ def rollout_prefix_dedup(
         )
     )
 
+def _near_dup_pairs_bitset(
+    docs: DataFrame, threshold: float, vocab: list[str],
+) -> DataFrame | None:
+    """Exact Jaccard near-dup PAIRS over distinct word-set bitmasks —
+    the edge-list sibling of ``_near_dup_counts_bitset``: qualifying
+    DISTINCT mask pairs expand to their groups' doc-id cross product
+    (ordered d1 < d2); identical sets contribute their within-group
+    pairs. Output volume equals the true pair count either way."""
+    masks = _doc_masks(docs, vocab)
+    nz = masks.where(F.col("n") > 0)
+    sigs = _bitset_sigs(nz)
+    if sigs is None:
+        return None
+    a = _spread(sigs).select(
+        F.col("mask").alias("ma"), F.col("n").alias("na"),
+    )
+    b = sigs.select(F.col("mask").alias("mb"), F.col("n").alias("nb"))
+    c = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+    u = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+    qual = a.join(
+        F.broadcast(b),
+        (F.col("ma") < F.col("mb"))
+        & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+        & (F.col("nb") >= F.lit(threshold) * F.col("na"))
+        & (c >= 1)
+        & (c * F.lit(1.0) / u >= F.lit(threshold)),
+    ).select("ma", "mb")
+    ids_by_mask = nz.groupBy("mask").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    cross = (
+        qual.join(
+            F.broadcast(
+                ids_by_mask.select(F.col("mask").alias("ma"),
+                                   F.col("ids").alias("ids_a"))
+            ), "ma",
+        )
+        .join(
+            F.broadcast(
+                ids_by_mask.select(F.col("mask").alias("mb"),
+                                   F.col("ids").alias("ids_b"))
+            ), "mb",
+        )
+        .select(F.explode("ids_a").alias("x"), "ids_b")
+        .select("x", F.explode("ids_b").alias("y"))
+        .select(
+            F.least("x", "y").alias("d1"), F.greatest("x", "y").alias("d2")
+        )
+    )
+    if threshold <= 1.0:
+        # identical sets: J = 1.0 >= t — all within-group ordered pairs
+        within = (
+            ids_by_mask.where(F.size("ids") > 1)
+            .select(F.explode("ids").alias("d1"), "ids")
+            .select(
+                "d1",
+                F.explode(
+                    F.filter(F.col("ids"), lambda y: y > F.col("d1"))
+                ).alias("d2"),
+            )
+        )
+        return cross.unionByName(within)
+    return cross
+
+
 def near_dup_pairs_prefix(
-    docs: DataFrame, threshold: float = 0.8, *, salt: int = 32
+    docs: DataFrame, threshold: float = 0.8, *, salt: int = 32,
+    bitset: bool = True,
 ) -> DataFrame:
     """EXACT word-set-Jaccard near-dup PAIRS (d1 < d2) via prefix
     filtering — the edge-list form of ``near_dup_counts_prefix`` (see
     its docstring for the theorem, the plan shape, and the density
     caveat); consumed directly by cross-source contamination census
     (q183) and any clustering/keeper pipeline that wants exact edges.
+
+    ``bitset=True``: small-vocabulary popcount fast path (identical
+    edge set, probe-guarded — see the bitset block above).
     """
+    if bitset:
+        vocab = _bitset_vocab(docs)
+        if vocab is not None:
+            out = _near_dup_pairs_bitset(docs, threshold, vocab)
+            if out is not None:
+                return out
     return _near_dup_prefix_impl(docs, threshold, salt)
 
 

@@ -104,3 +104,28 @@ def test_threshold_one_exact_only(spark):
 
 def test_cap_constant_sane():
     assert _BITSET_VOCAB_CAP <= 62
+
+
+def test_pairs_bitset_matches_counts(spark):
+    """Edge-list bitset path: counting each doc's incident edges must
+    reproduce near_dup_counts exactly (both paths, both thresholds)."""
+    from haskell_dbfunctor_spark.pipelines.dedup_text import (
+        near_dup_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f"),
+         (4, "x y"), (5, "x y z"), (6, "")],
+        "doc_id long, text string",
+    )
+    for t in (0.6, 0.8, 1.0):
+        pairs = near_dup_pairs_prefix(docs, t).collect()
+        assert all(r["d1"] < r["d2"] for r in pairs)
+        assert len({(r[0], r[1]) for r in pairs}) == len(pairs)  # unique
+        inc = {}
+        for r in pairs:
+            inc[r[0]] = inc.get(r[0], 0) + 1
+            inc[r[1]] = inc.get(r[1], 0) + 1
+        want = _cc(near_dup_counts(docs, t, bitset=False))
+        got = {i: inc.get(i, 0) for i in want}
+        assert got == want, (t, got, want)
