@@ -78,15 +78,27 @@ def train_quantizer(
     *,
     n_centroids: int = 8,
     refine_iters: int = 1,
+    replace: bool = False,
 ) -> None:
     """Train on ``train_df`` (ivf_train: deterministic seeds + Lloyd
     steps, 6dp-rounded) and commit the centroids. Training is the ONLY
     corpus-sized job in this module's lifecycle; everything after is
-    O(changes) or O(cells probed)."""
+    O(changes) or O(cells probed).
+
+    ``replace=True`` makes the commit a full-snapshot swap: quantizer
+    rows whose cid is not in the freshly trained set are DELETED in
+    the same merge. A RETRAIN must use this — cids are seed vec_ids,
+    not dense 0..k-1, so an upsert-only retrain onto a wider (or
+    differently seeded) quantizer would leave stale old-quantizer
+    centroids live and every downstream assignment would silently mix
+    old and new cells."""
     cent = ivf_train(train_df, n_centroids, refine_iters).select(
         "cid", F.col("cv").cast(CENT_SCHEMA["cv"].dataType).alias("cv")
     )
-    quantizer.merge(cent, op_col=None, order_cols=())
+    quantizer.merge(
+        cent, op_col=None, order_cols=(),
+        **({"not_matched_by_source": "delete"} if replace else {}),
+    )
 
 
 def _collect_centroids(quantizer: LakeTable | DataFrame) -> list[tuple]:
@@ -348,12 +360,20 @@ def maintain_ivf_index(
     if probe["drift"] <= drift_threshold or probe["vectors"] == 0:
         return out
     out["triggered"] = True
-    k = n_centroids if n_centroids is not None else probe["cells"]
+    if n_centroids is not None:
+        k = n_centroids
+    else:
+        # probe["cells"] counts cells PRESENT in the index — a cell
+        # that happens to be empty at probe time (likely under the
+        # very drift that fires the trigger) would silently shrink
+        # the quantizer. Default to the trained width instead.
+        k = max(probe["cells"], quantizer.read().count())
     vecs = index.read().where(F.col("cid").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     train_quantizer(
-        vecs, quantizer, n_centroids=k, refine_iters=refine_iters
+        vecs, quantizer, n_centroids=k, refine_iters=refine_iters,
+        replace=True,
     )
     quantizer.manifest = quantizer._load_latest_published_manifest()
     cents = _collect_centroids(quantizer)

@@ -156,6 +156,62 @@ def test_drift_triggers_requantize_and_restores_recall(spark, tmp_path):
     assert bad == 0
 
 
+def test_shrink_retrain_drops_stale_centroids(spark, tmp_path):
+    """ADVICE r05: train_quantizer upserts by cid (seed vec_ids, not
+    dense 0..k-1) — a retrain narrower than the live quantizer used to
+    leave stale old-quantizer rows live, and assignment silently mixed
+    old and new centroids. maintain_ivf_index now retrains with
+    replace=True (NOT MATCHED BY SOURCE DELETE leg)."""
+    corpus, qz, ix = _build(spark, tmp_path)
+    drifted = [
+        (
+            200 + i,
+            [
+                0.7 + 0.002 * (i % 2),
+                0.7 + 0.002 * ((i + 1) % 2),
+                0.3 + 0.1 * ((i * 7) % 11 - 5) / 5.0,
+                0.3 + 0.1 * ((i * 3 + 4) % 11 - 5) / 5.0,
+            ],
+        )
+        for i in range(80)
+    ]
+    corpus.merge(
+        spark.createDataFrame(drifted, EMB_SCHEMA), op_col=None,
+        order_cols=(),
+    )
+    sync_ivf_index(corpus, ix, qz)
+    assert quantizer_drift(ix, qz)["drift"] > 0.02
+    out = maintain_ivf_index(
+        ix, qz, drift_threshold=0.02, n_centroids=1, refine_iters=4
+    )
+    assert out["triggered"]
+    qz.manifest = qz._load_latest_published_manifest()
+    live = {r.cid for r in qz.read().select("cid").collect()}
+    assert len(live) == 1  # the old 2-cell quantizer's extra row is gone
+    ix.manifest = ix._load_latest_published_manifest()
+    idx_cids = {r.cid for r in ix.read().select("cid").distinct().collect()}
+    assert idx_cids <= live  # every code points at a LIVE centroid
+
+
+def test_default_k_keeps_trained_width(spark, tmp_path):
+    """Default retrain width is the quantizer's trained width, not the
+    count of cells that happen to be non-empty in the index at probe
+    time (ADVICE r05 second clause)."""
+    corpus, qz, ix = _build(spark, tmp_path)
+    corpus.merge(
+        spark.createDataFrame(
+            _vecs([0.7, 0.7, 0.3, 0.3], 200, 80, spread=0.15),
+            EMB_SCHEMA,
+        ),
+        op_col=None, order_cols=(),
+    )
+    sync_ivf_index(corpus, ix, qz)
+    out = maintain_ivf_index(ix, qz, drift_threshold=0.02, refine_iters=4)
+    assert out["triggered"]
+    qz.manifest = qz._load_latest_published_manifest()
+    assert qz.read().count() == 2
+
+
 def test_maintenance_cli_probe_and_act(spark, tmp_path):
     from jobs.lake_maintenance import main as maint
 
