@@ -143,7 +143,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="create the table with row lineage (hidden "
                          "__row_id / __last_updated_version columns; "
                          "Iceberg-v3 row-lineage analog). Forces CoW "
-                         "merges — incompatible with --mor.")
+                         "merges — incompatible with --mor. EPOCH "
+                         "BUDGET with --rollup-root: each transactional "
+                         "epoch on a lineage table claims one staged "
+                         "row-id reservation block, and the table "
+                         "lifetime holds 2^16 blocks — a lineage+rollup "
+                         "pipeline supports at most 65,536 epochs / "
+                         "micro-batches before requiring a table "
+                         "rebuild. Size --stream trigger intervals "
+                         "accordingly (e.g. minutes, not sub-second).")
     ap.add_argument("--forget-dir", default=None,
                     help="right-to-be-forgotten request queue "
                          "(lake/forget.py): JSON files of key rows "
